@@ -1,0 +1,281 @@
+"""CDC strategies as DataFrame predicate builders.
+
+Re-expresses the reference's ``src/core/cdc_strategy_engine.py`` — which
+generates SQL text for LIMIT-paginated pulls — as Spark ``Column``
+predicates applied to a declaratively-read DataFrame. The reference's
+chunk loop (src/backup/row_based.py:119-712) disappears entirely: Spark
+reads the whole incremental delta as one partitioned, set-based scan, and
+Catalyst pushes the predicate into the source (parquet row-group stats /
+JDBC WHERE). At 100 TB this is the difference between N round-trip
+LIMIT queries and one distributed scan that prunes at the storage layer.
+
+Strategies (reference line cites):
+- timestamp_only  :188-294   ``ts > wm`` (+ UNIX-int auto-detect :228-251)
+- hybrid          :366-434   keyset ``ts > wm OR (ts = wm AND id > last)``
+- id_only         :499-546   ``id > last``
+- full_sync       :607-694   replace/append full scan
+- custom_sql      :783-834   user SQL template on temp views (validator :54-91)
+
+Plus: watermark extraction (A4, :296-336/:436-458/:548-563), MAX(id)
+ceiling snapshot (S8, row_based.py:781-845), bounded time-window scan
+(S6, base.py:428-484), manual-override precedence (:199-217).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Validation (reference cdc_strategy_engine.py:26-91). Identifiers are
+# driver-side config, not user data, but we keep the same whitelist regex
+# and custom-SQL keyword blocklist as defense in depth.
+# --------------------------------------------------------------------------
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_FORBIDDEN_SQL = re.compile(
+    r"\b(INSERT|UPDATE|DELETE|DROP|CREATE|ALTER|TRUNCATE|GRANT|REVOKE|EXEC|CALL|MERGE)\b",
+    re.IGNORECASE,
+)
+
+
+def validate_identifier(name: str) -> str:
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def validate_custom_sql(sql: str) -> str:
+    """Keyword-blocklist check for custom_sql templates (reference :54-91)."""
+    if not sql or not sql.strip().upper().startswith("SELECT"):
+        raise ValueError("custom_sql must be a SELECT statement")
+    if _FORBIDDEN_SQL.search(sql):
+        raise ValueError("custom_sql contains a forbidden keyword")
+    return sql
+
+
+# --------------------------------------------------------------------------
+# Config
+# --------------------------------------------------------------------------
+
+@dataclass
+class CDCConfig:
+    """Per-table CDC settings (reference TableConfig,
+    src/core/configuration_manager.py:22-36)."""
+
+    strategy: str = "hybrid"              # timestamp_only|hybrid|id_only|full_sync|custom_sql
+    timestamp_column: str | None = None   # cdc_timestamp_column
+    id_column: str | None = None          # cdc_id_column
+    timestamp_format: str = "auto"        # unix | datetime | auto (:228-243)
+    full_sync_mode: str = "replace"       # replace | append | paginate
+    custom_sql: str | None = None
+    additional_where: str | None = None   # ANDed user predicate (P2, :118)
+    ordering: list[str] = field(default_factory=list)  # cdc_ordering
+
+    def __post_init__(self):
+        for c in filter(None, [self.timestamp_column, self.id_column, *self.ordering]):
+            validate_identifier(c)
+
+
+@dataclass
+class Watermark:
+    """Cursor view consumed by predicate builders. ``manual_override`` wins
+    over stored state per reference precedence (:199-217)."""
+
+    last_timestamp: Any = None   # str 'YYYY-MM-DD HH:MM:SS' | datetime | None
+    last_id: int | None = None
+
+    @classmethod
+    def from_doc(cls, doc: dict) -> "Watermark":
+        ms = doc.get("mysql_state", {})
+        return cls(last_timestamp=ms.get("last_timestamp"), last_id=ms.get("last_id"))
+
+
+# --------------------------------------------------------------------------
+# Predicate builders
+# --------------------------------------------------------------------------
+
+def _is_unix_ts_column(df_schema: T.StructType, ts_col: str) -> bool:
+    """UNIX-int timestamp auto-detect (reference :228-243): an integer-typed
+    CDC timestamp column is treated as epoch seconds."""
+    for f in df_schema.fields:
+        if f.name == ts_col:
+            return isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+    return False
+
+
+def _ts_literal(cfg: CDCConfig, schema: T.StructType, wm_ts) -> Column:
+    """Watermark literal, epoch-wrapped when the column is UNIX-int
+    (reference wraps in UNIX_TIMESTAMP(), :246-251)."""
+    fmt = cfg.timestamp_format
+    unix = fmt == "unix" or (fmt == "auto" and _is_unix_ts_column(schema, cfg.timestamp_column))
+    if unix:
+        return F.unix_timestamp(F.lit(wm_ts))
+    return F.lit(wm_ts).cast("timestamp")
+
+
+def timestamp_only_predicate(df: DataFrame, cfg: CDCConfig, wm: Watermark) -> Column:
+    """S1 (reference :188-294): ``ts_col > watermark``."""
+    validate_identifier(cfg.timestamp_column)
+    if wm.last_timestamp is None:
+        return F.lit(True)
+    return F.col(cfg.timestamp_column) > _ts_literal(cfg, df.schema, wm.last_timestamp)
+
+
+def hybrid_predicate(df: DataFrame, cfg: CDCConfig, wm: Watermark) -> Column:
+    """S2 (reference :366-434): total-order keyset
+    ``ts > wm OR (ts = wm AND id > last_id)`` — robust to timestamp ties,
+    the reference's own historical bug surface (base.py:450)."""
+    validate_identifier(cfg.timestamp_column)
+    validate_identifier(cfg.id_column)
+    if wm.last_timestamp is None and wm.last_id is None:
+        return F.lit(True)
+    ts_lit = _ts_literal(cfg, df.schema, wm.last_timestamp)
+    ts, idc = F.col(cfg.timestamp_column), F.col(cfg.id_column)
+    last_id = wm.last_id if wm.last_id is not None else 0
+    return (ts > ts_lit) | ((ts == ts_lit) & (idc > F.lit(last_id)))
+
+
+def id_only_predicate(df: DataFrame, cfg: CDCConfig, wm: Watermark) -> Column:
+    """S3 (reference :499-546): ``id > last_id`` for append-only tables."""
+    validate_identifier(cfg.id_column)
+    if wm.last_id is None:
+        return F.lit(True)
+    return F.col(cfg.id_column) > F.lit(int(wm.last_id))
+
+
+def time_window_predicate(ts_col: str, start, end) -> Column:
+    """S6 legacy bounded window (reference base.py:428-484):
+    exclusive start / inclusive end."""
+    validate_identifier(ts_col)
+    c = F.col(ts_col)
+    return (c > F.lit(start).cast("timestamp")) & (c <= F.lit(end).cast("timestamp"))
+
+
+def ceiling_predicate(id_col: str, ceiling: int) -> Column:
+    """S8 anti-infinite-sync bound (reference row_based.py:278-291,
+    525-536): rows above the sync-start MAX(id) snapshot are excluded so a
+    concurrently-growing table cannot extend the sync."""
+    validate_identifier(id_col)
+    return F.col(id_col) <= F.lit(int(ceiling))
+
+
+def snapshot_ceiling(df: DataFrame, id_col: str) -> int | None:
+    """``SELECT MAX(id)`` probe (reference row_based.py:781-845)."""
+    row = df.agg(F.max(F.col(id_col)).alias("mx")).collect()[0]
+    return None if row["mx"] is None else int(row["mx"])
+
+
+def apply_cdc(df: DataFrame, cfg: CDCConfig, wm: Watermark,
+              ceiling: int | None = None) -> DataFrame:
+    """Build the incremental DataFrame for one table: strategy predicate
+    AND additional_where AND optional ceiling. Catalyst pushes the whole
+    conjunction to the scan (PushedFilters)."""
+    if cfg.strategy == "full_sync":
+        out = df
+    elif cfg.strategy == "timestamp_only":
+        out = df.filter(timestamp_only_predicate(df, cfg, wm))
+    elif cfg.strategy == "hybrid":
+        out = df.filter(hybrid_predicate(df, cfg, wm))
+    elif cfg.strategy == "id_only":
+        out = df.filter(id_only_predicate(df, cfg, wm))
+    else:
+        raise ValueError(f"unknown/unhandled CDC strategy {cfg.strategy!r}")
+    if cfg.additional_where:
+        # P2: user predicate conjunct (reference :253-259). Pushdown automatic.
+        out = out.filter(F.expr(cfg.additional_where))
+    if ceiling is not None and cfg.id_column:
+        out = out.filter(ceiling_predicate(cfg.id_column, ceiling))
+    return out
+
+
+def custom_sql_scan(spark: SparkSession, df: DataFrame, cfg: CDCConfig,
+                    wm: Watermark, table_name: str = "src",
+                    limit: int | None = None) -> DataFrame:
+    """S5 custom SQL scan (reference :783-834): user SELECT template with
+    ``{table_name} {last_timestamp} {last_id} {limit}`` substitution, run
+    via spark.sql on a temp view."""
+    validate_custom_sql(cfg.custom_sql)
+    validate_identifier(table_name)
+    df.createOrReplaceTempView(table_name)
+    sql = cfg.custom_sql.format(
+        table_name=table_name,
+        last_timestamp=str(wm.last_timestamp or "1970-01-01 00:00:00"),
+        last_id=int(wm.last_id or 0),
+        limit=int(limit or 2_000_000_000),
+    )
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Watermark extraction (A4)
+# --------------------------------------------------------------------------
+
+def extract_watermark(df: DataFrame, cfg: CDCConfig) -> Watermark:
+    """New cursor from an extracted batch (reference :296-336, :436-458,
+    :548-563 — 'last row after ORDER BY' == max of the (ts,id) keyset).
+
+    Computed order-independently as ``max(struct(ts, id))`` — a single
+    partial-aggregable reduction, no global sort (SURVEY §2.4 A4)."""
+    if df.isEmpty():
+        return Watermark()
+    if cfg.strategy == "id_only" or (cfg.id_column and not cfg.timestamp_column):
+        row = df.agg(F.max(cfg.id_column).alias("i")).collect()[0]
+        return Watermark(last_id=int(row["i"]))
+    if cfg.timestamp_column and cfg.id_column:
+        row = df.agg(
+            F.max(F.struct(F.col(cfg.timestamp_column).alias("ts"),
+                           F.col(cfg.id_column).alias("id"))).alias("m")
+        ).collect()[0]
+        return Watermark(last_timestamp=_fmt_ts(row["m"]["ts"]), last_id=int(row["m"]["id"]))
+    if cfg.timestamp_column:
+        row = df.agg(F.max(cfg.timestamp_column).alias("t")).collect()[0]
+        return Watermark(last_timestamp=_fmt_ts(row["t"]))
+    return Watermark()
+
+
+def _fmt_ts(v) -> str | None:
+    """Normalize to ``YYYY-MM-DD HH:MM:SS`` (reference F7 normalization,
+    row_based.py:228-246 / base.py:778-796)."""
+    if v is None:
+        return None
+    if hasattr(v, "strftime"):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)
+
+
+# --------------------------------------------------------------------------
+# Probes (S9/S10) — density analysis for sizing decisions
+# --------------------------------------------------------------------------
+
+def row_count_probe(df: DataFrame, ts_col: str, start, end) -> int:
+    """S9 windowed COUNT(*) (reference base.py:983-1068)."""
+    return df.filter(time_window_predicate(ts_col, start, end)).count()
+
+
+def hourly_density(df: DataFrame, ts_col: str) -> DataFrame:
+    """S10 data-density sampling (reference base.py:486-623). The
+    reference issues 6 COUNT probes over {1,4,12,24,48,168}h windows; one
+    hour-bucketed group-by computes the full density profile in a single
+    scan — the set-based replacement."""
+    validate_identifier(ts_col)
+    return (df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("rows_per_hour")))
+
+
+def density_stats(df: DataFrame, ts_col: str) -> DataFrame:
+    """A3 density statistics (reference base.py:625-735): mean / stddev /
+    coefficient-of-variation of hourly rates, for chunk-size selection
+    (on Spark: for choosing JDBC numPartitions)."""
+    hourly = hourly_density(df, ts_col)
+    return hourly.agg(
+        F.avg("rows_per_hour").alias("mean_rate"),
+        F.stddev_pop("rows_per_hour").alias("stddev_rate"),
+        (F.stddev_pop("rows_per_hour") / F.avg("rows_per_hour")).alias("cv"),
+    )

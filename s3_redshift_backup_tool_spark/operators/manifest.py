@@ -1,0 +1,63 @@
+"""Processed-file manifest operators: the idempotency layer.
+
+The reference tracks every S3 parquet file it has COPY'd into Redshift in a
+``processed_files`` blacklist inside the watermark and set-subtracts it from
+each discovery listing (gemini_redshift_loader.py:499-527,
+simple_watermark_manager.py:186-229). Here the same semantics are DataFrame
+set operations:
+
+- exclusion  = ``left_anti`` join (P5) — scales to millions of manifest
+  entries where the reference's in-memory set would not; a broadcast hint
+  keeps it shuffle-free while the manifest is small.
+- union-dedup = ``union().distinct()`` (U1)
+- difference  = ``left_anti`` (U2)
+
+For data-level idempotency (not just file-level) we add
+``exclude_processed_rows``: filter on ``input_file_name()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def files_df(spark: SparkSession, paths: list[str], col: str = "path") -> DataFrame:
+    return spark.createDataFrame([(p,) for p in paths], f"{col} string")
+
+
+def exclude_processed(discovered: DataFrame, processed: DataFrame,
+                      on: str = "path") -> DataFrame:
+    """P5: discovered files minus blacklist (reference :499-527).
+
+    ``broadcast`` on the manifest side: it is tiny relative to the
+    discovery listing, so the anti-join is map-side and shuffle-free."""
+    return discovered.join(F.broadcast(processed.select(on).distinct()),
+                           on=on, how="left_anti")
+
+
+def union_dedup(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1: blacklist union with set-dedup (reference
+    simple_watermark_manager.py:205-208)."""
+    return a.unionByName(b).distinct()
+
+
+def set_difference(a: DataFrame, b: DataFrame, on: str) -> DataFrame:
+    """U2: a - b on key (reference discovered-minus-processed)."""
+    return a.join(b.select(on).distinct(), on=on, how="left_anti")
+
+
+def exclude_processed_rows(df: DataFrame, processed_paths: list[str]) -> DataFrame:
+    """Row-level idempotent read: drop rows originating from already-loaded
+    files, resolved at scan time via ``input_file_name()``."""
+    if not processed_paths:
+        return df
+    return df.filter(~F.input_file_name().isin(processed_paths))
+
+
+def discover_parquet_files(spark: SparkSession, path: str) -> DataFrame:
+    """S14 file discovery (reference :377-543 paginated list_objects_v2) —
+    one distributed metadata read; newest-first trim (O4) is an orderBy."""
+    df = spark.read.parquet(path)
+    return (df.select(F.input_file_name().alias("path"))
+              .distinct())

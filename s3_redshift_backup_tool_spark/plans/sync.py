@@ -1,0 +1,294 @@
+"""The sync plan: the reference's two-stage pipeline as one linear Spark job.
+
+Reference lifecycle (SURVEY §3.1): chunk-looped MySQL extraction
+(src/backup/row_based.py:119-712) -> per-batch parquet upload
+(src/core/s3_manager.py:229-360) -> per-file Redshift COPY
+(src/core/gemini_redshift_loader.py:80-248), with watermark commits
+between every step.
+
+Spark re-design: one declarative plan per table —
+
+    read(source) -> cdc filter (predicate pushed to scan)
+                 -> align(target schema)
+                 -> observe(rows, max(ts,id))        # metrics + new
+                                                     # watermark in the
+                                                     # SAME pass, no
+                                                     # second scan
+                 -> write.partitionBy(date keys)     # staging (F11)
+    load: discovered staged files  -anti-join->  manifest blacklist (P5)
+          -> append/overwrite target               (K2/K3)
+    verify: target count vs cumulative watermark   (A7)
+
+The chunk loop, sparse-stop heuristic, memory manager and retry ladder
+(R6-R8) disappear: Spark's task scheduler, AQE and task retries supply
+them. At 100 TB the staging write is the only shuffle-free wide stage
+(partitionBy hash-distributes by date key); everything upstream is a
+narrow scan->filter->project pipeline inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import cdc as cdc_ops
+from ..operators.align import align_to_schema
+from ..operators.cdc import CDCConfig, Watermark
+from ..operators.manifest import exclude_processed, files_df
+from ..operators.quality import QualityReport, run_quality_gate
+from ..state import WatermarkStore
+from .pipeline import PipelineConfig, TableConfig
+
+
+@dataclass
+class SyncResult:
+    table: str
+    rows_extracted: int
+    files_staged: int
+    files_loaded: int
+    target_rows: int
+    new_watermark: Watermark
+    verified: bool
+    quality: QualityReport | None = None
+    skipped_files: int = 0
+
+
+DATE_PART_EXPRS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth, "hour": F.hour,
+}
+
+
+def add_date_partitions(df: DataFrame, ts_col: str | None,
+                        granularity: tuple[str, ...] = ("year", "month")) -> DataFrame:
+    """F11 Hive-style partition keys derived from the CDC timestamp
+    (reference S3 key layouts year=/month=/day=[/hour=],
+    s3_manager.py:179-211). Partition pruning on the read side comes free
+    from the layout.
+
+    Default granularity is year/month, NOT day: directory count (and hence
+    minimum file count) equals the number of distinct partition values, so
+    day dirs explode small-file counts while buying nothing — parquet
+    row-group min/max stats on the timestamp column already prune to the
+    day within a month file. Opt into day/hour for tables where a single
+    month is too large a pruning unit."""
+    if not ts_col or ts_col not in df.columns:
+        return df
+    c = F.col(ts_col)
+    for g in granularity:
+        df = df.withColumn(g, DATE_PART_EXPRS[g](c))
+    return df
+
+
+def _staged_files(staging_path: str) -> list[str]:
+    return sorted(
+        p for p in glob.glob(os.path.join(staging_path, "**", "*.parquet"),
+                             recursive=True)
+    )
+
+
+def sync_table(
+    spark: SparkSession,
+    source_df: DataFrame,
+    table_cfg: TableConfig,
+    store: WatermarkStore,
+    *,
+    source_name: str = "src",
+    target_scope: str = "tgt",
+    staging_path: str,
+    target_path: str,
+    target_schema: T.StructType | None = None,
+    max_records_per_file: int | None = None,
+    quality_gate: bool = False,
+    quality_opts: dict | None = None,
+) -> SyncResult:
+    """Run one table's end-to-end incremental sync. Idempotent: re-running
+    with no new source rows stages nothing and loads nothing (the manifest
+    anti-join filters already-loaded files)."""
+    table = table_cfg.table_name
+    target = table_cfg.effective_target
+    cfg = table_cfg.cdc_config()
+
+    lock_token = store.acquire_lock(source_name, table, target_scope)
+    try:
+        doc = store.start_sync(source_name, table, target_scope)
+        wm = Watermark.from_doc(doc)
+
+        # S8: ceiling snapshot for id-bearing strategies (anti-infinite-sync)
+        ceiling = None
+        if cfg.id_column and cfg.strategy in ("hybrid", "id_only"):
+            ceiling = cdc_ops.snapshot_ceiling(source_df, cfg.id_column)
+
+        delta = cdc_ops.apply_cdc(source_df, cfg, wm, ceiling=ceiling)
+        if target_schema is not None:
+            delta = align_to_schema(delta, target_schema)
+
+        quality: QualityReport | None = None
+        if quality_gate:
+            quality = run_quality_gate(delta, **(quality_opts or {}))
+            if not quality.passed:
+                store.update_extraction_state(
+                    source_name, table, target_scope,
+                    status="failed", error="; ".join(quality.violations))
+                raise ValueError(f"quality gate failed: {quality.violations}")
+
+        # --- Stage 1: extract -> staged partitioned parquet -------------
+        # observe(): rows + new (ts,id) cursor computed during the write
+        # itself — the reference needs a separate pass / last-row peek.
+        obs_aggs = [F.count(F.lit(1)).alias("rows")]
+        has_ts = cfg.timestamp_column and cfg.timestamp_column in delta.columns
+        has_id = cfg.id_column and cfg.id_column in delta.columns
+        if has_ts and has_id:
+            obs_aggs.append(F.max(F.struct(
+                F.col(cfg.timestamp_column).alias("ts"),
+                F.col(cfg.id_column).alias("id"))).alias("cursor"))
+        elif has_ts:
+            obs_aggs.append(F.max(cfg.timestamp_column).alias("ts_max"))
+        elif has_id:
+            obs_aggs.append(F.max(cfg.id_column).alias("id_max"))
+        obs = Observation(f"sync_{table}")
+        observed = delta.observe(obs, *obs_aggs)
+
+        # Empty-delta short-circuit: no staging write, no load, no blacklist
+        # growth. limit-1 probe is pushdown-cheap even at 100 TB.
+        if delta.isEmpty():
+            store.update_extraction_state(source_name, table, target_scope,
+                                          session_rows=0, session_files=0,
+                                          status="success")
+            target_rows = spark.read.parquet(target_path).count() \
+                if os.path.exists(target_path) else 0
+            store.update_target_count(source_name, table, target_scope, target_rows)
+            expected = store.get(source_name, table, target_scope)["mysql_state"]["total_rows"]
+            return SyncResult(table=table, rows_extracted=0, files_staged=0,
+                              files_loaded=0, target_rows=target_rows,
+                              new_watermark=wm, verified=(target_rows == expected),
+                              quality=quality)
+
+        pc = table_cfg.partition_columns
+        if pc and all(c in DATE_PART_EXPRS for c in pc):
+            gran, direct_parts = tuple(pc), []
+        elif pc:
+            gran, direct_parts = (), [c for c in pc if c in delta.columns]
+        else:
+            gran, direct_parts = ("year", "month"), []
+        staged = add_date_partitions(observed, cfg.timestamp_column if has_ts else None,
+                                     granularity=gran) if gran else observed
+        part_cols = direct_parts + [c for c in gran if c in staged.columns
+                                    and c not in delta.columns]
+        if part_cols:
+            # Cluster rows by their partition key before partitionBy, else
+            # every input task writes a sliver into every date dir — the
+            # small-files anti-pattern (the reference's own goal is "fewer
+            # larger files", PERFORMANCE_OPTIMIZATION_GUIDE.md:169-172).
+            # One shuffle, AQE-coalesced; maxRecordsPerFile bounds hot days.
+            staged = staged.repartition(*[F.col(c) for c in part_cols])
+        writer = staged.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging_path)
+
+        got = obs.get
+        rows = int(got["rows"])
+        new_wm = Watermark(wm.last_timestamp, wm.last_id)
+        if rows > 0:
+            if has_ts and has_id:
+                cur = got["cursor"]
+                new_wm = Watermark(cdc_ops._fmt_ts(cur["ts"]), int(cur["id"]))
+            elif has_ts:
+                new_wm = Watermark(last_timestamp=cdc_ops._fmt_ts(got["ts_max"]))
+            elif has_id:
+                new_wm = Watermark(last_id=int(got["id_max"]))
+
+        staged_files = _staged_files(staging_path)
+        store.update_extraction_state(
+            source_name, table, target_scope,
+            last_timestamp=new_wm.last_timestamp,
+            last_id=new_wm.last_id,
+            session_rows=rows, session_files=len(staged_files),
+            status="success")
+
+        # --- Stage 2: load staged files -> target (K2/K3) ----------------
+        replace = cfg.strategy == "full_sync" and cfg.full_sync_mode == "replace"
+        processed = store.processed_files(source_name, table, target_scope)
+        if replace:
+            to_load = staged_files  # replace ignores the blacklist (K3)
+        else:
+            discovered_df = files_df(spark, staged_files)
+            manifest_df = files_df(spark, sorted(processed)) if processed \
+                else spark.createDataFrame([], "path string")
+            to_load = [r["path"] for r in
+                       exclude_processed(discovered_df, manifest_df).collect()]
+        skipped = len(staged_files) - len(to_load)
+
+        if to_load:
+            load_df = spark.read.parquet(*to_load)
+            mode = "overwrite" if replace else "append"
+            load_df.write.mode(mode).parquet(target_path)
+        store.update_load_state(source_name, table, target_scope,
+                                loaded_files=to_load, status="success")
+
+        # A7 verification: external count (the ONLY way load-side totals
+        # move — reference update_redshift_count_from_external :251-277)
+        target_rows = spark.read.parquet(target_path).count() \
+            if os.path.exists(target_path) else 0
+        store.update_target_count(source_name, table, target_scope, target_rows)
+        expected = store.get(source_name, table, target_scope)["mysql_state"]["total_rows"]
+        verified = replace or (target_rows == expected)
+
+        return SyncResult(table=table, rows_extracted=rows,
+                          files_staged=len(staged_files),
+                          files_loaded=len(to_load), target_rows=target_rows,
+                          new_watermark=new_wm, verified=verified,
+                          quality=quality, skipped_files=skipped)
+    except Exception as e:
+        store.update_extraction_state(source_name, table, target_scope,
+                                      status="failed", error=str(e))
+        raise
+    finally:
+        store.release_lock(source_name, table, target_scope, lock_token)
+
+
+def sync_pipeline(
+    spark: SparkSession,
+    pipeline: PipelineConfig,
+    store: WatermarkStore,
+    read_source,           # Callable[[str], DataFrame]
+    work_dir: str,
+    *,
+    parallel: bool = False,
+) -> dict[str, SyncResult]:
+    """Multi-table orchestration (reference sequential.py / inter_table.py).
+
+    ``parallel=True`` submits per-table jobs from a thread pool — the Spark
+    scheduler interleaves their stages across executors, the idiomatic
+    replacement for the reference's ThreadPoolExecutor-of-connections
+    (inter_table.py:21-175). Dependency order via ``depends_on`` is
+    honored in sequential mode."""
+    results: dict[str, SyncResult] = {}
+
+    def _run(tc: TableConfig) -> SyncResult:
+        return sync_table(
+            spark, read_source(tc.table_name), tc, store,
+            source_name=pipeline.source, target_scope=pipeline.target,
+            staging_path=os.path.join(work_dir, "staging", tc.table_name),
+            target_path=os.path.join(work_dir, "target", tc.effective_target),
+            max_records_per_file=pipeline.effective_batch_size(tc),
+        )
+
+    tables = pipeline.topo_ordered_tables()
+    if parallel and pipeline.max_workers > 1 and not any(t.depends_on for t in tables):
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=pipeline.max_workers) as pool:
+            futs = {pool.submit(_run, tc): tc.table_name for tc in tables}
+            for fut, name in futs.items():
+                results[name] = fut.result()
+    else:
+        for tc in tables:
+            results[tc.table_name] = _run(tc)
+    return results

@@ -1,0 +1,100 @@
+"""Sources: parquet tables and (config-only) JDBC with partitioned reads.
+
+The reference extracts from MySQL over an SSH tunnel with hand-rolled
+intra-table thread parallelism (src/backup/intra_table.py:23-250, chunk calc
+base.py:1302-1356). On Spark the same capability is the built-in JDBC
+partitioned read — ``partitionColumn/lowerBound/upperBound/numPartitions``
+— which turns the reference's thread-per-chunk design into N parallel
+executor-side scans with no driver choreography. No MySQL exists in this
+environment, so the JDBC path is config-construction only (untested
+against a live DB) and the parquet path is the exercised source.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Detected from the footer (driver-side metadata read)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return []
+    files = [path] if path.endswith(".parquet") and os.path.isfile(path) else \
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return []
+    schema = pq.read_schema(files[0])
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet source (S13). Vectorized reader + row-group predicate
+    pushdown come free.
+
+    TIMESTAMP(NANOS) columns (e.g. the events fixture) are read as long
+    via ``legacy.parquet.nanosAsLong`` and converted back with integer
+    nano->micro division — `DIV`, not `/`, because nanos exceed the
+    53-bit double mantissa and float division would corrupt timestamps."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: list[str] | None = None) -> None:
+    for t in tables or TPCH_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def jdbc_partitioned_options(url: str, table: str, *,
+                             partition_column: str,
+                             lower_bound: int, upper_bound: int,
+                             num_partitions: int = 32,
+                             fetch_size: int = 10_000,
+                             extra: dict | None = None) -> dict:
+    """Build JDBC read options for an intra-table parallel scan.
+
+    Replaces the reference's thread-per-time-chunk design
+    (intra_table.py:169-250): Spark issues ``numPartitions`` concurrent
+    range queries ``partition_column BETWEEN lo AND hi``. The CDC
+    predicate from ``operators.cdc`` is pushed into each range query by
+    Catalyst's JDBC pushdown. ``num_partitions`` should be sized from the
+    density stats (operators.cdc.density_stats), the slim survivor of the
+    reference's adaptive chunk sizing (base.py:486-735).
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetch_size),
+        "pushDownPredicate": "true",
+    }
+    opts.update(extra or {})
+    return opts
+
+
+def read_jdbc(spark: SparkSession, options: dict) -> DataFrame:
+    """JDBC source (S1-S5 against a live MySQL). Untested here — no DB in
+    the container; exercised via parquet in tests with identical
+    downstream plan."""
+    return spark.read.format("jdbc").options(**options).load()

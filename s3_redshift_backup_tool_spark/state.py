@@ -1,0 +1,330 @@
+"""Watermark state store — the engine's only persistent state.
+
+Re-implements the v2.0 watermark document semantics of the reference's
+``src/core/simple_watermark_manager.py`` (doc shape :465-499, scoped key
+:551-574, cumulative math :120-184, blacklist union-dedup :186-229 with
+O(1) cached membership :231-249, manual set/reset :364-406, advisory locks
+:408-463, retry-on-save :501-549) as a pure-Python module with a pluggable
+key-value backend (local directory of JSON files by default; an S3 client
+exposing get/put/delete/head would drop in unchanged).
+
+No Spark dependency — unit-testable in isolation. The Spark sync plan
+(``plans.sync``) reads the watermark to build the CDC predicate and commits
+it after the job succeeds, which is the Structured-Streaming-checkpoint
+analog for the batch path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+
+def _utcnow_iso() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def default_watermark() -> dict[str, Any]:
+    """Fresh v2.0 watermark document (reference :465-499)."""
+    return {
+        "version": "2.0",
+        "mysql_state": {
+            "last_timestamp": None,
+            "last_id": None,
+            "status": "pending",       # pending | in_progress | success | failed
+            "error": None,
+            "total_rows": 0,           # cumulative across sessions
+            "last_session_rows": 0,
+            "s3_files_created": 0,     # cumulative
+            "last_session_files": 0,
+            "last_updated": None,
+        },
+        "redshift_state": {
+            "total_rows": 0,
+            "last_session_rows": 0,
+            "status": "pending",
+            "error": None,
+            "last_loaded_files": [],
+        },
+        "processed_files": [],         # the blacklist / file manifest
+        "metadata": {
+            "created_at": _utcnow_iso(),
+            "manual_override": False,
+        },
+    }
+
+
+class LocalJsonBackend:
+    """Directory-of-JSON-files backend (stands in for the reference's S3)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        p = os.path.join(self.root, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
+
+    def get(self, key: str) -> dict | None:
+        p = self._path(key)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def put(self, key: str, doc: dict) -> None:
+        p = self._path(key)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=2, default=str)
+        os.replace(tmp, p)
+
+    def delete(self, key: str) -> None:
+        p = self._path(key)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+
+class LockHeldError(RuntimeError):
+    pass
+
+
+class WatermarkStore:
+    """Scoped watermark documents + processed-file manifest + locks.
+
+    Key layout mirrors the reference: ``watermarks/v2/{source}_{table}_{target}.json``
+    and locks under ``watermarks/v2/locks/``.
+    """
+
+    PREFIX = "watermarks/v2"
+
+    def __init__(self, backend: LocalJsonBackend, max_retries: int = 3):
+        self.backend = backend
+        self.max_retries = max_retries
+        self._blacklist_cache: dict[str, set[str]] = {}
+
+    # -- keys -------------------------------------------------------------
+    def _key(self, source: str, table: str, target: str) -> str:
+        safe = "_".join(
+            part.replace(":", "_").replace(".", "_").replace("/", "_")
+            for part in (source, table, target)
+        )
+        return f"{self.PREFIX}/{safe}.json"
+
+    def _lock_key(self, source: str, table: str, target: str) -> str:
+        return f"{self.PREFIX}/locks/{self._key(source, table, target).rsplit('/', 1)[-1]}.lock"
+
+    # -- read / create ----------------------------------------------------
+    def get(self, source: str, table: str, target: str) -> dict[str, Any]:
+        doc = self.backend.get(self._key(source, table, target))
+        if doc is None:
+            doc = default_watermark()
+            self._save(source, table, target, doc)
+        return doc
+
+    def _save(self, source: str, table: str, target: str, doc: dict) -> None:
+        """Save with bounded exponential-backoff retry (reference :501-549)."""
+        key = self._key(source, table, target)
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                self.backend.put(key, doc)
+                return
+            except Exception as e:  # pragma: no cover - backend fault path
+                last_err = e
+                time.sleep(min(2 ** attempt, 8) * 0.01)
+        raise RuntimeError(f"watermark save failed after {self.max_retries} attempts") from last_err
+
+    # -- extraction-side (mysql_state) updates ----------------------------
+    def start_sync(self, source: str, table: str, target: str) -> dict:
+        doc = self.get(source, table, target)
+        doc["mysql_state"]["status"] = "in_progress"
+        doc["mysql_state"]["error"] = None
+        doc["mysql_state"]["last_updated"] = _utcnow_iso()
+        self._save(source, table, target, doc)
+        return doc
+
+    def update_extraction_state(
+        self,
+        source: str,
+        table: str,
+        target: str,
+        *,
+        last_timestamp: str | None = None,
+        last_id: int | None = None,
+        session_rows: int = 0,
+        session_files: int = 0,
+        status: str = "success",
+        error: str | None = None,
+    ) -> dict:
+        """Commit extraction progress: cumulative totals + session figures.
+
+        Mirrors the reference's cumulative accounting (:120-184):
+        ``total_rows`` / ``s3_files_created`` accumulate across sessions,
+        ``last_session_*`` are overwritten each commit.
+        """
+        doc = self.get(source, table, target)
+        ms = doc["mysql_state"]
+        if last_timestamp is not None:
+            ms["last_timestamp"] = last_timestamp
+        if last_id is not None:
+            ms["last_id"] = last_id
+        ms["total_rows"] = int(ms.get("total_rows") or 0) + int(session_rows)
+        ms["last_session_rows"] = int(session_rows)
+        ms["s3_files_created"] = int(ms.get("s3_files_created") or 0) + int(session_files)
+        ms["last_session_files"] = int(session_files)
+        ms["status"] = status
+        ms["error"] = error
+        ms["last_updated"] = _utcnow_iso()
+        self._save(source, table, target, doc)
+        return doc
+
+    # -- load-side (redshift_state) updates -------------------------------
+    def update_load_state(
+        self,
+        source: str,
+        table: str,
+        target: str,
+        *,
+        loaded_files: list[str],
+        status: str = "success",
+        error: str | None = None,
+    ) -> dict:
+        """Record loaded files: blacklist union-dedup (reference :186-229).
+
+        Note the subtlety preserved from the reference: load-side row counts
+        are NOT updated here — only via :meth:`update_target_count`
+        (reference ``update_redshift_count_from_external`` :251-277).
+        """
+        doc = self.get(source, table, target)
+        rs = doc["redshift_state"]
+        existing = set(doc.get("processed_files") or [])
+        new_files = [f for f in loaded_files if f not in existing]
+        doc["processed_files"] = sorted(existing | set(loaded_files))
+        rs["last_loaded_files"] = list(loaded_files)
+        rs["last_session_rows"] = 0  # counts come only from external count
+        rs["status"] = status
+        rs["error"] = error
+        self._save(source, table, target, doc)
+        self._blacklist_cache[self._key(source, table, target)] = set(doc["processed_files"])
+        return doc
+
+    def update_target_count(self, source: str, table: str, target: str, count: int) -> dict:
+        doc = self.get(source, table, target)
+        prev = int(doc["redshift_state"].get("total_rows") or 0)
+        doc["redshift_state"]["total_rows"] = int(count)
+        doc["redshift_state"]["last_session_rows"] = int(count) - prev
+        self._save(source, table, target, doc)
+        return doc
+
+    # -- manifest membership ----------------------------------------------
+    def processed_files(self, source: str, table: str, target: str) -> set[str]:
+        """Cached blacklist set — O(1) membership (reference :231-249)."""
+        key = self._key(source, table, target)
+        if key not in self._blacklist_cache:
+            doc = self.get(source, table, target)
+            self._blacklist_cache[key] = set(doc.get("processed_files") or [])
+        return self._blacklist_cache[key]
+
+    def is_processed(self, source: str, table: str, target: str, path: str) -> bool:
+        return path in self.processed_files(source, table, target)
+
+    # -- manual override / reset ------------------------------------------
+    def set_manual(
+        self,
+        source: str,
+        table: str,
+        target: str,
+        *,
+        last_timestamp: str | None = None,
+        last_id: int | None = None,
+    ) -> dict:
+        """Manual watermark set (reference :364-385); consumed by every CDC
+        strategy as id/ts override (cdc_strategy_engine.py:199-217)."""
+        doc = self.get(source, table, target)
+        if last_timestamp is not None:
+            doc["mysql_state"]["last_timestamp"] = last_timestamp
+        if last_id is not None:
+            doc["mysql_state"]["last_id"] = last_id
+        doc["mysql_state"]["status"] = "pending"
+        doc["metadata"]["manual_override"] = True
+        self._save(source, table, target, doc)
+        return doc
+
+    def reset(self, source: str, table: str, target: str, *, preserve_files: bool = False) -> dict:
+        """Fresh-sync reset (reference :387-406). ``preserve_files=True``
+        keeps the processed-file blacklist so already-loaded files are not
+        loaded twice after a cursor reset."""
+        old = self.get(source, table, target)
+        doc = default_watermark()
+        if preserve_files:
+            doc["processed_files"] = list(old.get("processed_files") or [])
+        self._save(source, table, target, doc)
+        self._blacklist_cache.pop(self._key(source, table, target), None)
+        return doc
+
+    # -- advisory locks ----------------------------------------------------
+    def acquire_lock(self, source: str, table: str, target: str) -> str:
+        """Exclusive advisory lock object (reference :408-463)."""
+        lk = self._lock_key(source, table, target)
+        if self.backend.exists(lk):
+            holder = self.backend.get(lk) or {}
+            raise LockHeldError(f"lock held by {holder.get('host')}:{holder.get('pid')}")
+        token = str(uuid.uuid4())
+        self.backend.put(lk, {
+            "token": token,
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "acquired_at": _utcnow_iso(),
+        })
+        return token
+
+    def release_lock(self, source: str, table: str, target: str, token: str) -> bool:
+        lk = self._lock_key(source, table, target)
+        held = self.backend.get(lk)
+        if held and held.get("token") == token:
+            self.backend.delete(lk)
+            return True
+        return False
+
+
+@dataclass
+class WatermarkView:
+    """Legacy-attribute adapter over a v2.0 doc (reference
+    src/core/watermark_adapter.py:20-101)."""
+
+    doc: dict[str, Any] = field(default_factory=default_watermark)
+
+    @property
+    def last_mysql_data_timestamp(self) -> str | None:
+        return self.doc["mysql_state"]["last_timestamp"]
+
+    @property
+    def last_processed_id(self) -> int:
+        return int(self.doc["mysql_state"]["last_id"] or 0)
+
+    @property
+    def mysql_row_count(self) -> int:
+        return int(self.doc["mysql_state"]["total_rows"] or 0)
+
+    @property
+    def redshift_row_count(self) -> int:
+        return int(self.doc["redshift_state"]["total_rows"] or 0)
+
+    @property
+    def mysql_status(self) -> str:
+        return self.doc["mysql_state"]["status"]
+
+    @property
+    def processed_s3_files(self) -> list[str]:
+        return list(self.doc.get("processed_files") or [])

@@ -1,0 +1,103 @@
+"""Watermark store unit tests — pure Python, no Spark.
+
+Scenarios mirror the reference's watermark test suite (SURVEY §5:
+tests/unit/test_simple_watermark_manager.py — default creation, cumulative
+sums, blacklist dedup, session totals, reset preserve_files, locks)."""
+
+import pytest
+
+from s3_redshift_backup_tool_spark.state import (
+    LocalJsonBackend, LockHeldError, WatermarkStore, WatermarkView,
+    default_watermark)
+
+SRC, TBL, TGT = "us_dw:settlement.orders", "orders", "redshift_default"
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return WatermarkStore(LocalJsonBackend(str(tmp_path)))
+
+
+def test_default_creation(store):
+    doc = store.get(SRC, TBL, TGT)
+    assert doc["version"] == "2.0"
+    assert doc["mysql_state"]["status"] == "pending"
+    assert doc["mysql_state"]["total_rows"] == 0
+    assert doc["processed_files"] == []
+    # persisted on first get
+    assert store.backend.get(store._key(SRC, TBL, TGT)) is not None
+
+
+def test_cumulative_extraction_totals(store):
+    store.update_extraction_state(SRC, TBL, TGT, last_id=100,
+                                  session_rows=1000, session_files=2)
+    store.update_extraction_state(SRC, TBL, TGT, last_id=250,
+                                  session_rows=500, session_files=1)
+    doc = store.get(SRC, TBL, TGT)
+    ms = doc["mysql_state"]
+    assert ms["total_rows"] == 1500          # cumulative
+    assert ms["last_session_rows"] == 500    # overwritten
+    assert ms["s3_files_created"] == 3
+    assert ms["last_session_files"] == 1
+    assert ms["last_id"] == 250
+
+
+def test_blacklist_union_dedup(store):
+    store.update_load_state(SRC, TBL, TGT, loaded_files=["s3://a", "s3://b"])
+    store.update_load_state(SRC, TBL, TGT, loaded_files=["s3://b", "s3://c"])
+    doc = store.get(SRC, TBL, TGT)
+    assert sorted(doc["processed_files"]) == ["s3://a", "s3://b", "s3://c"]
+    assert store.is_processed(SRC, TBL, TGT, "s3://b")
+    assert not store.is_processed(SRC, TBL, TGT, "s3://zzz")
+
+
+def test_target_count_external_only(store):
+    # load-state update must NOT move target row counts (reference
+    # update_redshift_count_from_external :251-277 is the only path)
+    store.update_load_state(SRC, TBL, TGT, loaded_files=["s3://a"])
+    assert store.get(SRC, TBL, TGT)["redshift_state"]["total_rows"] == 0
+    store.update_target_count(SRC, TBL, TGT, 1234)
+    doc = store.get(SRC, TBL, TGT)
+    assert doc["redshift_state"]["total_rows"] == 1234
+    assert doc["redshift_state"]["last_session_rows"] == 1234
+    store.update_target_count(SRC, TBL, TGT, 1500)
+    doc = store.get(SRC, TBL, TGT)
+    assert doc["redshift_state"]["last_session_rows"] == 266
+
+
+def test_manual_override_and_reset_preserve_files(store):
+    store.update_load_state(SRC, TBL, TGT, loaded_files=["s3://a"])
+    store.set_manual(SRC, TBL, TGT, last_timestamp="2026-01-01 00:00:00", last_id=42)
+    doc = store.get(SRC, TBL, TGT)
+    assert doc["metadata"]["manual_override"] is True
+    assert doc["mysql_state"]["last_id"] == 42
+
+    doc = store.reset(SRC, TBL, TGT, preserve_files=True)
+    assert doc["mysql_state"]["last_id"] is None
+    assert doc["processed_files"] == ["s3://a"]   # survived reset
+
+    doc = store.reset(SRC, TBL, TGT, preserve_files=False)
+    assert doc["processed_files"] == []
+
+
+def test_large_blacklist(store):
+    files = [f"s3://bucket/f{i:05d}.parquet" for i in range(2000)]
+    store.update_load_state(SRC, TBL, TGT, loaded_files=files)
+    assert len(store.processed_files(SRC, TBL, TGT)) == 2000
+    assert store.is_processed(SRC, TBL, TGT, "s3://bucket/f01999.parquet")
+
+
+def test_lock_exclusion(store):
+    token = store.acquire_lock(SRC, TBL, TGT)
+    with pytest.raises(LockHeldError):
+        store.acquire_lock(SRC, TBL, TGT)
+    assert not store.release_lock(SRC, TBL, TGT, "wrong-token")
+    assert store.release_lock(SRC, TBL, TGT, token)
+    store.acquire_lock(SRC, TBL, TGT)  # re-acquirable after release
+
+
+def test_legacy_adapter_view():
+    v = WatermarkView(default_watermark())
+    assert v.last_processed_id == 0
+    assert v.mysql_status == "pending"
+    assert v.processed_s3_files == []

@@ -1,0 +1,138 @@
+"""End-to-end sync plan: extract -> stage -> load -> verify, with resume,
+idempotency and full_sync-replace semantics (reference lifecycle SURVEY §3.1)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.plans.pipeline import (
+    PipelineConfig, TableConfig, adhoc_pipeline, pipeline_from_dict)
+from s3_redshift_backup_tool_spark.plans.sync import sync_pipeline, sync_table
+from s3_redshift_backup_tool_spark.state import LocalJsonBackend, WatermarkStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return WatermarkStore(LocalJsonBackend(str(tmp_path / "state")))
+
+
+def _orders_cfg():
+    return TableConfig(table_name="orders", cdc_strategy="hybrid",
+                       cdc_timestamp_column="o_orderdate",
+                       cdc_id_column="o_orderkey")
+
+
+def test_full_then_incremental_then_noop(spark, orders, store, tmp_path):
+    staging = str(tmp_path / "staging")
+    target = str(tmp_path / "target")
+    cfg = _orders_cfg()
+
+    # run 1: fresh watermark -> everything extracted and loaded
+    r1 = sync_table(spark, orders, cfg, store,
+                    staging_path=staging, target_path=target)
+    total = orders.count()
+    assert r1.rows_extracted == total
+    assert r1.files_loaded == r1.files_staged > 0
+    assert r1.target_rows == total
+    assert r1.verified
+
+    # run 2: no new source rows -> 0 extracted, 0 loaded (idempotent)
+    r2 = sync_table(spark, orders, cfg, store,
+                    staging_path=staging, target_path=target)
+    assert r2.rows_extracted == 0
+    assert r2.files_loaded == 0
+    assert spark.read.parquet(target).count() == total
+    assert r2.verified
+
+    # run 3: simulate 100 new source rows by rolling the watermark back
+    wm_doc = store.get("src", "orders", "tgt")
+    keyset = (orders.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+                    .limit(101).collect())
+    boundary = keyset[-1]
+    store.set_manual("src", "orders", "tgt",
+                     last_timestamp=boundary["o_orderdate"].strftime("%Y-%m-%d %H:%M:%S"),
+                     last_id=boundary["o_orderkey"])
+    # preserve_files=False here would double-load; keep the blacklist
+    r3 = sync_table(spark, orders, cfg, store,
+                    staging_path=str(tmp_path / "staging2"), target_path=target)
+    assert r3.rows_extracted == 100
+    assert spark.read.parquet(target).count() == total + 100  # appended dupes (expected)
+    assert wm_doc["mysql_state"]["total_rows"] == total
+
+
+def test_partitioned_staging_layout(spark, orders, store, tmp_path):
+    staging = str(tmp_path / "staging")
+    sync_table(spark, orders, _orders_cfg(), store,
+               staging_path=staging, target_path=str(tmp_path / "t"))
+    # F11: Hive-style year=/month=/day= partition dirs
+    years = [d for d in os.listdir(staging) if d.startswith("year=")]
+    assert years, f"expected year= partitions, got {os.listdir(staging)}"
+    sub = os.path.join(staging, years[0])
+    assert any(d.startswith("month=") for d in os.listdir(sub))
+
+
+def test_full_sync_replace_overwrites(spark, store, tmp_path):
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    region = read_table(spark, "/root/testdata/sf0.001", "region")
+    cfg = TableConfig(table_name="region", cdc_strategy="full_sync",
+                      full_sync_mode="replace")
+    target = str(tmp_path / "target")
+    for i in range(2):  # second run must NOT double rows (truncate-then-load)
+        r = sync_table(spark, region, cfg, store,
+                       staging_path=str(tmp_path / f"s{i}"), target_path=target)
+    assert spark.read.parquet(target).count() == region.count()
+    assert r.verified
+
+
+def test_quality_gate_blocks_bad_batch(spark, store, tmp_path):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    cfg = TableConfig(table_name="bad", cdc_strategy="id_only", cdc_id_column="id")
+    with pytest.raises(ValueError, match="quality gate"):
+        sync_table(spark, df, cfg, store,
+                   staging_path=str(tmp_path / "s"), target_path=str(tmp_path / "t"),
+                   quality_gate=True, quality_opts={"not_null_cols": ["v"]})
+    assert store.get("src", "bad", "tgt")["mysql_state"]["status"] == "failed"
+
+
+def test_pipeline_multi_table_and_yaml(spark, store, tmp_path, sf_dir):
+    doc = {
+        "pipeline": {"name": "p1", "source": "sf", "target": "wh",
+                     "processing": {"batch_size": 50000}, "max_workers": 2},
+        "tables": {
+            "orders": {"cdc_strategy": "hybrid",
+                       "cdc_timestamp_column": "o_orderdate",
+                       "cdc_id_column": "o_orderkey",
+                       "processing": {"batch_size": 100}},
+            "events": {"cdc_strategy": "id_only", "cdc_id_column": "event_id",
+                       "target_name": "events_renamed"},
+            "region": {"cdc_strategy": "full_sync"},
+        },
+    }
+    pipe = pipeline_from_dict(doc)
+    assert pipe.effective_batch_size(pipe.tables[0]) == 100      # table wins
+    assert pipe.effective_batch_size(pipe.tables[1]) == 50000    # pipeline default
+
+    def read_source(name):
+        from s3_redshift_backup_tool_spark.sources.readers import read_table
+        return read_table(spark, sf_dir, name)
+
+    results = sync_pipeline(spark, pipe, store, read_source, str(tmp_path / "wh"))
+    assert set(results) == {"orders", "events", "region"}
+    assert all(r.verified for r in results.values())
+    assert os.path.exists(str(tmp_path / "wh/target/events_renamed"))
+
+
+def test_dependency_ordering():
+    pipe = PipelineConfig(name="p", source="s", target="t", tables=[
+        TableConfig(table_name="c", depends_on=["b"]),
+        TableConfig(table_name="b", depends_on=["a"]),
+        TableConfig(table_name="a"),
+    ])
+    assert [t.table_name for t in pipe.topo_ordered_tables()] == ["a", "b", "c"]
+
+
+def test_adhoc_pipeline():
+    p = adhoc_pipeline("mysql_src", "rs_tgt", _orders_cfg())
+    assert p.name == "adhoc_mysql_src_rs_tgt"
+    assert len(p.tables) == 1
