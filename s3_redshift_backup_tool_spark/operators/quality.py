@@ -27,7 +27,7 @@ def quality_aggregates(df: DataFrame) -> DataFrame:
         aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"{n}__nulls"))
         if isinstance(fld.dataType, T.StringType):
             aggs.append(F.count(F.when(c == "", 1)).alias(f"{n}__empty"))
-            aggs.append(F.max(F.length(c)).alias(f"{n}__max_len"))
+            aggs.append(F.max(F.length(c)).cast("long").alias(f"{n}__max_len"))
         if isinstance(fld.dataType, (T.DoubleType, T.FloatType)):
             aggs.append(F.count(F.when(c.isNaN() | c.isin(float("inf"), float("-inf")), 1))
                          .alias(f"{n}__nonfinite"))
@@ -40,7 +40,7 @@ def duplicate_row_count(df: DataFrame, key_cols: list[str] | None = None) -> Dat
     cols = key_cols or df.columns
     return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
               .agg(F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)), F.lit(0))
-                    .alias("duplicate_rows")))
+                    .cast("long").alias("duplicate_rows")))
 
 
 @dataclass

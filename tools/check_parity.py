@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every REGISTRY query on Spark and its oracle on DuckDB at the given
+scale factor, then compares row count, column-name set, and
+order-insensitive values (rows sorted by all columns). Floats compared to
+1e-9 relative; everything else exact.
+
+Usage: python tools/check_parity.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from s3_redshift_backup_tool_spark.parity import REGISTRY  # noqa: E402
+from s3_redshift_backup_tool_spark.session import get_spark  # noqa: E402
+from s3_redshift_backup_tool_spark.sources.readers import TPCH_TABLES  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            a = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            b = pd.to_numeric(ov, errors="coerce").to_numpy(dtype=float)
+            ok = np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
+            exact = np.array_equal(a, b, equal_nan=True)
+            if not ok:
+                i = int(np.argmax(~np.isclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)))
+                problems.append(f"col {c}: value mismatch at {i}: {a[i]} vs {b[i]}")
+            elif not exact:
+                problems.append(f"col {c}: WARN float not bit-exact (within 1e-9)")
+        else:
+            if not sv.astype(str).equals(ov.astype(str)):
+                neq = (sv.astype(str) != ov.astype(str))
+                i = int(neq.idxmax())
+                problems.append(f"col {c}: value mismatch at {i}: {sv[i]!r} vs {ov[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+        else "/root/testdata/sf0.01"
+    filters = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in REGISTRY.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+            if spec.oracle is None:
+                n_rows_only += 1
+                print(f"  ~ {name}: rows-only ({len(sdf)} rows)")
+                continue
+            odf = con.execute(spec.oracle).fetchdf()
+            problems = compare(sdf, odf)
+            hard = [p for p in problems if "WARN" not in p]
+            if hard:
+                n_fail += 1
+                print(f"  X {name}: " + "; ".join(problems))
+            else:
+                n_pass += 1
+                warn = "; ".join(p for p in problems if "WARN" in p)
+                print(f"  . {name}: OK ({len(sdf)} rows)" + (f" [{warn}]" if warn else ""))
+        except Exception as e:
+            n_fail += 1
+            print(f"  X {name}: EXCEPTION {type(e).__name__}: {str(e)[:300]}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
