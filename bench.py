@@ -1,0 +1,107 @@
+"""Benchmark: headline sync throughput + per-query wall-clock at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ...}
+
+Headline = the comparable number to BASELINE.md's 233K rows/s: wall-clock
+of the full incremental slice read -> hybrid CDC filter -> schema align ->
+partitioned parquet write over lineitem (600K rows at sf0.1), fresh
+watermark (full extraction).
+
+Each parity query is then executed to completion via a noop sink (no
+driver collect) and timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def headline_sync(spark) -> tuple[float, int]:
+    """Flagship sync slice on lineitem: fresh-watermark extraction."""
+    from pyspark.sql import types as T
+
+    from s3_redshift_backup_tool_spark.operators.align import align_to_schema
+    from s3_redshift_backup_tool_spark.operators.cdc import (
+        CDCConfig, Watermark, apply_cdc)
+    from s3_redshift_backup_tool_spark.plans.sync import (
+        add_date_partitions, ensure_parallelism)
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+
+    out_dir = tempfile.mkdtemp(prefix="bench_sync_")
+    li = ensure_parallelism(read_table(spark, SF_DIR, "lineitem"), CPUS)
+    n_rows = li.count()  # pre-counted outside the timed section
+    target = T.StructType([
+        T.StructField("l_orderkey", T.LongType(), False),
+        T.StructField("l_partkey", T.LongType(), True),
+        T.StructField("l_suppkey", T.LongType(), True),
+        T.StructField("l_linenumber", T.IntegerType(), True),
+        T.StructField("l_quantity", T.DecimalType(18, 2), True),
+        T.StructField("l_extendedprice", T.DecimalType(18, 2), True),
+        T.StructField("l_discount", T.DoubleType(), True),
+        T.StructField("l_tax", T.DoubleType(), True),
+        T.StructField("l_returnflag", T.StringType(), False),
+        T.StructField("l_linestatus", T.StringType(), False),
+        T.StructField("l_shipdate", T.TimestampType(), True),
+    ])
+    cfg = CDCConfig(strategy="hybrid", timestamp_column="l_shipdate",
+                    id_column="l_orderkey")
+    t0 = time.perf_counter()
+    delta = apply_cdc(li, cfg, Watermark())          # fresh watermark: all rows
+    aligned = align_to_schema(delta, target)
+    staged = add_date_partitions(aligned, "l_shipdate")
+    from pyspark.sql import functions as F
+    (staged.repartition(CPUS, F.col("year"), F.col("month"))
+           .write.mode("overwrite").partitionBy("year", "month")
+           .parquet(os.path.join(out_dir, "staging")))
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return elapsed, n_rows
+
+
+def main() -> None:
+    from s3_redshift_backup_tool_spark.parity import REGISTRY
+    import s3_redshift_backup_tool_spark.parity_ext  # noqa: F401
+    from s3_redshift_backup_tool_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    # warm the JVM/codegen path once
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    headline_sec, n_rows = headline_sync(spark)
+
+    query_times: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        query_times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "e2e_sync_lineitem_read_cdc_align_partitioned_write",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": n_rows,
+        "rows_per_sec": round(n_rows / headline_sec),
+        "baseline_rows_per_sec": 233_000,
+        "total_query_sec": round(sum(query_times.values()), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families, each designed for 100 TB shuffle behavior:
+
+- exact:        hash-groupBy on content digest. One shuffle on a 128-bit
+                key; partial aggregation makes the map side cheap.
+- minhash+LSH:  shingle -> k salted min-hashes -> band buckets ->
+                bucket-join. The join is on band-hash buckets, so the
+                shuffle volume is O(docs x bands), never O(docs^2);
+                candidate verification happens only inside buckets
+                (Broder'97; Leskovec MMDS ch.3).
+- simhash:      per-token hash bit-votes -> 64-bit signature; near-dup =
+                small Hamming distance. Signature is a pure map-side
+                reduce (explode + groupBy doc).
+- n-gram Jaccard: distinct-shingle self-join; pruned by requiring a
+                shared shingle (inverted-index join), so pairs with zero
+                overlap never shuffle.
+- embedding cosine: see operators/similarity.py (cosine_pairs with LSH
+                bucketing).
+
+All hashes are md5-prefix int64 (portable to the DuckDB oracle);
+production would swap in xxhash64 for speed without changing shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import md5_prefix_int
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content digest, keep min id as canonical.
+
+    Digest first, then group: shuffling a 32-char digest instead of the
+    full document body keeps shuffle volume ~constant per row regardless
+    of document size."""
+    return (df.select(F.md5(F.col(content_col).cast("binary")).alias("content_hash"),
+                      F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("canonical_id"),
+                   F.count(F.lit(1)).alias("copies")))
+
+
+def word_shingles(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, via array ops + explode
+    (no Python UDF)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature: for each of ``num_hashes`` salted hash
+    functions, the min shingle hash. Output: (id, hash_idx, min_hash).
+
+    Computed entirely per-row with nested array transforms (shingle array
+    -> per-salt min) inside codegen, then posexploded: ZERO shuffle for
+    signature computation, and downstream ops see only ``num_hashes``
+    rows per doc. The explode-shingles/groupBy formulation would shuffle
+    O(shingles x salts) rows per doc — 2-3 orders of magnitude more
+    network at 100 TB."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(
+                F.concat(k.cast("string"), F.lit("_"), g).cast("binary")),
+                1, 15), 16, 10).cast("long"))))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sig).alias("hash_idx", "min_hash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs
+    sharing any band-bucket become candidate pairs.
+
+    The self-join key is (band, band_hash) — Catalyst shuffles both sides
+    by bucket, so comparisons stay within buckets. Output (id_a < id_b)
+    distinct."""
+    rows_per_band = num_hashes // bands
+    banded = (signatures
+              .withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws(",", F.sort_array(
+                  F.collect_list(F.concat_ws(":", "hash_idx", "min_hash")))))
+                   .alias("band_hash")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    inverted-index self-join on shingle -> per-pair intersection counts ->
+    Jaccard = inter / (|A| + |B| - inter). Disjoint pairs never meet, so
+    the shuffle is bounded by posting-list sizes, not |docs|^2. A
+    stop-shingle cap (drop shingles appearing in > max_doc_freq docs)
+    would bound skew at web scale; unnecessary at test SF."""
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter").cast("double") /
+                (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash signature (Charikar'02): per-token md5 hash, per-bit +-1
+    votes summed over the doc, sign -> bit.
+
+    Shape: explode(tokens) x explode(bits) -> groupBy(doc, bit) vote-sum
+    -> groupBy(doc) bit-pack. Both aggregations are partial-aggregable;
+    rows never exceed tokens x bits per doc. Near-dup detection is then a
+    Hamming-distance filter over the int64 signatures."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+              .withColumn("h", md5_prefix_int(F.col("tok"))))
+    votes = (toks.select(
+                id_col, "h",
+                F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+             .withColumn("vote", F.when(
+                 F.expr("shiftright(h, bit) & 1") == 1,
+                 F.lit(1)).otherwise(F.lit(-1)))
+             .groupBy(id_col, "bit")
+             .agg(F.sum("vote").alias("vote_sum")))
+    return (votes.withColumn(
+                "bit_val",
+                F.when(F.col("vote_sum") > 0,
+                       F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                 .otherwise(F.lit(0).cast("long")))
+            .groupBy(id_col)
+            .agg(F.sum("bit_val").cast("long").alias("simhash")))
+
+
+def latest_record_dedup(df: DataFrame, key_cols: list[str], ts_col: str,
+                        tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """CDC-delta compaction: latest record per key (SURVEY §2.5) —
+    ``row_number() OVER (PARTITION BY key ORDER BY ts DESC, tiebreak) = 1``.
+    One shuffle on the key; at scale prefer this over groupBy+max+join."""
+    order = [F.desc(ts_col)] + [F.desc(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))

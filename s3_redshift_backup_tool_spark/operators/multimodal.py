@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-sample
+are Arrow-batched ``mapInPandas`` stages. The decode kernels themselves
+are STUBBED (image/audio libraries are not in this container) behind
+``DecoderRegistry`` — the Spark-side plumbing (schema, batch shape,
+partitioning, UDF signatures) is real and tested; a production deploy
+registers real kernels (PIL/ffmpeg) without touching the plan shape.
+
+Scale notes: payload bytes never hit the driver; ``mapInPandas`` streams
+Arrow batches, so executor memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` x mean payload size —
+tune that down for video. Feature extraction is per-row (no shuffle);
+only the optional groupBy(media_type) stats shuffle, on tiny keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType(), False),    # image|audio|video
+    T.StructField("format", T.StringType(), True),         # png|wav|mp4|...
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", MEDIA_META_SCHEMA, True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+class DecoderRegistry:
+    """Pluggable decode kernels keyed by media_type. The container has no
+    image/audio libs, so ``deterministic_fake`` stands in: it derives a
+    fixed-length feature from payload bytes — stable, testable, and
+    exercises the exact same Arrow path a real decoder would."""
+
+    _decoders: dict[str, Callable[[bytes, dict[str, Any]], list[float]]] = {}
+
+    @classmethod
+    def register(cls, media_type: str,
+                 fn: Callable[[bytes, dict[str, Any]], list[float]]) -> None:
+        cls._decoders[media_type] = fn
+
+    @classmethod
+    def decode(cls, media_type: str, payload: bytes,
+               meta: dict[str, Any]) -> list[float]:
+        fn = cls._decoders.get(media_type)
+        if fn is None:
+            raise NotImplementedError(
+                f"no decoder registered for media_type={media_type!r}; "
+                "real kernels (PIL/ffmpeg/torchaudio) are not available in "
+                "this environment — register one via DecoderRegistry.register")
+        return fn(payload, meta)
+
+
+def deterministic_fake(payload: bytes, meta: dict[str, Any],
+                       dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: byte-bucket histogram, normalized.
+    Replaces (not approximates) a real decode in this environment.
+    Vectorized (numpy) — a per-byte Python loop dominated the Arrow batch
+    time at bench scale."""
+    if payload is None:
+        return [0.0] * dim
+    import numpy as np
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr % dim, minlength=dim)
+    return (counts / max(len(arr), 1)).astype(float).tolist()
+
+
+DecoderRegistry.register("image", deterministic_fake)
+DecoderRegistry.register("audio", deterministic_fake)
+DecoderRegistry.register("video", deterministic_fake)
+
+
+def attach_media(df: DataFrame, content_col: str, id_col: str,
+                 media_type: str = "image", fmt: str = "raw") -> DataFrame:
+    """Wrap a column's bytes as a media payload + metadata struct (the
+    ingest shape for multimodal tables)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(content_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"))
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow-batched; the idiomatic
+    slow path when built-in expressions can't express the kernel)."""
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                mt = meta["media_type"] if meta is not None else "image"
+                md = dict(meta) if meta is not None else {}
+                feats.append(DecoderRegistry.decode(mt, payload, md))
+                nbytes.append(len(payload) if payload is not None else 0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": pd.Series(nbytes, dtype="int64"),
+                "feature": feats,
+            })
+
+    return media.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Byte-level stats without decoding — pure built-in expressions."""
+    return media.groupBy(F.col("meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+    )

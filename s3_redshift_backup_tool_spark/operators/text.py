@@ -1,0 +1,132 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Capability extensions beyond the reference (BASELINE.json north star):
+language-ID, quality scoring, token counting, document fingerprinting —
+all as built-in column expressions (no Python UDFs), so at 100 TB they
+run inside WholeStageCodegen at scan speed and are trivially
+partition-parallel (per-row, no shuffle at all).
+
+Portability note: every hash used here is md5-prefix-as-int64 so the
+DuckDB oracle can reproduce it bit-for-bit (Spark's xxhash64/hash are
+engine-specific murmur variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: BPE-ish token pattern: runs of letters, runs of digits, or single
+#: non-space symbols — a deterministic, regex-only approximation of
+#: subword pre-tokenization.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def md5_prefix_int(col: Column, salt: str = "") -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as int64.
+
+    Oracle equivalent: ``CAST('0x' || substr(md5(salt || x), 1, 15) AS BIGINT)``.
+    """
+    base = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(base.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(col, " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Regex-based BPE-ish token count."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.round(stop.cast("double") / F.size(toks), 6)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, "[a-zA-Z0-9\\s]", "")
+    return F.round(F.length(stripped).cast("double") / F.length(col), 6)
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    return F.round((F.length(col) - (F.size(toks) - 1)).cast("double") / F.size(toks), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards mid-length docs,
+    penalizes extreme stopword scarcity/saturation and symbol noise.
+    Deterministic arithmetic only — SQL-expressible for the oracle."""
+    length_score = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25)) * 2
+    noise = punct_ratio(col)
+    noise_score = F.lit(1.0) - F.least(noise * 5, F.lit(1.0))
+    return F.round((length_score + F.greatest(sw_score, F.lit(0.0)) + noise_score) / 3, 6)
+
+
+# Marker words per language for the n-gram/stopword heuristic classifier.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts over
+    alphabetical language order (ties -> earliest), 'und' when no marker
+    fires. Per-row, no shuffle. Oracle: identical CASE over
+    len(list_filter(...)) scores."""
+    toks = tokens(col)
+
+    def _score(markers):
+        # one-arg lambda per language (F.filter passes the index to
+        # two-arg lambdas, so a default-arg closure would break)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: _score(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in reversed(sorted(scores)):   # build CASE en>de>es>fr priority
+        result = F.when((scores[lang] == best) & (best > 0),
+                        F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column, n: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min over all character
+    n-gram hashes (rolling-hash family; Schleimer et al., SIGMOD'03).
+    Array ops per-row — no explode, no shuffle."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: col.substr(i, F.lit(n)))
+    hashes = F.transform(grams, lambda g: F.conv(
+        F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast("long"))
+    return F.array_min(hashes)
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """One-projection text statistics table."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(c).cast("long").alias("n_chars"),
+        token_count_ws(c).alias("n_tokens"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        avg_token_len(c).alias("avg_token_len"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality_score"),
+    )

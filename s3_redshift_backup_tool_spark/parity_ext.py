@@ -1,0 +1,425 @@
+"""Extension parity queries: analytics joins/aggregations, event-time
+windows, and the LLM-training-data operators (text analysis, dedup,
+similarity search, multimodal plumbing).
+
+Same conventions as parity.py. The dedup/similarity oracles reproduce the
+Spark hashes exactly via md5-prefix int64 (``CAST('0x'||substr(md5(x),1,15)
+AS BIGINT)``), and array arithmetic uses index-ordered left-to-right
+reduction on both engines so doubles match to rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators.multimodal import attach_media, payload_stats
+from .parity import QuerySpec, REGISTRY, _t, q
+from .streaming.incremental import sessionized_counts, windowed_event_counts
+
+# md5-prefix int64 in DuckDB
+_H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+# ==========================================================================
+# Analytics: joins + aggregations (SURVEY §2.3/§2.4 — free on Spark,
+# exercised because the reference's users get them from Redshift today)
+# ==========================================================================
+
+@q("pricing_summary_lineitem",
+   """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+   "TPC-H Q1-style pricing summary (capability the reference delegates to Redshift)")
+def pricing_summary_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec_qty = F.col("l_quantity").cast("decimal(18,2)")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(dec_qty).cast("double").alias("sum_qty"),
+                   F.sum(dec_price).cast("double").alias("sum_base_price"),
+                   F.sum(dec_disc).cast("double").alias("sum_disc_price"),
+                   (F.sum(dec_qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@q("revenue_by_nation",
+   """SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_items
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY n_name""",
+   "multi-way join + agg; dims broadcast (SURVEY §2.3)")
+def revenue_by_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+@q("order_priority_exists",
+   """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority""",
+   "EXISTS == left_semi join (verification-pattern join)")
+def order_priority_exists(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (orders.join(li, cond, "left_semi")
+                  .groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+# ==========================================================================
+# Event-time windows (§2.12 capability extension: tumbling/sliding/session)
+# ==========================================================================
+
+@q("tumbling_daily_events",
+   """SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""",
+   "tumbling window agg — window(ts, '1 day') (streaming-identical plan)")
+def tumbling_daily_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    .alias("sum_value"))
+              .select(F.col("w.start").alias("day"), "event_type",
+                      "n_events", "sum_value"))
+
+
+@q("sliding_2h1h_events",
+   """SELECT ws, count(*) AS n_events FROM (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS ws
+        FROM events) t
+      GROUP BY ws""",
+   "sliding window (2h size / 1h slide): each event lands in 2 windows")
+def sliding_2h1h_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(F.col("w.start").alias("ws"), "n_events"))
+
+
+@q("session_windows_events",
+   """WITH d AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid""",
+   "session windows (30 min gap) — session_window() vs lag/cumsum oracle; "
+   "gap boundary is half-open on both sides")
+def session_windows_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)"))
+    out = sessionized_counts(ev, ts_col="ts", gap="30 minutes", user_col="user_id")
+    return out.select(
+        "user_id", F.col("session_window.start").alias("session_start"),
+        "n_events", F.col("sum_value").cast("double").alias("sum_value"))
+
+
+# ==========================================================================
+# Text analysis (documents)
+# ==========================================================================
+
+_STOP_SQL = "['" + "', '".join(tx.STOPWORDS) + "']"
+
+@q("text_stats_documents",
+   f"""SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{tx.TOKEN_REGEX}')) AS BIGINT) AS n_tokens_bpe,
+             round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS avg_token_len,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                                        x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS stopword_ratio,
+             round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text), 6) AS punct_ratio,
+             round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                    + greatest(1.0 - abs(round(CAST(len(list_filter(string_split(text, ' '),
+                          x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                          / len(string_split(text, ' ')), 6) - 0.25) * 2, 0.0)
+                    + (1.0 - least(round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]',
+                          '', 'g')) AS DOUBLE) / length(text), 6) * 5, 1.0))) / 3,
+                   6) AS quality_score
+      FROM documents""",
+   "text quality/statistics suite — token counts, ratios, composite score")
+def text_stats_documents(spark, sf_dir):
+    return tx.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANG_CASE = []
+for _lang in sorted(tx.LANG_MARKERS):  # de, en, es, fr — priority order
+    _m = "['" + "', '".join(tx.LANG_MARKERS[_lang]) + "']"
+    _LANG_CASE.append(
+        f"WHEN len(list_filter(t, x -> list_contains({_m}, x))) = best AND best > 0 "
+        f"THEN '{_lang}'")
+_LANG_SCORES = ", ".join(
+    f"len(list_filter(t, x -> list_contains(['"
+    + "', '".join(tx.LANG_MARKERS[_lang]) + "'], x)))"
+    for _lang in sorted(tx.LANG_MARKERS))
+
+@q("lang_id_documents",
+   f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sc AS (SELECT doc_id, t, greatest({_LANG_SCORES}) AS best FROM tk)
+      SELECT doc_id,
+             CASE {' '.join(_LANG_CASE)} ELSE 'und' END AS lang_pred
+      FROM sc""",
+   "heuristic language ID (marker-stopword argmax, alphabetical priority)")
+def lang_id_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("fingerprint_documents",
+   f"""SELECT doc_id,
+             list_min(list_transform(
+                 generate_series(1, greatest(length(text) - 7, 1)),
+                 i -> {_H.format(x="substr(text, i, 8)")})) AS fp
+      FROM documents""",
+   "rolling-hash document fingerprint: min over char-8-gram hashes "
+   "(winnowing family, Schleimer'03)")
+def fingerprint_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text"), 8).alias("fp"))
+
+
+# ==========================================================================
+# Deduplication (documents)
+# ==========================================================================
+
+@q("exact_dedup_documents",
+   """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+             count(*) AS copies
+      FROM documents GROUP BY 1""",
+   "exact dedup via content-digest groupBy")
+def exact_dedup_documents(spark, sf_dir):
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """
+  tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(t) - 3, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS shingle
+         FROM tk)"""
+
+_MINHASH_CTE = _SHINGLE_CTE + f""",
+  salted AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS hash_idx
+             FROM sh),
+  hashed AS (SELECT doc_id, hash_idx,
+                    {_H.format(x="hash_idx::VARCHAR || '_' || shingle")} AS h
+             FROM salted),
+  sig AS (SELECT doc_id, hash_idx, min(h) AS min_hash
+          FROM hashed GROUP BY doc_id, hash_idx)"""
+
+@q("minhash_signatures_documents",
+   f"WITH {_MINHASH_CTE} SELECT doc_id, hash_idx, min_hash FROM sig",
+   "MinHash signatures: 16 salted hash functions over word 3-gram shingles "
+   "(Broder'97); partial-aggregable min per (doc, salt)")
+def minhash_signatures_documents(spark, sf_dir):
+    return dd.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                 n=3, num_hashes=16)
+
+
+@q("minhash_lsh_pairs_documents",
+   f"""WITH {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
+   "LSH banding (8 bands x 2 rows): candidate pairs via bucket join — "
+   "shuffle O(docs x bands), never O(docs^2)")
+def minhash_lsh_pairs_documents(spark, sf_dir):
+    sigs = dd.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                 n=3, num_hashes=16)
+    return dd.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+
+
+@q("ngram_jaccard_pairs_documents",
+   f"""WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+             round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
+            >= 0.1""",
+   "exact n-gram Jaccard via inverted-index self-join (disjoint pairs never shuffle)")
+def ngram_jaccard_pairs_documents(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                  n=3, threshold=0.1)
+
+
+@q("simhash_documents",
+   f"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+      h AS (SELECT doc_id, {_H.format(x="tok")} AS h FROM tk),
+      v AS (SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote_sum
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) bits
+            GROUP BY doc_id, bit)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote_sum > 0 THEN 1::BIGINT << bit ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM v GROUP BY doc_id""",
+   "SimHash 32-bit signatures (Charikar'02): per-bit token votes")
+def simhash_documents(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# ==========================================================================
+# Embedding similarity (embeddings)
+# ==========================================================================
+
+_DOT = ("list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+@q("embedding_norms",
+   f"""SELECT vec_id, label,
+             round(sqrt({_DOT.format(a='embedding', b='embedding')}), 6) AS l2_norm
+      FROM embeddings""",
+   "embedding L2 norms via index-ordered reduction")
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label",
+                      F.round(sim.l2_norm(F.col("embedding")), 6).alias("l2_norm"))
+
+
+@q("cosine_topk_embeddings",
+   f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round({_DOT.format(a='e.embedding', b='qv')}
+                   / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM embeddings e, q
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+   "brute-force cosine top-k (exact ANN baseline); TakeOrderedAndProject, "
+   "no global sort shuffle")
+def cosine_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.cosine_topk(emb, qvec, k=10)
+
+
+def _srp_bucket_sql(n_planes: int, dim: int = 64) -> str:
+    planes = sim.srp_planes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+        d = _DOT.format(a="embedding", b=f"({lit}::DOUBLE[])")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+@q("ann_lsh_topk_embeddings",
+   f"""WITH bucketed AS (
+        SELECT vec_id, embedding, {_srp_bucket_sql(4)} AS bucket FROM embeddings),
+      q AS (SELECT embedding AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round({_DOT.format(a='e.embedding', b='qv')}
+                   / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM bucketed e, q WHERE e.bucket = q.qb
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+   "LSH-bucketed ANN top-k: SRP (4 hyperplanes, seed 42) bucket filter + "
+   "exact rerank — candidates ~ n/16")
+def ann_lsh_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = sim.srp_buckets(emb, n_planes=4, dim=64)
+    q0 = bucketed.filter(F.col("vec_id") == 0).first()
+    qvec, qb = [float(v) for v in q0["embedding"]], q0["bucket"]
+    cand = bucketed.filter(F.col("bucket") == qb)
+    s = F.round(sim.cosine(F.col("embedding"),
+                           F.array(*[F.lit(v) for v in qvec])), 6)
+    return (cand.select("vec_id", s.alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+
+
+@q("embedding_neardup_pairs",
+   f"""WITH bucketed AS (
+        SELECT vec_id, embedding, {_srp_bucket_sql(4)} AS bucket FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
+               AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                     * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
+            >= 0.8""",
+   "embedding near-dup pairs: SRP bucket self-join + cosine filter "
+   "(no O(n^2) cross product)")
+def embedding_neardup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, threshold=0.8, n_planes=4)
+
+
+# ==========================================================================
+# Multimodal plumbing
+# ==========================================================================
+
+@q("multimodal_payload_stats",
+   """SELECT 'text' AS media_type, count(*) AS n_items,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      FROM documents""",
+   "binary payload stats without decode (opaque-bytes columns)")
+def multimodal_payload_stats(spark, sf_dir):
+    media = attach_media(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                         media_type="text", fmt="utf-8")
+    return payload_stats(media)
+
+
+@q("multimodal_features", None,   # mapInPandas decode stub -> rows-only check
+   "Arrow-batched mapInPandas feature extraction over binary payloads "
+   "(decode kernel stubbed: deterministic byte-histogram fake)")
+def multimodal_features(spark, sf_dir):
+    media = attach_media(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                         media_type="image", fmt="raw")
+    from .operators.multimodal import extract_features
+    return extract_features(media)

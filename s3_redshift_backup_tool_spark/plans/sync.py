@@ -84,6 +84,19 @@ def add_date_partitions(df: DataFrame, ts_col: str | None,
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
+    """Round-robin repartition when the source under-splits.
+
+    A single large parquet row group (or one fat JDBC partition) caps scan
+    parallelism; everything narrow downstream (filter, casts) then runs on
+    one core. One cheap early shuffle spreads the work. On a 1000-executor
+    cluster reading many files this is a no-op (sources already split past
+    ``min_partitions``)."""
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def _staged_files(staging_path: str) -> list[str]:
     return sorted(
         p for p in glob.glob(os.path.join(staging_path, "**", "*.parquet"),
@@ -184,8 +197,11 @@ def sync_table(
             # every input task writes a sliver into every date dir — the
             # small-files anti-pattern (the reference's own goal is "fewer
             # larger files", PERFORMANCE_OPTIMIZATION_GUIDE.md:169-172).
-            # One shuffle, AQE-coalesced; maxRecordsPerFile bounds hot days.
-            staged = staged.repartition(*[F.col(c) for c in part_cols])
+            # Explicit partition count: without it AQE coalesces a small
+            # shuffle to 1 task and serializes the write; with it the write
+            # parallelism is pinned and maxRecordsPerFile bounds hot days.
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            staged = staged.repartition(n_parts, *[F.col(c) for c in part_cols])
         writer = staged.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))

@@ -20,6 +20,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from s3_redshift_backup_tool_spark.parity import REGISTRY  # noqa: E402
+import s3_redshift_backup_tool_spark.parity_ext  # noqa: E402,F401  (extends REGISTRY)
 from s3_redshift_backup_tool_spark.session import get_spark  # noqa: E402
 from s3_redshift_backup_tool_spark.sources.readers import TPCH_TABLES  # noqa: E402
 
