@@ -24,10 +24,36 @@ production would swap in xxhash64 for speed without changing shapes.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
 from .text import md5_prefix_int
+
+#: Mersenne prime 2^61-1: modulus of the affine MinHash family. With
+#: a,b < 2^31 and the 60-bit base hash split into 30-bit halves, every
+#: intermediate product stays < 2^62 — overflow-free int64 arithmetic on
+#: both Spark (JVM long) and the DuckDB oracle (BIGINT).
+MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficients for the affine hash family
+    ``h_k = (a_k*lo + b_k*hi + c_k) mod 2^61-1`` over the 30-bit halves
+    (lo, hi) of one 60-bit base hash. One real (md5) hash per shingle +
+    k cheap affine mixes replaces k md5 passes — the textbook universal-
+    hashing MinHash construction (Broder'97; Carter-Wegman)."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 31), rng.randrange(1, 1 << 31),
+             rng.randrange(0, 1 << 60)) for _ in range(num_hashes)]
+
+
+def _affine(h, a: int, b: int, c: int):
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(h, 30)
+    return (F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % F.lit(MERSENNE61)
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text",
@@ -48,6 +74,7 @@ def word_shingles(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc, via array ops + explode
     (no Python UDF)."""
+    df = fan_out(df)
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -57,29 +84,30 @@ def word_shingles(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 16) -> DataFrame:
-    """MinHash signature: for each of ``num_hashes`` salted hash
+    """MinHash signature: for each of ``num_hashes`` affine hash
     functions, the min shingle hash. Output: (id, hash_idx, min_hash).
 
-    Computed entirely per-row with nested array transforms (shingle array
-    -> per-salt min) inside codegen, then posexploded: ZERO shuffle for
-    signature computation, and downstream ops see only ``num_hashes``
-    rows per doc. The explode-shingles/groupBy formulation would shuffle
-    O(shingles x salts) rows per doc — 2-3 orders of magnitude more
-    network at 100 TB."""
+    Cost shape: ONE md5 per distinct shingle (materialized as an array in
+    a child projection, so the 16 salt passes reuse it — CollapseProject
+    declines to inline a non-cheap alias referenced k times), then k
+    cheap affine mixes per shingle. Zero shuffle: signatures are per-row
+    array math; downstream ops see only ``num_hashes`` rows per doc. The
+    naive k-salted-md5 formulation costs k full digests per shingle —
+    16x the CPU at 100 TB for identical dedup quality."""
+    df = fan_out(df)
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(
-                F.concat(k.cast("string"), F.lit("_"), g).cast("binary")),
-                1, 15), 16, 10).cast("long"))))
-    return df.select(
-        F.col(id_col),
-        F.posexplode(sig).alias("hash_idx", "min_hash"))
+    # one-arg lambda: F.transform would feed the element index into
+    # md5_prefix_int's optional salt parameter otherwise
+    base_hashes = F.transform(grams, lambda g: md5_prefix_int(g))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__hs"), lambda h: _affine(h, a, b, c)))
+        for a, b, c in minhash_params(num_hashes)])
+    return (df.select(F.col(id_col), base_hashes.alias("__hs"))
+              .select(F.col(id_col),
+                      F.posexplode(sig).alias("hash_idx", "min_hash")))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -87,9 +115,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     """LSH banding: hash each band of the signature to a bucket; docs
     sharing any band-bucket become candidate pairs.
 
-    The self-join key is (band, band_hash) — Catalyst shuffles both sides
-    by bucket, so comparisons stay within buckets. Output (id_a < id_b)
-    distinct."""
+    Pairs are generated from per-bucket sorted id lists (groupBy band
+    bucket -> collect_list -> in-bucket combinations), not a bucket
+    self-join: the signature pipeline is computed ONCE (a self-join's two
+    aliased sides defeat Spark's exchange reuse and would run it twice),
+    and shuffle volume stays O(docs x bands). At web scale add a bucket
+    cardinality cap (``max_bucket``) — a degenerate bucket of b docs
+    would otherwise emit b^2/2 pairs."""
     rows_per_band = num_hashes // bands
     banded = (signatures
               .withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -97,11 +129,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
               .agg(F.md5(F.concat_ws(",", F.sort_array(
                   F.collect_list(F.concat_ws(":", "hash_idx", "min_hash")))))
                    .alias("band_hash")))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (a.join(b, ["band", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 #: BPE-ish token pattern: runs of letters, runs of digits, or single

@@ -213,7 +213,7 @@ def lang_id_documents(spark, sf_dir):
    "rolling-hash document fingerprint: min over char-8-gram hashes "
    "(winnowing family, Schleimer'03)")
 def fingerprint_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = tx.fan_out(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", tx.fingerprint(F.col("text"), 8).alias("fp"))
 
 
@@ -237,19 +237,26 @@ _SHINGLE_CTE = """
                i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS shingle
          FROM tk)"""
 
+# affine MinHash family: one md5 per shingle, k = (a*lo + b*hi + c) mod 2^61-1
+_MH_PARAMS = dd.minhash_params(16)
+_MH_A = "[" + ", ".join(str(a) for a, _, _ in _MH_PARAMS) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b, _ in _MH_PARAMS) + "]"
+_MH_C = "[" + ", ".join(str(c) for _, _, c in _MH_PARAMS) + "]"
+
 _MINHASH_CTE = _SHINGLE_CTE + f""",
-  salted AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS hash_idx
-             FROM sh),
-  hashed AS (SELECT doc_id, hash_idx,
-                    {_H.format(x="hash_idx::VARCHAR || '_' || shingle")} AS h
-             FROM salted),
-  sig AS (SELECT doc_id, hash_idx, min(h) AS min_hash
-          FROM hashed GROUP BY doc_id, hash_idx)"""
+  hashed AS (SELECT doc_id, {_H.format(x="shingle")} AS h FROM sh),
+  sig AS (SELECT doc_id, hash_idx,
+                 min((({_MH_A})[hash_idx + 1] * (h & 1073741823)
+                    + ({_MH_B})[hash_idx + 1] * (h >> 30)
+                    + ({_MH_C})[hash_idx + 1]) % {dd.MERSENNE61}) AS min_hash
+          FROM hashed
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hash_idx) salts
+          GROUP BY doc_id, hash_idx)"""
 
 @q("minhash_signatures_documents",
    f"WITH {_MINHASH_CTE} SELECT doc_id, hash_idx, min_hash FROM sig",
-   "MinHash signatures: 16 salted hash functions over word 3-gram shingles "
-   "(Broder'97); partial-aggregable min per (doc, salt)")
+   "MinHash signatures: one md5 per word 3-gram shingle + 16 affine-derived "
+   "hash functions (Broder'97 / Carter-Wegman); per-row array math, no shuffle")
 def minhash_signatures_documents(spark, sf_dir):
     return dd.minhash_signatures(_t(spark, sf_dir, "documents"),
                                  n=3, num_hashes=16)

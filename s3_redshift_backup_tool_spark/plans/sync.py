@@ -85,16 +85,12 @@ def add_date_partitions(df: DataFrame, ts_col: str | None,
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
-    """Round-robin repartition when the source under-splits.
-
-    A single large parquet row group (or one fat JDBC partition) caps scan
-    parallelism; everything narrow downstream (filter, casts) then runs on
-    one core. One cheap early shuffle spreads the work. On a 1000-executor
-    cluster reading many files this is a no-op (sources already split past
-    ``min_partitions``)."""
-    if df.rdd.getNumPartitions() >= min_partitions:
-        return df
-    return df.repartition(min_partitions)
+    """See :func:`..operators.partitioning.fan_out` (kept under the old
+    name for callers of the sync plan). Unnecessary when the plan already
+    repartitions by output partition columns — one shuffle covers both
+    parallelism and layout."""
+    from ..operators.partitioning import fan_out
+    return fan_out(df, min_partitions)
 
 
 def _staged_files(staging_path: str) -> list[str]:
