@@ -175,28 +175,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash signature (Charikar'02): per-token md5 hash, per-bit +-1
     votes summed over the doc, sign -> bit.
 
-    Shape: explode(tokens) x explode(bits) -> groupBy(doc, bit) vote-sum
-    -> groupBy(doc) bit-pack. Both aggregations are partial-aggregable;
-    rows never exceed tokens x bits per doc. Near-dup detection is then a
-    Hamming-distance filter over the int64 signatures."""
-    toks = (df.select(F.col(id_col),
-                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-              .withColumn("h", md5_prefix_int(F.col("tok"))))
-    votes = (toks.select(
-                id_col, "h",
-                F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-             .withColumn("vote", F.when(
-                 F.expr("shiftright(h, bit) & 1") == 1,
-                 F.lit(1)).otherwise(F.lit(-1)))
-             .groupBy(id_col, "bit")
-             .agg(F.sum("vote").alias("vote_sum")))
-    return (votes.withColumn(
-                "bit_val",
-                F.when(F.col("vote_sum") > 0,
-                       F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                 .otherwise(F.lit(0).cast("long")))
-            .groupBy(id_col)
-            .agg(F.sum("bit_val").cast("long").alias("simhash")))
+    Pure per-row array math: token hashes materialized once in a child
+    projection (as in :func:`minhash_signatures`), then one fold per bit.
+    ZERO shuffle — the explode(tokens) x explode(bits) + double-groupBy
+    formulation moves tokens x bits rows through two exchanges for the
+    same integers. Near-dup detection is then a Hamming-distance filter
+    over the int64 signatures."""
+    df = fan_out(df)
+    hs = F.transform(F.split(F.col(text_col), " "), lambda t: md5_prefix_int(t))
+    bit_vals = [
+        F.when(
+            F.aggregate(
+                F.col("__hs"), F.lit(0),
+                lambda acc, h: acc + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1))) > 0,
+            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)]
+    total = bit_vals[0]
+    for bv in bit_vals[1:]:
+        total = total + bv
+    return (df.select(F.col(id_col), hs.alias("__hs"))
+              .select(F.col(id_col), total.alias("simhash")))
 
 
 def latest_record_dedup(df: DataFrame, key_cols: list[str], ts_col: str,

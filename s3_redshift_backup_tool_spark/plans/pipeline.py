@@ -37,6 +37,7 @@ class TableConfig:
     depends_on: list[str] = field(default_factory=list)
     batch_size: int | None = None          # table-level override
     partition_columns: list[str] = field(default_factory=list)
+    column_map: dict[str, str] = field(default_factory=dict)  # P3 rename map
 
     def cdc_config(self) -> CDCConfig:
         return CDCConfig(
@@ -114,6 +115,7 @@ def _table_from_dict(name: str, d: dict[str, Any]) -> TableConfig:
         depends_on=list(d.get("depends_on", []) or []),
         batch_size=proc.get("batch_size") or d.get("batch_size"),
         partition_columns=list(d.get("partition_columns", []) or []),
+        column_map=dict(d.get("column_map", {}) or {}),
     )
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from ..operators import cdc as cdc_ops
 from ..operators.align import align_to_schema
 from ..operators.cdc import CDCConfig, Watermark
+from ..operators.column_mapper import apply_column_map
 from ..operators.manifest import exclude_processed, files_df
 from ..operators.quality import QualityReport, run_quality_gate
 from ..state import WatermarkStore
@@ -133,6 +134,17 @@ def sync_table(
             ceiling = cdc_ops.snapshot_ceiling(source_df, cfg.id_column)
 
         delta = cdc_ops.apply_cdc(source_df, cfg, wm, ceiling=ceiling)
+        ts_col, id_col = cfg.timestamp_column, cfg.id_column
+        if table_cfg.column_map:
+            # P3: rename-map projection (the reference's explicit COPY
+            # column list, column_mapper.py:201-224) before alignment so
+            # the target schema speaks target names; the CDC cursor
+            # columns follow the rename
+            delta = apply_column_map(delta, table_cfg.column_map)
+
+            def _mapped(c: str | None) -> str | None:
+                return table_cfg.column_map.get(c, c.lower()) if c else None
+            ts_col, id_col = _mapped(ts_col), _mapped(id_col)
         if target_schema is not None:
             delta = align_to_schema(delta, target_schema)
 
@@ -149,16 +161,16 @@ def sync_table(
         # observe(): rows + new (ts,id) cursor computed during the write
         # itself — the reference needs a separate pass / last-row peek.
         obs_aggs = [F.count(F.lit(1)).alias("rows")]
-        has_ts = cfg.timestamp_column and cfg.timestamp_column in delta.columns
-        has_id = cfg.id_column and cfg.id_column in delta.columns
+        has_ts = ts_col and ts_col in delta.columns
+        has_id = id_col and id_col in delta.columns
         if has_ts and has_id:
             obs_aggs.append(F.max(F.struct(
-                F.col(cfg.timestamp_column).alias("ts"),
-                F.col(cfg.id_column).alias("id"))).alias("cursor"))
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"))).alias("cursor"))
         elif has_ts:
-            obs_aggs.append(F.max(cfg.timestamp_column).alias("ts_max"))
+            obs_aggs.append(F.max(ts_col).alias("ts_max"))
         elif has_id:
-            obs_aggs.append(F.max(cfg.id_column).alias("id_max"))
+            obs_aggs.append(F.max(id_col).alias("id_max"))
         obs = Observation(f"sync_{table}")
         observed = delta.observe(obs, *obs_aggs)
 
@@ -184,7 +196,7 @@ def sync_table(
             gran, direct_parts = (), [c for c in pc if c in delta.columns]
         else:
             gran, direct_parts = ("year", "month"), []
-        staged = add_date_partitions(observed, cfg.timestamp_column if has_ts else None,
+        staged = add_date_partitions(observed, ts_col if has_ts else None,
                                      granularity=gran) if gran else observed
         part_cols = direct_parts + [c for c in gran if c in staged.columns
                                     and c not in delta.columns]

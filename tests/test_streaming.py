@@ -1,0 +1,79 @@
+"""Structured-Streaming incremental sync (SURVEY §2.12).
+
+The availableNow + checkpoint pass is the streaming-native replacement
+for the watermark/blacklist loop: each invocation processes exactly the
+new files, exactly once, across restarts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.streaming.incremental import (
+    incremental_file_sync, sessionized_counts, windowed_event_counts)
+
+
+def test_available_now_exactly_once(spark, orders, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = orders.limit(100)
+    batch1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    incremental_file_sync(spark, src, schema, tgt, ckpt)
+    assert spark.read.parquet(tgt).count() == 100
+
+    # second pass with no new files: nothing re-processed
+    incremental_file_sync(spark, src, schema, tgt, ckpt)
+    assert spark.read.parquet(tgt).count() == 100
+
+    # new files arrive -> only they are processed (no reprocessing of
+    # the first 100)
+    orders.limit(250).write.mode("append").parquet(src)
+    incremental_file_sync(spark, src, schema, tgt, ckpt)
+    assert spark.read.parquet(tgt).count() == 100 + 250
+
+
+def test_available_now_with_transform(spark, orders, tmp_path):
+    src = str(tmp_path / "src")
+    orders.limit(50).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    incremental_file_sync(
+        spark, src, schema, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        transform=lambda df: df.filter(F.col("o_orderkey") % 2 == 0)
+                               .select("o_orderkey", "o_totalprice"))
+    out = spark.read.parquet(str(tmp_path / "tgt"))
+    assert out.columns == ["o_orderkey", "o_totalprice"]
+    assert out.filter(F.col("o_orderkey") % 2 == 1).count() == 0
+
+
+def test_windowed_counts_streaming_matches_batch(spark, events, tmp_path):
+    """The same windowed-agg plan over a stream (availableNow) and over
+    the batch DataFrame must agree — streaming is a scheduling mode, not
+    different semantics."""
+    src = str(tmp_path / "ev")
+    ev = events.select("event_id", "user_id", "event_type", "ts", "value")
+    ev.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream, window_duration="1 day")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window"]["start"], r["n_events"])
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+
+    expect = {(r["window"]["start"], r["n_events"])
+              for r in windowed_event_counts(ev, window_duration="1 day").collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_session_windows_have_gap_semantics(spark, events):
+    out = sessionized_counts(events.limit(2000), gap="30 minutes")
+    row = out.first()
+    assert row["session_window"]["start"] <= row["session_window"]["end"]
+    assert out.count() > 0
