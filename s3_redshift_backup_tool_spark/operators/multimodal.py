@@ -129,6 +129,79 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", MEDIA_META_SCHEMA, True),
+])
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  kernel: Callable[[bytes, int, int], bytes] | None = None
+                  ) -> DataFrame:
+    """Resize stage: mapInPandas over binary payloads, metadata updated
+    to the new dimensions. The pixel kernel is pluggable; without an
+    image library this deterministic stand-in truncates/pads payload
+    bytes to width*height — the Arrow plumbing, schema, and metadata
+    rewrite are exactly what a PIL kernel would ride on."""
+
+    def _default_kernel(payload: bytes, w: int, h: int) -> bytes:
+        n = w * h
+        if payload is None:
+            return b"\x00" * n
+        return payload[:n] if len(payload) >= n else payload + b"\x00" * (n - len(payload))
+
+    k = kernel or _default_kernel
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [k(p, width, height) for p in pdf["payload"]]
+            out["meta"] = [
+                {**(dict(m) if m is not None else {}),
+                 "width": width, "height": height}
+                for m in pdf["meta"]]
+            yield out
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage for video payloads: one output row per
+    sampled frame (media_id, frame_idx, frame bytes). The ffmpeg decode
+    is stubbed as fixed-stride byte slices; the row-explosion shape (a
+    1-row video becomes k frame rows, fanned out BEFORE any shuffle) is
+    the part that matters for 100 TB video corpora."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(min(max_frames,
+                                   max(1, len(payload) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(
+                        bytes(payload[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames if frames else pd.Series([], dtype=object),
+            })
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """Byte-level stats without decoding — pure built-in expressions."""
     return media.groupBy(F.col("meta.media_type").alias("media_type")).agg(

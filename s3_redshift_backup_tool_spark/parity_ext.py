@@ -90,6 +90,71 @@ def order_priority_exists(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
+@q("shipping_priority_top10",
+   """SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             o_orderdate
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+   "TPC-H Q3-style: join + agg + top-k (TakeOrderedAndProject after partial agg)")
+def shipping_priority_top10(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.filter(F.col("l_shipdate") > cut)
+              .join(orders.filter(F.col("o_orderdate") < cut),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .select("l_orderkey", "revenue", "o_orderdate")
+              .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey").limit(10))
+
+
+@q("part_type_revenue_share",
+   """SELECT p_type,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type""",
+   "fact-to-dim join on part (broadcast) + revenue rollup by product type")
+def part_type_revenue_share(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("p_type")
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+@q("supplier_revenue_by_nation",
+   """SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS supplier_revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name""",
+   "supplier-side star join: two broadcast dims over the fact table")
+def supplier_revenue_by_nation(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy("n_name")
+              .agg(F.sum(rev).cast("double").alias("supplier_revenue")))
+
+
 # ==========================================================================
 # Event-time windows (§2.12 capability extension: tumbling/sliding/session)
 # ==========================================================================

@@ -1,0 +1,97 @@
+"""Physical-plan quality guards.
+
+Correctness tests say WHAT each operator returns; these say HOW — the
+properties that decide whether the same plan survives a 100x scale-up:
+predicate pushdown reaching the scan, broadcast joins for dims, top-k
+without a global sort, shuffle-free per-row kernels, partial (map-side)
+aggregation, and column pruning. A refactor that silently regresses one
+of these still passes the oracle checks; it fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from s3_redshift_backup_tool_spark.parity import REGISTRY
+import s3_redshift_backup_tool_spark.parity_ext  # noqa: F401
+
+
+def final_plan(df) -> str:
+    """Execute (so AQE finalizes) and return the physical plan string."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plan(spark, sf_dir):
+    def _plan(name: str) -> str:
+        return final_plan(REGISTRY[name].fn(spark, sf_dir))
+    return _plan
+
+
+def test_cdc_keyset_predicate_pushed_to_scan(plan):
+    """S2: the hybrid (ts,id) keyset predicate must reach the parquet
+    scan as PushedFilters — at 100 TB this is the difference between
+    reading the delta and reading the table."""
+    p = plan("cdc_hybrid_orders")
+    scan = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert scan, "no scan with PushedFilters in plan"
+    assert "GreaterThan(o_orderdate" in scan[0]
+
+
+def test_projection_prunes_scan_columns(plan):
+    """A 2-column projection must reach the scan: ReadSchema holds only
+    the projected columns, not the full table."""
+    p = plan("topk_orders_by_price")
+    scan = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderpriority" not in scan and "o_orderstatus" not in scan
+
+
+def test_dim_joins_broadcast(plan):
+    """§2.3: multi-way star join must broadcast the small sides, never
+    cartesian, never shuffle the fact table more than once per key."""
+    p = plan("revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_avoids_global_sort(plan):
+    """O4/top-k: orderBy+limit must compile to TakeOrderedAndProject
+    (per-partition heaps + k-row driver merge), not a full sort shuffle."""
+    p = plan("cosine_topk_embeddings")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_is_shuffle_free(plan):
+    """Signature computation is per-row array math: no hash-partitioned
+    exchange anywhere (the only allowed exchange is fan_out's round-robin
+    spread of an under-split source)."""
+    p = plan("minhash_signatures_documents")
+    assert "hashpartitioning" not in p
+
+
+def test_simhash_is_shuffle_free(plan):
+    p = plan("simhash_documents")
+    assert "hashpartitioning" not in p
+
+
+def test_aggregation_is_partial(plan):
+    """A2/A9-style aggs must show map-side partial aggregation (two
+    HashAggregate levels), so the shuffle carries group states, not rows."""
+    p = plan("pricing_summary_lineitem")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_manifest_antijoin_stays_antijoin(plan):
+    """P5: the blacklist exclusion must be a (broadcastable) anti-join,
+    not a filter over a collected list."""
+    p = plan("manifest_anti_join")
+    assert "LeftAnti" in p
+
+
+def test_session_window_partitioned_by_user(plan):
+    """§2.12: session windows must partition by user key — a global
+    (unpartitioned) window would serialize 100 TB through one task."""
+    p = plan("session_windows_events")
+    assert "session_window" in p
+    assert "SinglePartition" not in p
