@@ -1,0 +1,163 @@
+"""Command-line interface mirroring the reference's operational surface.
+
+Reference verbs (SURVEY §3): ``sync pipeline -p <yml> [-t table]``
+(src/cli/multi_schema_commands.py:70-110), ``watermark get|set|reset``
+(src/cli/main.py:1505-1958), ``watermark count``
+(:1959-2204), ``s3clean`` (:2205-2412). Same verbs here, with parquet
+directories standing in for MySQL/S3/Redshift endpoints:
+
+    python -m s3_redshift_backup_tool_spark sync -p pipeline.yml \
+        --source-dir /data/sf0.01 --work-dir /tmp/work [-t orders] [--parallel]
+    python -m s3_redshift_backup_tool_spark watermark get -t orders --work-dir ...
+    python -m s3_redshift_backup_tool_spark watermark set -t orders --id 500 \
+        --timestamp "1998-01-01 00:00:00" --work-dir ...
+    python -m s3_redshift_backup_tool_spark watermark reset -t orders \
+        [--preserve-files] --work-dir ...
+    python -m s3_redshift_backup_tool_spark s3clean --work-dir ... \
+        [--older-than-days 7] [--confirm]
+
+All output is JSON on stdout (the reference emits JSON for Airflow
+markers; src/cli/airflow_enhancements.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Any
+
+
+def _store(work_dir: str):
+    from .state import LocalJsonBackend, WatermarkStore
+    return WatermarkStore(LocalJsonBackend(os.path.join(work_dir, "state")))
+
+
+def _emit(obj: Any) -> None:
+    json.dump(obj, sys.stdout, indent=2, default=str)
+    sys.stdout.write("\n")
+
+
+def cmd_sync(args: argparse.Namespace) -> int:
+    from .plans.pipeline import load_pipeline_yaml
+    from .plans.sync import sync_pipeline
+    from .session import get_spark
+    from .sources.readers import read_table
+
+    pipeline = load_pipeline_yaml(args.pipeline)
+    if args.table:
+        keep = set(args.table)
+        pipeline.tables = [t for t in pipeline.tables if t.table_name in keep]
+        if not pipeline.tables:
+            _emit({"error": f"no configured table matches {sorted(keep)}"})
+            return 2
+    spark = get_spark("cli_sync", cpus=args.cpus)
+    store = _store(args.work_dir)
+    results = sync_pipeline(
+        spark, pipeline, store,
+        lambda name: read_table(spark, args.source_dir, name),
+        args.work_dir, parallel=args.parallel)
+    out = {}
+    for name, r in results.items():
+        d = dataclasses.asdict(r)
+        d["new_watermark"] = dataclasses.asdict(r.new_watermark)
+        d.pop("quality", None)
+        out[name] = d
+    _emit(out)
+    return 0 if all(r.verified for r in results.values()) else 1
+
+
+def cmd_watermark(args: argparse.Namespace) -> int:
+    store = _store(args.work_dir)
+    key = (args.source, args.table, args.target)
+    if args.action == "get":
+        _emit(store.get(*key))
+    elif args.action == "set":
+        if args.id is None and args.timestamp is None:
+            _emit({"error": "set requires --id and/or --timestamp"})
+            return 2
+        _emit(store.set_manual(*key, last_timestamp=args.timestamp,
+                               last_id=args.id))
+    elif args.action == "reset":
+        _emit(store.reset(*key, preserve_files=args.preserve_files))
+    elif args.action == "count":
+        doc = store.get(*key)
+        _emit({"table": args.table,
+               "mysql_total_rows": doc["mysql_state"]["total_rows"],
+               "redshift_total_rows": doc["redshift_state"]["total_rows"],
+               "processed_files": len(doc.get("processed_files") or [])})
+    return 0
+
+
+def cmd_s3clean(args: argparse.Namespace) -> int:
+    from .plans.cleanup import clean_staging
+    store = _store(args.work_dir)
+    loaded: set[str] = set()
+    staging_root = os.path.join(args.work_dir, "staging")
+    state_root = os.path.join(args.work_dir, "state", "watermarks", "v2")
+    if os.path.isdir(state_root):
+        for fn in os.listdir(state_root):
+            if fn.endswith(".json"):
+                src, _, rest = fn[:-5].partition("_")
+                table, _, tgt = rest.rpartition("_")
+                loaded |= store.processed_files(src, table, tgt)
+    rep = clean_staging(
+        staging_root, loaded_files=loaded,
+        older_than_seconds=(args.older_than_days * 86400
+                            if args.older_than_days is not None else None),
+        confirm=args.confirm)
+    d = dataclasses.asdict(rep)
+    d["files"] = d["files"][:20] + (["..."] if len(d["files"]) > 20 else [])
+    _emit(d)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("sync", help="run a pipeline's incremental sync")
+    sp.add_argument("-p", "--pipeline", required=True, help="pipeline YAML")
+    sp.add_argument("-t", "--table", action="append",
+                    help="restrict to table(s); repeatable")
+    sp.add_argument("--source-dir", required=True,
+                    help="directory of <table>.parquet source files")
+    sp.add_argument("--work-dir", required=True,
+                    help="state + staging + target root")
+    sp.add_argument("--parallel", action="store_true")
+    sp.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    sp.set_defaults(fn=cmd_sync)
+
+    wp = sub.add_parser("watermark", help="inspect or mutate sync state")
+    wp.add_argument("action", choices=["get", "set", "reset", "count"])
+    wp.add_argument("-t", "--table", required=True)
+    wp.add_argument("--source", default="src")
+    wp.add_argument("--target", default="tgt")
+    wp.add_argument("--work-dir", required=True)
+    wp.add_argument("--id", type=int, default=None,
+                    help="manual last_id override")
+    wp.add_argument("--timestamp", default=None,
+                    help="manual last_timestamp override")
+    wp.add_argument("--preserve-files", action="store_true",
+                    help="reset: keep the processed-files blacklist")
+    wp.set_defaults(fn=cmd_watermark)
+
+    cp = sub.add_parser("s3clean", help="reclaim staged files (dry-run "
+                                        "unless --confirm)")
+    cp.add_argument("--work-dir", required=True)
+    cp.add_argument("--older-than-days", type=float, default=None)
+    cp.add_argument("--confirm", action="store_true")
+    cp.set_defaults(fn=cmd_s3clean)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -110,6 +110,65 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
                 .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Left-to-right squared L2 distance (oracle-reproducible)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 8,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the first ``n`` vectors
+    by id. Production would run k-means (or k-means||) over a sample and
+    broadcast the result; the index/search plumbing downstream is
+    identical, so the quantizer is swappable without touching the plan."""
+    rows = (df.filter(F.col(id_col) < n_centroids)
+              .select(id_col, vec_col).orderBy(id_col).collect())
+    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF list assignment: argmin squared-L2 over the (broadcast-as-
+    literal) centroid table, computed per-row as an array-min over
+    (dist, cid) structs — ZERO shuffle, deterministic (dist, cid)
+    tie-break. At 1B vectors this is a narrow map stage; only the
+    (optional) repartition by centroid_id for index layout shuffles."""
+    entries = F.array(*[
+        F.struct(
+            l2_sq(F.col(vec_col),
+                  F.array(*[F.lit(float(v)) for v in vec])).alias("dist"),
+            F.lit(int(cid)).cast("long").alias("cid"))
+        for cid, vec in centroids])
+    return df.withColumn("centroid_id", F.array_min(entries)["cid"])
+
+
+def ann_topk_ivf(df: DataFrame, query_vec: list[float],
+                 centroids: list[tuple[int, list[float]]], k: int = 10,
+                 nprobe: int = 2, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest inverted lists, exact
+    cosine rerank within. With the index written partitioned by
+    centroid_id the probe filter becomes partition pruning — the scan
+    touches nprobe/n_centroids of the data."""
+    def _dist(v: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(query_vec, v):
+            s += (float(x) - float(y)) * (float(x) - float(y))
+        return s
+
+    probes = [cid for cid, _ in
+              sorted(centroids, key=lambda cv: (_dist(cv[1]), cv[0]))[:nprobe]]
+    cand = ivf_assign(df, centroids, vec_col).filter(
+        F.col("centroid_id").isin(probes))
+    sim = F.round(cosine(F.col(vec_col),
+                         F.array(*[F.lit(float(v)) for v in query_vec])), 6)
+    return (cand.select(F.col(id_col), sim.alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          n_planes: int = 6, vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:

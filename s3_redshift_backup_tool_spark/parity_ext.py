@@ -450,6 +450,42 @@ def ann_lsh_topk_embeddings(spark, sf_dir):
                 .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
 
 
+_L2 = ("list_sum(list_transform(generate_series(1, len({a})), "
+       "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))")
+
+@q("ann_ivf_topk_embeddings",
+   f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+      d AS (SELECT e.vec_id, e.embedding, c.cid,
+                   {_L2.format(a='e.embedding', b='c.cv')} AS dist
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d),
+      assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      qd AS (SELECT c.cid,
+                    row_number() OVER (
+                        ORDER BY {_L2.format(a='c.cv', b='qv')}, c.cid) AS rn
+             FROM c, q),
+      probes AS (SELECT cid FROM qd WHERE rn <= 2)
+      SELECT a.vec_id,
+             round({_DOT.format(a='a.embedding', b='qv')}
+                   / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM assign a JOIN probes p ON a.cid = p.cid, q
+      ORDER BY cos_sim DESC, a.vec_id LIMIT 10""",
+   "IVF ANN top-k: 8 coarse centroids (first-8 deterministic quantizer), "
+   "nprobe=2 inverted-list probe + exact cosine rerank; assignment is "
+   "shuffle-free per-row argmin")
+def ann_ivf_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ann_topk_ivf(emb, qvec, cents, k=10, nprobe=2)
+
+
 @q("embedding_neardup_pairs",
    f"""WITH bucketed AS (
         SELECT vec_id, embedding, {_srp_bucket_sql(4)} AS bucket FROM embeddings)

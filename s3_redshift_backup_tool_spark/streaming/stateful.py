@@ -1,0 +1,99 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no stateful streaming at all (SURVEY §2.12) — its
+watermark is a progress cursor. These are the capability extension for
+event streams: arbitrary per-key state kept in Spark's state store,
+Arrow-batched to Python.
+
+Scale notes: state lives in the executor state store keyed by the
+groupBy key, so memory is bounded by (keys x state size) per partition;
+the GroupStateTimeout eviction keeps abandoned keys from accumulating
+forever. Use built-in windowed aggs when they fit — this is for logic
+they can't express (running de-dup, custom counters, session carry-over).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("n_events", T.LongType(), False),
+    T.StructField("sum_value", T.DoubleType(), True),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType(), False),
+    T.StructField("s", T.DoubleType(), True),
+])
+
+
+def _update_running_totals(key, pdfs: Iterable[pd.DataFrame],
+                           state: GroupState):
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "sum_value": [s]})
+
+
+def running_totals_per_user(events: DataFrame,
+                            user_col: str = "user_id",
+                            value_col: str = "value") -> DataFrame:
+    """Cumulative (count, sum) per user across micro-batches — state the
+    built-in aggs can't carry between triggers in update mode. Emits one
+    row per key per batch with the running totals."""
+    sel = events.select(user_col, events[value_col].cast("double").alias("value"))
+    return (sel.groupBy(user_col)
+               .applyInPandasWithState(
+                   _update_running_totals,
+                   outputStructType=RUNNING_TOTALS_SCHEMA,
+                   stateStructType=_STATE_SCHEMA,
+                   outputMode="update",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("first_seen_batch", T.LongType(), False),
+    T.StructField("occurrences", T.LongType(), False),
+])
+
+_SEEN_STATE = T.StructType([
+    T.StructField("batch", T.LongType(), False),
+    T.StructField("count", T.LongType(), False),
+])
+
+
+def _update_first_seen(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    batch, count = state.get if state.exists else (-1, 0)
+    rows = sum(len(p) for p in pdfs)
+    if batch < 0:
+        batch = 0 if count == 0 else batch
+    count += rows
+    if not state.exists:
+        batch = 0
+    state.update((batch, count))
+    yield pd.DataFrame({"key": [key[0]], "first_seen_batch": [batch],
+                        "occurrences": [count]})
+
+
+def streaming_first_seen(df: DataFrame, key_col: str) -> DataFrame:
+    """Streaming exact dedup ledger: per key, when it was first seen and
+    how many times since — the stateful form of exact_dedup for infinite
+    streams (state = one small row per distinct key)."""
+    return (df.select(df[key_col].cast("string").alias("key"))
+              .groupBy("key")
+              .applyInPandasWithState(
+                  _update_first_seen,
+                  outputStructType=SEEN_SCHEMA,
+                  stateStructType=_SEEN_STATE,
+                  outputMode="update",
+                  timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1,0 +1,92 @@
+"""CLI surface: sync / watermark get|set|reset|count / s3clean, mirroring
+the reference's operational verbs (src/cli/main.py, multi_schema_commands)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from s3_redshift_backup_tool_spark.cli import main
+
+
+@pytest.fixture()
+def pipeline_yml(tmp_path):
+    p = tmp_path / "pipe.yml"
+    p.write_text("""
+pipeline:
+  name: cli_test
+  source: src
+  target: tgt
+tables:
+  orders:
+    cdc_strategy: hybrid
+    cdc_timestamp_column: o_orderdate
+    cdc_id_column: o_orderkey
+  region:
+    cdc_strategy: full_sync
+    full_sync_mode: replace
+""")
+    return str(p)
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, json.loads(out)
+
+
+def test_sync_watermark_clean_roundtrip(capsys, pipeline_yml, tmp_path, sf_dir):
+    work = str(tmp_path / "work")
+
+    rc, out = _run(capsys, ["sync", "-p", pipeline_yml,
+                            "--source-dir", sf_dir, "--work-dir", work,
+                            "--cpus", "8"])
+    assert rc == 0
+    assert out["orders"]["verified"] and out["orders"]["rows_extracted"] > 0
+    assert out["region"]["verified"]
+
+    rc, wm = _run(capsys, ["watermark", "get", "-t", "orders",
+                           "--work-dir", work])
+    assert rc == 0 and wm["mysql_state"]["status"] == "success"
+
+    rc, cnt = _run(capsys, ["watermark", "count", "-t", "orders",
+                            "--work-dir", work])
+    assert cnt["mysql_total_rows"] == out["orders"]["rows_extracted"]
+    assert cnt["processed_files"] == out["orders"]["files_loaded"]
+
+    # second sync: idempotent no-op
+    rc, out2 = _run(capsys, ["sync", "-p", pipeline_yml,
+                             "--source-dir", sf_dir, "--work-dir", work,
+                             "-t", "orders", "--cpus", "8"])
+    assert rc == 0 and out2["orders"]["rows_extracted"] == 0
+
+    # manual override rewinds the cursor; next sync re-extracts a suffix
+    rc, _ = _run(capsys, ["watermark", "set", "-t", "orders",
+                          "--work-dir", work, "--id", "100",
+                          "--timestamp", "1998-06-15 00:00:00"])
+    assert rc == 0
+    rc, out3 = _run(capsys, ["sync", "-p", pipeline_yml,
+                             "--source-dir", sf_dir, "--work-dir", work,
+                             "-t", "orders", "--cpus", "8"])
+    assert rc == 0 and out3["orders"]["rows_extracted"] > 0
+
+    # s3clean: dry-run reports, --confirm deletes loaded staged files
+    rc, rep = _run(capsys, ["s3clean", "--work-dir", work])
+    assert rc == 0 and rep["dry_run"] and rep["deletable"] > 0
+    rc, rep2 = _run(capsys, ["s3clean", "--work-dir", work, "--confirm"])
+    assert rep2["deleted"] == rep["deletable"]
+
+    # reset --preserve-files keeps the blacklist
+    rc, doc = _run(capsys, ["watermark", "reset", "-t", "orders",
+                            "--work-dir", work, "--preserve-files"])
+    assert doc["mysql_state"]["status"] == "pending"
+    assert len(doc["processed_files"]) > 0
+
+
+def test_sync_unknown_table_errors(capsys, pipeline_yml, tmp_path, sf_dir):
+    rc, out = _run(capsys, ["sync", "-p", pipeline_yml,
+                            "--source-dir", sf_dir,
+                            "--work-dir", str(tmp_path / "w"),
+                            "-t", "nope"])
+    assert rc == 2 and "error" in out

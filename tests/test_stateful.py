@@ -1,0 +1,65 @@
+"""applyInPandasWithState operators: running totals + first-seen dedup
+ledger across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _run_stream(spark, src_glob, schema, build, name):
+    stream = spark.readStream.schema(schema).parquet(src_glob)
+    q = (build(stream).writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_running_totals_across_batches(spark, events, tmp_path):
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        running_totals_per_user)
+    src = str(tmp_path / "src")
+    ev = events.select("user_id", "ts", "value").limit(1000)
+    ev.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = _run_stream(spark, src, schema, running_totals_per_user, "totals1")
+    # latest state per user == plain batch aggregation
+    latest = (out.groupBy("user_id")
+                 .agg(F.max("n_events").alias("n_events")))
+    want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got = {(r["user_id"], r["n_events"]) for r in latest.collect()}
+    assert got == {(r["user_id"], r["n_events"]) for r in want.collect()}
+
+    # second batch arrives: totals are cumulative, not per-batch
+    ev2 = events.select("user_id", "ts", "value").limit(2000)
+    ev2.write.mode("append").parquet(src)
+    out2 = _run_stream(spark, src, schema, running_totals_per_user, "totals2")
+    latest2 = {r["user_id"]: r["n_events"]
+               for r in out2.groupBy("user_id")
+                            .agg(F.max("n_events").alias("n_events")).collect()}
+    want2 = {r["user_id"]: r["cnt"]
+             for r in spark.read.parquet(src).groupBy("user_id")
+                           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert latest2 == want2
+
+
+def test_first_seen_dedup_ledger(spark, documents, tmp_path):
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        streaming_first_seen)
+    src = str(tmp_path / "src")
+    docs = documents.select("doc_id", "text").limit(100)
+    docs.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = _run_stream(spark, src, schema,
+                      lambda s: streaming_first_seen(s, "doc_id"), "seen1")
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r["occurrences"] == 1 for r in rows)
+
+    # same docs re-arrive: occurrences increment, no new keys
+    docs.write.mode("append").parquet(src)
+    out2 = _run_stream(spark, src, schema,
+                       lambda s: streaming_first_seen(s, "doc_id"), "seen2")
+    assert {r["occurrences"] for r in out2.collect()} == {2}
+    assert out2.select("key").distinct().count() == 100
