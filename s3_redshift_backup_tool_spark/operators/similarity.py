@@ -172,12 +172,27 @@ def ann_topk_ivf(df: DataFrame, query_vec: list[float],
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          n_planes: int = 6, vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
-    """Embedding near-duplicate pairs: SRP-bucket self-join + exact cosine
-    filter. The bucket key bounds the join: no O(n^2) cross product."""
+    """Embedding near-duplicate pairs: SRP-bucket grouping + exact cosine
+    filter. The bucket key bounds the comparisons: no O(n^2) cross
+    product. Pairs come from per-bucket collected (id, vec) lists rather
+    than a bucket self-join — the aliased self-join defeats Spark's
+    exchange reuse and would compute the bucket projection twice; one
+    groupBy computes it once. At web scale cap bucket size (raise
+    ``n_planes``) so a degenerate bucket can't collect unboundedly."""
     b = srp_buckets(df, n_planes, vec_col, id_col)
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return (pairs.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
-                 .filter(F.col("cos_sim") >= threshold)
-                 .select("id_a", "id_b", "cos_sim"))
+    buckets = (b.groupBy("bucket")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v")))).alias("items"))
+                .filter(F.size("items") > 1))
+    pairs = F.flatten(F.transform(
+        F.col("items"),
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                               F.round(cosine(x["v"], y["v"]), 6).alias("cos_sim")))))
+    # no distinct needed: each id lives in exactly one bucket (single
+    # banding), so a pair can only be emitted once
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b", "p.cos_sim")
+            .filter(F.col("cos_sim") >= threshold))

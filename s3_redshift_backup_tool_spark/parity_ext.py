@@ -499,12 +499,12 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
       WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
                   / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
                      * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
-            >= 0.8""",
+            >= 0.3""",
    "embedding near-dup pairs: SRP bucket self-join + cosine filter "
    "(no O(n^2) cross product)")
 def embedding_neardup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_neardup_pairs(emb, threshold=0.8, n_planes=4)
+    return sim.cosine_neardup_pairs(emb, threshold=0.3, n_planes=4)
 
 
 # ==========================================================================
