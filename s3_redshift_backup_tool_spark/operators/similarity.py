@@ -184,7 +184,11 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                 .agg(F.array_sort(F.collect_list(
                     F.struct(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v")))).alias("items"))
-                .filter(F.size("items") > 1))
+                .filter(F.size("items") > 1)
+                # one partition per bucket: the collected rows are tiny
+                # (AQE would coalesce them onto one task) but each hides
+                # |bucket|^2/2 cosine evaluations of downstream compute
+                .repartition(1 << n_planes, F.col("bucket")))
     pairs = F.flatten(F.transform(
         F.col("items"),
         lambda x, i: F.transform(
