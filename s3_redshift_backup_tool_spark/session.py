@@ -39,6 +39,8 @@ def get_spark(app_name: str = "s3_redshift_backup_tool_spark",
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
