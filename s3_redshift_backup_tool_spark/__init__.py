@@ -20,9 +20,13 @@ package re-expresses every data-touching capability as idiomatic Spark:
                          partitioned write -> commit state -> load -> verify
                          (reference: src/backup/row_based.py + gemini loader)
 - ``operators.dedup``, ``operators.similarity``, ``operators.text``,
-  ``operators.windows``, ``operators.multimodal``: LLM-training-data
+  ``operators.multimodal``, ``operators.skew``: LLM-training-data
   pipeline extensions (north star in BASELINE.json), designed shuffle-aware
   for 100 TB scale.
+- ``functions``          the scalar/column function library (re-exports)
+- ``streaming``          availableNow incremental sync, event-time windows,
+                         applyInPandasWithState operators
+- ``cli``                sync / watermark / s3clean operational verbs
 
 Nothing here needs a custom Catalyst rule: filters/casts/anti-joins/windows
 are stock DataFrame API and Catalyst does pushdown + pruning. The "engine"

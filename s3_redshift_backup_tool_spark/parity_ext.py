@@ -155,6 +155,46 @@ def supplier_revenue_by_nation(spark, sf_dir):
               .agg(F.sum(rev).cast("double").alias("supplier_revenue")))
 
 
+@q("revenue_rollup_flag_status",
+   """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+   "ROLLUP hierarchy totals (subtotal + grand-total rows) — §2.4 'Spark "
+   "provides natively' made concrete")
+def revenue_rollup_flag_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                      "revenue", "n"))
+
+
+@q("event_gap_lag_window",
+   """SELECT user_id, event_id,
+             CAST(date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_s,
+             rank()  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events WHERE user_id < 10""",
+   "lag + rank analytic windows partitioned by user (no global window)")
+def event_gap_lag_window(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+            .alias("gap_s"),
+        F.rank().over(w).alias("rk"))
+
+
 # ==========================================================================
 # Event-time windows (§2.12 capability extension: tumbling/sliding/session)
 # ==========================================================================
