@@ -101,6 +101,22 @@ def _staged_files(staging_path: str) -> list[str]:
     )
 
 
+def _load_reconciled(spark: SparkSession, files: list[str], target_path: str,
+                     id_col: str | None) -> None:
+    """Load staged files that may have been PARTIALLY loaded by a crashed
+    run (written to the target but never blacklisted). With a unique id
+    column the load reconciles by key anti-join — append exactly the rows
+    the target is missing, making resume exactly-once no matter where
+    the crash fell. Without an id the files are appended as-is (the A7
+    count verification then surfaces any double-load). Only invoked on
+    the rare recovery path: the normal load never pays the target scan."""
+    df = spark.read.parquet(*files)
+    if id_col and id_col in df.columns and os.path.exists(target_path):
+        existing = spark.read.parquet(target_path).select(id_col)
+        df = df.join(existing, id_col, "left_anti")
+    df.write.mode("append").parquet(target_path)
+
+
 def sync_table(
     spark: SparkSession,
     source_df: DataFrame,
@@ -174,18 +190,35 @@ def sync_table(
         obs = Observation(f"sync_{table}")
         observed = delta.observe(obs, *obs_aggs)
 
-        # Empty-delta short-circuit: no staging write, no load, no blacklist
-        # growth. limit-1 probe is pushdown-cheap even at 100 TB.
+        # Empty-delta short-circuit: no staging write, no new blacklist
+        # growth. limit-1 probe is pushdown-cheap even at 100 TB. BUT a
+        # prior run may have crashed between its watermark commit and its
+        # load stage — staged-but-unloaded files would otherwise be
+        # stranded forever (the watermark has moved past their rows), so
+        # the load stage still runs over leftovers minus the blacklist
+        # (the reference's load is likewise extraction-independent:
+        # gemini_redshift_loader.py:377-543 discovers files on its own).
         if delta.isEmpty():
             store.update_extraction_state(source_name, table, target_scope,
                                           session_rows=0, session_files=0,
                                           status="success")
+            recovered = []
+            if cfg.strategy != "full_sync":
+                processed = store.processed_files(source_name, table, target_scope)
+                recovered = [f for f in _staged_files(staging_path)
+                             if f not in processed]
+                if recovered:
+                    _load_reconciled(spark, recovered, target_path, id_col)
+                    store.update_load_state(source_name, table, target_scope,
+                                            loaded_files=recovered,
+                                            status="success")
             target_rows = spark.read.parquet(target_path).count() \
                 if os.path.exists(target_path) else 0
             store.update_target_count(source_name, table, target_scope, target_rows)
             expected = store.get(source_name, table, target_scope)["mysql_state"]["total_rows"]
             return SyncResult(table=table, rows_extracted=0, files_staged=0,
-                              files_loaded=0, target_rows=target_rows,
+                              files_loaded=len(recovered),
+                              target_rows=target_rows,
                               new_watermark=wm, verified=(target_rows == expected),
                               quality=quality)
 
@@ -210,7 +243,16 @@ def sync_table(
             # parallelism is pinned and maxRecordsPerFile bounds hot days.
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
             staged = staged.repartition(n_parts, *[F.col(c) for c in part_cols])
-        writer = staged.write.mode("overwrite")
+        # Staging is APPEND for incremental strategies (part-file names are
+        # UUID-unique): an overwrite would clobber files a crashed prior
+        # run staged but never loaded — the watermark has moved past those
+        # rows, so staging is their only copy. The reference never
+        # overwrites either (timestamped filenames, s3_manager.py:213-227);
+        # s3clean reclaims loaded files. full_sync replace rewrites the
+        # world anyway, so it overwrites staging too.
+        replace = cfg.strategy == "full_sync" and cfg.full_sync_mode == "replace"
+        pre_existing = set() if replace else set(_staged_files(staging_path))
+        writer = staged.write.mode("overwrite" if replace else "append")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         if part_cols:
@@ -230,15 +272,19 @@ def sync_table(
                 new_wm = Watermark(last_id=int(got["id_max"]))
 
         staged_files = _staged_files(staging_path)
+        session_files = [f for f in staged_files if f not in pre_existing]
         store.update_extraction_state(
             source_name, table, target_scope,
             last_timestamp=new_wm.last_timestamp,
             last_id=new_wm.last_id,
-            session_rows=rows, session_files=len(staged_files),
+            session_rows=rows, session_files=len(session_files),
             status="success")
 
         # --- Stage 2: load staged files -> target (K2/K3) ----------------
-        replace = cfg.strategy == "full_sync" and cfg.full_sync_mode == "replace"
+        # Discovery covers ALL staged files minus the blacklist, not just
+        # this session's: files a crashed prior run staged (or even loaded)
+        # but never blacklisted are picked up here, exactly like the
+        # reference's extraction-independent loader (:377-543).
         processed = store.processed_files(source_name, table, target_scope)
         if replace:
             to_load = staged_files  # replace ignores the blacklist (K3)
@@ -250,7 +296,13 @@ def sync_table(
                        exclude_processed(discovered_df, manifest_df).collect()]
         skipped = len(staged_files) - len(to_load)
 
-        if to_load:
+        leftovers = [f for f in to_load if f not in set(session_files)] \
+            if not replace else []
+        if to_load and leftovers:
+            # stranded files from a crashed run may be half-loaded:
+            # reconcile by key so resume is exactly-once (rare path)
+            _load_reconciled(spark, to_load, target_path, id_col)
+        elif to_load:
             load_df = spark.read.parquet(*to_load)
             mode = "overwrite" if replace else "append"
             load_df.write.mode(mode).parquet(target_path)
@@ -266,7 +318,7 @@ def sync_table(
         verified = replace or (target_rows == expected)
 
         return SyncResult(table=table, rows_extracted=rows,
-                          files_staged=len(staged_files),
+                          files_staged=len(session_files),
                           files_loaded=len(to_load), target_rows=target_rows,
                           new_watermark=new_wm, verified=verified,
                           quality=quality, skipped_files=skipped)
