@@ -114,6 +114,17 @@ def cmd_s3clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from .plans.compact import compact_target
+    from .session import get_spark
+    spark = get_spark("cli_compact", cpus=args.cpus)
+    target_path = os.path.join(args.work_dir, "target", args.table)
+    res = compact_target(spark, target_path, key_cols=args.key,
+                         ts_col=args.ts_column)
+    _emit(dataclasses.asdict(res))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -151,6 +162,18 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--older-than-days", type=float, default=None)
     cp.add_argument("--confirm", action="store_true")
     cp.set_defaults(fn=cmd_s3clean)
+
+    kp = sub.add_parser("compact", help="collapse an append-only target "
+                                        "to latest-record-per-key")
+    kp.add_argument("-t", "--table", required=True,
+                    help="target table name under <work-dir>/target/")
+    kp.add_argument("--key", action="append", required=True,
+                    help="key column; repeatable for composite keys")
+    kp.add_argument("--ts-column", required=True)
+    kp.add_argument("--work-dir", required=True)
+    kp.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    kp.set_defaults(fn=cmd_compact)
     return p
 
 

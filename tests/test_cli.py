@@ -84,6 +84,18 @@ def test_sync_watermark_clean_roundtrip(capsys, pipeline_yml, tmp_path, sf_dir):
     assert len(doc["processed_files"]) > 0
 
 
+def test_compact_verb(capsys, pipeline_yml, tmp_path, sf_dir):
+    work = str(tmp_path / "work")
+    rc, _ = _run(capsys, ["sync", "-p", pipeline_yml, "--source-dir", sf_dir,
+                          "--work-dir", work, "-t", "orders", "--cpus", "8"])
+    assert rc == 0
+    rc, res = _run(capsys, ["compact", "-t", "orders", "--key", "o_orderkey",
+                            "--ts-column", "o_orderdate", "--work-dir", work,
+                            "--cpus", "8"])
+    assert rc == 0
+    assert res["rows_removed"] == 0 and res["rows_after"] == res["rows_before"]
+
+
 def test_sync_unknown_table_errors(capsys, pipeline_yml, tmp_path, sf_dir):
     rc, out = _run(capsys, ["sync", "-p", pipeline_yml,
                             "--source-dir", sf_dir,
