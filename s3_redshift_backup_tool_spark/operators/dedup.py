@@ -199,6 +199,45 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .select(F.col(id_col), total.alias("simhash")))
 
 
+def neardup_components(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup candidate-pair graph: every
+    doc gets the MIN doc id of its component as canonical label — the
+    step that turns pairwise candidates into dedup groups.
+
+    Min-label propagation: each iteration every node takes
+    min(own label, neighbors' labels); converges in O(component
+    diameter) rounds (near-dup components are shallow — a few rounds).
+    Each round is one join + partial-aggregable groupBy; labels are
+    localCheckpoint'd so lineage stays flat. At web scale swap in the
+    large-star/small-star algorithm (Kiveris'14) — same fixed point,
+    fewer rounds on high-diameter graphs. The fixed point (component
+    min) is path-independent, so the oracle's recursive-CTE reachability
+    closure reproduces it exactly."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"),
+                                 F.col(id_a).alias("v"))).distinct())
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u")).localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("u", "v"), "v")
+                    .groupBy("u").agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, "u", "left")
+                      .select("u", F.least(
+                          F.col("label"),
+                          F.coalesce("nbr_min", F.col("label"))).alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "u")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
 def latest_record_dedup(df: DataFrame, key_cols: list[str], ts_col: str,
                         tiebreak_cols: list[str] | None = None) -> DataFrame:
     """CDC-delta compaction: latest record per key (SURVEY §2.5) —

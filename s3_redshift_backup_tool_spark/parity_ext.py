@@ -385,6 +385,34 @@ def minhash_lsh_pairs_documents(spark, sf_dir):
     return dd.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
 
 
+@q("neardup_clusters_documents",
+   f"""WITH RECURSIVE {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+      SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u""",
+   "near-dup dedup groups: connected components over MinHash-LSH "
+   "candidate pairs via min-label propagation (component-min fixed point "
+   "is path-independent, so the reachability-closure oracle matches)")
+def neardup_clusters_documents(spark, sf_dir):
+    sigs = dd.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                 n=3, num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    return dd.neardup_components(pairs)
+
+
 @q("ngram_jaccard_pairs_documents",
    f"""WITH {_SHINGLE_CTE},
       sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
