@@ -144,16 +144,30 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
     inverted-index self-join on shingle -> per-pair intersection counts ->
     Jaccard = inter / (|A| + |B| - inter). Disjoint pairs never meet, so
-    the shuffle is bounded by posting-list sizes, not |docs|^2. A
-    stop-shingle cap (drop shingles appearing in > max_doc_freq docs)
-    would bound skew at web scale; unnecessary at test SF."""
+    the shuffle is bounded by posting-list sizes, not |docs|^2.
+
+    ``max_doc_freq`` is the web-scale skew guard: a shingle appearing in
+    d docs contributes d^2 join rows, so one boilerplate phrase in 1% of
+    a billion docs would alone emit 10^14 pairs. Stop-shingles (doc
+    frequency > cap) are dropped from the join while sizes keep every
+    shingle — the reported jaccard becomes a LOWER BOUND (shared
+    boilerplate no longer counts toward the intersection), which is the
+    conservative direction for dedup: boilerplate overlap is
+    deliberately not treated as similarity."""
     sh = word_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("shingle")
+                  .agg(F.count(F.lit(1)).alias("df"))
+                  .filter(F.col("df") <= max_doc_freq)
+                  .select("shingle"))
+        sh = sh.join(rare, "shingle")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle")

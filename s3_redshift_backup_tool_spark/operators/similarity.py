@@ -91,19 +91,28 @@ def srp_buckets(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = 8, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id", probe_bits: int = 0) -> DataFrame:
     """ANN top-k: candidates from the query's SRP bucket, exact cosine
     rerank within. Scan prunes to bucket == query_bucket (a pushable
-    filter once buckets are materialized/partitioned)."""
+    filter once buckets are materialized/partitioned).
+
+    ``probe_bits=1`` enables multi-probe (Lv'07): also search the
+    n_planes buckets at Hamming distance 1 from the query's — recovers
+    the recall lost when a near neighbor falls just across one
+    hyperplane, at (n_planes+1)/2^n_planes of the data instead of
+    1/2^n_planes. Candidates stay an IN-list filter — still pushable."""
     planes = srp_planes(len(query_vec), n_planes)
     qb = 0
     for i, plane in enumerate(planes):
         if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
             qb += 1 << i
+    probes = {qb}
+    if probe_bits >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         srp_bucket(F.col(vec_col), planes).alias("bucket"))
-    cand = bucketed.filter(F.col("bucket") == qb)
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     sim = F.round(cosine(F.col(vec_col),
                          F.array(*[F.lit(float(v)) for v in query_vec])), 6)
     return (cand.select(F.col(id_col), sim.alias("cos_sim"))

@@ -155,6 +155,20 @@ def supplier_revenue_by_nation(spark, sf_dir):
               .agg(F.sum(rev).cast("double").alias("supplier_revenue")))
 
 
+@q("distinct_users_daily",
+   """SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+      FROM events GROUP BY 1""",
+   "distinct aggregate (two-level expand+agg; approx_count_distinct is "
+   "the 100TB drop-in at fixed memory)")
+def distinct_users_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+              .agg(F.countDistinct("user_id").alias("n_users"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+
 @q("revenue_rollup_flag_status",
    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
              coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -516,6 +530,26 @@ def ann_lsh_topk_embeddings(spark, sf_dir):
                            F.array(*[F.lit(v) for v in qvec])), 6)
     return (cand.select("vec_id", s.alias("cos_sim"))
                 .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+
+
+@q("ann_lsh_multiprobe_topk",
+   f"""WITH bucketed AS (
+        SELECT vec_id, embedding, {_srp_bucket_sql(4)} AS bucket FROM embeddings),
+      q AS (SELECT embedding AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round({_DOT.format(a='e.embedding', b='qv')}
+                   / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM bucketed e, q
+      WHERE (xor(e.bucket, qb) & (xor(e.bucket, qb) - 1)) = 0
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+   "multi-probe LSH ANN (Lv'07): query bucket + all Hamming-distance-1 "
+   "buckets (xor power-of-two test) + exact rerank — recall recovery at "
+   "(n_planes+1)/2^n_planes scan fraction")
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ann_topk_lsh(emb, qvec, k=10, n_planes=4, probe_bits=1)
 
 
 _L2 = ("list_sum(list_transform(generate_series(1, len({a})), "

@@ -38,6 +38,9 @@ class TableConfig:
     batch_size: int | None = None          # table-level override
     partition_columns: list[str] = field(default_factory=list)
     column_map: dict[str, str] = field(default_factory=dict)  # P3 rename map
+    quality_gate: bool = False             # R9: fail batch pre-write
+    max_null_pct: float = 100.0
+    not_null_cols: list[str] = field(default_factory=list)
 
     def cdc_config(self) -> CDCConfig:
         return CDCConfig(
@@ -116,6 +119,9 @@ def _table_from_dict(name: str, d: dict[str, Any]) -> TableConfig:
         batch_size=proc.get("batch_size") or d.get("batch_size"),
         partition_columns=list(d.get("partition_columns", []) or []),
         column_map=dict(d.get("column_map", {}) or {}),
+        quality_gate=bool(d.get("quality_gate", False)),
+        max_null_pct=float(d.get("max_null_pct", 100.0)),
+        not_null_cols=list(d.get("not_null_cols", []) or []),
     )
 
 

@@ -355,6 +355,10 @@ def sync_pipeline(
             staging_path=os.path.join(work_dir, "staging", tc.table_name),
             target_path=os.path.join(work_dir, "target", tc.effective_target),
             max_records_per_file=pipeline.effective_batch_size(tc),
+            quality_gate=tc.quality_gate,
+            quality_opts={"max_null_pct": tc.max_null_pct,
+                          "not_null_cols": tc.not_null_cols}
+            if tc.quality_gate else None,
         )
 
     tables = pipeline.topo_ordered_tables()

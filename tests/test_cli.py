@@ -26,6 +26,8 @@ tables:
   region:
     cdc_strategy: full_sync
     full_sync_mode: replace
+    quality_gate: true
+    not_null_cols: [r_regionkey, r_name]
 """)
     return str(p)
 
