@@ -155,6 +155,18 @@ def supplier_revenue_by_nation(spark, sf_dir):
               .agg(F.sum(rev).cast("double").alias("supplier_revenue")))
 
 
+@q("customers_without_orders",
+   """SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""",
+   "NOT EXISTS == left_anti join (relational complement of the manifest "
+   "anti-join pattern)")
+def customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .select("c_custkey", "c_mktsegment"))
+
+
 @q("distinct_users_daily",
    """SELECT date_trunc('day', ts) AS day,
              count(DISTINCT user_id) AS n_users,
