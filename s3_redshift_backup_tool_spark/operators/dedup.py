@@ -81,6 +81,26 @@ def word_shingles(df: DataFrame, text_col: str = "text",
     return (df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")))
 
 
+def minhash_signature_array(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            num_hashes: int = 16) -> DataFrame:
+    """MinHash signature as one array column per doc: (id, sig) where
+    ``sig[k]`` is the k-th affine min-hash. The un-exploded form —
+    banding and signature comparison read it without any reassembly
+    shuffle. See :func:`minhash_signatures` for the cost shape."""
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    base_hashes = F.transform(grams, lambda g: md5_prefix_int(g))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__hs"), lambda h: _affine(h, a, b, c)))
+        for a, b, c in minhash_params(num_hashes)])
+    return (df.select(F.col(id_col), base_hashes.alias("__hs"))
+              .select(F.col(id_col), sig.alias("sig")))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 16) -> DataFrame:
@@ -94,20 +114,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     array math; downstream ops see only ``num_hashes`` rows per doc. The
     naive k-salted-md5 formulation costs k full digests per shingle —
     16x the CPU at 100 TB for identical dedup quality."""
-    df = fan_out(df)
-    toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    # one-arg lambda: F.transform would feed the element index into
-    # md5_prefix_int's optional salt parameter otherwise
-    base_hashes = F.transform(grams, lambda g: md5_prefix_int(g))
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__hs"), lambda h: _affine(h, a, b, c)))
-        for a, b, c in minhash_params(num_hashes)])
-    return (df.select(F.col(id_col), base_hashes.alias("__hs"))
-              .select(F.col(id_col),
-                      F.posexplode(sig).alias("hash_idx", "min_hash")))
+    arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
+    return arr.select(F.col(id_col),
+                      F.posexplode("sig").alias("hash_idx", "min_hash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -129,6 +138,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
               .agg(F.md5(F.concat_ws(",", F.sort_array(
                   F.collect_list(F.concat_ws(":", "hash_idx", "min_hash")))))
                    .alias("band_hash")))
+    return _pairs_from_banded(banded, id_col)
+
+
+def _band_hash_from_array(band: int, rows_per_band: int):
+    """Band hash computed per-row from the signature array — bitwise
+    identical to the groupBy/collect_list formulation (same sorted
+    "idx:value" strings, same join, same md5)."""
+    entries = F.array(*[
+        F.concat_ws(":", F.lit(str(band * rows_per_band + j)),
+                    F.element_at("sig", band * rows_per_band + j + 1)
+                     .cast("string"))
+        for j in range(rows_per_band)])
+    return F.md5(F.concat_ws(",", F.sort_array(entries)))
+
+
+def _pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_hash) -> distinct candidate pairs via per-bucket
+    sorted id lists (see lsh_candidate_pairs docstring for why not a
+    self-join)."""
     buckets = (banded.groupBy("band", "band_hash")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
@@ -140,6 +168,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     return (buckets.select(F.explode(pairs).alias("p"))
             .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
             .distinct())
+
+
+def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n: int = 3, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """MinHash + LSH banding end-to-end, band hashes computed per-row
+    from the signature ARRAY: the (doc, band) reassembly shuffle of the
+    exploded-signature path disappears — the only shuffles left are the
+    bucket groupBy and the final distinct. Output identical to
+    ``lsh_candidate_pairs(minhash_signatures(df))``."""
+    rows_per_band = num_hashes // bands
+    arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
+    band_hashes = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 _band_hash_from_array(b, rows_per_band).alias("band_hash"))
+        for b in range(bands)])
+    banded = (arr.select(F.col(id_col), F.explode(band_hashes).alias("bh"))
+                 .select(id_col, F.col("bh.band").alias("band"),
+                         F.col("bh.band_hash").alias("band_hash")))
+    return _pairs_from_banded(banded, id_col)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -403,12 +403,12 @@ def minhash_signatures_documents(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
-   "LSH banding (8 bands x 2 rows): candidate pairs via bucket join — "
-   "shuffle O(docs x bands), never O(docs^2)")
+   "LSH banding (8 bands x 2 rows): band hashes per-row from the "
+   "signature array, pairs via bucket grouping — shuffle O(docs x "
+   "bands), never O(docs^2)")
 def minhash_lsh_pairs_documents(spark, sf_dir):
-    sigs = dd.minhash_signatures(_t(spark, sf_dir, "documents"),
-                                 n=3, num_hashes=16)
-    return dd.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    return dd.lsh_pairs(_t(spark, sf_dir, "documents"),
+                        n=3, num_hashes=16, bands=8)
 
 
 @q("neardup_clusters_documents",
@@ -433,9 +433,8 @@ def minhash_lsh_pairs_documents(spark, sf_dir):
    "candidate pairs via min-label propagation (component-min fixed point "
    "is path-independent, so the reachability-closure oracle matches)")
 def neardup_clusters_documents(spark, sf_dir):
-    sigs = dd.minhash_signatures(_t(spark, sf_dir, "documents"),
-                                 n=3, num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    pairs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
+                         n=3, num_hashes=16, bands=8)
     return dd.neardup_components(pairs)
 
 
