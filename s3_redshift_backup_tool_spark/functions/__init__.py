@@ -22,6 +22,7 @@ from ..operators.align import (
     normalize_timestamp_string,
     timestamp_to_epoch,
 )
+from ..operators.sampling import hash_gate, sample_by_hash, split_by_hash
 from ..operators.similarity import (
     cosine,
     dot,
@@ -46,6 +47,7 @@ from ..operators.text import (
 __all__ = [
     "avg_token_len", "cast_boolean", "cast_string_with_null_semantics",
     "cast_to", "cosine", "dot", "dot_literal", "epoch_to_timestamp",
+    "hash_gate", "sample_by_hash", "split_by_hash",
     "fingerprint", "l2_norm", "l2_sq", "lang_id", "md5_prefix_int",
     "normalize_timestamp_string", "punct_ratio", "quality_score",
     "srp_bucket", "stopword_ratio", "timestamp_to_epoch",

@@ -621,6 +621,39 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 
 # ==========================================================================
+# Deterministic sampling / dataset splits
+# ==========================================================================
+
+from .operators.sampling import GATE as _GATE  # noqa: E402
+from .operators import sampling as smp  # noqa: E402
+
+_GATE_SQL = _H.format(x="doc_id::VARCHAR") + f" % {_GATE}"
+
+@q("hash_sample_documents",
+   f"""SELECT doc_id FROM documents
+      WHERE {_GATE_SQL} < {int(0.25 * 1_000_000)}""",
+   "deterministic 25% hash-gate sample: engine/partitioning/day-"
+   "independent, narrow filter, nested rates are supersets")
+def hash_sample_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.sample_by_hash(docs, "doc_id", 0.25).select("doc_id")
+
+
+@q("train_val_test_split_documents",
+   f"""SELECT CASE WHEN {_GATE_SQL} < {int(0.8 * 1_000_000)} THEN 'train'
+                  WHEN {_GATE_SQL} < {int(0.9 * 1_000_000)} THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1""",
+   "leak-free 80/10/10 split via disjoint hash ranges")
+def train_val_test_split_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.split_by_hash(docs, "doc_id",
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ==========================================================================
 # Multimodal plumbing
 # ==========================================================================
 

@@ -1,0 +1,50 @@
+"""Deterministic hash sampling / splitting properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators.sampling import (
+    sample_by_hash, split_by_hash)
+
+
+def test_sample_is_deterministic_and_nested(spark, documents):
+    s10 = {r["doc_id"] for r in
+           sample_by_hash(documents, "doc_id", 0.10).select("doc_id").collect()}
+    s10b = {r["doc_id"] for r in
+            sample_by_hash(documents, "doc_id", 0.10).select("doc_id").collect()}
+    s50 = {r["doc_id"] for r in
+           sample_by_hash(documents, "doc_id", 0.50).select("doc_id").collect()}
+    assert s10 == s10b                      # rerun-stable
+    assert s10 <= s50                       # nested rates are supersets
+    n = documents.count()
+    assert 0 < len(s10) < len(s50) < n
+
+
+def test_salt_decorrelates(spark, documents):
+    a = {r["doc_id"] for r in
+         sample_by_hash(documents, "doc_id", 0.3, salt="a").collect()}
+    b = {r["doc_id"] for r in
+         sample_by_hash(documents, "doc_id", 0.3, salt="b").collect()}
+    assert a != b                           # independent gates
+
+
+def test_split_is_disjoint_exhaustive(spark, documents):
+    out = split_by_hash(documents, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = documents.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n        # exhaustive
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # one split per row (no leakage)
+    assert out.select("doc_id").distinct().count() == n
+
+
+def test_invalid_args_raise(spark, documents):
+    with pytest.raises(ValueError):
+        sample_by_hash(documents, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        split_by_hash(documents, "doc_id", {"a": 0.5, "b": 0.2})
