@@ -348,6 +348,35 @@ def fingerprint_documents(spark, sf_dir):
     return docs.select("doc_id", tx.fingerprint(F.col("text"), 8).alias("fp"))
 
 
+@q("vocab_top20_documents",
+   """SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""",
+   "corpus vocabulary top-k: explode + partial-agg count + "
+   "TakeOrderedAndProject (the wordcount that actually scales)")
+def vocab_top20_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+                .orderBy(F.desc("freq"), "tok").limit(20))
+
+
+@q("price_percentiles_orders",
+   """SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+             round(max(o_totalprice), 6) AS p100
+      FROM orders GROUP BY o_orderpriority""",
+   "exact interpolated percentiles per group (percentile == "
+   "quantile_cont); percentile_approx is the fixed-memory 100TB drop-in")
+def price_percentiles_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+                 F.round(F.max("o_totalprice"), 6).alias("p100")))
+
+
 # ==========================================================================
 # Deduplication (documents)
 # ==========================================================================
