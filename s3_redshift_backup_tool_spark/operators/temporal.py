@@ -1,0 +1,142 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+The reference pipeline has no relational joins at all (SURVEY §2.3;
+reference `src/core/gemini_redshift_loader.py:499-527` is the closest —
+a set-difference), but any analytics consumer of its CDC output needs
+event-time joins. Both operators here are built from stock DataFrame
+primitives so Catalyst plans them; neither materializes an O(n*m)
+intermediate.
+
+* ``asof_join`` — for each left row, the latest right row with
+  ``right.ts <= left.ts`` (optionally strict) per key. Implemented as a
+  tagged union + ``last(..., ignorenulls=True)`` over a key-partitioned
+  window: ONE shuffle on the key, no range-duplicated rows, scales to
+  arbitrarily long histories per key (sort-based window, spills).
+
+* ``range_join_bucketed`` — pairs (l, r) with ``r.ts`` in
+  ``[l.ts + lower, l.ts + upper)`` per key. Right rows are assigned one
+  time bucket; left rows duplicate only across the O(window/bucket)
+  buckets their interval spans. The equi-join on (key, bucket) is a
+  plain shuffle/broadcast hash join; the exact interval predicate
+  filters residues after the join. At 100 TB this is the standard
+  replacement for Spark's cartesian-range-join plan, which degenerates
+  to BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    allow_exact_matches: bool = True,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row at-or-before each left row's ts.
+
+    Every left row is kept (unmatched rows get null right columns), like
+    pandas ``merge_asof`` / DuckDB ``ASOF LEFT JOIN``. ``right_cols``
+    defaults to all non-key right columns; they must not collide with
+    left column names (alias before calling). ``right_tiebreak`` makes
+    the pick deterministic when several right rows share one timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys]
+    left_payload = [c for c in left.columns if c not in keys]
+    clash = set(right_cols) & set(left_payload)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    # Right rows must sort before left rows at equal ts to be eligible
+    # matches (inclusive); after them for a strict as-of.
+    r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.struct(*left_payload).alias("__l"),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.struct(*right_cols).alias("__r"),
+    )
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col("__r").getField(right_tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    u = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    return u.filter(F.col("__l").isNotNull()).select(
+        *keys,
+        *[F.col(f"__l.{c}").alias(c) for c in left_payload],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+
+
+def _bucket(ts_us: Column, bucket_us: int) -> Column:
+    return F.floor(ts_us / F.lit(bucket_us))
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner range join: rows paired when r.ts ∈ [l.ts+lower_s, l.ts+upper_s).
+
+    Output = all left columns + all non-key right columns (alias
+    collisions are the caller's job, as with any join). ``bucket_s``
+    trades left-row duplication (window/bucket copies) against residual
+    filter selectivity; default 1 bucket per hour.
+    """
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must be > lower_s")
+    keys = [on] if isinstance(on, str) else list(on)
+    bucket_us = bucket_s * 1_000_000
+    lower_us, upper_us = int(lower_s * 1e6), int(upper_s * 1e6)
+
+    r2 = right.withColumn("__rus", F.unix_micros(F.col(right_ts))).withColumn(
+        "__bucket", _bucket(F.col("__rus"), bucket_us)
+    )
+    l2 = (
+        left.withColumn("__lus", F.unix_micros(F.col(left_ts)))
+        .withColumn("__lo", F.col("__lus") + F.lit(lower_us))
+        .withColumn("__hi", F.col("__lus") + F.lit(upper_us))  # exclusive
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    _bucket(F.col("__lo"), bucket_us),
+                    _bucket(F.col("__hi") - 1, bucket_us),
+                )
+            ),
+        )
+    )
+    joined = l2.join(r2, keys + ["__bucket"]).filter(
+        (F.col("__rus") >= F.col("__lo")) & (F.col("__rus") < F.col("__hi"))
+    )
+    out_cols = (
+        keys
+        + [c for c in left.columns if c not in keys]
+        + [c for c in right.columns if c not in keys]
+    )
+    return joined.select(*out_cols)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as dd
 from .operators import similarity as sim
+from .operators import temporal as tmp
 from .operators import text as tx
 from .operators.multimodal import attach_media, payload_stats
 from .parity import QuerySpec, REGISTRY, _t, q
@@ -375,6 +376,150 @@ def price_percentiles_orders(spark, sf_dir):
             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
                  F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
                  F.round(F.max("o_totalprice"), 6).alias("p100")))
+
+
+# ==========================================================================
+# Temporal joins (as-of / range) — operators Spark lacks as built-ins,
+# implemented shuffle-lean in operators/temporal.py
+# ==========================================================================
+
+@q("asof_click_attribution",
+   """SELECT p.user_id,
+             p.event_id AS purchase_id,
+             p.ts       AS purchase_ts,
+             c.event_id AS click_id,
+             c.ts       AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts""",
+   "as-of join (purchase -> latest prior click per user): tagged union + "
+   "last-ignorenulls window, ONE key shuffle, no range blow-up")
+def asof_click_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", F.col("event_id").alias("purchase_id"),
+                           F.col("ts").alias("purchase_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts")))
+    return tmp.asof_join(purchases, clicks, on="user_id",
+                         left_ts="purchase_ts", right_ts="click_ts",
+                         right_tiebreak="click_id")
+
+
+@q("range_clicks_before_purchase",
+   """SELECT p.event_id AS purchase_id, p.user_id,
+             count(c.event_id) AS clicks_1h
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      GROUP BY 1, 2""",
+   "range join (clicks in the hour before each purchase): time-bucketed "
+   "equi-join + residual filter — avoids BroadcastNestedLoopJoin at scale")
+def range_clicks_before_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", F.col("event_id").alias("purchase_id"),
+                           F.col("ts").alias("purchase_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts")))
+    pairs = tmp.range_join_bucketed(purchases, clicks, on="user_id",
+                                    left_ts="purchase_ts", right_ts="click_ts",
+                                    lower_s=-3600, upper_s=0)
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("clicks_1h"))
+    return (purchases.join(counts, "purchase_id", "left")
+            .select("purchase_id", "user_id",
+                    F.coalesce(F.col("clicks_1h"), F.lit(0)).alias("clicks_1h")))
+
+
+# ==========================================================================
+# More aggregation shapes: CUBE, HLL-with-tolerance, heavy join topologies
+# ==========================================================================
+
+@q("cube_status_priority_orders",
+   """SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING(o_orderstatus)  AS INT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+   "CUBE over (status, priority) with grouping flags — map-side partial "
+   "aggregation expands grouping sets without extra scans")
+def cube_status_priority_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_price"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "g_status", "g_priority", "n_orders", "sum_price"))
+
+
+@q("approx_distinct_users_check",
+   """SELECT count(DISTINCT user_id) AS n_users, TRUE AS within_tol
+      FROM events""",
+   "approx_count_distinct (HLL++, fixed memory — the 100TB path) asserted "
+   "within 5% of the exact count; oracle checks the exact side")
+def approx_distinct_users_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.agg(F.count_distinct("user_id").alias("n_users"),
+                   F.approx_count_distinct("user_id", 0.05).alias("__approx"))
+            .select("n_users",
+                    (F.abs(F.col("__approx") - F.col("n_users"))
+                     <= 0.05 * F.col("n_users")).alias("within_tol")))
+
+
+@q("large_volume_orders",
+   """SELECT c_name, o.o_orderkey,
+             round(o.o_totalprice, 4) AS totalprice,
+             round(q.sum_qty, 4) AS sum_qty
+      FROM orders o
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) q
+        ON o.o_orderkey = q.l_orderkey
+      JOIN customer ON c_custkey = o.o_custkey""",
+   "TPC-H Q18 shape: pre-aggregated HAVING subquery (partial agg before "
+   "the join) semi-filters the fact, then broadcast dim join")
+def large_volume_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > 150))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "o_orderkey",
+                    F.round("o_totalprice", 4).alias("totalprice"),
+                    F.round("sum_qty", 4).alias("sum_qty")))
+
+
+@q("above_avg_idle_customers",
+   """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
+   "TPC-H Q22 shape: broadcast scalar subquery + anti-join on recent "
+   "orders (stays a two-stage plan, no per-row subquery execution)")
+def above_avg_idle_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("__avg_bal"))
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 4).alias("acctbal")))
 
 
 # ==========================================================================

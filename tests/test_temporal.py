@@ -1,0 +1,120 @@
+"""As-of join and bucketed range join: result equivalence against
+brute-force definitions, tie/boundary semantics, and plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (1, _ts(5), "c"),
+         (2, _ts(15), "d"), (3, _ts(30), "e")],
+        "k int, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(12), 101), (1, _ts(19, 59), 102),
+         (2, _ts(16), 200), (3, _ts(1), 300), (3, _ts(2), 301)],
+        "k int, rts timestamp, rval int")
+    return left, right
+
+
+def test_asof_inclusive_matches_bruteforce(spark):
+    left, right = _frames(spark)
+    got = {(r.k, r.lval): r.rval
+           for r in asof_join(left, right, on="k", left_ts="lts",
+                              right_ts="rts", right_tiebreak="rval").collect()}
+    # latest right with rts <= lts per key
+    assert got == {(1, "a"): 100,   # exact-equal ts matches
+                   (1, "b"): 102,
+                   (1, "c"): None,  # unmatched left row kept
+                   (2, "d"): None,  # right is later than left
+                   (3, "e"): 301}
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left, right = _frames(spark)
+    got = {(r.k, r.lval): r.rval
+           for r in asof_join(left, right, on="k", left_ts="lts",
+                              right_ts="rts", allow_exact_matches=False,
+                              right_tiebreak="rval").collect()}
+    assert got[(1, "a")] is None  # rts == lts no longer eligible
+    assert got[(1, "b")] == 102
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, _ts(10), "x")],
+                                 "k int, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, _ts(9), 7), (1, _ts(9), 9), (1, _ts(9), 8)],
+        "k int, rts timestamp, rval int")
+    [row] = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                      right_tiebreak="rval").collect()
+    assert row.rval == 9  # greatest tiebreak wins (last in asc order)
+
+
+def test_asof_single_shuffle_plan(spark):
+    left, right = _frames(spark)
+    df = asof_join(left, right, on="k", left_ts="lts", right_ts="rts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange on the key, and no join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_matches_bruteforce(spark, events):
+    ev = events.limit(400).select("event_id", "user_id", "ts")
+    left = ev.select("user_id", F.col("event_id").alias("lid"),
+                     F.col("ts").alias("lts"))
+    right = ev.select("user_id", F.col("event_id").alias("rid"),
+                      F.col("ts").alias("rts"))
+    lower, upper = -1800.0, 900.0
+    got = {(r.lid, r.rid) for r in
+           range_join_bucketed(left, right, on="user_id", left_ts="lts",
+                               right_ts="rts", lower_s=lower, upper_s=upper,
+                               bucket_s=600).collect()}
+    brute = {(r.lid, r.rid) for r in
+             left.join(right, "user_id")
+                 .filter((F.col("rts") >= F.col("lts") + F.expr(
+                     "INTERVAL 1800 SECONDS") * -1)
+                         & (F.col("rts") < F.col("lts") + F.expr(
+                             "INTERVAL 900 SECONDS")))
+                 .collect()}
+    assert got == brute and len(got) > 0
+
+
+def test_range_join_boundaries_half_open(spark):
+    left = spark.createDataFrame([(1, _ts(10), "L")],
+                                 "k int, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, _ts(9), "in_lo"),      # == lts-60: inclusive lower
+         (1, _ts(11), "out_hi"),    # == lts+60: exclusive upper
+         (1, _ts(10, 59, 999999), "in_hi")],
+        "k int, rts timestamp, rval string")
+    got = {r.rval for r in
+           range_join_bucketed(left, right, on="k", left_ts="lts",
+                               right_ts="rts", lower_s=-60, upper_s=60,
+                               bucket_s=60).collect()}
+    assert got == {"in_lo", "in_hi"}
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # window spanning many buckets must still emit each pair exactly once
+    left = spark.createDataFrame([(1, _ts(30), "L")],
+                                 "k int, lts timestamp, lval string")
+    right = spark.createDataFrame([(1, _ts(29), "R")],
+                                  "k int, rts timestamp, rval string")
+    rows = range_join_bucketed(left, right, on="k", left_ts="lts",
+                               right_ts="rts", lower_s=-1200, upper_s=1200,
+                               bucket_s=60).collect()
+    assert len(rows) == 1
