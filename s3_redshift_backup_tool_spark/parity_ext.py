@@ -851,3 +851,77 @@ def multimodal_features(spark, sf_dir):
                          media_type="image", fmt="raw")
     from .operators.multimodal import extract_features
     return extract_features(media)
+
+
+# ==========================================================================
+# Late additions: decorrelated scalar-subquery join and batch similarity
+# join (many query vectors at once)
+# ==========================================================================
+
+@q("small_qty_part_revenue",
+   """WITH thresh AS (
+          SELECT l_partkey, 0.2 * avg(l_quantity::DOUBLE) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey)
+      SELECT p_brand,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0, 4) AS avg_yearly
+      FROM lineitem l
+      JOIN thresh t ON t.l_partkey = l.l_partkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity::DOUBLE < t.qty_thresh
+      GROUP BY p_brand""",
+   "TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity) "
+   "decorrelated into a pre-aggregate + same-key rejoin — both sides hash-"
+   "partition on l_partkey so the join adds no extra exchange; the tiny "
+   "part dim is broadcast. Decimal sum keeps the total order-independent.")
+def small_qty_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    thresh = (li.groupBy("l_partkey")
+                .agg((F.lit(0.2) * F.avg(F.col("l_quantity").cast("double")))
+                     .alias("qty_thresh")))
+    return (li.join(thresh, "l_partkey")
+              .filter(F.col("l_quantity").cast("double") < F.col("qty_thresh"))
+              .join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("p_brand")
+              .agg(F.round(
+                       F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                        .cast("double") / 7.0, 4).alias("avg_yearly")))
+
+
+_BATCH_COS = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({_DOT.format(a='e.embedding', b='qv')}
+                     / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5"""
+
+
+@q("batch_cosine_topk_embeddings", _BATCH_COS,
+   "Batch similarity join: K query vectors broadcast against the corpus "
+   "in ONE pass (vs K single-query scans), per-query top-k via "
+   "row_number window partitioned by query_id. At 100 TB the corpus is "
+   "read once regardless of K; ranking shuffles only K*N score rows.")
+def batch_cosine_topk_embeddings(spark, sf_dir):
+    from pyspark.sql.window import Window
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qv")))
+    scored = (emb.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+                 .select("query_id", "vec_id",
+                         F.round(sim.cosine(F.col("embedding"), F.col("qv")),
+                                 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 5).drop("rn"))
