@@ -107,16 +107,43 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """MinHash signature: for each of ``num_hashes`` affine hash
     functions, the min shingle hash. Output: (id, hash_idx, min_hash).
 
-    Cost shape: ONE md5 per distinct shingle (materialized as an array in
-    a child projection, so the 16 salt passes reuse it — CollapseProject
-    declines to inline a non-cheap alias referenced k times), then k
-    cheap affine mixes per shingle. Zero shuffle: signatures are per-row
-    array math; downstream ops see only ``num_hashes`` rows per doc. The
-    naive k-salted-md5 formulation costs k full digests per shingle —
-    16x the CPU at 100 TB for identical dedup quality."""
-    arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
-    return arr.select(F.col(id_col),
-                      F.posexplode("sig").alias("hash_idx", "min_hash"))
+    Cost shape: ONE md5 per distinct shingle, then k cheap affine mixes
+    per shingle. Zero shuffle: signatures are per-row array math;
+    downstream ops see only ``num_hashes`` rows per doc. The naive
+    k-salted-md5 formulation costs k full digests per shingle — 16x the
+    CPU at 100 TB for identical dedup quality.
+
+    NOT built as ``posexplode(minhash_signature_array(...).sig)``: the
+    optimizer inlines a generator's input expression into the Generate
+    node, collapsing the md5-array child projection into all k affine
+    references (k+1 md5 passes per row, measured ~20x slower). Instead
+    the generator explodes a k-element index sequence — the md5 array
+    stays a plain child attribute Generate only forwards — and the
+    affine coefficients are picked per row via ``element_at`` on
+    literal arrays."""
+    df = fan_out(df)
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    base_hashes = F.transform(grams, lambda g: md5_prefix_int(g))
+    params = minhash_params(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b, _ in params])
+    c_arr = F.array(*[F.lit(c) for _, _, c in params])
+    rows = (df.select(F.col(id_col), base_hashes.alias("__hs"))
+              .select(F.col(id_col), F.col("__hs"),
+                      F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+                       .alias("hash_idx")))
+    a = F.element_at(a_arr, F.col("hash_idx") + 1)
+    b = F.element_at(b_arr, F.col("hash_idx") + 1)
+    c = F.element_at(c_arr, F.col("hash_idx") + 1)
+    min_hash = F.array_min(F.transform(
+        F.col("__hs"),
+        lambda h: (a * h.bitwiseAND(F.lit((1 << 30) - 1))
+                   + b * F.shiftright(h, 30) + c) % F.lit(MERSENNE61)))
+    return rows.select(F.col(id_col), F.col("hash_idx"),
+                       min_hash.alias("min_hash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",

@@ -70,6 +70,17 @@ def test_minhash_is_shuffle_free(plan):
     assert "hashpartitioning" not in p
 
 
+def test_minhash_md5_runs_once(spark, sf_dir):
+    """The shingle md5 array must appear exactly once in the OPTIMIZED
+    plan: a posexplode over the signature expression gets inlined into
+    the Generate node, duplicating the md5 transform into every affine
+    reference (17 copies, measured ~25x slower at sf0.1)."""
+    from s3_redshift_backup_tool_spark.parity import REGISTRY
+    df = REGISTRY["minhash_signatures_documents"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 1, f"md5 duplicated {opt.count('md5')}x"
+
+
 def test_simhash_is_shuffle_free(plan):
     p = plan("simhash_documents")
     assert "hashpartitioning" not in p
@@ -95,3 +106,24 @@ def test_session_window_partitioned_by_user(plan):
     p = plan("session_windows_events")
     assert "session_window" in p
     assert "SinglePartition" not in p
+
+
+def test_q17_decorrelation_broadcasts_part(plan):
+    """Q17 shape: the correlated subquery must decorrelate into a
+    pre-aggregate rejoined on l_partkey (sort-merge or shuffle-hash on
+    the shared key) with the tiny part dim broadcast — no per-row
+    subquery, no cartesian."""
+    p = plan("small_qty_part_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_batch_cosine_broadcasts_queries(plan):
+    """Batch similarity join: the K query vectors are the broadcast
+    side; the corpus is scanned once (exactly one embeddings scan in
+    the plan) and only score triples reach the ranking shuffle."""
+    p = plan("batch_cosine_topk_embeddings")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    shuffles = [l for l in p.splitlines()
+                if "Exchange" in l and "BroadcastExchange" not in l]
+    assert shuffles and all("query_id" in l for l in shuffles), shuffles
