@@ -206,13 +206,23 @@ def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``lsh_candidate_pairs(minhash_signatures(df))``."""
     rows_per_band = num_hashes // bands
     arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
-    band_hashes = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 _band_hash_from_array(b, rows_per_band).alias("band_hash"))
-        for b in range(bands)])
-    banded = (arr.select(F.col(id_col), F.explode(band_hashes).alias("bh"))
-                 .select(id_col, F.col("bh.band").alias("band"),
-                         F.col("bh.band_hash").alias("band_hash")))
+    # Explode a band INDEX sequence, not an array built from sig: a
+    # generator input referencing the sig alias gets inlined into the
+    # Generate node, re-running the whole signature pipeline per band
+    # (9 md5 transforms in the optimized plan). With the index explode,
+    # sig stays a materialized child attribute and the band hash above
+    # the Generate reads it for free.
+    with_band = arr.select(
+        F.col(id_col), F.col("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    k = F.col("band") * rows_per_band
+    entries = F.array(*[
+        F.concat_ws(":", (k + j).cast("string"),
+                    F.element_at("sig", (k + j + 1).cast("int")).cast("string"))
+        for j in range(rows_per_band)])
+    banded = with_band.select(
+        id_col, "band",
+        F.md5(F.concat_ws(",", F.sort_array(entries))).alias("band_hash"))
     return _pairs_from_banded(banded, id_col)
 
 

@@ -79,6 +79,11 @@ def test_minhash_md5_runs_once(spark, sf_dir):
     df = REGISTRY["minhash_signatures_documents"].fn(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("md5") == 1, f"md5 duplicated {opt.count('md5')}x"
+    # lsh_pairs legitimately has 2: one shingle digest + one band hash.
+    # The broken (inlined) form had 9.
+    lsh = REGISTRY["minhash_lsh_pairs_documents"].fn(spark, sf_dir)
+    opt = lsh._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 2, f"md5 duplicated {opt.count('md5')}x"
 
 
 def test_simhash_is_shuffle_free(plan):
