@@ -136,6 +136,12 @@ def hybrid_predicate(df: DataFrame, cfg: CDCConfig, wm: Watermark) -> Column:
     validate_identifier(cfg.id_column)
     if wm.last_timestamp is None and wm.last_id is None:
         return F.lit(True)
+    if wm.last_timestamp is None:
+        # id-set-but-no-timestamp (e.g. `watermark set --id N` on a fresh
+        # cursor): comparing against a NULL ts literal would make the whole
+        # predicate NULL and silently drop every row — fall back to the
+        # id-only keyset instead.
+        return F.col(cfg.id_column) > F.lit(int(wm.last_id))
     ts_lit = _ts_literal(cfg, df.schema, wm.last_timestamp)
     ts, idc = F.col(cfg.timestamp_column), F.col(cfg.id_column)
     last_id = wm.last_id if wm.last_id is not None else 0

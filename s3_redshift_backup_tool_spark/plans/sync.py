@@ -111,9 +111,15 @@ def _load_reconciled(spark: SparkSession, files: list[str], target_path: str,
     count verification then surfaces any double-load). Only invoked on
     the rare recovery path: the normal load never pays the target scan."""
     df = spark.read.parquet(*files)
-    if id_col and id_col in df.columns and os.path.exists(target_path):
-        existing = spark.read.parquet(target_path).select(id_col)
-        df = df.join(existing, id_col, "left_anti")
+    if id_col and id_col in df.columns:
+        # A crash BEFORE the watermark commit re-extracts the same rows
+        # into fresh UUID files, so the combined input itself can carry
+        # duplicates — dedup by key before the target anti-join, else
+        # both copies are "missing from target" and append twice.
+        df = df.dropDuplicates([id_col])
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path).select(id_col)
+            df = df.join(existing, id_col, "left_anti")
     df.write.mode("append").parquet(target_path)
 
 

@@ -94,6 +94,19 @@ class LocalJsonBackend:
     def exists(self, key: str) -> bool:
         return os.path.exists(self._path(key))
 
+    def put_if_absent(self, key: str, doc: dict) -> bool:
+        """Atomic create-if-missing (O_CREAT|O_EXCL) — the exists-then-put
+        race two concurrent drivers would otherwise win together. Returns
+        False when the key already exists."""
+        p = self._path(key)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, indent=2, default=str)
+        return True
+
 
 class LockHeldError(RuntimeError):
     pass
@@ -209,7 +222,6 @@ class WatermarkStore:
         doc = self.get(source, table, target)
         rs = doc["redshift_state"]
         existing = set(doc.get("processed_files") or [])
-        new_files = [f for f in loaded_files if f not in existing]
         doc["processed_files"] = sorted(existing | set(loaded_files))
         rs["last_loaded_files"] = list(loaded_files)
         rs["last_session_rows"] = 0  # counts come only from external count
@@ -275,18 +287,29 @@ class WatermarkStore:
 
     # -- advisory locks ----------------------------------------------------
     def acquire_lock(self, source: str, table: str, target: str) -> str:
-        """Exclusive advisory lock object (reference :408-463)."""
+        """Exclusive advisory lock object (reference :408-463). Uses the
+        backend's atomic ``put_if_absent`` when available so two concurrent
+        drivers cannot both pass an exists() check (the reference's S3
+        backend has only the racy head-then-put; the local backend does
+        better via O_CREAT|O_EXCL)."""
         lk = self._lock_key(source, table, target)
-        if self.backend.exists(lk):
-            holder = self.backend.get(lk) or {}
-            raise LockHeldError(f"lock held by {holder.get('host')}:{holder.get('pid')}")
         token = str(uuid.uuid4())
-        self.backend.put(lk, {
+        payload = {
             "token": token,
             "pid": os.getpid(),
             "host": socket.gethostname(),
             "acquired_at": _utcnow_iso(),
-        })
+        }
+        if hasattr(self.backend, "put_if_absent"):
+            if not self.backend.put_if_absent(lk, payload):
+                holder = self.backend.get(lk) or {}
+                raise LockHeldError(
+                    f"lock held by {holder.get('host')}:{holder.get('pid')}")
+            return token
+        if self.backend.exists(lk):  # racy fallback, matches reference S3
+            holder = self.backend.get(lk) or {}
+            raise LockHeldError(f"lock held by {holder.get('host')}:{holder.get('pid')}")
+        self.backend.put(lk, payload)
         return token
 
     def release_lock(self, source: str, table: str, target: str, token: str) -> bool:

@@ -62,26 +62,24 @@ def running_totals_per_user(events: DataFrame,
 
 SEEN_SCHEMA = T.StructType([
     T.StructField("key", T.StringType(), False),
-    T.StructField("first_seen_batch", T.LongType(), False),
+    T.StructField("is_new", T.BooleanType(), False),
     T.StructField("occurrences", T.LongType(), False),
 ])
 
 _SEEN_STATE = T.StructType([
-    T.StructField("batch", T.LongType(), False),
     T.StructField("count", T.LongType(), False),
 ])
 
 
 def _update_first_seen(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    batch, count = state.get if state.exists else (-1, 0)
-    rows = sum(len(p) for p in pdfs)
-    if batch < 0:
-        batch = 0 if count == 0 else batch
-    count += rows
-    if not state.exists:
-        batch = 0
-    state.update((batch, count))
-    yield pd.DataFrame({"key": [key[0]], "first_seen_batch": [batch],
+    # applyInPandasWithState exposes no batch id, so "when first seen" is
+    # reported as a flag on the first-arrival batch (is_new), not a batch
+    # number the function cannot know.
+    is_new = not state.exists
+    (count,) = state.get if state.exists else (0,)
+    count += sum(len(p) for p in pdfs)
+    state.update((count,))
+    yield pd.DataFrame({"key": [key[0]], "is_new": [is_new],
                         "occurrences": [count]})
 
 

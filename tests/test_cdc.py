@@ -34,6 +34,17 @@ def test_hybrid_fresh_watermark_reads_all(orders):
     assert cdc.apply_cdc(orders, cfg, cdc.Watermark()).count() == orders.count()
 
 
+def test_hybrid_id_without_timestamp_falls_back_to_id_only(orders):
+    # `watermark set --id N` with no --timestamp must not build a NULL
+    # predicate that drops every row (ADVICE r1): it degrades to id-only.
+    cfg = cdc.CDCConfig(strategy="hybrid", timestamp_column="o_orderdate",
+                        id_column="o_orderkey")
+    wm = cdc.Watermark(last_timestamp=None, last_id=500)
+    got = cdc.apply_cdc(orders, cfg, wm).count()
+    want = orders.filter(F.col("o_orderkey") > 500).count()
+    assert got == want and got > 0
+
+
 def test_timestamp_only_matches_manual_filter(orders):
     cfg = cdc.CDCConfig(strategy="timestamp_only", timestamp_column="o_orderdate")
     wm = cdc.Watermark(last_timestamp=WM_TS)

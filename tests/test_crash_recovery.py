@@ -38,6 +38,23 @@ class _CrashAfterTargetWrite(WatermarkStore):
         return super().update_load_state(*a, **kw)
 
 
+class _CrashBeforeWatermarkCommit(WatermarkStore):
+    """update_extraction_state raises on its first success-commit — the
+    crash falls AFTER the staging write but BEFORE the watermark moves.
+    On resume the unchanged watermark re-extracts the same rows into
+    fresh UUID files, so the combined staged set carries every row twice."""
+
+    def __init__(self, backend):
+        super().__init__(backend)
+        self.crashed = False
+
+    def update_extraction_state(self, *a, **kw):
+        if not self.crashed and kw.get("status") == "success":
+            self.crashed = True
+            raise RuntimeError("simulated crash before watermark commit")
+        return super().update_extraction_state(*a, **kw)
+
+
 class _CrashBeforeLoadStage(WatermarkStore):
     """processed_files raises once — the crash falls at the start of the
     load stage, BEFORE anything reached the target."""
@@ -88,6 +105,36 @@ def test_crash_after_target_write_no_double_load(spark, orders, tc, tmp_path):
 
     r2 = sync_table(spark, orders, tc, store, **kwargs)
     assert r2.files_loaded == 0 and r2.verified  # clean no-op after
+
+
+def test_crash_before_watermark_commit_no_double_append(spark, orders, tc,
+                                                        tmp_path):
+    """ADVICE r1: the re-extracted duplicate files must not append every
+    row twice — _load_reconciled dedups by key before the target anti-join."""
+    backend = LocalJsonBackend(str(tmp_path / "state"))
+    crashing = _CrashBeforeWatermarkCommit(backend)
+    kwargs = _paths(tmp_path)
+
+    with pytest.raises(RuntimeError, match="before watermark commit"):
+        sync_table(spark, orders, tc, crashing, **kwargs)
+
+    doc = crashing.get("src", "orders", "tgt")
+    assert doc["mysql_state"]["total_rows"] == 0     # wm never advanced
+    import os
+    assert not os.path.exists(kwargs["target_path"])  # nothing loaded
+
+    # resume: same rows re-extracted into NEW files; both copies staged,
+    # neither blacklisted — the target must still get each row exactly once
+    store = WatermarkStore(backend)
+    r = sync_table(spark, orders, tc, store, **kwargs)
+    assert r.rows_extracted == orders.count()
+    assert r.target_rows == orders.count()           # no double append
+    assert (spark.read.parquet(kwargs["target_path"])
+                 .select("o_orderkey").distinct().count() == orders.count())
+    assert r.verified
+
+    r2 = sync_table(spark, orders, tc, store, **kwargs)
+    assert r2.rows_extracted == 0 and r2.verified    # clean no-op after
 
 
 def test_crash_before_load_stage_no_data_loss(spark, orders, tc, tmp_path):

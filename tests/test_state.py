@@ -96,6 +96,28 @@ def test_lock_exclusion(store):
     store.acquire_lock(SRC, TBL, TGT)  # re-acquirable after release
 
 
+def test_lock_acquire_is_atomic(store):
+    """Concurrent acquirers race through put_if_absent; exactly one wins
+    (the exists-then-put pattern would let several through)."""
+    import threading
+
+    results: list[str | None] = []
+
+    def _try():
+        try:
+            results.append(store.acquire_lock(SRC, "race_tbl", TGT))
+        except LockHeldError:
+            results.append(None)
+
+    threads = [threading.Thread(target=_try) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1
+
+
 def test_legacy_adapter_view():
     v = WatermarkView(default_watermark())
     assert v.last_processed_id == 0

@@ -56,10 +56,13 @@ def test_first_seen_dedup_ledger(spark, documents, tmp_path):
     rows = out.collect()
     assert len(rows) == 100
     assert all(r["occurrences"] == 1 for r in rows)
+    assert all(r["is_new"] for r in rows)
 
     # same docs re-arrive: occurrences increment, no new keys
     docs.write.mode("append").parquet(src)
     out2 = _run_stream(spark, src, schema,
                        lambda s: streaming_first_seen(s, "doc_id"), "seen2")
-    assert {r["occurrences"] for r in out2.collect()} == {2}
+    rows2 = out2.collect()
+    assert {r["occurrences"] for r in rows2} == {2}
+    assert not any(r["is_new"] for r in rows2)
     assert out2.select("key").distinct().count() == 100
