@@ -284,4 +284,5 @@ def density_stats(df: DataFrame, ts_col: str) -> DataFrame:
         F.avg("rows_per_hour").alias("mean_rate"),
         F.stddev_pop("rows_per_hour").alias("stddev_rate"),
         (F.stddev_pop("rows_per_hour") / F.avg("rows_per_hour")).alias("cv"),
+        F.sum("rows_per_hour").alias("total_rows"),  # S9 count probe, same pass
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators import cdc as cdc_ops
-from .operators.align import align_to_schema, cast_string_with_null_semantics
+from .operators.align import align_to_schema
 from .operators.cdc import CDCConfig, Watermark
 from .operators.manifest import exclude_processed, union_dedup
 from .operators.quality import duplicate_row_count, quality_aggregates
@@ -38,7 +38,6 @@ from .sources.readers import read_table
 # Shared watermark / bound constants (mid-range for sf0.01; used verbatim in
 # both the DataFrame programs and the oracle SQL)
 # --------------------------------------------------------------------------
-ORDERS_WM_TS = "1998-06-15 00:00:00"
 ORDERS_WM_ID = 7500
 LINEITEM_WM_TS = "1998-06-15 00:00:00"
 LINEITEM_WM_ID = 30000
@@ -76,49 +75,37 @@ def q(name: str, oracle: str | None, doc: str = ""):
 # S1-S6: CDC strategy scans
 # ==========================================================================
 
-@q("cdc_hybrid_orders",
-   f"""SELECT * FROM orders
-       WHERE o_orderdate > TIMESTAMP '{ORDERS_WM_TS}'
-          OR (o_orderdate = TIMESTAMP '{ORDERS_WM_TS}' AND o_orderkey > {ORDERS_WM_ID})""",
-   "S2 hybrid keyset scan (cdc_strategy_engine.py:366-434)")
-def cdc_hybrid_orders(spark, sf_dir):
-    cfg = CDCConfig(strategy="hybrid", timestamp_column="o_orderdate",
-                    id_column="o_orderkey")
-    wm = Watermark(last_timestamp=ORDERS_WM_TS, last_id=ORDERS_WM_ID)
-    return cdc_ops.apply_cdc(_t(spark, sf_dir, "orders"), cfg, wm)
-
-
 @q("cdc_hybrid_lineitem_ties",
    f"""SELECT * FROM lineitem
-       WHERE l_shipdate > TIMESTAMP '{LINEITEM_WM_TS}'
-          OR (l_shipdate = TIMESTAMP '{LINEITEM_WM_TS}' AND l_orderkey > {LINEITEM_WM_ID})""",
-   "S2 keyset tie-handling on a tie-rich (day-granularity) timestamp")
+       WHERE (l_shipdate > TIMESTAMP '{LINEITEM_WM_TS}'
+          OR (l_shipdate = TIMESTAMP '{LINEITEM_WM_TS}' AND l_orderkey > {LINEITEM_WM_ID}))
+         AND l_returnflag = 'R'""",
+   "S2 hybrid keyset scan (cdc_strategy_engine.py:366-434) with tie-rich "
+   "day-granularity timestamp + P2 additional_where conjunct (:253-259)")
 def cdc_hybrid_lineitem_ties(spark, sf_dir):
     cfg = CDCConfig(strategy="hybrid", timestamp_column="l_shipdate",
-                    id_column="l_orderkey")
+                    id_column="l_orderkey",
+                    additional_where="l_returnflag = 'R'")
     wm = Watermark(last_timestamp=LINEITEM_WM_TS, last_id=LINEITEM_WM_ID)
     return cdc_ops.apply_cdc(_t(spark, sf_dir, "lineitem"), cfg, wm)
 
 
 @q("cdc_timestamp_only_events",
-   f"SELECT * FROM events WHERE ts > TIMESTAMP '{EVENTS_WM_TS}'",
-   "S1 timestamp_only scan (cdc_strategy_engine.py:188-294)")
+   f"""SELECT event_id, ts, epoch_us(ts) // 1000000 AS ts_unix, event_type
+       FROM events WHERE ts > TIMESTAMP '{EVENTS_WM_TS}'
+         AND epoch_us(ts) // 1000000 > {EVENTS_WM_UNIX}""",
+   "S1 timestamp_only scan (cdc_strategy_engine.py:188-294) applied twice: "
+   "plain timestamp predicate, then the UNIX-int auto-detect path "
+   "(:228-251) on the derived epoch column — identical row set, both "
+   "code paths exercised")
 def cdc_timestamp_only_events(spark, sf_dir):
-    cfg = CDCConfig(strategy="timestamp_only", timestamp_column="ts")
-    return cdc_ops.apply_cdc(_t(spark, sf_dir, "events"), cfg,
-                             Watermark(last_timestamp=EVENTS_WM_TS))
-
-
-@q("cdc_timestamp_unix_events",
-   f"""SELECT event_id, epoch_us(ts) // 1000000 AS ts_unix, event_type
-       FROM events WHERE epoch_us(ts) // 1000000 > {EVENTS_WM_UNIX}""",
-   "S1 UNIX-int timestamp auto-detect (cdc_strategy_engine.py:228-251)")
-def cdc_timestamp_unix_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", F.unix_timestamp("ts").alias("ts_unix"), "event_type")
-    cfg = CDCConfig(strategy="timestamp_only", timestamp_column="ts_unix",
-                    timestamp_format="auto")  # int column -> epoch compare
-    return cdc_ops.apply_cdc(ev, cfg, Watermark(last_timestamp=EVENTS_WM_TS))
+        "event_id", "ts", F.unix_timestamp("ts").alias("ts_unix"), "event_type")
+    plain = CDCConfig(strategy="timestamp_only", timestamp_column="ts")
+    step1 = cdc_ops.apply_cdc(ev, plain, Watermark(last_timestamp=EVENTS_WM_TS))
+    unix = CDCConfig(strategy="timestamp_only", timestamp_column="ts_unix",
+                     timestamp_format="auto")  # int column -> epoch compare
+    return cdc_ops.apply_cdc(step1, unix, Watermark(last_timestamp=EVENTS_WM_TS))
 
 
 @q("cdc_id_only_ceiling_events",
@@ -138,17 +125,6 @@ def cdc_id_only_ceiling_events(spark, sf_dir):
 def cdc_full_sync_region(spark, sf_dir):
     cfg = CDCConfig(strategy="full_sync", full_sync_mode="replace")
     return cdc_ops.apply_cdc(_t(spark, sf_dir, "region"), cfg, Watermark())
-
-
-@q("cdc_additional_where_orders",
-   f"""SELECT * FROM orders
-       WHERE o_orderstatus = 'F' AND o_orderkey > {ORDERS_WM_ID}""",
-   "P2 additional_where conjunct (cdc_strategy_engine.py:253-259)")
-def cdc_additional_where_orders(spark, sf_dir):
-    cfg = CDCConfig(strategy="id_only", id_column="o_orderkey",
-                    additional_where="o_orderstatus = 'F'")
-    return cdc_ops.apply_cdc(_t(spark, sf_dir, "orders"), cfg,
-                             Watermark(last_id=ORDERS_WM_ID))
 
 
 @q("cdc_custom_sql_orders",
@@ -178,40 +154,19 @@ def cdc_time_window_events(spark, sf_dir):
 # A1-A4: probes & watermark extraction
 # ==========================================================================
 
-@q("watermark_ceiling_probe",
-   "SELECT max(event_id) AS ceiling FROM events",
-   "A1/S8 MAX(id) ceiling snapshot (row_based.py:799)")
-def watermark_ceiling_probe(spark, sf_dir):
-    return _t(spark, sf_dir, "events").agg(F.max("event_id").alias("ceiling"))
-
-
 @q("watermark_extract_orders",
-   """SELECT o_orderdate AS wm_ts, o_orderkey AS wm_id FROM orders
-      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",
-   "A4 watermark extraction == max(struct(ts,id)) (cdc_strategy_engine.py:296-336)")
+   """SELECT o_orderdate AS wm_ts, o_orderkey AS wm_id,
+             (SELECT max(o_orderkey) FROM orders) AS ceiling
+      FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",
+   "A4 watermark extraction == max(struct(ts,id)) (cdc_strategy_engine.py:"
+   "296-336) + A1/S8 MAX(id) ceiling snapshot (row_based.py:799), one pass")
 def watermark_extract_orders(spark, sf_dir):
     m = F.max(F.struct(F.col("o_orderdate").alias("wm_ts"),
                        F.col("o_orderkey").alias("wm_id"))).alias("m")
-    return (_t(spark, sf_dir, "orders").agg(m)
-            .select(F.col("m.wm_ts").alias("wm_ts"), F.col("m.wm_id").alias("wm_id")))
-
-
-@q("rowcount_probe_events",
-   f"""SELECT count(*) AS cnt FROM events
-       WHERE ts > TIMESTAMP '{WINDOW_START}' AND ts <= TIMESTAMP '{WINDOW_END}'""",
-   "S9 windowed row-count probe (base.py:983-1068)")
-def rowcount_probe_events(spark, sf_dir):
-    return (_t(spark, sf_dir, "events")
-            .filter(cdc_ops.time_window_predicate("ts", WINDOW_START, WINDOW_END))
-            .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@q("density_hourly_events",
-   """SELECT date_trunc('hour', ts) AS hour, count(*) AS rows_per_hour
-      FROM events GROUP BY 1""",
-   "S10 density sampling: one group-by replaces 6 probe queries (base.py:486-623)")
-def density_hourly_events(spark, sf_dir):
-    return cdc_ops.hourly_density(_t(spark, sf_dir, "events"), "ts")
+    return (_t(spark, sf_dir, "orders")
+            .agg(m, F.max("o_orderkey").alias("ceiling"))
+            .select(F.col("m.wm_ts").alias("wm_ts"),
+                    F.col("m.wm_id").alias("wm_id"), "ceiling"))
 
 
 @q("density_stats_events",
@@ -219,14 +174,18 @@ def density_hourly_events(spark, sf_dir):
                  FROM events GROUP BY 1)
       SELECT round(avg(rows_per_hour), 6) AS mean_rate,
              round(stddev_pop(rows_per_hour), 6) AS stddev_rate,
-             round(stddev_pop(rows_per_hour) / avg(rows_per_hour), 6) AS cv
+             round(stddev_pop(rows_per_hour) / avg(rows_per_hour), 6) AS cv,
+             CAST(sum(rows_per_hour) AS BIGINT) AS total_rows
       FROM h""",
-   "A3 density statistics: mean/stddev/CV (base.py:625-735)")
+   "S10 density sampling (one group-by replaces 6 probe queries, "
+   "base.py:486-623) + A3 mean/stddev/CV statistics (:625-735) + S9 "
+   "row-count probe as the hourly sum (base.py:983-1068)")
 def density_stats_events(spark, sf_dir):
     s = cdc_ops.density_stats(_t(spark, sf_dir, "events"), "ts")
     return s.select(F.round("mean_rate", 6).alias("mean_rate"),
                     F.round("stddev_rate", 6).alias("stddev_rate"),
-                    F.round("cv", 6).alias("cv"))
+                    F.round("cv", 6).alias("cv"),
+                    F.col("total_rows").cast("long").alias("total_rows"))
 
 
 # ==========================================================================
@@ -271,37 +230,30 @@ def cast_suite_lineitem(spark, sf_dir):
     )
 
 
-@q("sanitize_names_customer",
+@q("sanitize_scrub_customer",
    """SELECT c_custkey AS custkey, c_name AS customer_name,
-             c_custkey % 10 AS col_9rank
-      FROM customer""",
-   "F9 name sanitization: lowercase + digit-prefix (flexible_schema_manager.py:857-874)")
-def sanitize_names_customer(spark, sf_dir):
-    cust = (_t(spark, sf_dir, "customer")
-            .withColumn("9Rank", F.col("c_custkey") % 10)
-            .withColumnRenamed("c_custkey", "CustKey"))
-    target = T.StructType([
-        T.StructField("custkey", T.LongType(), True),
-        T.StructField("customer_name", T.StringType(), True),
-        T.StructField("col_9rank", T.LongType(), True),
-    ])
-    return align_to_schema(cust, target, rename_map={"c_name": "customer_name"})
-
-
-@q("null_string_scrub_customer",
-   """SELECT c_custkey,
+             c_custkey % 10 AS col_9rank,
              CASE WHEN c_custkey % 5 IN (0, 1) THEN ''
                   ELSE c_mktsegment END AS segment
       FROM customer""",
-   "F5 null-string semantics: 'none' scrub + NOT NULL -> '' (s3_manager.py:803-825)")
-def null_string_scrub_customer(spark, sf_dir):
+   "F9 name sanitization: lowercase + digit-prefix (flexible_schema_manager"
+   ".py:857-874) + F5 null-string semantics: 'none' scrub + NOT NULL -> '' "
+   "(s3_manager.py:803-825), one alignment projection")
+def sanitize_scrub_customer(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     dirty = (F.when(F.col("c_custkey") % 5 == 0, F.lit("none"))
               .when(F.col("c_custkey") % 5 == 1, F.lit(None))
               .otherwise(F.col("c_mktsegment")))
-    return cust.select(
-        "c_custkey",
-        cast_string_with_null_semantics(dirty, nullable=False).alias("segment"))
+    cust = (cust.withColumn("9Rank", F.col("c_custkey") % 10)
+                .withColumn("Segment", dirty)
+                .withColumnRenamed("c_custkey", "CustKey"))
+    target = T.StructType([
+        T.StructField("custkey", T.LongType(), True),
+        T.StructField("customer_name", T.StringType(), True),
+        T.StructField("col_9rank", T.LongType(), True),
+        T.StructField("segment", T.StringType(), False),   # NOT NULL -> ''
+    ])
+    return align_to_schema(cust, target, rename_map={"c_name": "customer_name"})
 
 
 # ==========================================================================
@@ -309,29 +261,26 @@ def null_string_scrub_customer(spark, sf_dir):
 # ==========================================================================
 
 @q("manifest_anti_join",
-   """SELECT o.o_orderkey FROM orders o
+   """SELECT u.o_orderkey FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderkey < 5000
+        UNION
+        SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 2500 AND 7500) u
       WHERE NOT EXISTS (SELECT 1 FROM orders p
-                        WHERE p.o_orderkey % 3 = 0 AND p.o_orderkey = o.o_orderkey)""",
-   "P5 processed-file blacklist anti-join (gemini_redshift_loader.py:499-527)")
+                        WHERE p.o_orderkey % 3 = 0 AND p.o_orderkey = u.o_orderkey)""",
+   "U1 blacklist union with set-dedup (simple_watermark_manager.py:205-208) "
+   "feeding the P5/U2 processed-file anti-join "
+   "(gemini_redshift_loader.py:499-527) — the full discover-minus-loaded path")
 def manifest_anti_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
-    discovered = orders.select("o_orderkey")
+    a = orders.filter(F.col("o_orderkey") < 5000).select(
+        F.col("o_orderkey").alias("path"))
+    b = orders.filter(F.col("o_orderkey").between(2500, 7500)).select(
+        F.col("o_orderkey").alias("path"))
+    discovered = union_dedup(a, b)
     processed = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_orderkey").alias("path"))
-    return exclude_processed(discovered.withColumnRenamed("o_orderkey", "path"),
-                             processed).select(F.col("path").alias("o_orderkey"))
-
-
-@q("manifest_union_dedup",
-   """SELECT o_orderkey FROM orders WHERE o_orderkey < 1000
-      UNION
-      SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 500 AND 1500""",
-   "U1 blacklist union with set-dedup (simple_watermark_manager.py:205-208)")
-def manifest_union_dedup(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderkey") < 1000).select("o_orderkey")
-    b = orders.filter(F.col("o_orderkey").between(500, 1500)).select("o_orderkey")
-    return union_dedup(a, b)
+    return exclude_processed(discovered, processed) \
+        .select(F.col("path").alias("o_orderkey"))
 
 
 # ==========================================================================
@@ -340,29 +289,24 @@ def manifest_union_dedup(spark, sf_dir):
 
 @q("verify_counts",
    """SELECT (SELECT count(*) FROM orders) AS orders_rows,
-             count(DISTINCT l_orderkey) AS lineitem_orders
-      FROM lineitem""",
-   "A7 row-count verification (gemini_redshift_loader.py:927-958)")
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS lineitem_orders,
+             (SELECT count(*) FROM orders s
+              WHERE NOT EXISTS (SELECT 1 FROM orders t
+                                WHERE t.o_orderkey % 7 <> 0
+                                  AND t.o_orderkey = s.o_orderkey)) AS missing_rows""",
+   "A7 row-count verification (gemini_redshift_loader.py:927-958) + "
+   "source-vs-target anti-join diff count (SURVEY §2.3: richer than the "
+   "reference's count-only check)")
 def verify_counts(spark, sf_dir):
-    orders_cnt = _t(spark, sf_dir, "orders").agg(
-        F.count(F.lit(1)).alias("orders_rows"))
+    orders = _t(spark, sf_dir, "orders")
+    orders_cnt = orders.agg(F.count(F.lit(1)).alias("orders_rows"))
     li = _t(spark, sf_dir, "lineitem").agg(
         F.countDistinct("l_orderkey").alias("lineitem_orders"))
-    return orders_cnt.crossJoin(li)
-
-
-@q("verify_missing_rows_diff",
-   """SELECT s.o_orderkey FROM orders s
-      LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 7 <> 0) t
-        ON s.o_orderkey = t.o_orderkey
-      WHERE t.o_orderkey IS NULL""",
-   "source-vs-target full-diff verification (SURVEY §2.3: richer than the "
-   "reference's count-only check)")
-def verify_missing_rows_diff(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
     source = orders.select("o_orderkey")
     target = orders.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey")
-    return source.join(target, "o_orderkey", "left_anti")
+    missing = source.join(target, "o_orderkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("missing_rows"))
+    return orders_cnt.crossJoin(li).crossJoin(missing)
 
 
 @q("quality_metrics_lineitem",
@@ -372,23 +316,19 @@ def verify_missing_rows_diff(spark, sf_dir):
              CAST(max(length(l_returnflag)) AS BIGINT) AS l_returnflag__max_len,
              count(CASE WHEN l_quantity IS NULL THEN 1 END) AS l_quantity__nulls,
              count(CASE WHEN isnan(l_quantity) OR l_quantity IN ('inf'::DOUBLE, '-inf'::DOUBLE)
-                        THEN 1 END) AS l_quantity__nonfinite
+                        THEN 1 END) AS l_quantity__nonfinite,
+             (SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+              FROM (SELECT count(*) AS cnt FROM lineitem
+                    GROUP BY l_returnflag, l_linestatus) g
+              WHERE cnt > 1) AS duplicate_rows
       FROM lineitem""",
-   "A9 one-pass data-quality aggregates (src/utils/validation.py:138-204)")
+   "A9 one-pass data-quality aggregates (src/utils/validation.py:138-204) "
+   "+ duplicate-row count (validation.py duplicate check)")
 def quality_metrics_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    return quality_aggregates(li)
-
-
-@q("duplicate_rows_lineitem",
-   """SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS duplicate_rows
-      FROM (SELECT count(*) AS cnt FROM lineitem
-            GROUP BY l_returnflag, l_linestatus) g
-      WHERE cnt > 1""",
-   "A9 duplicate-row count (validation.py duplicate check)")
-def duplicate_rows_lineitem(spark, sf_dir):
-    return duplicate_row_count(_t(spark, sf_dir, "lineitem"),
+    dups = duplicate_row_count(_t(spark, sf_dir, "lineitem"),
                                ["l_returnflag", "l_linestatus"])
+    return quality_aggregates(li).crossJoin(dups)
 
 
 # ==========================================================================
