@@ -81,17 +81,29 @@ def cmd_watermark(args: argparse.Namespace) -> int:
         _emit(store.set_manual(*key, last_timestamp=args.timestamp,
                                last_id=args.id))
     elif args.action == "reset":
-        _emit(store.reset(*key, preserve_files=args.preserve_files))
+        doc = store.reset(*key, preserve_files=args.preserve_files)
+        if not args.preserve_files:
+            # a full fresh-sync reset also clears the parquet manifest so
+            # re-staged files load again (preserve keeps it, matching the
+            # reference's preserve_files blacklist semantics)
+            import shutil
+            shutil.rmtree(os.path.join(args.work_dir, "staging", args.table,
+                                       "_manifest"), ignore_errors=True)
+        _emit(doc)
     elif args.action == "count":
         doc = store.get(*key)
+        n_doc_files = len(doc.get("processed_files") or [])
+        n_manifest = int(doc["redshift_state"].get("files_loaded_total") or 0)
         _emit({"table": args.table,
                "mysql_total_rows": doc["mysql_state"]["total_rows"],
                "redshift_total_rows": doc["redshift_state"]["total_rows"],
-               "processed_files": len(doc.get("processed_files") or [])})
+               "processed_files": n_doc_files or n_manifest})
     return 0
 
 
 def cmd_s3clean(args: argparse.Namespace) -> int:
+    import glob as _glob
+
     from .plans.cleanup import clean_staging
     store = _store(args.work_dir)
     loaded: set[str] = set()
@@ -103,6 +115,14 @@ def cmd_s3clean(args: argparse.Namespace) -> int:
                 src, _, rest = fn[:-5].partition("_")
                 table, _, tgt = rest.rpartition("_")
                 loaded |= store.processed_files(src, table, tgt)
+    # manifest-table mode: loaded paths live in per-table parquet manifests
+    for mpath in _glob.glob(os.path.join(staging_root, "*", "_manifest")):
+        try:
+            import pyarrow.parquet as pq
+            loaded |= set(pq.read_table(mpath, columns=["path"])
+                          .column("path").to_pylist())
+        except Exception:
+            pass
     rep = clean_staging(
         staging_root, loaded_files=loaded,
         older_than_seconds=(args.older_than_days * 86400

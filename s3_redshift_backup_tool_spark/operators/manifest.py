@@ -61,3 +61,59 @@ def discover_parquet_files(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     return (df.select(F.input_file_name().alias("path"))
               .distinct())
+
+
+def norm_file_col(col: F.Column) -> F.Column:
+    """Normalize ``input_file_name()`` URIs to plain paths so they join
+    against driver-listed paths (local scheme only; S3 keys pass through)."""
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+class ParquetManifest:
+    """Processed-file manifest as a parquet table — the 100 TB replacement
+    for the reference's JSON-array blacklist inside the watermark document
+    (simple_watermark_manager.py:186-249).
+
+    At millions of staged files the JSON doc and its driver-side set both
+    explode; here membership is an anti-join against a parquet table and
+    recording is an append of a path DataFrame — no path list is ever
+    collect()ed to the driver. The v2.0 watermark doc keeps only counts
+    (metadata), not the file array. Stored under a ``_``-prefixed
+    directory so data reads of the staging root never see it."""
+
+    SCHEMA = "path string, loaded_at timestamp"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        import glob as _glob
+        import os as _os
+        return bool(_glob.glob(_os.path.join(self.path, "*.parquet"))) or \
+            bool(_glob.glob(_os.path.join(self.path, "**", "*.parquet")))
+
+    def paths_df(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], self.SCHEMA).select("path")
+        return self.spark.read.schema(self.SCHEMA).parquet(self.path) \
+            .select("path")
+
+    def record(self, files: DataFrame) -> None:
+        """Append newly loaded paths (a ``path``-column DataFrame). Dedup
+        against existing entries stays an anti-join; the append itself is
+        a distributed write."""
+        new = files.select("path").distinct() \
+            .join(F.broadcast(self.paths_df()), "path", "left_anti") \
+            .withColumn("loaded_at", F.current_timestamp())
+        new.write.mode("append").parquet(self.path)
+
+    def exclude_loaded(self, discovered: DataFrame, on: str = "path") -> DataFrame:
+        """P5 blacklist exclusion at manifest scale: plain left_anti; no
+        broadcast hint — AQE picks broadcast while the manifest is small
+        and degrades to a shuffled anti-join when it is not."""
+        return discovered.join(self.paths_df().withColumnRenamed("path", on)
+                               .distinct(), on=on, how="left_anti")
+
+    def count(self) -> int:
+        return self.paths_df().count()

@@ -55,9 +55,12 @@ def clean_staging(
     loaded = loaded_files or set()
     report = CleanReport(dry_run=not confirm)
 
+    root = staging_root.rstrip(os.sep)
     candidates: list[str] = []
-    for path in sorted(glob.glob(os.path.join(staging_root, "**", "*.parquet"),
+    for path in sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
                                  recursive=True)):
+        if f"{os.sep}_" in path[len(root):]:
+            continue  # never touch manifest tables (_-prefixed dirs)
         report.scanned += 1
         is_loaded = path in loaded
         is_old = (older_than_seconds is not None

@@ -203,17 +203,37 @@ class WatermarkStore:
         return doc
 
     # -- load-side (redshift_state) updates -------------------------------
+    def start_load(self, source: str, table: str, target: str) -> dict:
+        """Mark the load stage in progress (the reference loader flips the
+        redshift-side status while COPYing)."""
+        doc = self.get(source, table, target)
+        doc["redshift_state"]["status"] = "in_progress"
+        doc["redshift_state"]["error"] = None
+        self._save(source, table, target, doc)
+        return doc
+
     def update_load_state(
         self,
         source: str,
         table: str,
         target: str,
         *,
-        loaded_files: list[str],
+        loaded_files: list[str] | None = None,
+        n_files: int | None = None,
         status: str = "success",
         error: str | None = None,
     ) -> dict:
-        """Record loaded files: blacklist union-dedup (reference :186-229).
+        """Record the load commit.
+
+        Two modes:
+        - ``loaded_files=[...]`` — reference-parity JSON blacklist:
+          union-dedup into ``processed_files`` (reference :186-229). Fine
+          for small deployments; the doc grows with file count.
+        - ``n_files=k`` — manifest-table mode (the 100 TB path): the
+          authoritative blacklist lives in the staging-side parquet
+          manifest (operators.manifest.ParquetManifest); the doc keeps
+          only cumulative counts as metadata, so it stays O(1) size at
+          millions of files.
 
         Note the subtlety preserved from the reference: load-side row counts
         are NOT updated here — only via :meth:`update_target_count`
@@ -221,14 +241,22 @@ class WatermarkStore:
         """
         doc = self.get(source, table, target)
         rs = doc["redshift_state"]
-        existing = set(doc.get("processed_files") or [])
-        doc["processed_files"] = sorted(existing | set(loaded_files))
-        rs["last_loaded_files"] = list(loaded_files)
+        if loaded_files is not None:
+            existing = set(doc.get("processed_files") or [])
+            doc["processed_files"] = sorted(existing | set(loaded_files))
+            rs["last_loaded_files"] = list(loaded_files)
+            rs["last_session_files"] = len(loaded_files)
+            self._blacklist_cache[self._key(source, table, target)] = \
+                set(doc["processed_files"])
+        else:
+            rs["last_loaded_files"] = []
+            rs["last_session_files"] = int(n_files or 0)
+            rs["files_loaded_total"] = \
+                int(rs.get("files_loaded_total") or 0) + int(n_files or 0)
         rs["last_session_rows"] = 0  # counts come only from external count
         rs["status"] = status
         rs["error"] = error
         self._save(source, table, target, doc)
-        self._blacklist_cache[self._key(source, table, target)] = set(doc["processed_files"])
         return doc
 
     def update_target_count(self, source: str, table: str, target: str, count: int) -> dict:

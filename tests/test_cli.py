@@ -79,11 +79,21 @@ def test_sync_watermark_clean_roundtrip(capsys, pipeline_yml, tmp_path, sf_dir):
     rc, rep2 = _run(capsys, ["s3clean", "--work-dir", work, "--confirm"])
     assert rep2["deleted"] == rep["deletable"]
 
-    # reset --preserve-files keeps the blacklist
+    # reset --preserve-files keeps the loaded-file manifest (now a parquet
+    # table under staging/<table>/_manifest, kept out of the JSON doc)
+    import glob as _glob
+    import os as _os
+    manifest_glob = _os.path.join(work, "staging", "orders", "_manifest",
+                                  "*.parquet")
+    assert _glob.glob(manifest_glob)          # survived s3clean --confirm
     rc, doc = _run(capsys, ["watermark", "reset", "-t", "orders",
                             "--work-dir", work, "--preserve-files"])
     assert doc["mysql_state"]["status"] == "pending"
-    assert len(doc["processed_files"]) > 0
+    assert _glob.glob(manifest_glob)          # preserved across reset
+    # full reset clears it
+    rc, doc = _run(capsys, ["watermark", "reset", "-t", "orders",
+                            "--work-dir", work])
+    assert not _glob.glob(manifest_glob)
 
 
 def test_compact_verb(capsys, pipeline_yml, tmp_path, sf_dir):

@@ -56,18 +56,18 @@ class _CrashBeforeWatermarkCommit(WatermarkStore):
 
 
 class _CrashBeforeLoadStage(WatermarkStore):
-    """processed_files raises once — the crash falls at the start of the
+    """start_load raises once — the crash falls at the start of the
     load stage, BEFORE anything reached the target."""
 
     def __init__(self, backend):
         super().__init__(backend)
         self.crashed = False
 
-    def processed_files(self, *a, **kw):
+    def start_load(self, *a, **kw):
         if not self.crashed:
             self.crashed = True
             raise RuntimeError("simulated crash before load stage")
-        return super().processed_files(*a, **kw)
+        return super().start_load(*a, **kw)
 
 
 @pytest.fixture()
@@ -92,14 +92,15 @@ def test_crash_after_target_write_no_double_load(spark, orders, tc, tmp_path):
 
     doc = crashing.get("src", "orders", "tgt")
     assert doc["mysql_state"]["total_rows"] == orders.count()
-    assert doc["processed_files"] == []          # blacklist never committed
+    assert doc["processed_files"] == []          # doc stays metadata-only
     assert spark.read.parquet(kwargs["target_path"]).count() == orders.count()
 
-    # resume: delta empty, files look unloaded, rows already in target —
-    # reconciliation must append ZERO rows but still record the files
+    # resume: delta empty; the parquet manifest already records the files
+    # (recorded before the doc commit), so nothing re-loads and the
+    # target count reconciles
     store = WatermarkStore(backend)
     r = sync_table(spark, orders, tc, store, **kwargs)
-    assert r.rows_extracted == 0 and r.files_loaded > 0
+    assert r.rows_extracted == 0 and r.files_loaded == 0
     assert r.target_rows == orders.count()       # no double-load
     assert r.verified
 
@@ -178,10 +179,15 @@ def test_partial_load_recovery_is_exactly_once(spark, orders, tc, tmp_path):
 
     store = WatermarkStore(backend)
     if loaded_and_tracked:
+        from s3_redshift_backup_tool_spark.operators.manifest import (
+            ParquetManifest, files_df)
         spark.read.parquet(*loaded_and_tracked).write.mode("append") \
              .parquet(kwargs["target_path"])
+        manifest = ParquetManifest(
+            spark, str(tmp_path / "stage" / "_manifest"))
+        manifest.record(files_df(spark, loaded_and_tracked))
         store.update_load_state("src", "orders", "tgt",
-                                loaded_files=loaded_and_tracked,
+                                n_files=len(loaded_and_tracked),
                                 status="failed")
     if loaded_untracked:
         spark.read.parquet(*loaded_untracked).write.mode("append") \
