@@ -77,7 +77,7 @@ def add_date_partitions(df: DataFrame, ts_col: str | None,
     row-group min/max stats on the timestamp column already prune to the
     day within a month file. Opt into day/hour for tables where a single
     month is too large a pruning unit."""
-    if not ts_col or ts_col not in df.columns:
+    if not ts_col or ts_col.lower() not in (x.lower() for x in df.columns):
         return df
     c = F.col(ts_col)
     for g in granularity:
@@ -92,6 +92,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
     parallelism and layout."""
     from ..operators.partitioning import fan_out
     return fan_out(df, min_partitions)
+
+
+def _has_col(df: DataFrame, name: str | None) -> bool:
+    """Case-insensitive column membership (JDBC sources may uppercase
+    identifiers — Derby/Oracle — while configs use lowercase; Spark's
+    resolver is case-insensitive, so membership checks must be too)."""
+    return bool(name) and name.lower() in (c.lower() for c in df.columns)
 
 
 def _staged_files(staging_path: str) -> list[str]:
@@ -117,7 +124,7 @@ def _load_reconciled(spark: SparkSession, df: DataFrame, target_path: str,
     as-is (the A7 count verification then surfaces any double-load). Only
     invoked on the rare recovery path: the normal load never pays the
     target scan."""
-    if id_col and id_col in df.columns:
+    if _has_col(df, id_col):
         # A crash BEFORE the watermark commit re-extracts the same rows
         # into fresh UUID files, so the combined input itself can carry
         # duplicates — dedup by key before the target anti-join, else
@@ -239,8 +246,8 @@ def sync_table(
         # observe(): rows + new (ts,id) cursor computed during the write
         # itself — the reference needs a separate pass / last-row peek.
         obs_aggs = [F.count(F.lit(1)).alias("rows")]
-        has_ts = ts_col and ts_col in delta.columns
-        has_id = id_col and id_col in delta.columns
+        has_ts = _has_col(delta, ts_col)
+        has_id = _has_col(delta, id_col)
         if has_ts and has_id:
             obs_aggs.append(F.max(F.struct(
                 F.col(ts_col).alias("ts"),
@@ -256,13 +263,13 @@ def sync_table(
         if pc and all(c in DATE_PART_EXPRS for c in pc):
             gran, direct_parts = tuple(pc), []
         elif pc:
-            gran, direct_parts = (), [c for c in pc if c in delta.columns]
+            gran, direct_parts = (), [c for c in pc if _has_col(delta, c)]
         else:
             gran, direct_parts = ("year", "month"), []
         # partition columns GENERATED for layout (not in the data) come
         # back as hive partition columns on a directory read — the load
         # stage drops exactly these to restore the extracted schema
-        gen_cols = [c for c in gran if c not in delta.columns]
+        gen_cols = [c for c in gran if not _has_col(delta, c)]
         manifest = ParquetManifest(spark, os.path.join(staging_path, "_manifest"))
 
         # Empty-delta short-circuit: no staging write, no manifest growth.
@@ -298,8 +305,8 @@ def sync_table(
 
         staged = add_date_partitions(observed, ts_col if has_ts else None,
                                      granularity=gran) if gran else observed
-        part_cols = direct_parts + [c for c in gran if c in staged.columns
-                                    and c not in delta.columns]
+        part_cols = direct_parts + [c for c in gen_cols
+                                    if c in staged.columns]
         if part_cols:
             # Cluster rows by their partition key before partitionBy, else
             # every input task writes a sliver into every date dir — the

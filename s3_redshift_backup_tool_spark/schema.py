@@ -81,6 +81,43 @@ def map_mysql_type(data_type: str,
     return T.StringType()  # safe fallback (reference fallback dict :545-604)
 
 
+def info_schema_query(db_schema: str, table: str) -> str:
+    """The reference's discovery query (flexible_schema_manager.py:137-176):
+    INFORMATION_SCHEMA.COLUMNS ordered by ordinal position. Run through the
+    JDBC source's ``query`` option against a MySQL-dialect endpoint."""
+    for ident in (db_schema, table):
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", ident or ""):
+            raise ValueError(f"invalid identifier: {ident!r}")
+    return (
+        "SELECT column_name, data_type, is_nullable, "
+        "character_maximum_length, numeric_precision, numeric_scale, "
+        "column_type, extra "
+        "FROM INFORMATION_SCHEMA.COLUMNS "
+        f"WHERE table_schema = '{db_schema}' AND table_name = '{table}' "
+        "ORDER BY ordinal_position"
+    )
+
+
+def columns_to_struct(rows: list[dict]) -> T.StructType:
+    """INFORMATION_SCHEMA.COLUMNS rows -> StructType via the §1.3 type map
+    (reference ``_get_mysql_table_info`` + ``_map_mysql_to_pyarrow``).
+    Column names are sanitized the same way the write path sanitizes them
+    so discovery and alignment agree."""
+    fields = []
+    for r in rows:
+        get = r.get if isinstance(r, dict) else (lambda k, d=None: r[k])
+        dtype = map_mysql_type(
+            get("data_type") or "",
+            get("column_type") or "",
+            get("numeric_precision"),
+            get("numeric_scale"),
+        )
+        nullable = str(get("is_nullable") or "YES").upper() != "NO"
+        fields.append(T.StructField(
+            sanitize_column_name(get("column_name")), dtype, nullable))
+    return T.StructType(fields)
+
+
 def sanitize_column_name(name: str) -> str:
     """Lowercase + ``col_`` prefix for digit-leading names + non-word scrub.
 

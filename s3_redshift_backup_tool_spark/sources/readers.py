@@ -94,7 +94,35 @@ def jdbc_partitioned_options(url: str, table: str, *,
 
 
 def read_jdbc(spark: SparkSession, options: dict) -> DataFrame:
-    """JDBC source (S1-S5 against a live MySQL). Untested here — no DB in
-    the container; exercised via parquet in tests with identical
-    downstream plan."""
+    """JDBC source (S1-S5 against a live DB; reference extraction plane
+    src/backup/row_based.py:1071-1078 + strategy SQL
+    src/core/cdc_strategy_engine.py:188-294). The CDC predicates built by
+    ``operators.cdc`` are pushed into the remote WHERE clause by Spark's
+    JDBC pushdown — asserted against an embedded Derby database in
+    ``tests/test_jdbc.py`` (the same code path a MySQL URL takes)."""
     return spark.read.format("jdbc").options(**options).load()
+
+
+def discover_schema_jdbc(spark: SparkSession, url: str, table: str,
+                         extra: dict | None = None):
+    """S11 schema discovery from a live source: Spark resolves the remote
+    table's metadata (a zero-row prepared statement) into a StructType —
+    the set-based replacement for the reference's INFORMATION_SCHEMA
+    round-trip (flexible_schema_manager.py:137-176). For MySQL-dialect
+    sources the raw INFORMATION_SCHEMA path is ``schema.info_schema_query``
+    + ``schema.columns_to_struct``."""
+    opts = {"url": url, "dbtable": table}
+    opts.update(extra or {})
+    return spark.read.format("jdbc").options(**opts).load().schema
+
+
+def list_tables_jdbc(spark: SparkSession, url: str, query: str,
+                     extra: dict | None = None) -> list[str]:
+    """S12 table listing via a dialect catalog query (reference
+    flexible_schema_manager.py:634-665 INFORMATION_SCHEMA.TABLES; Derby:
+    SYS.SYSTABLES). The query must project one column of table names."""
+    opts = {"url": url, "query": query}
+    opts.update(extra or {})
+    df = spark.read.format("jdbc").options(**opts).load()
+    name_col = df.columns[0]
+    return sorted(r[name_col] for r in df.collect())
