@@ -98,6 +98,10 @@ def cmd_watermark(args: argparse.Namespace) -> int:
                "mysql_total_rows": doc["mysql_state"]["total_rows"],
                "redshift_total_rows": doc["redshift_state"]["total_rows"],
                "processed_files": n_doc_files or n_manifest})
+    elif args.action == "summary":
+        out = store.get_summary(*key)
+        out["file_stats"] = store.get_file_stats(*key)
+        _emit(out)
     return 0
 
 
@@ -163,7 +167,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_sync)
 
     wp = sub.add_parser("watermark", help="inspect or mutate sync state")
-    wp.add_argument("action", choices=["get", "set", "reset", "count"])
+    wp.add_argument("action", choices=["get", "set", "reset", "count",
+                                       "summary"])
     wp.add_argument("-t", "--table", required=True)
     wp.add_argument("--source", default="src")
     wp.add_argument("--target", default="tgt")

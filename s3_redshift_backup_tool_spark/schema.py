@@ -178,20 +178,84 @@ def spark_type_to_sql(dt: T.DataType, max_length: int | None = None) -> str:
     return _SPARK_TO_SQL.get(dt, "STRING")
 
 
+MAX_SORT_KEYS = 4  # reference cap (flexible_schema_manager.py:402, :373)
+
+
 @dataclass
 class TableKeys:
     """Physical-layout hints (reference redshift_keys.json + DDL optimizer
-    flexible_schema_manager.py:274-473). On Spark these drive bucketing /
-    partitioning instead of DISTKEY/SORTKEY."""
-    dist_key: str | None = None       # -> bucketBy column
-    sort_keys: list[str] = field(default_factory=list)  # -> sortBy / ZORDER analog
+    flexible_schema_manager.py:274-473). On Redshift these emit
+    DISTKEY/SORTKEY clauses; on a Spark-native target the same hints
+    drive bucketBy (dist_key) and sortWithinPartitions (sort_keys)."""
+    dist_key: str | None = None       # -> DISTKEY(col) / bucketBy column
+    sort_keys: list[str] = field(default_factory=list)  # -> [COMPOUND] SORTKEY
+    dist_style: str | None = None     # AUTO | ALL | EVEN (wins over dist_key)
+    interleaved: bool = False         # INTERLEAVED SORTKEY variant
+
+
+def load_table_keys(path: str) -> dict[str, TableKeys]:
+    """Parse a ``redshift_keys.json``-shaped file (reference
+    ``_load_redshift_optimizations`` :475-492): per-table dicts with
+    ``distkey`` / ``sortkey`` (list, string, or "AUTO") /
+    ``interleaved_sortkey`` / ``diststyle``. Missing file -> {} (AUTO
+    defaults), matching the reference's fallback."""
+    import json
+    import os
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    out: dict[str, TableKeys] = {}
+    for table, cfg in raw.items():
+        sort_cfg = cfg.get("interleaved_sortkey") or cfg.get("sortkey") or []
+        interleaved = bool(cfg.get("interleaved_sortkey"))
+        if isinstance(sort_cfg, str):
+            sort_cfg = [] if sort_cfg.upper() == "AUTO" else [sort_cfg]
+        out[table] = TableKeys(
+            dist_key=cfg.get("distkey"),
+            sort_keys=list(sort_cfg)[:MAX_SORT_KEYS],
+            dist_style=(cfg.get("diststyle") or None),
+            interleaved=interleaved,
+        )
+    return out
+
+
+def _key_clauses(keys: TableKeys | None, schema: T.StructType) -> list[str]:
+    """DISTKEY/SORTKEY emission (reference :340-461): custom keys validated
+    against the schema (missing columns skipped with AUTO fallback, as the
+    reference warns-and-continues); default is DISTSTYLE AUTO + SORTKEY
+    AUTO (:458-461)."""
+    cols = {sanitize_column_name(f.name) for f in schema.fields}
+    clauses: list[str] = []
+    if keys and keys.dist_style:
+        style = keys.dist_style.upper()
+        if style in ("AUTO", "ALL", "EVEN"):
+            clauses.append(f"DISTSTYLE {style}")
+    elif keys and keys.dist_key and sanitize_column_name(keys.dist_key) in cols:
+        clauses.append(f"DISTKEY({sanitize_column_name(keys.dist_key)})")
+    else:
+        clauses.append("DISTSTYLE AUTO")
+
+    valid_sort = [sanitize_column_name(c) for c in (keys.sort_keys if keys else [])
+                  if sanitize_column_name(c) in cols][:MAX_SORT_KEYS]
+    if valid_sort and keys.interleaved:
+        clauses.append(f"INTERLEAVED SORTKEY({', '.join(valid_sort)})")
+    elif len(valid_sort) > 1:
+        clauses.append(f"COMPOUND SORTKEY({', '.join(valid_sort)})")
+    elif valid_sort:
+        clauses.append(f"SORTKEY({valid_sort[0]})")
+    else:
+        clauses.append("SORTKEY AUTO")
+    return clauses
 
 
 def generate_ddl(table: str, schema: T.StructType,
                  keys: TableKeys | None = None,
                  string_lengths: dict[str, int] | None = None) -> str:
-    """Emit CREATE TABLE DDL (reference generate_redshift_ddl :274-473;
-    default DISTSTYLE AUTO / SORTKEY AUTO :458-461 -> we omit hints)."""
+    """Emit CREATE TABLE DDL (reference generate_redshift_ddl :274-473)
+    with DISTKEY/SORTKEY optimization clauses: per-table overrides from a
+    redshift_keys.json-shaped file (via :func:`load_table_keys`), AUTO
+    defaults otherwise (:458-461)."""
     string_lengths = string_lengths or {}
     cols = []
     for f in schema.fields:
@@ -201,10 +265,7 @@ def generate_ddl(table: str, schema: T.StructType,
         cols.append(f"    {name} {sql_t}{null}")
     body = ",\n".join(cols)
     ddl = f"CREATE TABLE IF NOT EXISTS {table} (\n{body}\n)"
-    if keys and keys.dist_key:
-        ddl += f"\n-- layout hint: bucket by {keys.dist_key}"
-    if keys and keys.sort_keys:
-        ddl += f"\n-- layout hint: sort by {', '.join(keys.sort_keys)}"
+    ddl += "\n" + "\n".join(_key_clauses(keys, schema))
     return ddl
 
 

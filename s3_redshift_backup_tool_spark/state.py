@@ -279,6 +279,65 @@ class WatermarkStore:
     def is_processed(self, source: str, table: str, target: str, path: str) -> bool:
         return path in self.processed_files(source, table, target)
 
+    # -- ops/reporting surface (reference :279-363) ------------------------
+    def get_summary(self, source: str, table: str, target: str) -> dict[str, Any]:
+        """Comprehensive per-table stats (reference ``get_summary``
+        :323-363): extraction + load totals, cursor, file counts."""
+        doc = self.get(source, table, target)
+        ms, rs = doc.get("mysql_state", {}), doc.get("redshift_state", {})
+        processed = doc.get("processed_files") or []
+        n_files = len(processed) or int(rs.get("files_loaded_total") or 0)
+        return {
+            "table_name": table,
+            "mysql_total_rows": ms.get("total_rows", 0),
+            "mysql_last_session_rows": ms.get("last_session_rows", 0),
+            "mysql_status": ms.get("status", "pending"),
+            "mysql_last_timestamp": ms.get("last_timestamp"),
+            "mysql_last_id": ms.get("last_id"),
+            "mysql_last_updated": ms.get("last_updated"),
+            "redshift_total_rows": rs.get("total_rows", 0),
+            "redshift_last_session_rows": rs.get("last_session_rows", 0),
+            "redshift_status": rs.get("status", "pending"),
+            "total_processed_files": n_files,
+            "created_at": doc.get("metadata", {}).get("created_at"),
+            "manual_override": doc.get("metadata", {}).get("manual_override", False),
+        }
+
+    def get_file_stats(self, source: str, table: str, target: str) -> dict[str, Any]:
+        """Blacklist-size monitoring (reference ``get_file_stats``
+        :279-299). In manifest-table mode the doc array is empty by design
+        and the performance warning can never fire — that is the point."""
+        import json as _json
+        doc = self.get(source, table, target)
+        processed = doc.get("processed_files") or []
+        json_kb = len(_json.dumps(processed)) / 1024
+        key = self._key(source, table, target)
+        return {
+            "total_files": len(processed) or
+                int(doc["redshift_state"].get("files_loaded_total") or 0),
+            "json_size_kb": round(json_kb, 2),
+            "cache_status": "cached" if key in self._blacklist_cache else "not_cached",
+            "sample_files": processed[:5],
+            "performance_warning": json_kb > 1024,
+        }
+
+    def get_files_by_status(self, source: str, table: str, target: str,
+                            files: list[str]) -> dict[str, Any]:
+        """Split a discovery listing into processed/unprocessed (reference
+        :301-321). JSON-blacklist mode only — manifest-table deployments
+        do this as an anti-join (ParquetManifest.exclude_loaded), never
+        materializing the split on the driver."""
+        blacklist = self.processed_files(source, table, target)
+        processed = [f for f in files if f in blacklist]
+        unprocessed = [f for f in files if f not in blacklist]
+        return {
+            "processed_files": processed,
+            "unprocessed_files": unprocessed,
+            "total_processed": len(processed),
+            "total_unprocessed": len(unprocessed),
+            "total_files": len(files),
+        }
+
     # -- manual override / reset ------------------------------------------
     def set_manual(
         self,

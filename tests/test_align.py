@@ -98,6 +98,7 @@ def test_ddl_generation():
         T.StructField("ID", T.LongType(), False),
         T.StructField("total_fee", T.DecimalType(15, 4), True),
         T.StructField("name", T.StringType(), True),
+        T.StructField("update_at", T.TimestampType(), True),
     ])
     ddl = sc.generate_ddl("settlement.orders", schema,
                           keys=sc.TableKeys(dist_key="id", sort_keys=["update_at"]),
@@ -105,7 +106,51 @@ def test_ddl_generation():
     assert "id BIGINT NOT NULL" in ddl
     assert "total_fee DECIMAL(15,4)" in ddl
     assert "name VARCHAR(510)" in ddl       # 2x safety buffer
-    assert "bucket by id" in ddl
+    assert "DISTKEY(id)" in ddl
+    assert "SORTKEY(update_at)" in ddl
+
+
+def test_ddl_key_overrides_and_auto_fallback(tmp_path):
+    """Reference redshift_keys.json semantics (flexible_schema_manager.py
+    :340-461, :475-492): per-table overrides validated against the schema;
+    missing file / missing columns fall back to AUTO."""
+    import json
+    schema = T.StructType([
+        T.StructField("tracking_number", T.StringType(), True),
+        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("billing_num", T.StringType(), True),
+    ])
+
+    keys_file = tmp_path / "redshift_keys.json"
+    keys_file.write_text(json.dumps({
+        "settlement.settle_orders": {
+            "distkey": "tracking_number",
+            "sortkey": ["tracking_number", "created_at"]},
+        "settlement.other": {"diststyle": "EVEN", "sortkey": "AUTO"},
+        "settlement.inter": {
+            "interleaved_sortkey": ["billing_num", "created_at"]},
+    }))
+    keys = sc.load_table_keys(str(keys_file))
+
+    ddl = sc.generate_ddl("settle_orders", schema,
+                          keys=keys["settlement.settle_orders"])
+    assert "DISTKEY(tracking_number)" in ddl
+    assert "COMPOUND SORTKEY(tracking_number, created_at)" in ddl
+
+    ddl2 = sc.generate_ddl("other", schema, keys=keys["settlement.other"])
+    assert "DISTSTYLE EVEN" in ddl2 and "SORTKEY AUTO" in ddl2
+
+    ddl3 = sc.generate_ddl("inter", schema, keys=keys["settlement.inter"])
+    assert "INTERLEAVED SORTKEY(billing_num, created_at)" in ddl3
+
+    # AUTO defaults: no keys file, or key columns absent from the schema
+    assert sc.load_table_keys(str(tmp_path / "missing.json")) == {}
+    ddl4 = sc.generate_ddl("t", schema)
+    assert "DISTSTYLE AUTO" in ddl4 and "SORTKEY AUTO" in ddl4
+    ddl5 = sc.generate_ddl("t", schema,
+                           keys=sc.TableKeys(dist_key="not_a_col",
+                                             sort_keys=["also_missing"]))
+    assert "DISTSTYLE AUTO" in ddl5 and "SORTKEY AUTO" in ddl5
 
 
 def test_schema_diff():

@@ -57,6 +57,15 @@ def test_sync_watermark_clean_roundtrip(capsys, pipeline_yml, tmp_path, sf_dir):
     assert cnt["mysql_total_rows"] == out["orders"]["rows_extracted"]
     assert cnt["processed_files"] == out["orders"]["files_loaded"]
 
+    # ops summary surface (reference get_summary :323-363)
+    rc, summ = _run(capsys, ["watermark", "summary", "-t", "orders",
+                             "--work-dir", work])
+    assert rc == 0
+    assert summ["mysql_total_rows"] == out["orders"]["rows_extracted"]
+    assert summ["mysql_status"] == "success"
+    assert summ["total_processed_files"] == out["orders"]["files_loaded"]
+    assert not summ["file_stats"]["performance_warning"]
+
     # second sync: idempotent no-op
     rc, out2 = _run(capsys, ["sync", "-p", pipeline_yml,
                              "--source-dir", sf_dir, "--work-dir", work,

@@ -118,6 +118,38 @@ def test_lock_acquire_is_atomic(store):
     assert len(winners) == 1
 
 
+def test_summary_and_file_stats(store):
+    store.update_extraction_state(SRC, TBL, TGT, last_timestamp="2024-01-01 00:00:00",
+                                  last_id=42, session_rows=100, session_files=3)
+    store.update_load_state(SRC, TBL, TGT, loaded_files=["/f/a", "/f/b"])
+    store.update_target_count(SRC, TBL, TGT, 100)
+
+    s = store.get_summary(SRC, TBL, TGT)
+    assert s["mysql_total_rows"] == 100 and s["mysql_last_id"] == 42
+    assert s["redshift_total_rows"] == 100
+    assert s["total_processed_files"] == 2
+    assert s["mysql_status"] == "success"
+
+    fs = store.get_file_stats(SRC, TBL, TGT)
+    assert fs["total_files"] == 2 and not fs["performance_warning"]
+    assert fs["sample_files"] == ["/f/a", "/f/b"]
+
+    split = store.get_files_by_status(SRC, TBL, TGT, ["/f/a", "/f/new"])
+    assert split["processed_files"] == ["/f/a"]
+    assert split["unprocessed_files"] == ["/f/new"]
+    assert split["total_files"] == 2
+
+
+def test_summary_manifest_mode_counts(store):
+    """In manifest-table mode the doc array stays empty; summary falls
+    back to the cumulative files_loaded_total metadata."""
+    store.update_load_state(SRC, "m_tbl", TGT, n_files=7)
+    store.update_load_state(SRC, "m_tbl", TGT, n_files=5)
+    s = store.get_summary(SRC, "m_tbl", TGT)
+    assert s["total_processed_files"] == 12
+    assert store.get(SRC, "m_tbl", TGT)["processed_files"] == []
+
+
 def test_legacy_adapter_view():
     v = WatermarkView(default_watermark())
     assert v.last_processed_id == 0
