@@ -321,16 +321,21 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                     .groupBy("u").agg(F.min("label").alias("nbr_min")))
+        # the changed flag rides the same projection that produces the
+        # labels, so convergence detection is a column scan over the
+        # checkpointed result — not a second join+count per round (which
+        # doubled per-iteration work)
         new_labels = (labels.join(nbr, "u", "left")
-                      .select("u", F.least(
-                          F.col("label"),
-                          F.coalesce("nbr_min", F.col("label"))).alias("label"))
+                      .select("u",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_min", F.col("label"))
+                                      ).alias("label"),
+                              (F.coalesce("nbr_min", F.col("label"))
+                               < F.col("label")).cast("int").alias("__chg"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("__chg").alias("c")).collect()[0]["c"]
+        labels = new_labels.drop("__chg")
+        if not changed:
             break
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("component"))

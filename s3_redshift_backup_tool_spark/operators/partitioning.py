@@ -22,6 +22,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     input already has >= ``min_partitions`` (default: cluster default
     parallelism) partitions."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # JVM-side partition count: df.rdd would build a Python-serialized RDD
+    # conversion plan per call; queryExecution().toRdd() is the InternalRow
+    # RDD Spark already has.
+    n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)
