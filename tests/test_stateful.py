@@ -6,8 +6,21 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _run_stream(spark, src_glob, schema, build, name):
+def _run_stream(spark, src_glob, schema, build, name, checkpoint=None,
+                out_dir=None):
     stream = spark.readStream.schema(schema).parquet(src_glob)
+    if checkpoint:
+        # checkpoint reuse => state persists across calls and only new
+        # files process; the memory sink can't recover from a checkpoint,
+        # so checkpointed runs land in a parquet dir via foreachBatch
+        def _sink(batch_df, _epoch):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (build(stream).writeStream.foreachBatch(_sink)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", checkpoint).start())
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
     q = (build(stream).writeStream.format("memory").queryName(name)
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -51,17 +64,24 @@ def test_first_seen_dedup_ledger(spark, documents, tmp_path):
     docs.write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
+    cp = str(tmp_path / "cp_seen")
+    out1_dir = str(tmp_path / "seen_out1")
     out = _run_stream(spark, src, schema,
-                      lambda s: streaming_first_seen(s, "doc_id"), "seen1")
+                      lambda s: streaming_first_seen(s, "doc_id"), "seen1",
+                      checkpoint=cp, out_dir=out1_dir)
     rows = out.collect()
     assert len(rows) == 100
     assert all(r["occurrences"] == 1 for r in rows)
     assert all(r["is_new"] for r in rows)
 
-    # same docs re-arrive: occurrences increment, no new keys
+    # same docs re-arrive in the SAME stream (shared checkpoint => state
+    # persists, only the new files process): occurrences increment and no
+    # key reports as new
     docs.write.mode("append").parquet(src)
+    out2_dir = str(tmp_path / "seen_out2")
     out2 = _run_stream(spark, src, schema,
-                       lambda s: streaming_first_seen(s, "doc_id"), "seen2")
+                       lambda s: streaming_first_seen(s, "doc_id"), "seen2",
+                       checkpoint=cp, out_dir=out2_dir)
     rows2 = out2.collect()
     assert {r["occurrences"] for r in rows2} == {2}
     assert not any(r["is_new"] for r in rows2)
