@@ -341,6 +341,34 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
                          F.col("label").alias("component"))
 
 
+def decontaminate_overlap(eval_df: DataFrame, train_df: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Train/eval contamination check: per eval doc, the fraction of its
+    word n-gram shingles that appear anywhere in the train corpus
+    (benchmark-decontamination, GPT-3 appendix-C style).
+
+    Shape: eval shingles LEFT SEMI JOIN the train shingle set — an
+    inverted-index membership probe keyed by shingle, so shuffle volume
+    is O(postings), never |eval|x|train|. The train side collapses to
+    DISTINCT shingles first (the big corpus is reduced before the join).
+    Output: (doc_id, n_shingles, n_overlap, overlap_frac, contaminated).
+    """
+    ev = word_shingles(eval_df, text_col, id_col, n)
+    tr = word_shingles(train_df, text_col, id_col, n) \
+        .select("shingle").distinct()
+    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (ev.join(tr, "shingle", "left_semi")
+              .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap")))
+    frac = F.round(F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                   / F.col("n_shingles"), 6)
+    return (sizes.join(hits, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+                    frac.alias("overlap_frac"),
+                    (frac >= threshold).alias("contaminated")))
+
+
 def latest_record_dedup(df: DataFrame, key_cols: list[str], ts_col: str,
                         tiebreak_cols: list[str] | None = None) -> DataFrame:
     """CDC-delta compaction: latest record per key (SURVEY §2.5) —

@@ -59,3 +59,33 @@ def split_by_hash(df: DataFrame, key_col: str,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def pack_sequences(df: DataFrame, key_col: str, token_col,
+                   budget: int, buckets: int = 32) -> DataFrame:
+    """Deterministic token-budget sequence packing: assign each document
+    a pack id such that consecutive docs (in hash order) fill ~``budget``
+    tokens per pack — the batch-construction step of LLM training prep.
+
+    A single global cumulative sum would serialize through one task, so
+    packing is two-level: docs hash into ``buckets`` independent streams,
+    each packed by a window cumulative sum partitioned by bucket — the
+    window is partition-parallel and the whole op is one shuffle on the
+    bucket key. Hash order makes the packing engine/partitioning/
+    rerun-independent. Packs can exceed budget by at most one document
+    (greedy boundary; oversized docs get their own pack).
+
+    Output: (key, n_tokens, bucket, pack_id); pack_id is globally unique
+    (bucket-prefixed)."""
+    from pyspark.sql import Window
+    tok = token_col if isinstance(token_col, Column) else F.col(token_col)
+    g = hash_gate(F.col(key_col))
+    base = df.select(F.col(key_col), tok.cast("long").alias("n_tokens"),
+                     g.alias("__g"), (g % buckets).alias("bucket"))
+    w = (Window.partitionBy("bucket").orderBy("__g", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack = (F.col("bucket").cast("long") * 1_000_000
+            + F.floor(cum_excl / F.lit(budget)))
+    return base.select(key_col, "n_tokens", "bucket",
+                       pack.alias("pack_id"))

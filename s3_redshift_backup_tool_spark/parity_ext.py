@@ -1029,6 +1029,91 @@ def corpus_stats_by_source(spark, sf_dir):
 
 
 # ==========================================================================
+# Training-prep: decontamination, sequence packing, frame-sample oracle
+# ==========================================================================
+
+_SPLIT_SHINGLES = f"""
+  tk AS (SELECT doc_id, {_GATE_SQL} AS g, string_split(text, ' ') AS t
+         FROM documents),
+  esh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(t) - 3, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS shingle
+          FROM tk WHERE g >= {int(0.8 * 1_000_000)}),
+  tsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(t) - 3, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS shingle
+          FROM tk WHERE g < {int(0.8 * 1_000_000)})"""
+
+@q("decontamination_eval_overlap",
+   f"""WITH {_SPLIT_SHINGLES},
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM esh GROUP BY 1),
+      hits AS (SELECT doc_id, count(*) AS n_overlap FROM esh
+               WHERE shingle IN (SELECT shingle FROM tsh) GROUP BY 1)
+      SELECT s.doc_id, s.n_shingles,
+             coalesce(h.n_overlap, 0) AS n_overlap,
+             round(coalesce(h.n_overlap, 0)::DOUBLE / s.n_shingles, 6)
+               AS overlap_frac,
+             round(coalesce(h.n_overlap, 0)::DOUBLE / s.n_shingles, 6) >= 0.5
+               AS contaminated
+      FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""",
+   "benchmark decontamination (GPT-3 appendix-C style): per eval doc, "
+   "the fraction of its 3-gram shingles present anywhere in the train "
+   "split — eval shingles LEFT SEMI JOIN the distinct train shingle "
+   "set, shuffle O(postings) not |eval|x|train|")
+def decontamination_eval_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    train = smp.sample_by_hash(docs, "doc_id", 0.8)
+    evald = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    return dd.decontaminate_overlap(evald, train, threshold=0.5)
+
+
+@q("pack_sequences_documents",
+   f"""WITH b AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       {_GATE_SQL} AS g
+                FROM documents),
+      w AS (SELECT doc_id, n_tokens, g % 32 AS bucket,
+                   sum(n_tokens) OVER (PARTITION BY g % 32 ORDER BY g, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM b)
+      SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+             bucket * 1000000
+               + CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
+      FROM w""",
+   "token-budget sequence packing (LLM batch construction): hash-ordered "
+   "greedy packing inside 32 independent bucket streams — one shuffle on "
+   "the bucket key, window cumulative sum is partition-parallel, packing "
+   "is rerun/partitioning-independent")
+def pack_sequences_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.pack_sequences(
+        docs, "doc_id", F.size(F.split("text", " ")), budget=256, buckets=32)
+
+
+@q("frame_sample_documents",
+   """WITH f AS (SELECT doc_id AS media_id, text,
+                       least(8, greatest(length(text) // 64, 1)) AS nf
+                FROM documents),
+      i AS (SELECT media_id, text,
+                   unnest(generate_series(0, nf - 1)) AS frame_idx
+            FROM f)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+      FROM i""",
+   "video frame-sampling plumbing (mapInPandas row explosion: 1 media "
+   "row -> k frame rows, fanned out BEFORE any shuffle) with a "
+   "value-exact oracle — frame bytes are md5'd on both sides (payloads "
+   "are ASCII so DuckDB's char slicing equals byte slicing)")
+def frame_sample_documents(spark, sf_dir):
+    from .operators.multimodal import sample_frames
+    media = attach_media(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                         media_type="video", fmt="raw")
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select("media_id", "frame_idx",
+                         F.md5("frame").alias("frame_md5"))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
 # must appear early; redundant variants whose code paths are fully covered
@@ -1086,6 +1171,11 @@ _TAIL = [
     "vocab_top20_documents",         # explode+agg+topk: topk/minhash paths
     "lang_id_documents",             # per-doc lang: lang_id_confusion
     "corpus_stats_by_source",        # multi-key agg: distinct_users_daily
+    # round-2 training-prep additions (new ops; window already carries
+    # one member of each underlying machinery family)
+    "decontamination_eval_overlap",  # shingle semi-join: ngram_jaccard
+    "pack_sequences_documents",      # bucketed window cumsum: stratified
+    "frame_sample_documents",        # mapInPandas explode: multimodal_features
 ]
 
 

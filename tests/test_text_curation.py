@@ -46,6 +46,50 @@ def test_stratified_sample_caps_and_is_deterministic(spark, documents):
     assert ids1 == ids2          # partitioning-independent selection
 
 
+def test_decontaminate_overlap_known_values(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        decontaminate_overlap)
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dog")],
+        "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over dog"),   # fully contained
+         (11, "completely novel eval text here now"),  # disjoint
+         (12, "the quick brown fox ate lunch today")], # partial overlap
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           decontaminate_overlap(evald, train, threshold=0.5).collect()}
+    assert out[10]["overlap_frac"] == 1.0 and out[10]["contaminated"]
+    assert out[11]["overlap_frac"] == 0.0 and not out[11]["contaminated"]
+    # doc 12 shares exactly the shingles "the quick brown"/"quick brown fox"
+    assert out[12]["n_overlap"] == 2
+    assert 0.0 < out[12]["overlap_frac"] < 1.0
+
+
+def test_pack_sequences_budget_and_determinism(spark, documents):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        pack_sequences)
+    tok = F.size(F.split("text", " "))
+    p1 = pack_sequences(documents, "doc_id", tok, budget=256, buckets=8)
+    p2 = pack_sequences(documents.repartition(5), "doc_id", tok,
+                        budget=256, buckets=8)
+    rows = p1.collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in rows} == \
+        {(r["doc_id"], r["pack_id"]) for r in p2.collect()}  # deterministic
+
+    # every pack's token total stays under budget + its largest member
+    # (greedy boundary guarantee)
+    from collections import defaultdict
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r["pack_id"]].append(r["n_tokens"])
+    for pid, toks in packs.items():
+        assert sum(toks) < 256 + max(toks), pid
+    # packing is reasonably tight: mean fill of multi-doc packs > half
+    fills = [sum(t) for t in packs.values() if len(t) > 1]
+    assert fills and sum(fills) / len(fills) > 128
+
+
 def test_lang_id_confusion_diagonal_dominates(spark, documents):
     """The heuristic classifier must agree with the label more often than
     any single wrong cell (sanity floor, not an accuracy claim)."""
