@@ -130,12 +130,58 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 8,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
     """Deterministic coarse-quantizer centroids: the first ``n`` vectors
-    by id. Production would run k-means (or k-means||) over a sample and
-    broadcast the result; the index/search plumbing downstream is
+    by id. This is the ORACLE-reproducible quantizer (fixed literals on
+    both engines); :func:`kmeans_centroids` is the quality upgrade with
+    the same output shape — the index/search plumbing downstream is
     identical, so the quantizer is swappable without touching the plan."""
     rows = (df.filter(F.col(id_col) < n_centroids)
               .select(id_col, vec_col).orderBy(id_col).collect())
     return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def kmeans_centroids(df: DataFrame, n_centroids: int = 8, iters: int = 5,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means coarse quantizer, DataFrame-native.
+
+    Init = the deterministic first-n quantizer, so inertia is
+    non-increasing from the stub's own starting point. Each iteration is
+    one distributed pass: per-row argmin assignment (``ivf_assign``,
+    zero shuffle) then a per-(centroid, dim) mean via posexplode +
+    groupBy — shuffle carries k x dim aggregation states, not vectors.
+    Only k x dim floats cross the driver per iteration. Empty clusters
+    keep their previous centroid. At 1B vectors run the same loop over a
+    hash-gate sample (sampling.sample_by_hash) — the centroids only need
+    the distribution, not every row."""
+    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col)
+        means = (assigned
+                 .select("centroid_id", F.posexplode(vec_col).alias("d", "v"))
+                 .groupBy("centroid_id", "d")
+                 .agg(F.avg("v").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct(F.col("d"), F.col("m")))).alias("dm"))
+                 .collect())
+        new = {int(r["centroid_id"]): [float(x["m"]) for x in r["dm"]]
+               for r in means}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def ivf_inertia(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                vec_col: str = "embedding") -> float:
+    """Sum of squared distances to each row's assigned centroid — the
+    k-means objective, for quantizer quality comparison."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    entries = F.array(*[
+        F.struct(F.lit(int(cid)).cast("long").alias("cid"),
+                 l2_sq(F.col(vec_col),
+                       F.array(*[F.lit(float(v)) for v in vec])).alias("dist"))
+        for cid, vec in centroids])
+    d = F.filter(entries, lambda e: e["cid"] == F.col("centroid_id"))[0]["dist"]
+    return float(assigned.agg(F.sum(d)).collect()[0][0])
 
 
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],

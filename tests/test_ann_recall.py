@@ -78,6 +78,25 @@ def test_ivf_recall_floor(vectors, query_vecs):
     assert ivf >= 0.7, f"IVF nprobe=2 recall@10 {ivf:.2f}"
 
 
+def test_kmeans_quantizer_improves_inertia_and_recall(vectors, query_vecs):
+    """Lloyd's iterations from the first-n init must not worsen the
+    k-means objective (guaranteed by the algorithm), and the resulting
+    IVF search must not lose recall vs the stub quantizer."""
+    stub = sim.ivf_centroids(vectors, n_centroids=8)
+    km = sim.kmeans_centroids(vectors, n_centroids=8, iters=4)
+    i_stub = sim.ivf_inertia(vectors, stub)
+    i_km = sim.ivf_inertia(vectors, km)
+    assert i_km <= i_stub * (1 + 1e-9), (i_km, i_stub)
+
+    r_stub = _mean_recall(
+        vectors, query_vecs,
+        lambda qv: sim.ann_topk_ivf(vectors, qv, stub, k=K, nprobe=2))
+    r_km = _mean_recall(
+        vectors, query_vecs,
+        lambda qv: sim.ann_topk_ivf(vectors, qv, km, k=K, nprobe=2))
+    assert r_km >= r_stub - 0.1, (r_km, r_stub)
+
+
 def test_recall_report(vectors, query_vecs, capsys):
     """Record the measured numbers (picked up by the perf notes)."""
     cents = sim.ivf_centroids(vectors, n_centroids=8)

@@ -151,6 +151,28 @@ def test_q17_decorrelation_broadcasts_part(plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_decontamination_is_semi_join(plan):
+    """The train-membership probe must stay a LeftSemi (set membership),
+    never an inner join that would multiply matching postings."""
+    p = plan("decontamination_eval_overlap")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_window_is_partitioned(plan):
+    """Packing must parallelize across bucket streams — a global cumsum
+    window (SinglePartition) would serialize 100 TB through one task."""
+    p = plan("pack_sequences_documents")
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_repetition_signals_partial_agg(plan):
+    p = plan("repetition_signals_documents")
+    assert p.count("HashAggregate") >= 2       # map-side partials
+    assert "CartesianProduct" not in p
+
+
 def test_batch_cosine_broadcasts_queries(plan):
     """Batch similarity join: the K query vectors are the broadcast
     side; the corpus is scanned once (exactly one embeddings scan in
