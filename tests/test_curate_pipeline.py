@@ -1,0 +1,67 @@
+"""End-to-end corpus-curation pipeline: the LLM-data operators composed
+into the actual training-prep workflow, with stage invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators import dedup as dd
+from s3_redshift_backup_tool_spark.operators.sampling import sample_by_hash
+from s3_redshift_backup_tool_spark.plans.curate import curate_corpus
+
+
+def test_curate_corpus_end_to_end(spark, documents, tmp_path):
+    docs = documents
+    # a held-out "benchmark": 5% of docs by hash
+    eval_docs = sample_by_hash(docs, "doc_id", 0.05, salt="eval")
+    train_in = docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti")
+
+    out_path = str(tmp_path / "corpus")
+    res = curate_corpus(
+        spark, train_in, eval_docs,
+        out_path=out_path,
+        min_quality=0.2,
+        per_source_cap=50,
+        pack_budget=512,
+        pack_buckets=8,
+        max_records_per_file=64,
+    )
+
+    c = res.counts
+    # monotone shrinkage through the funnel
+    assert c["input"] >= c["exact_dedup"] >= c["near_dedup"] >= c["quality"]
+    assert c["quality"] >= c["decontaminated"] >= c["source_capped"]
+    assert c["packed"] == c["source_capped"] > 0
+
+    out = spark.read.parquet(out_path)
+    assert out.count() == c["packed"]
+
+    # invariant: no surviving near-dup pairs among the output docs
+    leftover_pairs = dd.lsh_pairs(out.select("doc_id", "text"),
+                                  num_hashes=16, bands=8).count()
+    assert leftover_pairs == 0
+
+    # invariant: no output doc is contaminated vs the eval corpus
+    overlap = dd.decontaminate_overlap(out.select("doc_id", "text"),
+                                       eval_docs, threshold=0.5)
+    assert overlap.filter(F.col("contaminated")).count() == 0
+
+    # invariant: per-source cap holds
+    per_src = (out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.max("n")).collect()[0][0])
+    assert per_src <= 50
+
+    # invariant: packs respect budget + largest-member bound and shards
+    # are bucket directories
+    packs = (out.groupBy("pack_id")
+             .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+             .collect())
+    assert all(r["tot"] < 512 + r["mx"] for r in packs)
+    assert c["shards"] == out.select("bucket").distinct().count()
+
+    # determinism: rerun produces the identical doc set
+    res2 = curate_corpus(
+        spark, train_in.repartition(11), eval_docs,
+        out_path=None, min_quality=0.2, per_source_cap=50,
+        pack_budget=512, pack_buckets=8)
+    assert res2.counts["packed"] == c["packed"]
