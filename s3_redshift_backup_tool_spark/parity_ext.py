@@ -1028,6 +1028,31 @@ def corpus_stats_by_source(spark, sf_dir):
                   .alias("avg_words")))
 
 
+@q("salted_join_order_priority",
+   """SELECT o_orderpriority,
+             count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
+   "salted hot-key join (operators/skew.py): big side scattered across "
+   "8 salts, small side replicated per salt, joined on (key, salt) — "
+   "result provably identical to the plain join (the oracle IS the "
+   "plain join); the tool for broadcast-infeasible hot keys beyond "
+   "AQE's sort-merge skew split")
+def salted_join_order_priority(spark, sf_dir):
+    from .operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", num_salts=8,
+                         scatter_col="l_extendedprice")
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_price")))
+
+
 # ==========================================================================
 # Training-prep: decontamination, sequence packing, frame-sample oracle
 # ==========================================================================
@@ -1176,6 +1201,7 @@ _TAIL = [
     "decontamination_eval_overlap",  # shingle semi-join: ngram_jaccard
     "pack_sequences_documents",      # bucketed window cumsum: stratified
     "frame_sample_documents",        # mapInPandas explode: multimodal_features
+    "salted_join_order_priority",    # join+agg: revenue_by_nation family
 ]
 
 

