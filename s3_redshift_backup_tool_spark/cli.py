@@ -41,18 +41,33 @@ def _emit(obj: Any) -> None:
 
 
 def cmd_sync(args: argparse.Namespace) -> int:
-    from .plans.pipeline import load_pipeline_yaml
+    from .plans.pipeline import (TableConfig, adhoc_pipeline,
+                                 load_pipeline_yaml)
     from .plans.sync import sync_pipeline
     from .session import get_spark
     from .sources.readers import read_table
 
-    pipeline = load_pipeline_yaml(args.pipeline)
-    if args.table:
-        keep = set(args.table)
-        pipeline.tables = [t for t in pipeline.tables if t.table_name in keep]
-        if not pipeline.tables:
-            _emit({"error": f"no configured table matches {sorted(keep)}"})
+    if args.pipeline:
+        pipeline = load_pipeline_yaml(args.pipeline)
+        if args.table:
+            keep = set(args.table)
+            pipeline.tables = [t for t in pipeline.tables
+                               if t.table_name in keep]
+            if not pipeline.tables:
+                _emit({"error": f"no configured table matches {sorted(keep)}"})
+                return 2
+    else:
+        # ad-hoc mode (reference `sync connections`,
+        # multi_schema_commands.py:248-319): no YAML — one table synced
+        # with flag-supplied CDC settings, default hybrid strategy
+        if not args.table or len(args.table) != 1:
+            _emit({"error": "ad-hoc sync (no -p) requires exactly one -t"})
             return 2
+        tc = TableConfig(table_name=args.table[0],
+                         cdc_strategy=args.strategy,
+                         cdc_timestamp_column=args.ts_column,
+                         cdc_id_column=args.id_column)
+        pipeline = adhoc_pipeline(args.source, args.target, tc)
     spark = get_spark("cli_sync", cpus=args.cpus)
     store = _store(args.work_dir)
     results = sync_pipeline(
@@ -153,10 +168,24 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
 
-    sp = sub.add_parser("sync", help="run a pipeline's incremental sync")
-    sp.add_argument("-p", "--pipeline", required=True, help="pipeline YAML")
+    sp = sub.add_parser("sync", help="run a pipeline's incremental sync "
+                                     "(or, without -p, an ad-hoc one-table "
+                                     "sync from flags)")
+    sp.add_argument("-p", "--pipeline", default=None, help="pipeline YAML; "
+                    "omit for ad-hoc mode")
     sp.add_argument("-t", "--table", action="append",
-                    help="restrict to table(s); repeatable")
+                    help="restrict to table(s); repeatable (exactly one "
+                         "in ad-hoc mode)")
+    sp.add_argument("--strategy", default="hybrid",
+                    help="ad-hoc mode CDC strategy")
+    sp.add_argument("--ts-column", default=None,
+                    help="ad-hoc mode cdc_timestamp_column")
+    sp.add_argument("--id-column", default=None,
+                    help="ad-hoc mode cdc_id_column")
+    sp.add_argument("--source", default="src",
+                    help="ad-hoc mode source scope name")
+    sp.add_argument("--target", default="tgt",
+                    help="ad-hoc mode target scope name")
     sp.add_argument("--source-dir", required=True,
                     help="directory of <table>.parquet source files")
     sp.add_argument("--work-dir", required=True,

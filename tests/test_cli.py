@@ -105,6 +105,33 @@ def test_sync_watermark_clean_roundtrip(capsys, pipeline_yml, tmp_path, sf_dir):
     assert not _glob.glob(manifest_glob)
 
 
+def test_adhoc_sync_without_pipeline_yaml(capsys, tmp_path, sf_dir):
+    """Reference `sync connections` ad-hoc mode (SURVEY §3.2): one table,
+    CDC settings from flags, no YAML."""
+    work = str(tmp_path / "work")
+    rc, out = _run(capsys, ["sync", "-t", "orders",
+                            "--strategy", "hybrid",
+                            "--ts-column", "o_orderdate",
+                            "--id-column", "o_orderkey",
+                            "--source-dir", sf_dir, "--work-dir", work,
+                            "--cpus", "8"])
+    assert rc == 0
+    assert out["orders"]["verified"] and out["orders"]["rows_extracted"] > 0
+
+    rc2, out2 = _run(capsys, ["sync", "-t", "orders",
+                              "--strategy", "hybrid",
+                              "--ts-column", "o_orderdate",
+                              "--id-column", "o_orderkey",
+                              "--source-dir", sf_dir, "--work-dir", work,
+                              "--cpus", "8"])
+    assert rc2 == 0 and out2["orders"]["rows_extracted"] == 0  # idempotent
+
+    # ad-hoc requires exactly one table
+    rc3, err = _run(capsys, ["sync", "--source-dir", sf_dir,
+                             "--work-dir", work])
+    assert rc3 == 2 and "error" in err
+
+
 def test_compact_verb(capsys, pipeline_yml, tmp_path, sf_dir):
     work = str(tmp_path / "work")
     rc, _ = _run(capsys, ["sync", "-p", pipeline_yml, "--source-dir", sf_dir,
