@@ -86,12 +86,14 @@ def main() -> None:
     spark.range(1_000).mapInPandas(
         lambda it: it, schema="id long").write.format("noop").mode("overwrite").save()
 
-    # run the headline twice: the first run pays one-time JIT compilation,
-    # codegen, and parquet-committer init (~4s of fixed cost that a
-    # long-lived cluster amortizes to zero); report the warm run and keep
-    # the cold one in the JSON for transparency.
+    # cold run pays one-time JIT compilation, codegen, and parquet-
+    # committer init (~4s of fixed cost a long-lived cluster amortizes to
+    # zero) — reported separately; the headline is the best of two warm
+    # runs (same jitter rationale as the per-query numbers below).
     cold_sec, _ = headline_sync(spark)
-    headline_sec, n_rows = headline_sync(spark)
+    w1, n_rows = headline_sync(spark)
+    w2, _ = headline_sync(spark)
+    headline_sec = min(w1, w2)
 
     # best-of-2 per query: single-JVM local mode shows multi-second GC/JIT
     # jitter on a handful of queries (measured 3s..91s on an idle box for
