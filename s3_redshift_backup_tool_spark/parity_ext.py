@@ -1028,6 +1028,102 @@ def corpus_stats_by_source(spark, sf_dir):
                   .alias("avg_words")))
 
 
+@q("json_props_extract_events",
+   """SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+             CAST(max(json_extract(props, '$.k')::INT) AS INT) AS max_k,
+             count(CASE WHEN json_extract(props, '$.k')::INT > 50 THEN 1 END)
+               AS n_high
+      FROM events GROUP BY event_type""",
+   "semi-structured JSON column (the reference maps MySQL `json` to "
+   "string + from_json at query time, SURVEY §1.3): schema-on-read "
+   "extraction inside codegen, then a partial-aggregable rollup — no "
+   "Python, no UDF")
+def json_props_extract_events(spark, sf_dir):
+    from pyspark.sql import types as T
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", T.StructType([
+        T.StructField("k", T.IntegerType())]))["k"]
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.max("k").cast("int").alias("max_k"),
+                 F.count(F.when(F.col("k") > 50, 1)).alias("n_high")))
+
+
+@q("disjunctive_pred_part_revenue",
+   """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 5 AND l_quantity <= 25)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+             AND l_quantity >= 20 AND l_quantity <= 40)""",
+   "TPC-H Q19 shape: OR-of-conjunctions spanning both join sides — "
+   "Catalyst splits the single-side conjuncts below the join as pushed "
+   "filters and keeps only the cross-side residual in the join "
+   "condition; the join stays an equi-hash-join, never a nested loop")
+def disjunctive_pred_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cond1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(5, 25))
+    cond2 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30)
+             & F.col("l_quantity").between(20, 40))
+    return (li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+              .filter(cond1 | cond2)
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+@q("waiting_multi_supplier_orders",
+   """SELECT s.s_name, count(*) AS waiting_orders
+      FROM supplier s
+      JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s.s_name""",
+   "TPC-H Q21 shape: the sole-late-supplier query — correlated EXISTS "
+   "(another supplier on the order) + NOT EXISTS (no OTHER supplier was "
+   "late) as left_semi + left_anti on the same fact; Catalyst "
+   "decorrelates both, no per-row subquery execution")
+def waiting_multi_supplier_orders(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (li.join(orders.filter(F.col("o_orderstatus") == "F"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(late)
+            .select("l_orderkey", "l_suppkey", "o_orderdate"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    multi = l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                    & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+    l3 = li.select(F.col("l_orderkey").alias("k3"),
+                   F.col("l_suppkey").alias("s3"),
+                   F.col("l_shipdate").alias("d3"))
+    sole_late = multi.join(
+        l3, (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti")
+    return (sole_late.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("waiting_orders")))
+
+
 @q("salted_join_order_priority",
    """SELECT o_orderpriority,
              count(*) AS n_items,
@@ -1202,6 +1298,9 @@ _TAIL = [
     "pack_sequences_documents",      # bucketed window cumsum: stratified
     "frame_sample_documents",        # mapInPandas explode: multimodal_features
     "salted_join_order_priority",    # join+agg: revenue_by_nation family
+    "json_props_extract_events",     # from_json: new function family
+    "disjunctive_pred_part_revenue", # Q19 OR-of-ANDs join predicate
+    "waiting_multi_supplier_orders", # Q21 semi+anti on same fact
 ]
 
 

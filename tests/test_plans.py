@@ -173,6 +173,25 @@ def test_repetition_signals_partial_agg(plan):
     assert "CartesianProduct" not in p
 
 
+def test_disjunctive_predicate_splits_below_join(plan):
+    """Q19 shape: the OR-of-conjunctions must not force a nested-loop
+    join; single-side conjuncts get pushed to the scans."""
+    p = plan("disjunctive_pred_part_revenue", mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
+    # the brand/size disjunction reaches the part scan
+    assert "p_brand" in pushed and "l_quantity" in pushed
+
+
+def test_q21_semi_anti_stay_hash_joins(plan):
+    """Q21 shape: correlated EXISTS/NOT EXISTS must decorrelate into
+    LeftSemi/LeftAnti hash joins on the order key, never per-row
+    subqueries or nested loops."""
+    p = plan("waiting_multi_supplier_orders")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_batch_cosine_broadcasts_queries(plan):
     """Batch similarity join: the K query vectors are the broadcast
     side; the corpus is scanned once (exactly one embeddings scan in
