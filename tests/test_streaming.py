@@ -12,7 +12,8 @@ import os
 from pyspark.sql import functions as F
 
 from s3_redshift_backup_tool_spark.streaming.incremental import (
-    incremental_file_sync, sessionized_counts, windowed_event_counts)
+    incremental_file_sync, sessionized_counts, streaming_upsert_sync,
+    windowed_event_counts)
 
 
 def test_available_now_exactly_once(spark, orders, tmp_path):
@@ -35,6 +36,45 @@ def test_available_now_exactly_once(spark, orders, tmp_path):
     orders.limit(250).write.mode("append").parquet(src)
     incremental_file_sync(spark, src, schema, tgt, ckpt)
     assert spark.read.parquet(tgt).count() == 100 + 250
+
+
+def test_streaming_upsert_latest_version_wins(spark, tmp_path):
+    """CDC UPSERT stream: re-arriving keys replace their prior version
+    in the target (the reference can only append + compact offline)."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00"),
+         (3, "c", "2024-01-01 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    v1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+    assert spark.read.parquet(tgt).count() == 3
+
+    # updates for ids 2,3 (one stale + one fresh version of id 3 in the
+    # SAME batch: the fresh one must win) and a new id 4
+    v2 = spark.createDataFrame(
+        [(2, "b2", "2024-01-02 00:00:00"),
+         (3, "c_stale", "2024-01-01 12:00:00"),
+         (3, "c2", "2024-01-03 00:00:00"),
+         (4, "d", "2024-01-02 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    v2.write.mode("append").parquet(src)
+
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c2", 4: "d"}
+
+    # no new files: idempotent no-op
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+    assert spark.read.parquet(tgt).count() == 4
 
 
 def test_available_now_with_transform(spark, orders, tmp_path):
