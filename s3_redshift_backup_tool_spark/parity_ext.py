@@ -17,8 +17,8 @@ from .operators import similarity as sim
 from .operators import temporal as tmp
 from .operators import text as tx
 from .operators.multimodal import attach_media, payload_stats
-from .parity import QuerySpec, REGISTRY, _t, q
-from .streaming.incremental import sessionized_counts, windowed_event_counts
+from .parity import REGISTRY, _t, q
+from .streaming.incremental import sessionized_counts
 
 # md5-prefix int64 in DuckDB
 _H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"

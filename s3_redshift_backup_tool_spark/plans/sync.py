@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import glob
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..operators import cdc as cdc_ops
 from ..operators.align import align_to_schema
-from ..operators.cdc import CDCConfig, Watermark
+from ..operators.cdc import Watermark
 from ..operators.column_mapper import apply_column_map
 from ..operators.manifest import ParquetManifest, files_df, norm_file_col
 from ..operators.quality import QualityReport, run_quality_gate
