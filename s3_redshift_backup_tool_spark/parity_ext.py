@@ -1028,6 +1028,58 @@ def corpus_stats_by_source(spark, sf_dir):
                   .alias("avg_words")))
 
 
+_KNN_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.vec_id, e.label,
+               round({_DOT.format(a='e.embedding', b='qv')}
+                     / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    topk AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, vec_id) AS rn
+                 FROM scored) WHERE rn <= 10),
+    votes AS (SELECT query_id, true_label, label, count(*) AS n_votes
+              FROM topk GROUP BY 1, 2, 3)
+    SELECT query_id, true_label, label AS pred_label, n_votes,
+           (label = true_label) AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, label) AS vr
+          FROM votes) WHERE vr = 1"""
+
+
+@q("knn_label_eval_embeddings", _KNN_SQL,
+   "embedding-quality eval: 10-NN majority-vote label vs the true label "
+   "for 50 query vectors — one corpus pass scores all queries (the "
+   "batch-cosine shape), ranking and voting shuffle only "
+   "(query, id, label, score) tuples, never embeddings")
+def knn_label_eval_embeddings(spark, sf_dir):
+    from pyspark.sql.window import Window
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < 50)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qv"),
+                     F.col("label").alias("true_label")))
+    scored = (emb.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+                 .select("query_id", "true_label", "vec_id", "label",
+                         F.round(sim.cosine(F.col("embedding"), F.col("qv")),
+                                 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    topk = (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 10))
+    votes = (topk.groupBy("query_id", "true_label", "label")
+                 .agg(F.count(F.lit(1)).alias("n_votes")))
+    vw = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    return (votes.withColumn("vr", F.row_number().over(vw))
+                 .filter(F.col("vr") == 1).drop("vr")
+                 .select("query_id", "true_label",
+                         F.col("label").alias("pred_label"), "n_votes",
+                         (F.col("label") == F.col("true_label"))
+                         .alias("correct")))
+
+
 @q("json_props_extract_events",
    """SELECT event_type,
              count(*) AS n_events,
@@ -1301,6 +1353,7 @@ _TAIL = [
     "json_props_extract_events",     # from_json: new function family
     "disjunctive_pred_part_revenue", # Q19 OR-of-ANDs join predicate
     "waiting_multi_supplier_orders", # Q21 semi+anti on same fact
+    "knn_label_eval_embeddings",     # batch-cosine + vote windows
 ]
 
 
