@@ -88,10 +88,20 @@ class ParquetManifest:
         self.path = path
 
     def _exists(self) -> bool:
-        import glob as _glob
-        import os as _os
-        return bool(_glob.glob(_os.path.join(self.path, "*.parquet"))) or \
-            bool(_glob.glob(_os.path.join(self.path, "**", "*.parquet")))
+        # Hadoop FileSystem API, not local glob — the manifest may live on
+        # an object store (s3a://...) where os/glob would always say
+        # "absent" and every staged file would silently reload.
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if status.isDirectory() or name.endswith(".parquet"):
+                return True
+        return False
 
     def paths_df(self) -> DataFrame:
         if not self._exists():
@@ -102,9 +112,12 @@ class ParquetManifest:
     def record(self, files: DataFrame) -> None:
         """Append newly loaded paths (a ``path``-column DataFrame). Dedup
         against existing entries stays an anti-join; the append itself is
-        a distributed write."""
+        a distributed write. No broadcast hint — at the millions-of-files
+        scale this class exists for, forcing the whole manifest to the
+        driver per append is the exact bottleneck it removes; AQE picks
+        broadcast while small and degrades to a shuffled anti-join."""
         new = files.select("path").distinct() \
-            .join(F.broadcast(self.paths_df()), "path", "left_anti") \
+            .join(self.paths_df(), "path", "left_anti") \
             .withColumn("loaded_at", F.current_timestamp())
         new.write.mode("append").parquet(self.path)
 

@@ -85,7 +85,11 @@ def pack_sequences(df: DataFrame, key_col: str, token_col,
     w = (Window.partitionBy("bucket").orderBy("__g", key_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    pack = (F.col("bucket").cast("long") * 1_000_000
-            + F.floor(cum_excl / F.lit(budget)))
+    # bucket occupies the high bits (shift, not a decimal stride): a
+    # bucket would need 2^40 ≈ 1.1e12 packs (~budget*2^40 tokens) before
+    # colliding with the next bucket's range — unreachable even at
+    # 100 TB, where a 1e6 stride was not.
+    pack = (F.shiftleft(F.col("bucket").cast("long"), 40)
+            .bitwiseOR(F.floor(cum_excl / F.lit(budget))))
     return base.select(key_col, "n_tokens", "bucket",
                        pack.alias("pack_id"))

@@ -1250,7 +1250,7 @@ def decontamination_eval_overlap(spark, sf_dir):
                                        ROWS UNBOUNDED PRECEDING) AS cum
             FROM b)
       SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-             bucket * 1000000
+             CAST(bucket * 1099511627776 AS BIGINT)
                + CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
       FROM w""",
    "token-budget sequence packing (LLM batch construction): hash-ordered "

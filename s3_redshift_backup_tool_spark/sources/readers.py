@@ -44,7 +44,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) columns (e.g. the events fixture) are read as long
     via ``legacy.parquet.nanosAsLong`` and converted back with integer
     nano->micro division — `DIV`, not `/`, because nanos exceed the
-    53-bit double mantissa and float division would corrupt timestamps."""
+    53-bit double mantissa and float division would corrupt timestamps.
+
+    Naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    TIMESTAMP_NTZ under Spark 4's inference; they are cast to TIMESTAMP
+    (same wall clock — the session timezone is pinned UTC) so downstream
+    event-time operators (withWatermark requires TIMESTAMP) and the
+    DuckDB oracle see one consistent type."""
+    from pyspark.sql import types as T
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
@@ -52,6 +59,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -44,6 +44,27 @@ def incremental_file_sync(
            .awaitTermination())
 
 
+def _recover_swap(target_path: str) -> None:
+    """Repair a half-finished merge swap before the stream starts.
+
+    Possible crash states of ``_merge``'s swap: a stale ``__tmp`` (crash
+    mid-write or pre-promote — discard, the checkpoint will replay the
+    batch), a ``__old`` with no target (crash between the two renames —
+    restore it), or both target and ``__old`` (crash before the final
+    cleanup — drop the old copy)."""
+    import os
+    import shutil
+
+    tmp = target_path.rstrip("/") + "__tmp"
+    old = target_path.rstrip("/") + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, target_path)
+
+
 def streaming_upsert_sync(
     spark: SparkSession,
     source_glob: str,
@@ -65,11 +86,17 @@ def streaming_upsert_sync(
     MERGE (Delta/Iceberg) replaces the rewrite with file-level pruning at
     100 TB, same logical plan. Exactly-once across restarts comes from
     the checkpoint (replayed batches re-merge idempotently — the merge is
-    a set operation, not an append)."""
+    a set operation, not an append) plus a crash-atomic directory swap:
+    the old target is renamed aside before the new one takes its place,
+    and ``_recover_swap`` repairs any half-finished swap at startup, so
+    no crash window can lose pre-batch keys."""
     from ..operators.dedup import latest_record_dedup
+
+    _recover_swap(target_path)
 
     def _merge(batch_df: DataFrame, _epoch: int) -> None:
         import os as _os
+        import shutil as _sh
         sp = batch_df.sparkSession
         batch = latest_record_dedup(batch_df, key_cols, ts_col)
         if _os.path.exists(target_path):
@@ -78,12 +105,19 @@ def streaming_upsert_sync(
             merged = keep.unionByName(batch)
         else:
             merged = batch
-        # write-then-swap: never overwrite the directory being read
+        # write-then-swap: never overwrite the directory being read, and
+        # never leave a window with no target — rename the current target
+        # aside, promote the new one, then drop the old. A crash at any
+        # point leaves either target or target__old intact for
+        # _recover_swap to restore.
         tmp = target_path.rstrip("/") + "__tmp"
+        old = target_path.rstrip("/") + "__old"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil as _sh
-        _sh.rmtree(target_path, ignore_errors=True)
+        _sh.rmtree(old, ignore_errors=True)
+        if _os.path.exists(target_path):
+            _os.rename(target_path, old)
         _os.rename(tmp, target_path)
+        _sh.rmtree(old, ignore_errors=True)
 
     (spark.readStream.schema(schema).parquet(source_glob)
           .writeStream.foreachBatch(_merge)

@@ -77,6 +77,79 @@ def test_streaming_upsert_latest_version_wins(spark, tmp_path):
     assert spark.read.parquet(tgt).count() == 4
 
 
+def test_streaming_upsert_recovers_half_finished_swap(spark, tmp_path):
+    """Crash between the two swap renames (target moved aside, new copy
+    not yet promoted) must not lose pre-batch keys: the next run restores
+    the aside copy before the stream starts, then the checkpoint replays
+    the batch and the merge sees all earlier keys."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    v1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+
+    # simulate the worst crash window: target renamed aside, promote
+    # never happened, and a stale half-written __tmp is lying around
+    os.rename(tgt, tgt + "__old")
+    os.makedirs(tgt + "__tmp")
+    with open(os.path.join(tgt + "__tmp", "part-garbage"), "w") as f:
+        f.write("not parquet")
+    assert not os.path.exists(tgt)
+
+    v2 = spark.createDataFrame(
+        [(3, "c", "2024-01-02 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    v2.write.mode("append").parquet(src)
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+
+    got = {r["id"]: r["val"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # ids 1,2 NOT lost
+    assert not os.path.exists(tgt + "__old")
+    assert not os.path.exists(tgt + "__tmp")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_streaming_upsert_drops_stale_old_after_promote(spark, tmp_path):
+    """Crash after promote but before cleanup leaves target AND __old;
+    recovery must keep the (newer) target and drop the aside copy."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    v1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+
+    # stale aside copy with DIFFERENT (older) content than target
+    stale = spark.createDataFrame(
+        [(99, "stale", "2020-01-01 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    stale.write.mode("overwrite").parquet(tgt + "__old")
+
+    v2 = spark.createDataFrame(
+        [(2, "b", "2024-01-02 00:00:00")],
+        "id long, val string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    v2.write.mode("append").parquet(src)
+    streaming_upsert_sync(spark, src, schema, tgt, ckpt,
+                          key_cols=["id"], ts_col="ts")
+
+    got = {r["id"]: r["val"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 2: "b"}  # stale copy discarded, not resurrected
+
+
 def test_available_now_with_transform(spark, orders, tmp_path):
     src = str(tmp_path / "src")
     orders.limit(50).write.mode("append").parquet(src)
