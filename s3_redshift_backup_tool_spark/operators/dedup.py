@@ -378,3 +378,33 @@ def latest_record_dedup(df: DataFrame, key_cols: list[str], ts_col: str,
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def dup_span_chunks(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_words: int = 16,
+                    min_docs: int = 2) -> DataFrame:
+    """Chunk-level exact duplicate-span detection: split each document
+    into consecutive non-overlapping ``chunk_words``-word chunks, hash
+    each, and report chunks that appear in >= ``min_docs`` distinct
+    documents — the copy-span / boilerplate detector that document-level
+    dedup misses (a page can be unique overall yet 80% shared template).
+
+    Scale shape: chunking is per-row array math; the only shuffle is the
+    groupBy on the 64-bit chunk hash (never the chunk text), so shuffle
+    volume is O(total_chunks x 8B) with map-side partial aggregation.
+    Oracle-portable: md5-prefix hashing, deterministic chunk boundaries.
+    Output: (chunk_hash, n_docs, n_occurrences)."""
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.floor(F.size(w) / chunk_words).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i * chunk_words + 1,
+                                                F.lit(chunk_words))))
+    exploded = (df.filter(F.size(w) >= chunk_words)
+                  .select(F.col(id_col), F.explode(chunks).alias("chunk")))
+    return (exploded
+            .select(id_col, md5_prefix_int(F.col("chunk")).alias("chunk_hash"))
+            .groupBy("chunk_hash")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_docs))

@@ -255,3 +255,28 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b", "p.cos_sim")
             .filter(F.col("cos_sim") >= threshold))
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_cols: tuple[str, ...] = ("vec_id",)) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = round(x_i / scale)``
+    with ``scale = max|x| / 127`` — the standard scalar-quantization step
+    that cuts vector storage and ANN scan bandwidth 4x (float32 -> int8)
+    at <1% recall loss for cosine search.
+
+    Per-row array math only (transform/array_max), zero shuffle, runs at
+    scan speed; at 100 TB the quantized column is what the ANN index
+    stores, with the fp32 vector kept only for the final re-rank.
+    Output: id cols, ``scale`` (double), ``q`` (array<int>), and
+    ``q_l2sq`` (sum of squares of q — an exactness witness for tests and
+    the oracle)."""
+    v = F.col(vec_col)
+    scale = (F.array_max(F.transform(v, lambda x: F.abs(x)))
+             .cast("double") / F.lit(127.0))
+    df = df.withColumn("scale", scale)
+    q = F.transform(v, lambda x: F.round(x.cast("double") / F.col("scale"))
+                    .cast("int"))
+    df = df.withColumn("q", q)
+    l2sq = F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                       lambda acc, x: acc + x.cast("long") * x.cast("long"))
+    return df.select(*id_cols, "scale", "q", l2sq.alias("q_l2sq"))

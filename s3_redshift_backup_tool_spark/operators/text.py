@@ -190,3 +190,32 @@ def stratified_sample(df: DataFrame, group_col: str, k: int,
         md5_prefix_int(F.col(id_col).cast("string")), F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+[0-9][0-9()\\-\\s]{7,}[0-9]",
+    "ipv4": "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+}
+PII_ORDER = ("email", "phone", "ipv4")  # emails first: they contain digits
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (regexp_extract_all length) — the audit
+    signal corpus pipelines log before redaction."""
+    return {kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens. Pure regexp_replace chain: per-row, zero shuffle,
+    codegen'd — the redaction pass of a training-data pipeline. Order is
+    fixed (emails before phones) so a digit-bearing email local part is
+    never half-eaten by the phone pattern."""
+    out = col
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

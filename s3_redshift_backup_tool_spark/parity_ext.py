@@ -1287,6 +1287,278 @@ def frame_sample_documents(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 3: classic relational shapes Q7/Q8/Q10/Q13/Q15 (the remaining
+# TPC-H query families expressible without partsupp) + training-data ops
+# (int8 quantization, chunk-level dup spans, PII redaction)
+# ==========================================================================
+
+@q("volume_shipping_pair_nations",
+   """SELECT supp_nation, cust_nation, l_year,
+             CAST(sum(vol) AS DOUBLE) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY supp_nation, cust_nation, l_year""",
+   "TPC-H Q7 shape: bidirectional two-nation volume shipping — the "
+   "disjunctive cross-dimension predicate lands after both nation joins; "
+   "only the 25-row nation dim is hint-broadcast, fact joins stay "
+   "AQE-driven")
+def volume_shipping_pair_nations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(sup, li.l_suppkey == sup.s_suppkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+              .agg(F.sum(vol).cast("double").alias("revenue")))
+
+
+@q("market_share_by_year",
+   """SELECT o_year,
+             round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+      GROUP BY o_year""",
+   "TPC-H Q8 shape: 8-table star join + conditional share-of-market "
+   "aggregation; region/nation hint-broadcast, part/supplier/customer "
+   "joins left to AQE size checks (they scale with data)")
+def market_share_by_year(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = (li.join(part.filter(F.col("p_type") == "PROMO"),
+                      li.l_partkey == part.p_partkey)
+                .join(sup, li.l_suppkey == sup.s_suppkey)
+                .join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(cust, orders.o_custkey == cust.c_custkey)
+                .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+                .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                      F.col("c_rk") == F.col("r_regionkey"))
+                .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")))
+    nat_vol = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero))
+    return (joined.groupBy(F.year("o_orderdate").alias("o_year"))
+                  .agg(F.round(nat_vol.cast("double")
+                               / F.sum(vol).cast("double"), 6).alias("mkt_share")))
+
+
+@q("returned_item_top_customers",
+   """SELECT c_custkey, c_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             n_name
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+   "TPC-H Q10 shape: returned-item revenue ranking — filter pushes to "
+   "both fact scans, top-20 is TakeOrderedAndProject (no global sort)")
+def returned_item_top_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.filter(F.col("l_returnflag") == "R")
+              .join(orders.filter(
+                  (F.col("o_orderdate") >= "1996-01-01")
+                  & (F.col("o_orderdate") < "1996-07-01")),
+                  li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .select("c_custkey", "c_name", "revenue", "n_name")
+              .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+@q("custdist_orders_per_customer",
+   """SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count""",
+   "TPC-H Q13 shape: customer order-count distribution — left outer join "
+   "keeps zero-order customers, two-level aggregation, the second groupBy "
+   "is on an already-tiny domain")
+def custdist_orders_per_customer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (cust.join(orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+                          cust.c_custkey == orders.o_custkey, "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q("top_supplier_by_revenue",
+   """WITH rev AS (SELECT l_suppkey AS supplier_no,
+                        CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01'
+                 GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN rev ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+   "TPC-H Q15 shape: top supplier by quarterly revenue — the scalar max "
+   "comes from a 1-row agg broadcast-joined back (no window over a "
+   "single global partition, which would serialize at scale)")
+def top_supplier_by_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+             .groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        .cast("decimal(18,4)")).cast("double")
+                  .alias("total_revenue")))
+    best = rev.agg(F.max("total_revenue").alias("__best"))
+    return (sup.join(rev, sup.s_suppkey == rev.supplier_no)
+               .join(F.broadcast(best),
+                     F.col("total_revenue") == F.col("__best"))
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@q("quantize_int8_embeddings",
+   """WITH s AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                        / 127.0 AS scale
+               FROM embeddings)
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> CAST(round(x::DOUBLE / scale) AS INTEGER)) AS q,
+             CAST(list_sum(list_transform(embedding,
+                  x -> CAST(round(x::DOUBLE / scale) AS BIGINT)
+                       * CAST(round(x::DOUBLE / scale) AS BIGINT))) AS BIGINT)
+               AS q_l2sq
+      FROM s""",
+   "symmetric per-vector int8 quantization (4x ANN storage/bandwidth "
+   "cut): per-row array math, zero shuffle; q_l2sq is the value witness")
+def quantize_int8_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(emb)
+
+
+@q("dup_span_chunks_documents",
+   f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 16),
+      i AS (SELECT doc_id, w, unnest(range(len(w) // 16)) AS i FROM t),
+      e AS (SELECT doc_id,
+                   array_to_string(w[i*16+1 : i*16+16], ' ') AS chunk
+            FROM i)
+      SELECT {_H.format(x='chunk')} AS chunk_hash,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occurrences
+      FROM e GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+   "chunk-level exact duplicate spans (boilerplate/template detector "
+   "document-level dedup misses): per-row chunking, one groupBy on the "
+   "64-bit chunk hash — shuffle O(chunks x 8B), never the chunk text")
+def dup_span_chunks_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.dup_span_chunks(docs, chunk_words=16, min_docs=2)
+
+
+_PII_EMAIL = tx.PII_PATTERNS["email"]
+_PII_PHONE = tx.PII_PATTERNS["phone"]
+_PII_IPV4 = tx.PII_PATTERNS["ipv4"]
+
+
+@q("pii_scrub_customer",
+   f"""WITH b AS (SELECT c_custkey,
+                       c_name || ' email ' || lower(replace(c_name, ' ', '.'))
+                       || '@example.com call +1 555-'
+                       || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                       || '.1' AS contact
+                FROM customer)
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(contact, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(contact, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+             CAST(len(regexp_extract_all(contact, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(contact,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IPV4}', '<IPV4>', 'g') AS scrubbed
+      FROM b""",
+   "PII audit + redaction pass (emails/phones/IPv4) over synthesized "
+   "contact text: regexp chain is per-row, zero shuffle, codegen'd; "
+   "patterns restricted to the Java-regex/RE2 common subset so the "
+   "oracle reproduces the redaction byte-for-byte")
+def pii_scrub_customer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"), F.lit(" email "),
+        F.lower(F.regexp_replace("c_name", " ", ".")),
+        F.lit("@example.com call +1 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".1"))
+    base = cust.select("c_custkey", contact.alias("contact"))
+    counts = tx.pii_counts(F.col("contact"))
+    return base.select(
+        "c_custkey",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ips"),
+        tx.scrub_pii(F.col("contact")).alias("scrubbed"))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
 # must appear early; redundant variants whose code paths are fully covered
@@ -1307,14 +1579,15 @@ _WINDOW = [
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
     "neardup_clusters_documents", "ngram_jaccard_pairs_documents",
     "simhash_documents", "fingerprint_documents",
-    "cosine_topk_embeddings", "batch_cosine_topk_embeddings",
+    "cosine_topk_embeddings", "quantize_int8_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
     "embedding_neardup_pairs", "hash_sample_documents",
-    "train_val_test_split_documents", "multimodal_payload_stats",
+    "dup_span_chunks_documents",
     "multimodal_features",
     # text analysis / corpus curation
     "text_stats_documents", "repetition_signals_documents",
     "lang_id_confusion_documents", "stratified_sample_by_source",
+    "pii_scrub_customer",
     # windows / top-k / temporal joins / streaming
     "latest_record_per_user", "event_gap_lag_window",
     "topk_orders_by_price", "asof_click_attribution",
@@ -1354,6 +1627,16 @@ _TAIL = [
     "disjunctive_pred_part_revenue", # Q19 OR-of-ANDs join predicate
     "waiting_multi_supplier_orders", # Q21 semi+anti on same fact
     "knn_label_eval_embeddings",     # batch-cosine + vote windows
+    # round-3 additions / demoted siblings (full oracle coverage lives in
+    # tests/test_full_parity.py regardless of the driver window)
+    "batch_cosine_topk_embeddings",  # cosine machinery: cosine_topk
+    "train_val_test_split_documents",# hash-gate: hash_sample_documents
+    "multimodal_payload_stats",      # builtin agg: quality_metrics family
+    "volume_shipping_pair_nations",  # Q7: revenue_by_nation join family
+    "market_share_by_year",          # Q8: star join + conditional share
+    "returned_item_top_customers",   # Q10: join + TakeOrdered topk
+    "custdist_orders_per_customer",  # Q13: left-outer + two-level agg
+    "top_supplier_by_revenue",       # Q15: scalar-max broadcast join
 ]
 
 
