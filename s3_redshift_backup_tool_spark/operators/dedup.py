@@ -394,6 +394,7 @@ def dup_span_chunks(df: DataFrame, text_col: str = "text",
     volume is O(total_chunks x 8B) with map-side partial aggregation.
     Oracle-portable: md5-prefix hashing, deterministic chunk boundaries.
     Output: (chunk_hash, n_docs, n_occurrences)."""
+    df = fan_out(df)  # chunk building is the per-row hot loop
     w = F.split(F.col(text_col), " ")
     n_chunks = F.floor(F.size(w) / chunk_words).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)

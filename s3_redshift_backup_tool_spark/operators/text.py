@@ -154,6 +154,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     one explode + two partial-aggregable groupBys keyed by doc — shuffle
     O(grams), never O(docs^2)."""
     toks = tokens(F.col(text_col))
+    df = fan_out(df)  # per-row gram building dominates; unlock all cores
     base = df.select(
         F.col(id_col), F.length(text_col).cast("double").alias("n_chars"),
         F.size(toks).alias("n_words"),

@@ -1061,11 +1061,21 @@ def knn_label_eval_embeddings(spark, sf_dir):
     qs = (emb.filter(F.col("vec_id") < 50)
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("qv"),
+                     sim.l2_norm(F.col("embedding")).alias("qnrm"),
                      F.col("label").alias("true_label")))
-    scored = (emb.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
-                 .select("query_id", "true_label", "vec_id", "label",
-                         F.round(sim.cosine(F.col("embedding"), F.col("qv")),
-                                 6).alias("cos_sim")))
+    # norms factored out of the pair loop: cosine(a,b) inline would run
+    # 3 dot products per (row x query) pair; precomputing |a| once per
+    # corpus row and |q| once per broadcast query leaves 1 — a 3x cut in
+    # the dominant (higher-order-function, non-codegen) work. Same
+    # arithmetic, bit-identical to the oracle's sqrt(dot)/sqrt(dot) form.
+    from .operators.partitioning import fan_out
+    corpus = fan_out(emb).select("vec_id", "label", "embedding",
+                                 sim.l2_norm(F.col("embedding")).alias("nrm"))
+    scored = (corpus.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+                    .select("query_id", "true_label", "vec_id", "label",
+                            F.round(sim.dot(F.col("embedding"), F.col("qv"))
+                                    / (F.col("nrm") * F.col("qnrm")),
+                                    6).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     topk = (scored.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") <= 10))

@@ -35,6 +35,13 @@ def get_spark(app_name: str = "s3_redshift_backup_tool_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps (isAdjustedToUTC=false) read as plain
+        # TIMESTAMP, not TIMESTAMP_NTZ: with the session pinned to UTC the
+        # wall clock is identical, event-time ops (withWatermark) require
+        # TIMESTAMP, and skipping the NTZ->LTZ cast keeps timestamp
+        # predicates pushable into the parquet scan (a cast above the scan
+        # would block PushedFilters on every CDC watermark query)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

@@ -164,3 +164,52 @@ def sessionized_counts(
     return (events.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
                   .agg(F.count(F.lit(1)).alias("n_events"),
                        F.sum("value").alias("sum_value")))
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup for at-least-once CDC feeds: drop re-
+    deliveries of the same key. Batch input -> plain dropDuplicates;
+    streaming input -> dropDuplicatesWithinWatermark, whose state store
+    holds only keys younger than the lateness bound — at 100 TB/day the
+    state is O(keys per watermark window), not O(all keys ever), which is
+    what makes streaming dedup feasible at all. Same logical result on
+    both paths for data whose duplicates arrive within the delay."""
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, watermark_delay)
+                  .dropDuplicatesWithinWatermark(key_cols))
+    return df.dropDuplicates(key_cols)
+
+
+def stream_stream_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    purchase_ts: str = "p_ts",
+    click_ts: str = "c_ts",
+    lookback: str = "2 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: each purchase pairs with the
+    same user's clicks in [p_ts - lookback, p_ts]. With watermarks on
+    BOTH sides plus the time-range condition, Spark bounds the join state
+    to the interval width — the streaming analog of the batch bucketed
+    range join (operators/temporal.py). Batch inputs run the identical
+    plan (the watermark is a no-op there), so stream/batch equivalence is
+    testable query-for-query."""
+    p = purchases
+    c = clicks
+    if p.isStreaming:
+        p = p.withWatermark(purchase_ts, watermark_delay)
+    if c.isStreaming:
+        c = c.withWatermark(click_ts, watermark_delay)
+    cond = (
+        (p[user_col] == c[user_col])
+        & (c[click_ts] >= p[purchase_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (c[click_ts] <= p[purchase_ts])
+    )
+    return p.join(c, cond).drop(c[user_col])

@@ -190,3 +190,59 @@ def test_session_windows_have_gap_semantics(spark, events):
     row = out.first()
     assert row["session_window"]["start"] <= row["session_window"]["end"]
     assert out.count() > 0
+
+
+def test_streaming_dedup_matches_batch(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream == dropDuplicates over
+    the batch frame when all duplicates arrive inside the delay."""
+    from s3_redshift_backup_tool_spark.streaming.incremental import streaming_dedup
+
+    src = str(tmp_path / "ev")
+    ev = events.select("event_id", "user_id", "ts").limit(500)
+    dup = ev.union(ev.limit(100))  # re-deliver 100 events
+    dup.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_dedup(stream, ["event_id"], "ts")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d "
+                    "FROM dedup_out").first()
+
+    batch = streaming_dedup(spark.read.parquet(src), ["event_id"], "ts")
+    assert got["c"] == got["d"] == batch.count() == 500
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join (watermarked both sides) produces the
+    same pairs as the identical batch plan."""
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        stream_stream_attribution)
+
+    ev = events.limit(4000)
+    clicks_df = (ev.filter(F.col("event_type") == "click")
+                   .select("user_id", F.col("ts").alias("c_ts"),
+                           F.col("event_id").alias("click_id")))
+    buys_df = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id")))
+    cpath, ppath = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks_df.write.parquet(cpath)
+    buys_df.write.parquet(ppath)
+
+    cs = spark.readStream.schema(clicks_df.schema).parquet(cpath)
+    ps = spark.readStream.schema(buys_df.schema).parquet(ppath)
+    q = (stream_stream_attribution(ps, cs)
+         .writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["purchase_id"], r["click_id"])
+           for r in spark.sql("SELECT purchase_id, click_id FROM ssj_out").collect()}
+
+    expect = {(r["purchase_id"], r["click_id"])
+              for r in stream_stream_attribution(
+                  spark.read.parquet(ppath), spark.read.parquet(cpath))
+              .select("purchase_id", "click_id").collect()}
+    assert got == expect and len(expect) > 0
