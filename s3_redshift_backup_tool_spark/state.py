@@ -438,3 +438,113 @@ class WatermarkView:
     @property
     def processed_s3_files(self) -> list[str]:
         return list(self.doc.get("processed_files") or [])
+
+    @property
+    def mysql_last_session_rows(self) -> int:
+        return int(self.doc["mysql_state"].get("last_session_rows") or 0)
+
+    @property
+    def redshift_status(self) -> str:
+        return self.doc["redshift_state"]["status"]
+
+    @property
+    def redshift_last_session_rows(self) -> int:
+        return int(self.doc["redshift_state"].get("last_session_rows") or 0)
+
+    @property
+    def s3_file_count(self) -> int:
+        # files created during extraction, NOT files loaded (the reference
+        # fixed exactly this confusion, watermark_adapter.py:56-58)
+        return int(self.doc["mysql_state"].get("s3_files_created") or 0)
+
+    @property
+    def backup_strategy(self) -> str:
+        return self.doc.get("cdc_strategy", "hybrid")
+
+    @property
+    def last_error(self) -> str | None:
+        return (self.doc["mysql_state"].get("error")
+                or self.doc["redshift_state"].get("error"))
+
+
+class LegacyWatermarkAdapter:
+    """v1-compat API over :class:`WatermarkStore` — the migration shim for
+    callers written against the old per-table watermark interface
+    (reference src/core/watermark_adapter.py:66-250): same method names
+    and argument shapes, backed by the v2.0 document store.
+
+    Also imports v1-shaped documents (``last_mysql_data_timestamp`` /
+    ``last_processed_id`` / ``processed_s3_files`` attribute soup) into
+    the v2.0 store so a deployment can migrate state without re-syncing.
+    """
+
+    def __init__(self, store: WatermarkStore, source: str, target: str):
+        self.store = store
+        self.source = source
+        self.target = target
+
+    def get_table_watermark(self, table: str) -> WatermarkView:
+        return WatermarkView(self.store.get(self.source, table, self.target))
+
+    def update_mysql_watermark(self, table: str, extraction_time: str,
+                               max_data_timestamp: str | None,
+                               last_processed_id: int | None,
+                               rows_extracted: int, status: str = "success",
+                               s3_file_count: int = 0,
+                               error: str | None = None) -> bool:
+        """Legacy extraction commit (reference :159-181): session figures
+        fold into the v2.0 cumulative accounting."""
+        self.store.update_extraction_state(
+            self.source, table, self.target,
+            last_timestamp=max_data_timestamp, last_id=last_processed_id,
+            session_rows=rows_extracted, session_files=s3_file_count,
+            status=status, error=error)
+        return True
+
+    def update_redshift_watermark(self, table: str, load_time,
+                                  rows_loaded: int, status: str = "success",
+                                  processed_files: list[str] | None = None,
+                                  error: str | None = None) -> bool:
+        """Legacy load commit (reference :183-214). ``rows_loaded`` is
+        deliberately ignored, matching the reference: load-side counts
+        come only from the external target count
+        (:meth:`WatermarkStore.update_target_count`)."""
+        self.store.update_load_state(
+            self.source, table, self.target,
+            loaded_files=processed_files or [], status=status, error=error)
+        return True
+
+    def import_legacy_doc(self, table: str, legacy: dict) -> dict:
+        """Migrate a v1 watermark document into the v2.0 store. Cumulative
+        totals are carried over verbatim (not re-accumulated), the file
+        blacklist union-dedups with anything already recorded."""
+        doc = self.store.get(self.source, table, self.target)
+        ms = doc["mysql_state"]
+        ms["last_timestamp"] = legacy.get("last_mysql_data_timestamp",
+                                          ms["last_timestamp"])
+        if legacy.get("last_processed_id") is not None:
+            ms["last_id"] = int(legacy["last_processed_id"])
+        ms["status"] = legacy.get("mysql_status", ms["status"])
+        ms["total_rows"] = int(legacy.get("mysql_rows_extracted",
+                                          ms["total_rows"]) or 0)
+        ms["s3_files_created"] = int(legacy.get("s3_file_count",
+                                                ms["s3_files_created"]) or 0)
+        ms["last_updated"] = legacy.get("last_mysql_extraction_time",
+                                        ms["last_updated"])
+        rs = doc["redshift_state"]
+        rs["status"] = legacy.get("redshift_status", rs["status"])
+        rs["total_rows"] = int(legacy.get("redshift_rows_loaded",
+                                          rs["total_rows"]) or 0)
+        files = set(doc.get("processed_files") or []) \
+            | set(legacy.get("processed_s3_files") or [])
+        doc["processed_files"] = sorted(files)
+        if legacy.get("backup_strategy"):
+            doc["cdc_strategy"] = legacy["backup_strategy"]
+        if legacy.get("last_error"):
+            ms["error"] = legacy["last_error"]
+        doc["metadata"]["migrated_from"] = "v1"
+        self.store._blacklist_cache[
+            self.store._key(self.source, table, self.target)] = \
+            set(doc["processed_files"])
+        self.store._save(self.source, table, self.target, doc)
+        return doc

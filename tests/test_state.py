@@ -155,3 +155,73 @@ def test_legacy_adapter_view():
     assert v.last_processed_id == 0
     assert v.mysql_status == "pending"
     assert v.processed_s3_files == []
+
+
+def test_legacy_adapter_roundtrip(tmp_path):
+    """v1-API calls land in the v2.0 doc with cumulative accounting."""
+    from s3_redshift_backup_tool_spark.state import (
+        LegacyWatermarkAdapter, LocalJsonBackend, WatermarkStore)
+
+    store = WatermarkStore(LocalJsonBackend(str(tmp_path)))
+    ad = LegacyWatermarkAdapter(store, "src", "tgt")
+
+    assert ad.update_mysql_watermark(
+        "t1", extraction_time="2024-01-01T00:00:00Z",
+        max_data_timestamp="2024-01-01 00:00:00", last_processed_id=500,
+        rows_extracted=1000, s3_file_count=4)
+    assert ad.update_mysql_watermark(
+        "t1", extraction_time="2024-01-02T00:00:00Z",
+        max_data_timestamp="2024-01-02 00:00:00", last_processed_id=900,
+        rows_extracted=250, s3_file_count=1)
+    assert ad.update_redshift_watermark(
+        "t1", load_time=None, rows_loaded=999999,  # ignored by design
+        processed_files=["a.parquet", "b.parquet"])
+
+    wm = ad.get_table_watermark("t1")
+    assert wm.last_mysql_data_timestamp == "2024-01-02 00:00:00"
+    assert wm.last_processed_id == 900
+    assert wm.mysql_row_count == 1250          # cumulative
+    assert wm.mysql_last_session_rows == 250   # session only
+    assert wm.s3_file_count == 5
+    assert wm.redshift_row_count == 0          # rows_loaded ignored
+    assert set(wm.processed_s3_files) == {"a.parquet", "b.parquet"}
+    assert wm.mysql_status == "success" and wm.redshift_status == "success"
+
+
+def test_legacy_doc_import_migrates_v1_state(tmp_path):
+    """A v1-shaped document migrates into the v2.0 store: totals carried
+    verbatim, blacklist union-deduped, strategy preserved."""
+    from s3_redshift_backup_tool_spark.state import (
+        LegacyWatermarkAdapter, LocalJsonBackend, WatermarkStore)
+
+    store = WatermarkStore(LocalJsonBackend(str(tmp_path)))
+    ad = LegacyWatermarkAdapter(store, "src", "tgt")
+    # pre-existing v2 state with one processed file
+    store.update_load_state("src", "t2", "tgt", loaded_files=["old.parquet"])
+
+    v1 = {
+        "table_name": "t2",
+        "last_mysql_data_timestamp": "2023-06-01 12:00:00",
+        "last_processed_id": 42424242,
+        "mysql_status": "success",
+        "mysql_rows_extracted": 7_000_000,
+        "s3_file_count": 70,
+        "redshift_status": "success",
+        "redshift_rows_loaded": 6_999_000,
+        "processed_s3_files": ["old.parquet", "new1.parquet"],
+        "backup_strategy": "timestamp_only",
+    }
+    ad.import_legacy_doc("t2", v1)
+
+    wm = ad.get_table_watermark("t2")
+    assert wm.last_mysql_data_timestamp == "2023-06-01 12:00:00"
+    assert wm.last_processed_id == 42424242
+    assert wm.mysql_row_count == 7_000_000      # verbatim, not re-added
+    assert wm.redshift_row_count == 6_999_000
+    assert wm.s3_file_count == 70
+    assert wm.backup_strategy == "timestamp_only"
+    assert set(wm.processed_s3_files) == {"old.parquet", "new1.parquet"}
+    assert store.is_processed("src", "t2", "tgt", "new1.parquet")
+    # resume works off the migrated cursor
+    doc = store.get("src", "t2", "tgt")
+    assert doc["metadata"]["migrated_from"] == "v1"
