@@ -409,3 +409,33 @@ def dup_span_chunks(df: DataFrame, text_col: str = "text",
             .agg(F.countDistinct(id_col).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .filter(F.col("n_docs") >= min_docs))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         keep_cols: list[str] | None = None) -> DataFrame:
+    """End-to-end near-dup deduplication: from candidate pairs, keep one
+    canonical document per connected component (the MIN id) plus every
+    document in no component — the actual corpus-shrinking step that the
+    pairs/clusters operators feed.
+
+    Scale shape: components over pairs (not over docs — the pair graph is
+    tiny relative to the corpus), then one left_anti join of the corpus
+    against the drop-set (non-canonical members only). The corpus is
+    touched exactly once."""
+    comp = neardup_components(pairs)
+    drop = comp.filter(F.col("component") != F.col("doc_id")) \
+               .select(F.col("doc_id").alias(id_col))
+    out = df.join(drop, id_col, "left_anti")
+    return out.select(*(keep_cols or df.columns))
+
+
+def cluster_size_histogram(pairs: DataFrame) -> DataFrame:
+    """Dedup audit: distribution of near-dup cluster sizes (how much
+    duplication, in what shape — many pairs vs few giant templates).
+    Two partial-aggregable groupBys over the component labels."""
+    comp = neardup_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+                 .agg(F.count(F.lit(1)).alias("n_clusters")))

@@ -1297,6 +1297,58 @@ def frame_sample_documents(spark, sf_dir):
 
 
 # ==========================================================================
+# shared recursive-CC oracle scaffolding (mirrors neardup_clusters)
+_CC_COMP_CTE = f"""{_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)"""
+
+
+@q("neardup_dedup_keep_canonical",
+   f"""WITH RECURSIVE {_CC_COMP_CTE}
+      SELECT d.doc_id, d.source, d.lang
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.component = d.doc_id""",
+   "end-to-end near-dup dedup: keep one canonical doc (min id) per "
+   "MinHash-LSH component plus all unclustered docs — components run "
+   "over the tiny pair graph, the corpus is touched once by a left_anti "
+   "against the drop-set")
+def neardup_dedup_keep_canonical(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
+    return dd.dedup_keep_canonical(docs, pairs,
+                                   keep_cols=["doc_id", "source", "lang"])
+
+
+@q("neardup_cluster_size_histogram",
+   f"""WITH RECURSIVE {_CC_COMP_CTE},
+      sizes AS (SELECT component, count(*) AS cluster_size
+                FROM comp GROUP BY component)
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM sizes GROUP BY cluster_size""",
+   "dedup audit: near-dup cluster-size distribution (many pairs vs few "
+   "giant templates) — two partial-aggregable groupBys over component "
+   "labels")
+def neardup_cluster_size_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
+    return dd.cluster_size_histogram(pairs)
+
+
+# ==========================================================================
 # Round 3: classic relational shapes Q7/Q8/Q10/Q13/Q15 (the remaining
 # TPC-H query families expressible without partsupp) + training-data ops
 # (int8 quantization, chunk-level dup spans, PII redaction)
@@ -1647,6 +1699,8 @@ _TAIL = [
     "returned_item_top_customers",   # Q10: join + TakeOrdered topk
     "custdist_orders_per_customer",  # Q13: left-outer + two-level agg
     "top_supplier_by_revenue",       # Q15: scalar-max broadcast join
+    "neardup_dedup_keep_canonical",  # CC + left_anti: clusters family
+    "neardup_cluster_size_histogram",# CC + double agg: clusters family
 ]
 
 

@@ -136,3 +136,28 @@ def list_tables_jdbc(spark: SparkSession, url: str, query: str,
     df = spark.read.format("jdbc").options(**opts).load()
     name_col = df.columns[0]
     return sorted(r[name_col] for r in df.collect())
+
+
+def read_csv(spark: SparkSession, path: str, schema,
+             header: bool = True, **options) -> DataFrame:
+    """CSV source with an explicit schema (S13 sibling). Schema is
+    REQUIRED: header inference costs an extra full pass at scale and
+    yields engine-dependent types; an explicit StructType keeps the scan
+    single-pass and the plan deterministic. Malformed rows land in a
+    ``_corrupt_record``-style permissive mode only if the caller opts in
+    via ``mode`` — default FAILFAST so silent data loss cannot happen
+    mid-pipeline."""
+    opts = {"header": str(header).lower(), "mode": "FAILFAST",
+            "timestampFormat": "yyyy-MM-dd HH:mm:ss"}
+    opts.update(options)
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema,
+                    **options) -> DataFrame:
+    """JSON-lines source with an explicit schema (S13 sibling; the
+    reference maps MySQL `json` columns to strings — this is the file-
+    level analog). Same FAILFAST/explicit-schema stance as read_csv."""
+    opts = {"mode": "FAILFAST", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"}
+    opts.update(options)
+    return spark.read.options(**opts).schema(schema).json(path)

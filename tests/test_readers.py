@@ -33,3 +33,47 @@ def test_nanos_timestamp_column_readable(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"].startswith("timestamp")
     assert ev.selectExpr("max(ts)").first()[0] is not None
+
+
+def test_csv_source_roundtrips_through_sync_shapes(spark, orders, tmp_path):
+    """CSV staging: explicit-schema read returns the same rows/types as
+    the parquet source (column order and values)."""
+    from s3_redshift_backup_tool_spark.sources.readers import read_csv
+
+    path = str(tmp_path / "orders_csv")
+    (orders.selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice",
+                       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate",
+                       "o_orderpriority")
+           .write.option("header", "true").csv(path))
+    back = read_csv(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    a = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in orders.collect()}
+    assert a == b
+
+
+def test_json_source_roundtrips(spark, orders, tmp_path):
+    from s3_redshift_backup_tool_spark.sources.readers import read_json_lines
+
+    path = str(tmp_path / "orders_json")
+    orders.write.json(path)
+    back = read_json_lines(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in orders.collect()}
+
+
+def test_csv_failfast_rejects_malformed(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+    from py4j.protocol import Py4JJavaError
+    from s3_redshift_backup_tool_spark.sources.readers import read_csv
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text("a,b\n1,x\nnot_an_int,y\n")
+    schema = T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("b", T.StringType())])
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), schema).collect()
