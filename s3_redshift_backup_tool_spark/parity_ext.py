@@ -225,6 +225,48 @@ def event_gap_lag_window(spark, sf_dir):
         F.rank().over(w).alias("rk"))
 
 
+@q("rolling_hour_avg_value",
+   """SELECT user_id, event_id,
+             round(avg(value) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_avg
+      FROM events WHERE user_id < 10""",
+   "time-RANGE rolling aggregate (trailing 1h mean per user): "
+   "rangeBetween on epoch seconds — frame bounds are data values, not "
+   "row offsets, so late/dense bursts weight correctly; per-user "
+   "partitions keep the window state bounded")
+def rolling_hour_avg_value(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select("user_id", "event_id",
+                     F.round(F.avg("value").over(w), 6).alias("rolling_avg"))
+
+
+@q("ntile_cumedist_customers",
+   """SELECT c_custkey,
+             ntile(4)     OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile,
+             round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd,
+             round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+      FROM customer""",
+   "distribution analytics: ntile / cume_dist / percent_rank with a "
+   "deterministic tie-broken ordering. NOTE the single global window — "
+   "correct but serializing; at scale use the partitioned quantile "
+   "summary (price_percentiles) or bucket by a coarse key first")
+def ntile_cumedist_customers(spark, sf_dir):
+    from pyspark.sql import Window
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"))
+
+
 # ==========================================================================
 # Event-time windows (§2.12 capability extension: tumbling/sliding/session)
 # ==========================================================================
@@ -1701,6 +1743,8 @@ _TAIL = [
     "top_supplier_by_revenue",       # Q15: scalar-max broadcast join
     "neardup_dedup_keep_canonical",  # CC + left_anti: clusters family
     "neardup_cluster_size_histogram",# CC + double agg: clusters family
+    "rolling_hour_avg_value",        # time-RANGE frame: event_gap family
+    "ntile_cumedist_customers",      # distribution windows: event_gap family
 ]
 
 

@@ -70,16 +70,20 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     with data size: a forced hint overrides AQE's size check and OOMs
     executors at 100x scale (round-1 verdict finding). AQE still
     broadcasts them at small SF — but size-driven, not hint-forced."""
+    allowed = ("n_nationkey", "r_regionkey",  # fixed-cardinality dims
+               "__best")                      # 1-row aggregate (Q15 max)
     for name in ["revenue_by_nation", "shipping_priority_top10",
                  "supplier_revenue_by_nation", "large_volume_orders",
-                 "small_qty_part_revenue", "part_type_revenue_share"]:
+                 "small_qty_part_revenue", "part_type_revenue_share",
+                 "volume_shipping_pair_nations", "market_share_by_year",
+                 "returned_item_top_customers", "top_supplier_by_revenue"]:
         df = REGISTRY[name].fn(spark, sf_dir)
         lines = df._jdf.queryExecution().analyzed().toString().splitlines()
         for i, line in enumerate(lines):
             if "ResolvedHint" not in line:
                 continue
             subtree = "\n".join(lines[i + 1:i + 8])
-            assert "n_nationkey" in subtree, \
+            assert any(tok in subtree for tok in allowed), \
                 f"{name}: broadcast hint wraps a scaling table:\n{subtree}"
 
 
@@ -201,3 +205,33 @@ def test_batch_cosine_broadcasts_queries(plan):
     shuffles = [l for l in p.splitlines()
                 if "Exchange" in l and "BroadcastExchange" not in l]
     assert shuffles and all("query_id" in l for l in shuffles), shuffles
+
+
+def test_q10_topk_avoids_global_sort(plan):
+    """Q10: the revenue top-20 must be TakeOrderedAndProject, not a full
+    sort shuffle of the aggregated customers."""
+    assert "TakeOrderedAndProject" in plan("returned_item_top_customers")
+
+
+def test_dup_span_shuffles_hash_not_text(plan):
+    """Chunk-dup detection must shuffle on the 64-bit chunk hash only:
+    the chunk strings themselves never enter an exchange."""
+    p = plan("dup_span_chunks_documents")
+    parts = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert parts, "expected one hash exchange on chunk_hash"
+    assert all("chunk_hash" in l for l in parts)
+    assert all("chunk#" not in l for l in parts)
+
+
+def test_pii_scrub_is_narrow(plan):
+    """Redaction is a per-row regexp chain: zero exchanges."""
+    assert "Exchange" not in plan("pii_scrub_customer")
+
+
+def test_rolling_window_partitioned_by_user(plan):
+    """The time-RANGE rolling mean must keep its per-user partition spec
+    (an empty partition spec serializes the whole table through one
+    task)."""
+    p = plan("rolling_hour_avg_value")
+    win = [l for l in p.splitlines() if "Window" in l and "avg" in l]
+    assert win and all("user_id" in l for l in win)
