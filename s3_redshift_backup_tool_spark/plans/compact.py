@@ -59,3 +59,46 @@ def compact_target(
     shutil.rmtree(backup, ignore_errors=True)
     return CompactResult(rows_before=rows_before, rows_after=rows_after,
                          rows_removed=rows_before - rows_after)
+
+
+@dataclass
+class LayoutResult:
+    rows: int
+    files_before: int
+    files_after: int
+
+
+def optimize_target_layout(
+    spark: SparkSession,
+    target_path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> LayoutResult:
+    """OPTIMIZE-ZORDER analog for a parquet target: rewrite the table
+    clustered on ``zorder_cols`` (operators.layout.write_zordered), fixing
+    two scan-side costs in one pass — small-file proliferation from many
+    incremental syncs, and min/max pruning that only works on the
+    original write order. Swap semantics match :func:`compact_target`."""
+    import glob
+
+    from ..operators.layout import write_zordered
+
+    df = spark.read.parquet(target_path)
+    rows = df.count()
+    files_before = len(glob.glob(os.path.join(target_path, "*.parquet")))
+
+    tmp = f"{target_path}__optimize_{uuid.uuid4().hex[:8]}"
+    write_zordered(df, tmp, zorder_cols, n_files=n_files, bits=bits)
+
+    backup = f"{target_path}__preoptimize"
+    os.rename(target_path, backup)
+    try:
+        os.rename(tmp, target_path)
+    except OSError:
+        os.rename(backup, target_path)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    files_after = len(glob.glob(os.path.join(target_path, "*.parquet")))
+    return LayoutResult(rows=rows, files_before=files_before,
+                        files_after=files_after)

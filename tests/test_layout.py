@@ -1,0 +1,90 @@
+"""Z-order layout: multi-dimensional clustering must make file-level
+min/max pruning effective on BOTH clustered columns at once."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators.layout import (
+    file_pruning_stats, interleave_bits, write_zordered, zorder_key)
+
+
+def test_interleave_bits_known_values(spark):
+    df = spark.range(1).select(
+        interleave_bits([F.lit(0b101), F.lit(0b011)], bits=3).alias("z"))
+    # x bits -> even positions, y bits -> odd: x=101,y=011 -> 0b010111?
+    # pos0=x0=1 pos1=y0=1 pos2=x1=0 pos3=y1=1 pos4=x2=1 pos5=y2=0
+    assert df.first()["z"] == 0b011011
+
+
+def test_interleave_monotone_in_each_dim(spark):
+    # with the other dim fixed, the z key is monotone in each column
+    df = spark.range(64).select(
+        F.col("id").alias("x"),
+        interleave_bits([F.col("id"), F.lit(7)], bits=6).alias("z"))
+    rows = df.orderBy("x").collect()
+    assert all(rows[i]["z"] < rows[i + 1]["z"] for i in range(len(rows) - 1))
+
+
+def test_zorder_write_prunes_both_dims(spark, orders, tmp_path):
+    """vs a single-column sort: z-order keeps pruning power on both
+    clustered columns; a linear sort on custkey gives ~zero pruning on
+    totalprice."""
+    n_files = 16
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    data = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+
+    write_zordered(data, zpath, ["o_custkey", "o_totalprice"],
+                   n_files=n_files)
+    (data.repartitionByRange(n_files, "o_custkey")
+         .sortWithinPartitions("o_custkey")
+         .write.mode("overwrite").parquet(lpath))
+
+    stats = data.agg(F.min("o_custkey"), F.max("o_custkey"),
+                     F.min("o_totalprice"), F.max("o_totalprice")).first()
+    ck_lo, ck_hi = stats[0], stats[0] + (stats[1] - stats[0]) * 0.1
+    tp_lo, tp_hi = stats[2], stats[2] + (stats[3] - stats[2]) * 0.1
+
+    z_ck = file_pruning_stats(zpath, "o_custkey", ck_lo, ck_hi)
+    z_tp = file_pruning_stats(zpath, "o_totalprice", tp_lo, tp_hi)
+    l_tp = file_pruning_stats(lpath, "o_totalprice", tp_lo, tp_hi)
+
+    # z-order prunes on both dims; the linear layout prunes nothing on
+    # the second dim (every file spans ~the full totalprice range)
+    assert z_ck["prunable"] > 0 and z_tp["prunable"] > 0
+    assert l_tp["prunable"] == 0
+    assert z_tp["prunable"] >= n_files // 4
+
+    # correctness: clustering is a pure reorder — same rows
+    assert spark.read.parquet(zpath).count() == data.count()
+    a = {tuple(r) for r in spark.read.parquet(zpath).collect()}
+    b = {tuple(r) for r in data.collect()}
+    assert a == b
+
+
+def test_zorder_key_handles_nulls_and_constants(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 5.0)], "a long, b double")
+    z = df.select(zorder_key(df, ["a", "b"]).alias("z"))
+    vals = [r["z"] for r in z.collect()]
+    assert len(vals) == 3 and all(v is not None for v in vals)
+
+
+def test_optimize_target_layout_compacts_and_clusters(spark, orders, tmp_path):
+    from s3_redshift_backup_tool_spark.plans.compact import (
+        optimize_target_layout)
+
+    tgt = str(tmp_path / "tgt")
+    data = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    data.repartition(64).write.parquet(tgt)   # small-file mess
+
+    res = optimize_target_layout(spark, tgt, ["o_custkey", "o_totalprice"],
+                                 n_files=8)
+    assert res.files_before == 64 and res.files_after == 8
+    assert res.rows == data.count()
+    assert spark.read.parquet(tgt).count() == res.rows
+    st = data.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    pr = file_pruning_stats(tgt, "o_totalprice",
+                            st[0], st[0] + (st[1] - st[0]) * 0.1)
+    assert pr["prunable"] > 0   # clustered on the second dim too
