@@ -22,6 +22,7 @@ from ..operators.align import (
     normalize_timestamp_string,
     timestamp_to_epoch,
 )
+from ..operators.layout import interleave_bits
 from ..operators.sampling import hash_gate, sample_by_hash, split_by_hash
 from ..operators.similarity import (
     cosine,
@@ -36,8 +37,10 @@ from ..operators.text import (
     fingerprint,
     lang_id,
     md5_prefix_int,
+    pii_counts,
     punct_ratio,
     quality_score,
+    scrub_pii,
     stopword_ratio,
     token_count_bpe,
     token_count_ws,
@@ -47,9 +50,9 @@ from ..operators.text import (
 __all__ = [
     "avg_token_len", "cast_boolean", "cast_string_with_null_semantics",
     "cast_to", "cosine", "dot", "dot_literal", "epoch_to_timestamp",
-    "hash_gate", "sample_by_hash", "split_by_hash",
+    "hash_gate", "interleave_bits", "sample_by_hash", "split_by_hash",
     "fingerprint", "l2_norm", "l2_sq", "lang_id", "md5_prefix_int",
-    "normalize_timestamp_string", "punct_ratio", "quality_score",
-    "srp_bucket", "stopword_ratio", "timestamp_to_epoch",
-    "token_count_bpe", "token_count_ws", "tokens",
+    "normalize_timestamp_string", "pii_counts", "punct_ratio",
+    "quality_score", "scrub_pii", "srp_bucket", "stopword_ratio",
+    "timestamp_to_epoch", "token_count_bpe", "token_count_ws", "tokens",
 ]

@@ -280,3 +280,33 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     l2sq = F.aggregate(F.col("q"), F.lit(0).cast("long"),
                        lambda acc, x: acc + x.cast("long") * x.cast("long"))
     return df.select(*id_cols, "scale", "q", l2sq.alias("q_l2sq"))
+
+
+def label_centroids_pandas(df: DataFrame, vec_col: str = "embedding",
+                           label_col: str = "label") -> DataFrame:
+    """Per-label embedding centroids via ``applyInPandas`` — the batch
+    grouped-map Arrow path (the pattern for custom per-group kernels that
+    genuinely need numpy: whitening, PCA-per-group, medoid selection).
+    A plain mean IS expressible with built-ins; it is used here precisely
+    so the Arrow path has a value-level oracle.
+
+    Output is the exploded scalar form (label, dim, c) rather than an
+    array column so the oracle comparison is tolerance-aware per element.
+    Scale shape: one shuffle on the label key; each group streams through
+    a worker as Arrow batches; numpy does the column math vectorized."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def _centroid(pdf):
+        import numpy as np
+        import pandas as pd
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        c = m.mean(axis=0)
+        return pd.DataFrame({
+            label_col: pdf[label_col].iloc[0],
+            "dim": range(1, len(c) + 1),
+            "c": c,
+            "n": len(m),
+        })
+
+    out_schema = f"{label_col} int, dim int, c double, n long"
+    return df.groupBy(label_col).applyInPandas(_centroid, schema=out_schema)

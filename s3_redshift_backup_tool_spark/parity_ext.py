@@ -1339,6 +1339,61 @@ def frame_sample_documents(spark, sf_dir):
 
 
 # ==========================================================================
+@q("label_centroids_embeddings",
+   """SELECT label, i AS dim,
+             avg(embedding[i]::DOUBLE) AS c,
+             count(*) AS n
+      FROM embeddings, unnest(generate_series(1, 64)) t(i)
+      GROUP BY label, i""",
+   "per-label centroids via applyInPandas (batch grouped-map Arrow "
+   "path): one shuffle on the label key, numpy column math per group; "
+   "exploded (label, dim, c) output so every element gets a tolerance-"
+   "aware oracle check — the template for per-group kernels that "
+   "genuinely need numpy (whitening, PCA, medoids)")
+def label_centroids_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.label_centroids_pandas(emb)
+
+
+@q("pivot_status_by_priority",
+   """SELECT o_orderpriority,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS price_f
+      FROM orders GROUP BY o_orderpriority""",
+   "pivot / crosstab: groupBy().pivot(col, explicit_values) — explicit "
+   "value list so the plan needs NO extra distinct-values pass over the "
+   "fact table and the output schema is deterministic; compiles to one "
+   "partial-aggregable HashAggregate, same shuffle as a plain groupBy")
+def pivot_status_by_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    piv = (orders.groupBy("o_orderpriority")
+                 .pivot("o_orderstatus", ["F", "O", "P"])
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                       .cast("double").alias("price")))
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("status_f"), F.col("O_n").alias("status_o"),
+        F.col("P_n").alias("status_p"), F.col("F_price").alias("price_f"))
+
+
+@q("intersect_click_purchase_users",
+   """SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'""",
+   "INTERSECT set op (§2.7 family beyond union/anti): compiles to a "
+   "left-semi join over pre-distincted sides — shuffle on the key only")
+def intersect_click_purchase_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
 # shared recursive-CC oracle scaffolding (mirrors neardup_clusters)
 _CC_COMP_CTE = f"""{_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -1745,6 +1800,9 @@ _TAIL = [
     "neardup_cluster_size_histogram",# CC + double agg: clusters family
     "rolling_hour_avg_value",        # time-RANGE frame: event_gap family
     "ntile_cumedist_customers",      # distribution windows: event_gap family
+    "pivot_status_by_priority",      # pivot/crosstab: cube/rollup family
+    "intersect_click_purchase_users",# INTERSECT: manifest set-op family
+    "label_centroids_embeddings",    # applyInPandas grouped-map Arrow path
 ]
 
 

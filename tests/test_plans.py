@@ -235,3 +235,36 @@ def test_rolling_window_partitioned_by_user(plan):
     p = plan("rolling_hour_avg_value")
     win = [l for l in p.splitlines() if "Window" in l and "avg" in l]
     assert win and all("user_id" in l for l in win)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime row-level pruning: a selective filter on the dim side of a
+    shuffle join injects a bloom_filter_agg that pre-filters the fact
+    scan (Spark's runtime bloom join, on by default). Production
+    thresholds (10GB application side) are lowered here to demonstrate
+    injection on fixture-sized data; at 100 TB the defaults fire on
+    their own."""
+    from pyspark.sql import functions as F
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold"]}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = (read_table(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert j.count() > 0  # and it still runs
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
