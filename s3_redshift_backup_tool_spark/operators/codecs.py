@@ -1,0 +1,140 @@
+"""Real codecs for uncompressed media formats — stdlib + numpy only.
+
+The container has no PIL/ffmpeg, but uncompressed formats don't need
+them: BMP (BI_RGB 24-bit) is a struct-packed pixel grid and WAV (PCM16)
+is a struct-packed sample stream. Implementing them upgrades the
+multimodal pipeline from "deterministic stand-in" to REAL decode /
+feature-extract / resize for these formats, with the compressed codecs
+(png/jpeg/mp4) remaining the documented stubs.
+
+Everything here is per-row worker-side code invoked from the Arrow-
+batched ``mapInPandas`` stages in operators/multimodal.py — no Spark
+imports, trivially unit-testable.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from io import BytesIO
+
+import numpy as np
+
+# -- BMP (BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up) ----------------------
+
+_BMP_FILE_HDR = "<2sIHHI"        # magic, file size, 2x reserved, data offset
+_BMP_INFO_HDR = "<IiiHHIIiiII"   # size, w, h, planes, bpp, comp, img size, ...
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 24-bit uncompressed BMP bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    data_offset = struct.calcsize(_BMP_FILE_HDR) + struct.calcsize(_BMP_INFO_HDR)
+    out = bytearray()
+    out += struct.pack(_BMP_FILE_HDR, b"BM", data_offset + img_size, 0, 0,
+                       data_offset)
+    out += struct.pack(_BMP_INFO_HDR, 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = pixels[:, :, ::-1]                       # BMP stores BGR
+    for y in range(h - 1, -1, -1):                 # bottom-up
+        out += bgr[y].tobytes() + pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> (h, w, 3) uint8 RGB array."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from(_BMP_FILE_HDR, payload)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (_hsz, w, h, _planes, bpp, comp, *_rest) = struct.unpack_from(
+        _BMP_INFO_HDR, payload, struct.calcsize(_BMP_FILE_HDR))
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h,
+                         offset=offset).reshape(h, row_size)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def bmp_feature(payload: bytes, meta: dict | None = None,
+                dim: int = 8) -> list[float]:
+    """Real image features from a BMP: [w, h, mean_r, mean_g, mean_b,
+    std_luma, edge_energy, aspect] — a deterministic 8-dim descriptor
+    (means/std normalized to [0,1])."""
+    px = decode_bmp(payload).astype(np.float64)
+    h, w, _ = px.shape
+    means = px.mean(axis=(0, 1)) / 255.0
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    std_luma = float(luma.std() / 255.0)
+    edge = float(np.abs(np.diff(luma, axis=1)).mean() / 255.0) if w > 1 else 0.0
+    return [float(w), float(h), float(means[0]), float(means[1]),
+            float(means[2]), std_luma, edge, float(w) / float(h)][:dim]
+
+
+def bmp_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode -> index-sample -> re-encode."""
+    px = decode_bmp(payload)
+    h, w, _ = px.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_bmp(px[yi][:, xi])
+
+
+# -- WAV (PCM16, via stdlib wave) ------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D float array in [-1, 1] -> PCM16 mono WAV bytes."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 samples in [-1, 1], sample_rate). PCM16 mono
+    or multichannel (channels averaged)."""
+    with wave.open(BytesIO(payload), "rb") as wv:
+        rate = wv.getframerate()
+        n = wv.getnframes()
+        ch = wv.getnchannels()
+        if wv.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 supported")
+        raw = np.frombuffer(wv.readframes(n), dtype="<i2").astype(np.float64)
+    if ch > 1:
+        raw = raw.reshape(-1, ch).mean(axis=1)
+    return raw / 32767.0, rate
+
+
+def wav_feature(payload: bytes, meta: dict | None = None,
+                dim: int = 8) -> list[float]:
+    """Real audio features: [duration_s, rms, zero-crossing rate, peak,
+    mean_abs, low/mid/high band energy ratios] (8-dim)."""
+    x, rate = decode_wav(payload)
+    n = len(x)
+    if n == 0:
+        return [0.0] * dim
+    dur = n / rate
+    rms = float(np.sqrt((x ** 2).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    peak = float(np.abs(x).max())
+    mean_abs = float(np.abs(x).mean())
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    total = float(spec.sum()) or 1.0
+    third = max(len(spec) // 3, 1)
+    bands = [float(spec[i * third:(i + 1) * third].sum()) / total
+             for i in range(3)]
+    return [dur, rms, zcr, peak, mean_abs] + bands[:dim - 5]

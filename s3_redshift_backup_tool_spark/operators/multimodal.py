@@ -48,22 +48,29 @@ FEATURE_SCHEMA = T.StructType([
 
 
 class DecoderRegistry:
-    """Pluggable decode kernels keyed by media_type. The container has no
-    image/audio libs, so ``deterministic_fake`` stands in: it derives a
-    fixed-length feature from payload bytes — stable, testable, and
-    exercises the exact same Arrow path a real decoder would."""
+    """Pluggable decode kernels keyed by ``media_type/format`` with a
+    ``media_type`` fallback. Uncompressed formats have REAL decoders
+    (``image/bmp``, ``audio/wav`` — operators/codecs.py, stdlib+numpy);
+    compressed codecs (png/jpeg/mp4) fall back to ``deterministic_fake``
+    because their libraries are not in this container — a production
+    deploy registers PIL/ffmpeg kernels without touching the plan
+    shape."""
 
     _decoders: dict[str, Callable[[bytes, dict[str, Any]], list[float]]] = {}
 
     @classmethod
-    def register(cls, media_type: str,
+    def register(cls, key: str,
                  fn: Callable[[bytes, dict[str, Any]], list[float]]) -> None:
-        cls._decoders[media_type] = fn
+        """``key`` is ``media_type`` or ``media_type/format``."""
+        cls._decoders[key] = fn
 
     @classmethod
     def decode(cls, media_type: str, payload: bytes,
                meta: dict[str, Any]) -> list[float]:
-        fn = cls._decoders.get(media_type)
+        fmt = (meta or {}).get("format")
+        fn = cls._decoders.get(f"{media_type}/{fmt}") if fmt else None
+        if fn is None:
+            fn = cls._decoders.get(media_type)
         if fn is None:
             raise NotImplementedError(
                 f"no decoder registered for media_type={media_type!r}; "
@@ -89,6 +96,12 @@ def deterministic_fake(payload: bytes, meta: dict[str, Any],
 DecoderRegistry.register("image", deterministic_fake)
 DecoderRegistry.register("audio", deterministic_fake)
 DecoderRegistry.register("video", deterministic_fake)
+
+# real kernels for uncompressed formats (stdlib+numpy, no external libs)
+from .codecs import bmp_feature, wav_feature  # noqa: E402
+
+DecoderRegistry.register("image/bmp", bmp_feature)
+DecoderRegistry.register("audio/wav", wav_feature)
 
 
 def attach_media(df: DataFrame, content_col: str, id_col: str,
@@ -140,10 +153,11 @@ def resize_images(media: DataFrame, width: int, height: int,
                   kernel: Callable[[bytes, int, int], bytes] | None = None
                   ) -> DataFrame:
     """Resize stage: mapInPandas over binary payloads, metadata updated
-    to the new dimensions. The pixel kernel is pluggable; without an
-    image library this deterministic stand-in truncates/pads payload
-    bytes to width*height — the Arrow plumbing, schema, and metadata
-    rewrite are exactly what a PIL kernel would ride on."""
+    to the new dimensions. BMP payloads get a REAL nearest-neighbor
+    resample (operators/codecs.py); other formats use the caller's
+    ``kernel`` or a deterministic truncate/pad stand-in (no compressed-
+    image library in this container) — the Arrow plumbing, schema, and
+    metadata rewrite are identical either way."""
 
     def _default_kernel(payload: bytes, w: int, h: int) -> bytes:
         n = w * h
@@ -151,12 +165,20 @@ def resize_images(media: DataFrame, width: int, height: int,
             return b"\x00" * n
         return payload[:n] if len(payload) >= n else payload + b"\x00" * (n - len(payload))
 
-    k = kernel or _default_kernel
-
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import bmp_resize
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [k(p, width, height) for p in pdf["payload"]]
+            payloads = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                fmt = (m or {}).get("format") if m is not None else None
+                if kernel is not None:
+                    payloads.append(kernel(p, width, height))
+                elif fmt == "bmp" and p is not None:
+                    payloads.append(bmp_resize(bytes(p), width, height))
+                else:
+                    payloads.append(_default_kernel(p, width, height))
+            out["payload"] = payloads
             out["meta"] = [
                 {**(dict(m) if m is not None else {}),
                  "width": width, "height": height}

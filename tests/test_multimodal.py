@@ -54,3 +54,108 @@ def test_sample_frames_shape(media):
     assert all(1 <= r["n"] <= 4 and r["max_idx"] == r["n"] - 1 for r in agg)
     row = frames.first()
     assert isinstance(row["frame"], (bytes, bytearray)) and len(row["frame"]) <= 64
+
+
+# -- real codecs (BMP / WAV, stdlib+numpy) ---------------------------------
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_bmp, encode_bmp)
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)  # odd width: padding path
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_feature_matches_numpy():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        bmp_feature, encode_bmp)
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    f = bmp_feature(encode_bmp(px))
+    assert f[0] == 8.0 and f[1] == 4.0          # w, h
+    assert f[2] == 1.0 and f[3] == 0.0 and f[4] == 0.0  # channel means
+    assert f[7] == 2.0                          # aspect ratio
+
+
+def test_bmp_resize_nearest_neighbor():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        bmp_resize, decode_bmp, encode_bmp)
+    # 2x2 checkerboard upscaled 2x: each pixel becomes a 2x2 block
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    big = decode_bmp(bmp_resize(encode_bmp(px), 4, 4))
+    assert big.shape == (4, 4, 3)
+    assert np.array_equal(big[0, 0], [255, 0, 0])
+    assert np.array_equal(big[0, 3], [0, 255, 0])
+    assert np.array_equal(big[3, 0], [0, 0, 255])
+    assert np.array_equal(big[1, 1], [255, 0, 0])  # block fill
+
+
+def test_wav_features_physical():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        encode_wav, wav_feature)
+    sr, f_hz = 16000, 440.0
+    t = np.arange(sr) / sr                      # 1 second
+    x = 0.5 * np.sin(2 * np.pi * f_hz * t)
+    f = wav_feature(encode_wav(x, sr))
+    assert abs(f[0] - 1.0) < 1e-3               # duration
+    assert abs(f[1] - 0.5 / 2 ** 0.5) < 1e-2    # rms of sine = A/sqrt(2)
+    assert abs(f[2] - 2 * f_hz / sr) < 1e-3     # zero-crossing rate
+    assert abs(f[3] - 0.5) < 1e-2               # peak
+    assert f[5] > 0.99                          # 440 Hz lives in the low band
+
+
+def test_real_decoders_ride_the_arrow_path(spark):
+    """extract_features dispatches by (media_type, format): BMP payloads
+    get REAL decoded features through the same mapInPandas stage."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import encode_bmp
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, extract_features)
+
+    rows = []
+    for i in range(6):
+        px = np.full((2, 4, 3), i * 40, dtype=np.uint8)
+        rows.append((i, bytearray(encode_bmp(px))))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    media = attach_media(df, "content", "doc_id", media_type="image",
+                         fmt="bmp")
+    out = {r["media_id"]: r["feature"]
+           for r in extract_features(media).collect()}
+    assert len(out) == 6
+    for i, feat in out.items():
+        assert feat[0] == 4.0 and feat[1] == 2.0     # real w, h
+        expect = (i * 40) / 255.0
+        assert abs(feat[2] - expect) < 1e-6          # real channel mean
+
+
+def test_unknown_format_falls_back_to_registered_type(spark):
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        DecoderRegistry, deterministic_fake)
+    # png has no format-specific decoder -> media_type fallback (stub)
+    f = DecoderRegistry.decode("image", b"\x01\x02\x03",
+                               {"format": "png"})
+    assert f == deterministic_fake(b"\x01\x02\x03", {})
+
+
+def test_resize_images_uses_real_bmp_kernel(spark):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_bmp, encode_bmp)
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, resize_images)
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = [200, 10, 30]
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(px)))],
+                               "doc_id long, content binary")
+    media = attach_media(df, "content", "doc_id", fmt="bmp")
+    row = resize_images(media, 4, 4).first()
+    out = decode_bmp(bytes(row["payload"]))
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], [200, 10, 30])
+    assert row["meta"]["width"] == 4 and row["meta"]["height"] == 4
