@@ -271,8 +271,13 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     ``q_l2sq`` (sum of squares of q — an exactness witness for tests and
     the oracle)."""
     v = F.col(vec_col)
-    scale = (F.array_max(F.transform(v, lambda x: F.abs(x)))
-             .cast("double") / F.lit(127.0))
+    # greatest(·, 1e-30) guards the all-zero vector (scale 0 would put
+    # NaN/Inf through round); with it, zero vectors quantize to zeros.
+    # The oracle SQL applies the identical guard.
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+        / F.lit(127.0),
+        F.lit(1e-30))
     df = df.withColumn("scale", scale)
     q = F.transform(v, lambda x: F.round(x.cast("double") / F.col("scale"))
                     .cast("int"))

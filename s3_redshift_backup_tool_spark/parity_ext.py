@@ -1631,8 +1631,8 @@ def top_supplier_by_revenue(spark, sf_dir):
 
 @q("quantize_int8_embeddings",
    """WITH s AS (SELECT vec_id, embedding,
-                      list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
-                        / 127.0 AS scale
+                      greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                        / 127.0, 1e-30) AS scale
                FROM embeddings)
       SELECT vec_id, scale,
              list_transform(embedding,

@@ -77,3 +77,10 @@ def test_scrub_pii_email_not_eaten_by_phone(spark):
                                "id long, text string")
     s = df.select(scrub_pii(F.col("text")).alias("s")).first()["s"]
     assert s == "mail <EMAIL> now"
+
+
+def test_quantize_int8_zero_vector_is_zeros(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    r = quantize_int8(df).first()
+    assert list(r["q"]) == [0, 0, 0] and r["q_l2sq"] == 0
