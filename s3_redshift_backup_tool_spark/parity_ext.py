@@ -228,20 +228,22 @@ def event_gap_lag_window(spark, sf_dir):
 @q("rolling_hour_avg_value",
    """SELECT user_id, event_id,
              round(avg(value) OVER (
-                 PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
                AS rolling_avg
       FROM events WHERE user_id < 10""",
    "time-RANGE rolling aggregate (trailing 1h mean per user): "
-   "rangeBetween on epoch seconds — frame bounds are data values, not "
-   "row offsets, so late/dense bursts weight correctly; per-user "
-   "partitions keep the window state bounded")
+   "rangeBetween on epoch MICROSECONDS (timestamps carry sub-second "
+   "precision; truncated seconds would put boundary events in the wrong "
+   "frame) — frame bounds are data values, not row offsets, so "
+   "late/dense bursts weight correctly; per-user partitions keep the "
+   "window state bounded")
 def rolling_hour_avg_value(spark, sf_dir):
     from pyspark.sql import Window
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").cast("long"))
-         .rangeBetween(-3600, 0))
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
     return ev.select("user_id", "event_id",
                      F.round(F.avg("value").over(w), 6).alias("rolling_avg"))
 
