@@ -1,0 +1,92 @@
+"""Incremental rollup == from-scratch aggregate after any delta sequence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.plans.rollup import IncrementalRollup
+
+
+def _full(df):
+    v = F.col("value").cast("double")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(v).alias("sum_value"),
+        F.min(v).alias("min_value"), F.max(v).alias("max_value"),
+        (F.sum(v) / F.count(F.lit(1))).alias("avg_value"))
+
+
+def test_incremental_equals_full_recompute(spark, events, tmp_path):
+    ev = events.select("event_id", "event_type", "value").limit(3000)
+    d1 = ev.filter(F.col("event_id") % 3 == 0)
+    d2 = ev.filter(F.col("event_id") % 3 == 1)
+    d3 = ev.filter(F.col("event_id") % 3 == 2)
+
+    ru = IncrementalRollup(spark, str(tmp_path / "state"),
+                           ["event_type"], "value")
+    for d in (d1, d2, d3):
+        ru.apply(d)
+
+    got = {r["event_type"]: r for r in ru.read().collect()}
+    want = {r["event_type"]: r for r in _full(ev).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_rows"] == want[k]["n_rows"]
+        assert abs(got[k]["sum_value"] - want[k]["sum_value"]) < 1e-6
+        assert got[k]["min_value"] == want[k]["min_value"]
+        assert got[k]["max_value"] == want[k]["max_value"]
+        assert abs(got[k]["avg_value"] - want[k]["avg_value"]) < 1e-9
+
+
+def test_rollup_state_stays_one_row_per_group(spark, events, tmp_path):
+    ev = events.select("event_id", "event_type", "value").limit(1000)
+    ru = IncrementalRollup(spark, str(tmp_path / "state"),
+                           ["event_type"], "value")
+    n_groups = ev.select("event_type").distinct().count()
+    for _ in range(4):  # re-applying different slices never grows state
+        ru.apply(ev.sample(0.5, seed=1))
+    assert spark.read.parquet(str(tmp_path / "state")).count() == n_groups
+
+
+def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir):
+    """AQE's built-in skew-join split (the complement of operators/skew.py
+    salting): with thresholds lowered to fixture scale, the skewed-side
+    sort-merge join partitions are split at runtime (isSkew=true in the
+    final plan). At 100 TB the production defaults (256MB partition,
+    factor 5) trigger on real skew without code changes."""
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # the downstream groupBy imposes a distribution requirement the
+        # split would violate, so AQE declines unless told the extra
+        # exchange is worth it — exactly the production trade for a
+        # straggler-dominated stage
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # hot key: all rows land on 2 join keys. repartition(8) first —
+        # skew splits follow MAP-side block boundaries, so a single-
+        # mapper shuffle (the 1-row-group fixture scan) cannot be split
+        # no matter how skewed; any real multi-file table has many
+        # mappers.
+        li = (read_table(spark, sf_dir, "lineitem").repartition(8)
+              .withColumn("k", F.col("l_orderkey") % 2))  # 2 keys, heavy skew
+        right = spark.range(2).withColumnRenamed("id", "k")
+        j = li.join(right, "k").groupBy("k").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
