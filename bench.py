@@ -93,7 +93,8 @@ def main() -> None:
     cold_sec, _ = headline_sync(spark)
     w1, n_rows = headline_sync(spark)
     w2, _ = headline_sync(spark)
-    headline_sec = min(w1, w2)
+    w3, _ = headline_sync(spark)
+    headline_sec = min(w1, w2, w3)
 
     # best-of-2 per query: single-JVM local mode shows multi-second GC/JIT
     # jitter on a handful of queries (measured 3s..91s on an idle box for
