@@ -164,6 +164,18 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_optimize(args: argparse.Namespace) -> int:
+    from .plans.compact import optimize_target_layout
+    from .session import get_spark
+    spark = get_spark("cli_optimize", cpus=args.cpus)
+    target_path = os.path.join(args.work_dir, "target", args.table)
+    res = optimize_target_layout(spark, target_path,
+                                 zorder_cols=args.zorder,
+                                 n_files=args.n_files)
+    _emit(dataclasses.asdict(res))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -228,6 +240,19 @@ def build_parser() -> argparse.ArgumentParser:
     kp.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     kp.set_defaults(fn=cmd_compact)
+
+    op = sub.add_parser("optimize", help="rewrite a target compacted and "
+                                         "z-order-clustered for min/max "
+                                         "scan pruning")
+    op.add_argument("-t", "--table", required=True,
+                    help="target table name under <work-dir>/target/")
+    op.add_argument("--zorder", action="append", required=True,
+                    help="clustering column; repeatable")
+    op.add_argument("--n-files", type=int, default=8)
+    op.add_argument("--work-dir", required=True)
+    op.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    op.set_defaults(fn=cmd_optimize)
     return p
 
 

@@ -150,3 +150,17 @@ def test_sync_unknown_table_errors(capsys, pipeline_yml, tmp_path, sf_dir):
                             "--work-dir", str(tmp_path / "w"),
                             "-t", "nope"])
     assert rc == 2 and "error" in out
+
+
+def test_optimize_verb(capsys, pipeline_yml, tmp_path, sf_dir):
+    work = str(tmp_path / "work")
+    rc, _ = _run(capsys, ["sync", "-p", pipeline_yml, "--source-dir", sf_dir,
+                          "--work-dir", work, "-t", "orders", "--cpus", "8"])
+    assert rc == 0
+    rc, res = _run(capsys, ["optimize", "-t", "orders",
+                            "--zorder", "o_custkey",
+                            "--zorder", "o_totalprice",
+                            "--n-files", "4", "--work-dir", work,
+                            "--cpus", "8"])
+    assert rc == 0
+    assert res["files_after"] == 4 and res["rows"] > 0
