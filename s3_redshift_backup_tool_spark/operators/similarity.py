@@ -315,3 +315,21 @@ def label_centroids_pandas(df: DataFrame, vec_col: str = "embedding",
 
     out_schema = f"{label_col} int, dim int, c double, n long"
     return df.groupBy(label_col).applyInPandas(_centroid, schema=out_schema)
+
+
+def save_ivf_index(spark, centroids: list[tuple[int, list[float]]],
+                   path: str) -> None:
+    """Persist IVF centroids as a parquet table — the index lifecycle
+    step: train once (kmeans_centroids on a sample), reuse across query
+    sessions. Centroids are k rows; the assignment/probe plan is rebuilt
+    from them on load, so the index artifact is engine-version-proof."""
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in centroids],
+        "centroid_id int, centroid array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> list[tuple[int, list[float]]]:
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    return [(r["centroid_id"], [float(x) for x in r["centroid"]])
+            for r in rows]

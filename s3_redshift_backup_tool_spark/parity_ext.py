@@ -1341,6 +1341,64 @@ def frame_sample_documents(spark, sf_dir):
 
 
 # ==========================================================================
+@q("oov_rate_documents",
+   """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      vocab AS (SELECT tok FROM (
+                  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+                  ORDER BY c DESC, tok LIMIT 100)),
+      flags AS (SELECT t.doc_id,
+                       CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(sum(oov) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+      FROM flags GROUP BY doc_id""",
+   "tokenizer-vocabulary coverage: corpus-derived top-100 vocab "
+   "(deterministic count-then-token tie-break), per-doc out-of-vocab "
+   "rate via a broadcastable left join on the tiny vocab — the signal "
+   "that decides whether a tokenizer needs retraining for a new corpus "
+   "slice")
+def oov_rate_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "tok").limit(100).select("tok")
+                .withColumn("__in", F.lit(1)))
+    joined = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("__in").isNull(), 1).otherwise(0)
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(oov).cast("long").alias("n_oov"),
+                 F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("oov_rate")))
+
+
+@q("user_event_sequences",
+   """SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS seq,
+             count(*) AS n
+      FROM (SELECT user_id, event_type, ts, event_id
+            FROM events WHERE user_id < 20)
+      GROUP BY user_id""",
+   "behavioral-sequence construction (the session->training-sequence "
+   "step of an event-model pipeline): deterministic ordered array_agg "
+   "per user — one shuffle on the user key, ordering via in-group sort "
+   "keys, never a global sort")
+def user_event_sequences(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (ev.groupBy("user_id")
+              .agg(F.array_sort(
+                       F.collect_list(F.struct("ts", "event_id",
+                                               "event_type")))
+                   .alias("__s"),
+                   F.count(F.lit(1)).alias("n"))
+              .select("user_id",
+                      F.transform("__s", lambda s: s["event_type"])
+                       .alias("seq"),
+                      "n"))
+
+
 @q("label_centroids_embeddings",
    """SELECT label, i AS dim,
              avg(embedding[i]::DOUBLE) AS c,
@@ -1805,6 +1863,8 @@ _TAIL = [
     "pivot_status_by_priority",      # pivot/crosstab: cube/rollup family
     "intersect_click_purchase_users",# INTERSECT: manifest set-op family
     "label_centroids_embeddings",    # applyInPandas grouped-map Arrow path
+    "oov_rate_documents",            # vocab coverage: vocab_top20 family
+    "user_event_sequences",          # ordered array_agg: window family
 ]
 
 

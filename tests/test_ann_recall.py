@@ -115,3 +115,20 @@ def test_recall_report(vectors, query_vecs, capsys):
         print("\nANN recall@10 over", len(query_vecs), "queries:",
               {k: round(v, 3) for k, v in rows.items()})
     assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_ivf_index_persists_and_reproduces_results(spark, embeddings, tmp_path):
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        ann_topk_ivf, kmeans_centroids, load_ivf_index, save_ivf_index)
+
+    cents = kmeans_centroids(embeddings, n_centroids=8, iters=3)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, cents, path)
+    loaded = load_ivf_index(spark, path)
+    assert [i for i, _ in loaded] == [i for i, _ in sorted(cents)]
+
+    q = [float(v) for v in embeddings.first()["embedding"]]
+    a = ann_topk_ivf(embeddings, q, centroids=cents, nprobe=2).collect()
+    b = ann_topk_ivf(embeddings, q, centroids=loaded, nprobe=2).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in a] == \
+           [(r["vec_id"], r["cos_sim"]) for r in b]
