@@ -32,6 +32,19 @@ class CompactResult:
     rows_removed: int
 
 
+def _recover_target(target_path: str, backup_suffix: str) -> None:
+    """Repair a half-finished rewrite swap: a crash between the two
+    renames leaves the previous target at the backup path — restore it
+    instead of failing on a missing target; if both exist the rewrite
+    completed and the backup is stale."""
+    backup = f"{target_path}{backup_suffix}"
+    if os.path.isdir(backup):
+        if os.path.isdir(target_path):
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(backup, target_path)
+
+
 def compact_target(
     spark: SparkSession,
     target_path: str,
@@ -40,6 +53,7 @@ def compact_target(
     tiebreak_cols: list[str] | None = None,
 ) -> CompactResult:
     """Rewrite ``target_path`` keeping only the latest record per key."""
+    _recover_target(target_path, "__precompact")
     df = spark.read.parquet(target_path)
     rows_before = df.count()
     compacted = latest_record_dedup(df, key_cols, ts_col,
@@ -84,6 +98,7 @@ def optimize_target_layout(
 
     from ..operators.layout import write_zordered
 
+    _recover_target(target_path, "__preoptimize")
     df = spark.read.parquet(target_path)
     rows = df.count()
     files_before = len(glob.glob(os.path.join(target_path, "*.parquet")))

@@ -68,7 +68,27 @@ class IncrementalRollup:
     def _exists(self) -> bool:
         return os.path.isdir(self.state_path)
 
+    def _recover(self) -> None:
+        """Repair a half-finished swap (same contract as the streaming
+        upsert's _recover_swap): a crash between the two renames leaves
+        the previous state at ``__old`` — restore it rather than
+        silently restarting the rollup from empty, which would
+        permanently under-count every group. Stale ``__tmp*`` writes are
+        discarded (their delta is re-applied by the caller's retry)."""
+        base = self.state_path.rstrip("/")
+        for entry in os.listdir(os.path.dirname(base) or "."):
+            full = os.path.join(os.path.dirname(base) or ".", entry)
+            if full.startswith(base + "__tmp"):
+                shutil.rmtree(full, ignore_errors=True)
+        old = base + "__old"
+        if os.path.isdir(old):
+            if self._exists():
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, self.state_path)
+
     def apply(self, delta: DataFrame) -> None:
+        self._recover()
         part = _partials(delta, self.keys, self.value_col)
         if self._exists():
             cur = self.spark.read.parquet(self.state_path)
@@ -85,6 +105,7 @@ class IncrementalRollup:
         shutil.rmtree(old, ignore_errors=True)
 
     def read(self) -> DataFrame:
+        self._recover()
         df = self.spark.read.parquet(self.state_path)
         return df.select(
             *self.keys, "n_rows", "sum_value", "min_value", "max_value",

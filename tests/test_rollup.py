@@ -90,3 +90,42 @@ def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rollup_recovers_half_finished_swap(spark, events, tmp_path):
+    """Crash window between the two renames: state moved aside, promote
+    never happened — the next apply/read must restore the aside copy,
+    not silently restart the rollup from empty."""
+    import os
+    import shutil
+
+    ev = events.select("event_id", "event_type", "value").limit(500)
+    state = str(tmp_path / "state")
+    ru = IncrementalRollup(spark, state, ["event_type"], "value")
+    ru.apply(ev)
+    before = {r["event_type"]: r["n_rows"] for r in ru.read().collect()}
+
+    # simulate the crash: state renamed aside + a stale half-written tmp
+    os.rename(state, state + "__old")
+    os.makedirs(state + "__tmpdead")
+    assert not os.path.isdir(state)
+
+    after = {r["event_type"]: r["n_rows"] for r in ru.read().collect()}
+    assert after == before
+    assert not os.path.isdir(state + "__old")
+    assert not os.path.isdir(state + "__tmpdead")
+
+
+def test_compact_recovers_half_finished_swap(spark, orders, tmp_path):
+    import os
+
+    from s3_redshift_backup_tool_spark.plans.compact import compact_target
+
+    tgt = str(tmp_path / "tgt")
+    orders.limit(100).write.parquet(tgt)
+    n = 100
+    os.rename(tgt, tgt + "__precompact")  # crash mid-swap
+    res = compact_target(spark, tgt, key_cols=["o_orderkey"],
+                         ts_col="o_orderdate")
+    assert res.rows_before == n and res.rows_after == n
+    assert spark.read.parquet(tgt).count() == n
