@@ -69,3 +69,50 @@ def run_quality_gate(df: DataFrame, *, max_null_pct: float = 100.0,
                     violations.append(f"{k[:-7]}: null {pct:.1f}% > {max_null_pct}%")
     return QualityReport(passed=not violations, row_count=total,
                          violations=violations, metrics=row)
+
+
+def psi_drift(ref: "DataFrame", cur: "DataFrame", col: str,
+              n_buckets: int = 10, lo: float | None = None,
+              hi: float | None = None, eps: float = 1e-6) -> "DataFrame":
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate for training-data distributions
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 drifted).
+
+    Fixed-width buckets over [lo, hi] (defaults: the reference side's
+    min/max — one 1-row agg), proportions per side, then
+    ``sum((p_cur - p_ref) * ln(p_cur / p_ref))`` with epsilon smoothing
+    so empty buckets stay finite. Scale shape: two partial-aggregable
+    histogram groupBys (shuffle carries n_buckets rows per side) and a
+    broadcast-sized join of the two histograms. Output: one row
+    (psi, n_buckets, n_ref, n_cur)."""
+    from pyspark.sql import functions as F
+
+    if lo is None or hi is None:
+        r = ref.agg(F.min(F.col(col).cast("double")),
+                    F.max(F.col(col).cast("double"))).first()
+        lo = lo if lo is not None else float(r[0])
+        hi = hi if hi is not None else float(r[1])
+    span = (hi - lo) or 1.0
+
+    def hist(df, name):
+        b = F.least(F.greatest(
+            F.floor((F.col(col).cast("double") - F.lit(lo))
+                    / F.lit(span) * n_buckets), F.lit(0)),
+            F.lit(n_buckets - 1))
+        return (df.select(b.cast("int").alias("bucket"))
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias(name)))
+
+    buckets = ref.sparkSession.range(n_buckets) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    h = (buckets.join(hist(ref, "n_ref"), "bucket", "left")
+                .join(hist(cur, "n_cur"), "bucket", "left")
+                .fillna(0, ["n_ref", "n_cur"]))
+    tot = h.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")).first()
+    p_ref = F.col("n_ref") / F.lit(float(tot["tr"])) + F.lit(eps)
+    p_cur = F.col("n_cur") / F.lit(float(tot["tc"])) + F.lit(eps)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return h.agg(F.round(F.sum(term), 6).alias("psi"),
+                 F.lit(n_buckets).alias("n_buckets"),
+                 F.sum("n_ref").alias("n_ref_rows"),
+                 F.sum("n_cur").alias("n_cur_rows"))

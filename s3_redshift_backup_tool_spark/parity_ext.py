@@ -1341,6 +1341,49 @@ def frame_sample_documents(spark, sf_dir):
 
 
 # ==========================================================================
+@q("drift_psi_documents",
+   # NOTE: the oracle re-derives lo/hi/totals inline; Spark embeds them
+   # as driver scalars — identical values, identical float expressions.
+   """WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
+                 WHERE {gate} < 500000),
+      cur AS (SELECT n_chars::DOUBLE AS v FROM documents
+              WHERE {gate} >= 500000),
+      mm AS (SELECT min(v) AS lo,
+                    CASE WHEN max(v) - min(v) = 0 THEN 1.0
+                         ELSE max(v) - min(v) END AS span
+             FROM ref),
+      hr AS (SELECT CAST(least(greatest(floor((v - lo) / span * 10), 0), 9)
+                         AS INT) AS bucket, count(*) AS n
+             FROM ref, mm GROUP BY 1),
+      hc AS (SELECT CAST(least(greatest(floor((v - lo) / span * 10), 0), 9)
+                         AS INT) AS bucket, count(*) AS n
+             FROM cur, mm GROUP BY 1),
+      bk AS (SELECT unnest(generate_series(0, 9))::INT AS bucket),
+      h AS (SELECT bk.bucket,
+                   coalesce(hr.n, 0)::DOUBLE AS nr,
+                   coalesce(hc.n, 0)::DOUBLE AS nc
+            FROM bk LEFT JOIN hr ON bk.bucket = hr.bucket
+                    LEFT JOIN hc ON bk.bucket = hc.bucket),
+      t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM h)
+      SELECT round(sum(((nc / tc + 1e-6) - (nr / tr + 1e-6))
+                       * ln((nc / tc + 1e-6) / (nr / tr + 1e-6))), 6) AS psi,
+             10 AS n_buckets,
+             CAST(sum(nr) AS BIGINT) AS n_ref_rows,
+             CAST(sum(nc) AS BIGINT) AS n_cur_rows
+      FROM h, t""".replace("{gate}", _GATE_SQL),
+   "distribution-drift gate: Population Stability Index of n_chars "
+   "between two hash-disjoint corpus snapshots — two n_bucket-row "
+   "histogram aggregations plus a broadcast-sized histogram join; the "
+   "PSI<0.1 stable / >0.25 drifted gate of corpus refresh pipelines")
+def drift_psi_documents(spark, sf_dir):
+    from .operators.quality import psi_drift
+    from .operators.sampling import hash_gate
+    docs = _t(spark, sf_dir, "documents")
+    g = hash_gate(F.col("doc_id"))
+    return psi_drift(docs.filter(g < 500_000), docs.filter(g >= 500_000),
+                     "n_chars", n_buckets=10)
+
+
 @q("oov_rate_documents",
    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM documents),
@@ -1865,6 +1908,7 @@ _TAIL = [
     "label_centroids_embeddings",    # applyInPandas grouped-map Arrow path
     "oov_rate_documents",            # vocab coverage: vocab_top20 family
     "user_event_sequences",          # ordered array_agg: window family
+    "drift_psi_documents",           # PSI drift gate: quality family
 ]
 
 

@@ -431,4 +431,34 @@ def sync_pipeline(
     else:
         for tc in tables:
             results[tc.table_name] = _run(tc)
+    append_run_log(spark, os.path.join(work_dir, "_run_log"),
+                   pipeline.name, results)
     return results
+
+
+def append_run_log(spark: SparkSession, log_path: str, pipeline_name: str,
+                   results: dict[str, SyncResult]) -> None:
+    """Ops history: one row per (run, table) appended to a parquet run
+    log — the queryable replacement for the reference's per-table
+    current-state-only watermark (its ops CLI can answer "where am I
+    now" but not "how fast were the last 30 nights"). Rows/sec trends,
+    failure history, and volume seasonality become one DataFrame query.
+    Appends are tiny (rows = tables); at years of history the log is
+    still MBs and date-prunable."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    run_id = _uuid.uuid4().hex[:12]
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    rows = [(run_id, now, pipeline_name, r.table, r.rows_extracted,
+             r.files_staged, r.files_loaded, r.target_rows, r.verified)
+            for r in results.values()]
+    df = spark.createDataFrame(
+        rows, "run_id string, run_at timestamp, pipeline string, "
+              "table string, rows_extracted long, files_staged long, "
+              "files_loaded long, target_rows long, verified boolean")
+    df.coalesce(1).write.mode("append").parquet(log_path)
+
+
+def read_run_log(spark: SparkSession, work_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(work_dir, "_run_log"))

@@ -136,3 +136,31 @@ def test_adhoc_pipeline():
     p = adhoc_pipeline("mysql_src", "rs_tgt", _orders_cfg())
     assert p.name == "adhoc_mysql_src_rs_tgt"
     assert len(p.tables) == 1
+
+
+def test_run_log_accumulates_history(spark, orders, tmp_path):
+    """Every sync_pipeline run appends one row per table to the parquet
+    run log; history is queryable as a DataFrame."""
+    from s3_redshift_backup_tool_spark.plans.pipeline import pipeline_from_dict
+    from s3_redshift_backup_tool_spark.plans.sync import (
+        read_run_log, sync_pipeline)
+    from s3_redshift_backup_tool_spark.state import (
+        LocalJsonBackend, WatermarkStore)
+
+    work = str(tmp_path / "work")
+    store = WatermarkStore(LocalJsonBackend(work + "/state"))
+    pipe = pipeline_from_dict({
+        "pipeline": {"name": "p", "source": "s", "target": "t"},
+        "tables": {"orders": {"cdc_strategy": "hybrid",
+                              "cdc_timestamp_column": "o_orderdate",
+                              "cdc_id_column": "o_orderkey"}}})
+    sync_pipeline(spark, pipe, store, lambda n: orders, work)
+    sync_pipeline(spark, pipe, store, lambda n: orders, work)
+
+    log = read_run_log(spark, work)
+    rows = log.orderBy("run_at").collect()
+    assert len(rows) == 2
+    assert rows[0]["rows_extracted"] > 0       # first run: full extract
+    assert rows[1]["rows_extracted"] == 0      # second run: idempotent
+    assert all(r["verified"] for r in rows)
+    assert rows[0]["run_id"] != rows[1]["run_id"]
