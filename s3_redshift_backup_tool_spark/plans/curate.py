@@ -59,6 +59,7 @@ def curate_corpus(
     min_quality: float = 0.3,
     contamination_threshold: float = 0.5,
     per_source_cap: int | None = None,
+    scrub_pii_text: bool = False,
     pack_budget: int = 2048,
     pack_buckets: int = 32,
     max_records_per_file: int | None = None,
@@ -106,6 +107,11 @@ def curate_corpus(
     if per_source_cap is not None and source_col is not None:
         docs = tx.stratified_sample(docs, source_col, per_source_cap, id_col)
         res.counts["source_capped"] = docs.count()
+
+    # -- 5.5 PII redaction (narrow regexp chain; BEFORE packing so token
+    # budgets count the text that actually ships) --------------------------
+    if scrub_pii_text:
+        docs = docs.withColumn(text_col, tx.scrub_pii(F.col(text_col)))
 
     # -- 6. sequence packing ------------------------------------------------
     packed = pack_sequences(docs, id_col,

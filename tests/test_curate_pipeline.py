@@ -65,3 +65,21 @@ def test_curate_corpus_end_to_end(spark, documents, tmp_path):
         out_path=None, min_quality=0.2, per_source_cap=50,
         pack_budget=512, pack_buckets=8)
     assert res2.counts["packed"] == c["packed"]
+
+
+def test_curate_scrubs_pii_before_packing(spark, tmp_path):
+    from s3_redshift_backup_tool_spark.plans.curate import curate_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then some "
+            "more words to pass the quality gate with varied tokens here")
+    docs = spark.createDataFrame(
+        [(i, f"{base} contact u{i}@mail.example.org now", f"s{i % 2}")
+         for i in range(8)],
+        "doc_id long, text string, source string")
+    out = str(tmp_path / "corpus")
+    curate_corpus(spark, docs, out_path=out, scrub_pii_text=True,
+                  min_quality=0.0, pack_budget=64, pack_buckets=4)
+    shipped = spark.read.parquet(out)
+    assert shipped.filter(F.col("text").contains("@")).count() == 0
+    assert shipped.filter(F.col("text").contains("<EMAIL>")).count() == \
+        shipped.count()
