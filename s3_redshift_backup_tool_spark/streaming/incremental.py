@@ -213,3 +213,44 @@ def stream_stream_attribution(
         & (c[click_ts] <= p[purchase_ts])
     )
     return p.join(c, cond).drop(c[user_col])
+
+
+def streaming_curate(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    scrub: bool = True,
+) -> None:
+    """Streaming corpus intake: each availableNow pass takes newly
+    crawled document files through quality gate -> cross-batch exact
+    dedup -> PII redaction -> corpus append, exactly once.
+
+    The dedup is ``dropDuplicates`` on the content digest with NO
+    watermark: corpus identity never expires, so the state store keeps
+    one 16-byte digest per distinct document ever seen — the streaming
+    ledger form of exact_dedup (bounded by distinct docs, not by time;
+    back it with the RocksDB state store at 100 TB). Re-running after a
+    crash is safe: the checkpoint replays the batch and the digest state
+    drops what already shipped."""
+    from ..operators import text as tx
+
+    stream = spark.readStream.schema(schema).parquet(source_glob)
+    cleaned = (stream
+               .filter(tx.quality_score(F.col(text_col)) >= min_quality)
+               .withColumn("content_hash",
+                           F.md5(F.col(text_col).cast("binary")))
+               .dropDuplicates(["content_hash"])
+               .drop("content_hash"))
+    if scrub:
+        cleaned = cleaned.withColumn(text_col, tx.scrub_pii(F.col(text_col)))
+    (cleaned.writeStream
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination())

@@ -246,3 +246,41 @@ def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
                   spark.read.parquet(ppath), spark.read.parquet(cpath))
               .select("purchase_id", "click_id").collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_curate_dedups_across_batches(spark, tmp_path):
+    """Corpus intake stream: quality gate + cross-batch content dedup +
+    PII scrub, exactly once across separate availableNow runs."""
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_curate)
+
+    src = str(tmp_path / "crawl")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    good = ("the quick brown fox jumps over the lazy dog with many more "
+            "plain words that pass the quality threshold easily here")
+
+    b1 = spark.createDataFrame(
+        [(1, good + " v1 mail me a@b.co"),
+         (2, good + " v1 mail me a@b.co"),     # in-batch exact dup of 1
+         (3, "!!!###$$$")],                     # junk: fails quality
+        "doc_id long, text string")
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_curate(spark, src, schema, out, ckpt, min_quality=0.3)
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1                      # dup + junk dropped
+    assert "<EMAIL>" in first[0]["text"] and "a@b.co" not in first[0]["text"]
+
+    b2 = spark.createDataFrame(
+        [(4, good + " v1 mail me a@b.co"),      # cross-batch dup of 1
+         (5, good + " v2 genuinely new")],
+        "doc_id long, text string")
+    b2.write.mode("append").parquet(src)
+    streaming_curate(spark, src, schema, out, ckpt, min_quality=0.3)
+    final = spark.read.parquet(out).collect()
+    assert len(final) == 2                      # only the new doc appended
+    ids = {r["doc_id"] for r in final}
+    # which in-batch duplicate (1 or 2) survived is partition-order
+    # dependent; the cross-batch duplicate (4) must never appear
+    assert 5 in ids and 4 not in ids and len(ids & {1, 2}) == 1
