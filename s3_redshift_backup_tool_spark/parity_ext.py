@@ -1554,6 +1554,31 @@ def neardup_cluster_size_histogram(spark, sf_dir):
 # (int8 quantization, chunk-level dup spans, PII redaction)
 # ==========================================================================
 
+@q("forecast_revenue_change",
+   """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+   "TPC-H Q6 shape: pure scan-filter-aggregate — every predicate pushes "
+   "to the parquet scan (date range prunes row groups by min/max), the "
+   "agg is a 1-row map-side partial; the canonical 'is pushdown "
+   "working' probe")
+def forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
 @q("volume_shipping_pair_nations",
    """SELECT supp_nation, cust_nation, l_year,
              CAST(sum(vol) AS DOUBLE) AS revenue
@@ -1909,6 +1934,7 @@ _TAIL = [
     "oov_rate_documents",            # vocab coverage: vocab_top20 family
     "user_event_sequences",          # ordered array_agg: window family
     "drift_psi_documents",           # PSI drift gate: quality family
+    "forecast_revenue_change",       # Q6: scan-filter-agg pushdown probe
 ]
 
 

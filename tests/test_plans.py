@@ -268,3 +268,12 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_predicates_all_pushed(plan):
+    """Q6 is the canonical pushdown probe: every predicate (date range,
+    discount band, quantity cap) must reach the scan as PushedFilters."""
+    p = plan("forecast_revenue_change", mode="formatted")
+    pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
