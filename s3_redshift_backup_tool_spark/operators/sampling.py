@@ -93,3 +93,38 @@ def pack_sequences(df: DataFrame, key_col: str, token_col,
             .bitwiseOR(F.floor(cum_excl / F.lit(budget))))
     return base.select(key_col, "n_tokens", "bucket",
                        pack.alias("pack_id"))
+
+
+def chunk_documents(df: DataFrame, key_col: str, text_col,
+                    max_tokens: int, stride: int | None = None,
+                    id_out: str = "chunk_idx",
+                    text_out: str = "chunk_text") -> DataFrame:
+    """Split long documents into ``max_tokens``-token windows with
+    optional overlap (``stride`` < max_tokens) — the dual of
+    :func:`pack_sequences`: packing joins short docs up to the context
+    length, chunking cuts long docs down to it.
+
+    Per-row array math + one explode; no shuffle at all (chunk rows stay
+    on their document's partition until a downstream op asks otherwise).
+    Deterministic boundaries: chunk i covers tokens
+    [i*stride, i*stride + max_tokens). Output: (key, chunk_idx,
+    chunk_text, n_tokens)."""
+    stride = stride or max_tokens
+    if stride <= 0 or stride > max_tokens:
+        raise ValueError("stride must be in (0, max_tokens]")
+    toks = (text_col if isinstance(text_col, Column)
+            else F.split(F.col(text_col), " "))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - max_tokens) / F.lit(stride)) + 1, F.lit(1)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.slice(toks, i * stride + 1, F.lit(max_tokens)).alias("t")))
+    ex = df.select(F.col(key_col), F.explode(chunks).alias("c"))
+    return ex.select(
+        key_col,
+        F.col("c.i").alias(id_out),
+        F.concat_ws(" ", F.col("c.t")).alias(text_out),
+        F.size("c.t").cast("long").alias("n_tokens"))

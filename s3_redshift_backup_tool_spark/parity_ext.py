@@ -1554,6 +1554,27 @@ def neardup_cluster_size_histogram(spark, sf_dir):
 # (int8 quantization, chunk-level dup spans, PII redaction)
 # ==========================================================================
 
+@q("chunk_documents_windowed",
+   """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      n AS (SELECT doc_id, w,
+                   CAST(greatest(ceil((len(w) - 32) / 24.0) + 1, 1) AS INT)
+                     AS nch
+            FROM t),
+      e AS (SELECT doc_id, unnest(range(nch))::INT AS i, w FROM n)
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk_text,
+             CAST(len(w[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+      FROM e""",
+   "long-document chunking (the dual of sequence packing): 32-token "
+   "windows at stride 24 (8-token overlap) via per-row array slicing + "
+   "one explode — zero shuffle, chunk rows stay on their doc's "
+   "partition")
+def chunk_documents_windowed(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.chunk_documents(docs, "doc_id", "text",
+                               max_tokens=32, stride=24)
+
+
 @q("forecast_revenue_change",
    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
                 AS DOUBLE) AS revenue,
@@ -1935,6 +1956,7 @@ _TAIL = [
     "user_event_sequences",          # ordered array_agg: window family
     "drift_psi_documents",           # PSI drift gate: quality family
     "forecast_revenue_change",       # Q6: scan-filter-agg pushdown probe
+    "chunk_documents_windowed",      # doc chunking: pack_sequences dual
 ]
 
 

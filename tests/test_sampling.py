@@ -48,3 +48,35 @@ def test_invalid_args_raise(spark, documents):
         sample_by_hash(documents, "doc_id", 1.5)
     with pytest.raises(ValueError):
         split_by_hash(documents, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        chunk_documents)
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", max_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"   # 1-token overlap
+    assert rows[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    # short doc: one (possibly partial) chunk, never zero
+    assert rows[(2, 0)]["chunk_text"] == "a b" and rows[(2, 0)]["n_tokens"] == 2
+    # every token of doc 1 appears in at least one chunk
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered |= set(r["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        chunk_documents)
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, stride=5)
