@@ -1554,6 +1554,74 @@ def neardup_cluster_size_histogram(spark, sf_dir):
 # (int8 quantization, chunk-level dup spans, PII redaction)
 # ==========================================================================
 
+@q("funnel_conversion_events",
+   """WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n_users,
+             count(t_view) AS stage_view,
+             count(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+             count(CASE WHEN t_buy > t_click AND t_click > t_view
+                        THEN 1 END) AS stage_purchase
+      FROM firsts""",
+   "funnel conversion (view -> click -> purchase in order): one "
+   "conditional-min aggregation per user then ordered-stage counts — a "
+   "single shuffle on user_id, no self-joins (the naive per-stage "
+   "self-join shape shuffles the events table once per stage)")
+def funnel_conversion_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    firsts = (ev.groupBy("user_id")
+                .agg(first_ts("view").alias("t_view"),
+                     first_ts("click").alias("t_click"),
+                     first_ts("purchase").alias("t_buy")))
+    in_order = (F.col("t_buy") > F.col("t_click")) & \
+               (F.col("t_click") > F.col("t_view"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+         .alias("stage_click"),
+        F.count(F.when(in_order, 1)).alias("stage_purchase"))
+
+
+@q("cohort_retention_events",
+   """WITH firsts AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+                    FROM events GROUP BY user_id),
+      act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                     date_diff('day', f.cohort_day,
+                               date_trunc('day', e.ts)) AS day_offset
+              FROM events e JOIN firsts f ON e.user_id = f.user_id)
+      SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+             count(*) AS n_active
+      FROM act WHERE day_offset <= 7
+      GROUP BY cohort_day, day_offset""",
+   "cohort retention triangle (first-seen day x activity-day offset): "
+   "first-touch agg + distinct-activity join keyed on user — two "
+   "shuffles on user_id total; the cohort dim re-joins as a "
+   "broadcast-sized table at any scale (days, not users)")
+def cohort_retention_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+                .agg(F.date_trunc("day", F.min("ts")).alias("__f")))
+    # min-then-trunc == trunc-then-min (trunc is monotone); compute the
+    # cohort from the raw min so the agg carries one timestamp
+    firsts = firsts.select("user_id", F.col("__f").alias("cohort_day"))
+    act = (ev.join(firsts, "user_id")
+             .select("user_id", "cohort_day",
+                     F.datediff(F.date_trunc("day", F.col("ts")),
+                                F.col("cohort_day")).cast("long")
+                      .alias("day_offset"))
+             .filter(F.col("day_offset") <= 7)
+             .distinct())
+    return (act.groupBy("cohort_day", "day_offset")
+               .agg(F.count(F.lit(1)).alias("n_active")))
+
+
 @q("chunk_documents_windowed",
    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       n AS (SELECT doc_id, w,
@@ -1957,6 +2025,8 @@ _TAIL = [
     "drift_psi_documents",           # PSI drift gate: quality family
     "forecast_revenue_change",       # Q6: scan-filter-agg pushdown probe
     "chunk_documents_windowed",      # doc chunking: pack_sequences dual
+    "funnel_conversion_events",      # funnel: conditional-min agg family
+    "cohort_retention_events",       # retention triangle: join+agg family
 ]
 
 
