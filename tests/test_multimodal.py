@@ -159,3 +159,25 @@ def test_resize_images_uses_real_bmp_kernel(spark):
     assert out.shape == (4, 4, 3)
     assert np.array_equal(out[0, 0], [200, 10, 30])
     assert row["meta"]["width"] == 4 and row["meta"]["height"] == 4
+
+
+def test_wav_decoder_rides_the_arrow_path(spark):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import encode_wav
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, extract_features)
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr                 # 0.5 s sine per row
+    rows = [(i, bytearray(encode_wav(0.1 * (i + 1) * np.sin(2 * np.pi * 100 * t), sr)))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    media = attach_media(df, "content", "doc_id", media_type="audio",
+                         fmt="wav")
+    out = {r["media_id"]: r["feature"]
+           for r in extract_features(media).collect()}
+    assert len(out) == 4
+    for i, feat in out.items():
+        assert abs(feat[0] - 0.5) < 1e-3                       # duration
+        amp = 0.1 * (i + 1)
+        assert abs(feat[1] - amp / 2 ** 0.5) < 1e-2            # rms scales
