@@ -176,6 +176,21 @@ def cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_history(args: argparse.Namespace) -> int:
+    from .plans.sync import read_run_log
+    from .session import get_spark
+    spark = get_spark("cli_history", cpus=args.cpus)
+    log = read_run_log(spark, args.work_dir).orderBy("run_at")
+    if args.table:
+        from pyspark.sql import functions as F
+        log = log.filter(F.col("table") == args.table)
+    rows = [r.asDict() for r in log.tail(args.last)]
+    for r in rows:
+        r["run_at"] = str(r["run_at"])
+    _emit({"runs": rows})
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -253,6 +268,15 @@ def build_parser() -> argparse.ArgumentParser:
     op.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     op.set_defaults(fn=cmd_optimize)
+
+    hp = sub.add_parser("history", help="query the sync run log (one row "
+                                        "per run x table)")
+    hp.add_argument("-t", "--table", default=None)
+    hp.add_argument("--last", type=int, default=20)
+    hp.add_argument("--work-dir", required=True)
+    hp.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    hp.set_defaults(fn=cmd_history)
     return p
 
 

@@ -164,3 +164,16 @@ def test_optimize_verb(capsys, pipeline_yml, tmp_path, sf_dir):
                             "--cpus", "8"])
     assert rc == 0
     assert res["files_after"] == 4 and res["rows"] > 0
+
+
+def test_history_verb(capsys, pipeline_yml, tmp_path, sf_dir):
+    work = str(tmp_path / "work")
+    for _ in range(2):
+        rc, _ = _run(capsys, ["sync", "-p", pipeline_yml,
+                              "--source-dir", sf_dir, "--work-dir", work,
+                              "-t", "orders", "--cpus", "8"])
+        assert rc == 0
+    rc, res = _run(capsys, ["history", "--work-dir", work, "--cpus", "8"])
+    assert rc == 0 and len(res["runs"]) == 2
+    assert res["runs"][0]["rows_extracted"] > 0
+    assert res["runs"][1]["rows_extracted"] == 0
