@@ -109,8 +109,10 @@ def psi_drift(ref: "DataFrame", cur: "DataFrame", col: str,
                 .join(hist(cur, "n_cur"), "bucket", "left")
                 .fillna(0, ["n_ref", "n_cur"]))
     tot = h.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")).first()
-    p_ref = F.col("n_ref") / F.lit(float(tot["tr"])) + F.lit(eps)
-    p_cur = F.col("n_cur") / F.lit(float(tot["tc"])) + F.lit(eps)
+    # max(total, 1) keeps an empty side finite (PSI is then just the
+    # eps-smoothed divergence from an all-zero histogram, not NaN)
+    p_ref = F.col("n_ref") / F.lit(float(max(tot["tr"], 1))) + F.lit(eps)
+    p_cur = F.col("n_cur") / F.lit(float(max(tot["tc"], 1))) + F.lit(eps)
     term = (p_cur - p_ref) * F.log(p_cur / p_ref)
     return h.agg(F.round(F.sum(term), 6).alias("psi"),
                  F.lit(n_buckets).alias("n_buckets"),

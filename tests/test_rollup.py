@@ -129,3 +129,27 @@ def test_compact_recovers_half_finished_swap(spark, orders, tmp_path):
                          ts_col="o_orderdate")
     assert res.rows_before == n and res.rows_after == n
     assert spark.read.parquet(tgt).count() == n
+
+
+def test_psi_drift_finite_on_empty_side(spark, documents):
+    import math
+
+    from s3_redshift_backup_tool_spark.operators.quality import psi_drift
+
+    ref = documents.select("doc_id", "n_chars")
+    cur = ref.filter("doc_id < 0")  # empty snapshot
+    r = psi_drift(ref, cur, "n_chars").first()
+    assert r["n_cur_rows"] == 0
+    assert r["psi"] is not None and math.isfinite(r["psi"])
+
+
+def test_psi_drift_zero_for_identical_and_large_for_shifted(spark, documents):
+    from s3_redshift_backup_tool_spark.operators.quality import psi_drift
+
+    ref = documents.select("n_chars")
+    same = psi_drift(ref, ref, "n_chars").first()["psi"]
+    assert abs(same) < 1e-6
+    from pyspark.sql import functions as F
+    shifted = psi_drift(ref, ref.select(
+        (F.col("n_chars") * 3).alias("n_chars")), "n_chars").first()["psi"]
+    assert shifted > 0.25  # drifted by the standard gate
