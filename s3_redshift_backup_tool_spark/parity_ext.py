@@ -1554,6 +1554,32 @@ def neardup_cluster_size_histogram(spark, sf_dir):
 # (int8 quantization, chunk-level dup spans, PII redaction)
 # ==========================================================================
 
+@q("late_shipment_by_priority",
+   """SELECT o_orderpriority,
+             count(*) AS n_items,
+             count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                        THEN 1 END) AS n_late,
+             round(count(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                                   > 90 THEN 1 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS late_rate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
+   "TPC-H Q12 spirit (lineitem has no shipmode/commitdate, so the "
+   "service-level signal is ship lag vs order date): fact-fact join on "
+   "the shared key + conditional date-arithmetic aggregation — the date "
+   "math runs in codegen, the join is AQE-sized")
+def late_shipment_by_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.count(late).alias("n_late"),
+                   F.round(F.count(late) / F.count(F.lit(1)).cast("double"), 6)
+                    .alias("late_rate")))
+
+
 @q("funnel_conversion_events",
    """WITH firsts AS (
         SELECT user_id,
@@ -2027,6 +2053,7 @@ _TAIL = [
     "chunk_documents_windowed",      # doc chunking: pack_sequences dual
     "funnel_conversion_events",      # funnel: conditional-min agg family
     "cohort_retention_events",       # retention triangle: join+agg family
+    "late_shipment_by_priority",     # Q12 spirit: join + date-cond agg
 ]
 
 
