@@ -1878,18 +1878,25 @@ def top_supplier_by_revenue(spark, sf_dir):
                         / 127.0, 1e-30) AS scale
                FROM embeddings)
       SELECT vec_id, scale,
-             list_transform(embedding,
-                            x -> CAST(round(x::DOUBLE / scale) AS INTEGER)) AS q,
+             array_to_string(list_transform(embedding,
+                            x -> CAST(round(x::DOUBLE / scale) AS INTEGER)),
+                            ',') AS q_csv,
              CAST(list_sum(list_transform(embedding,
                   x -> CAST(round(x::DOUBLE / scale) AS BIGINT)
                        * CAST(round(x::DOUBLE / scale) AS BIGINT))) AS BIGINT)
                AS q_l2sq
       FROM s""",
    "symmetric per-vector int8 quantization (4x ANN storage/bandwidth "
-   "cut): per-row array math, zero shuffle; q_l2sq is the value witness")
+   "cut): per-row array math, zero shuffle; q_l2sq is the value witness. "
+   "q is serialized to CSV (q_csv) because the driver's canonicalizer "
+   "sorts rows via pandas and cannot hash raw list cells")
 def quantize_int8_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.quantize_int8(emb)
+    out = sim.quantize_int8(emb)
+    return out.select(
+        "vec_id", "scale",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+        "q_l2sq")
 
 
 @q("dup_span_chunks_documents",
