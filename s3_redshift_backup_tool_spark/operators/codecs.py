@@ -1,11 +1,12 @@
-"""Real codecs for uncompressed media formats — stdlib + numpy only.
+"""Real codecs for self-describing media formats — stdlib + numpy only.
 
-The container has no PIL/ffmpeg, but uncompressed formats don't need
-them: BMP (BI_RGB 24-bit) is a struct-packed pixel grid and WAV (PCM16)
-is a struct-packed sample stream. Implementing them upgrades the
-multimodal pipeline from "deterministic stand-in" to REAL decode /
-feature-extract / resize for these formats, with the compressed codecs
-(png/jpeg/mp4) remaining the documented stubs.
+The container has no PIL/ffmpeg, but several formats don't need them:
+BMP (BI_RGB 24-bit) is a struct-packed pixel grid, WAV (PCM16) is a
+struct-packed sample stream, and PNG is zlib (stdlib) + per-scanline
+filters. Implementing them upgrades the multimodal pipeline from
+"deterministic stand-in" to REAL decode / feature-extract / resize for
+these formats, with the remaining compressed codecs (jpeg/mp4) staying
+the documented stubs.
 
 Everything here is per-row worker-side code invoked from the Arrow-
 batched ``mapInPandas`` stages in operators/multimodal.py — no Spark
@@ -16,6 +17,7 @@ from __future__ import annotations
 
 import struct
 import wave
+import zlib
 from io import BytesIO
 
 import numpy as np
@@ -69,15 +71,8 @@ def bmp_feature(payload: bytes, meta: dict | None = None,
                 dim: int = 8) -> list[float]:
     """Real image features from a BMP: [w, h, mean_r, mean_g, mean_b,
     std_luma, edge_energy, aspect] — a deterministic 8-dim descriptor
-    (means/std normalized to [0,1])."""
-    px = decode_bmp(payload).astype(np.float64)
-    h, w, _ = px.shape
-    means = px.mean(axis=(0, 1)) / 255.0
-    luma = px @ np.array([0.299, 0.587, 0.114])
-    std_luma = float(luma.std() / 255.0)
-    edge = float(np.abs(np.diff(luma, axis=1)).mean() / 255.0) if w > 1 else 0.0
-    return [float(w), float(h), float(means[0]), float(means[1]),
-            float(means[2]), std_luma, edge, float(w) / float(h)][:dim]
+    (means/std normalized to [0,1]), shared with the PNG path."""
+    return _rgb_feature(decode_bmp(payload), dim)
 
 
 def bmp_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -87,6 +82,136 @@ def bmp_resize(payload: bytes, width: int, height: int) -> bytes:
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     return encode_bmp(px[yi][:, xi])
+
+
+# -- PNG (stdlib zlib + scanline filters; RFC 2083) ------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 8-bit truecolor PNG bytes
+    (filter type 0 per scanline, single IDAT)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # depth 8, RGB
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4) -> (h, stride) bytes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:                                   # None
+            out[y] = line
+        elif ftype == 1:                                 # Sub
+            for x in range(stride):
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+            out[y] = line
+        elif ftype == 2:                                 # Up
+            out[y] = (line.astype(np.uint16) + prev) & 0xFF
+        elif ftype == 3:                                 # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+            out[y] = line
+        elif ftype == 4:                                 # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+            out[y] = line
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit depth, color
+    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) — alpha dropped,
+    gray broadcast — all five scanline filters, non-interlaced only."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    px = _unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def _rgb_feature(px: np.ndarray, dim: int = 8) -> list[float]:
+    """Shared 8-dim descriptor: [w, h, mean_r, mean_g, mean_b, std_luma,
+    edge_energy, aspect] (means/std normalized to [0,1])."""
+    px = px.astype(np.float64)
+    h, w, _ = px.shape
+    means = px.mean(axis=(0, 1)) / 255.0
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    std_luma = float(luma.std() / 255.0)
+    edge = float(np.abs(np.diff(luma, axis=1)).mean() / 255.0) if w > 1 else 0.0
+    return [float(w), float(h), float(means[0]), float(means[1]),
+            float(means[2]), std_luma, edge, float(w) / float(h)][:dim]
+
+
+def png_feature(payload: bytes, meta: dict | None = None,
+                dim: int = 8) -> list[float]:
+    """Real image features from a PNG — same descriptor as BMP, so the
+    feature space is format-independent."""
+    return _rgb_feature(decode_png(payload), dim)
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode -> index-sample -> re-encode."""
+    px = decode_png(payload)
+    h, w, _ = px.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(np.ascontiguousarray(px[yi][:, xi]))
 
 
 # -- WAV (PCM16, via stdlib wave) ------------------------------------------

@@ -2,11 +2,11 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
-are Arrow-batched ``mapInPandas`` stages. The decode kernels themselves
-are STUBBED (image/audio libraries are not in this container) behind
-``DecoderRegistry`` — the Spark-side plumbing (schema, batch shape,
-partitioning, UDF signatures) is real and tested; a production deploy
-registers real kernels (PIL/ffmpeg) without touching the plan shape.
+are Arrow-batched ``mapInPandas`` stages. Self-describing formats have
+REAL decode kernels (BMP, PNG, WAV — stdlib+numpy, operators/codecs.py)
+behind ``DecoderRegistry``; jpeg/mp4 remain documented stubs (their
+libraries are not in this container) — a production deploy registers
+PIL/ffmpeg kernels without touching the plan shape.
 
 Scale notes: payload bytes never hit the driver; ``mapInPandas`` streams
 Arrow batches, so executor memory is bounded by
@@ -49,12 +49,11 @@ FEATURE_SCHEMA = T.StructType([
 
 class DecoderRegistry:
     """Pluggable decode kernels keyed by ``media_type/format`` with a
-    ``media_type`` fallback. Uncompressed formats have REAL decoders
-    (``image/bmp``, ``audio/wav`` — operators/codecs.py, stdlib+numpy);
-    compressed codecs (png/jpeg/mp4) fall back to ``deterministic_fake``
-    because their libraries are not in this container — a production
-    deploy registers PIL/ffmpeg kernels without touching the plan
-    shape."""
+    ``media_type`` fallback. Self-describing formats have REAL decoders
+    (``image/bmp``, ``image/png``, ``audio/wav`` — operators/codecs.py,
+    stdlib+numpy); jpeg/mp4 fall back to ``deterministic_fake`` because
+    their libraries are not in this container — a production deploy
+    registers PIL/ffmpeg kernels without touching the plan shape."""
 
     _decoders: dict[str, Callable[[bytes, dict[str, Any]], list[float]]] = {}
 
@@ -97,10 +96,11 @@ DecoderRegistry.register("image", deterministic_fake)
 DecoderRegistry.register("audio", deterministic_fake)
 DecoderRegistry.register("video", deterministic_fake)
 
-# real kernels for uncompressed formats (stdlib+numpy, no external libs)
-from .codecs import bmp_feature, wav_feature  # noqa: E402
+# real kernels for self-describing formats (stdlib+numpy, no external libs)
+from .codecs import bmp_feature, png_feature, wav_feature  # noqa: E402
 
 DecoderRegistry.register("image/bmp", bmp_feature)
+DecoderRegistry.register("image/png", png_feature)
 DecoderRegistry.register("audio/wav", wav_feature)
 
 
@@ -153,10 +153,10 @@ def resize_images(media: DataFrame, width: int, height: int,
                   kernel: Callable[[bytes, int, int], bytes] | None = None
                   ) -> DataFrame:
     """Resize stage: mapInPandas over binary payloads, metadata updated
-    to the new dimensions. BMP payloads get a REAL nearest-neighbor
-    resample (operators/codecs.py); other formats use the caller's
-    ``kernel`` or a deterministic truncate/pad stand-in (no compressed-
-    image library in this container) — the Arrow plumbing, schema, and
+    to the new dimensions. BMP and PNG payloads get a REAL nearest-
+    neighbor resample (operators/codecs.py); other formats use the
+    caller's ``kernel`` or a deterministic truncate/pad stand-in (no
+    jpeg library in this container) — the Arrow plumbing, schema, and
     metadata rewrite are identical either way."""
 
     def _default_kernel(payload: bytes, w: int, h: int) -> bytes:
@@ -166,7 +166,7 @@ def resize_images(media: DataFrame, width: int, height: int,
         return payload[:n] if len(payload) >= n else payload + b"\x00" * (n - len(payload))
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import bmp_resize
+        from .codecs import bmp_resize, png_resize
         for pdf in batches:
             out = pdf.copy()
             payloads = []
@@ -176,6 +176,8 @@ def resize_images(media: DataFrame, width: int, height: int,
                     payloads.append(kernel(p, width, height))
                 elif fmt == "bmp" and p is not None:
                     payloads.append(bmp_resize(bytes(p), width, height))
+                elif fmt == "png" and p is not None:
+                    payloads.append(png_resize(bytes(p), width, height))
                 else:
                     payloads.append(_default_kernel(p, width, height))
             out["payload"] = payloads

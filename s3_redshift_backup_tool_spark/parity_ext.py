@@ -679,6 +679,34 @@ def ngram_jaccard_pairs_documents(spark, sf_dir):
                                   n=3, threshold=0.1)
 
 
+@q("ngram_jaccard_capped_documents",
+   f"""WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING count(*) <= 3),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM shc a JOIN shc b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+             round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
+            >= 0.05""",
+   "n-gram Jaccard with the max_doc_freq stop-shingle skew guard: "
+   "shingles in > 3 docs are dropped from the inverted-index join (a "
+   "df-d shingle emits d^2 join rows — the web-scale boilerplate bomb) "
+   "while set sizes keep every shingle, so jaccard is a conservative "
+   "lower bound; lower-bound semantics pinned by tests/test_jaccard_cap.py")
+def ngram_jaccard_capped_documents(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                  n=3, threshold=0.05, max_doc_freq=3)
+
+
 @q("simhash_documents",
    f"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM documents),
@@ -2061,6 +2089,8 @@ _TAIL = [
     "funnel_conversion_events",      # funnel: conditional-min agg family
     "cohort_retention_events",       # retention triangle: join+agg family
     "late_shipment_by_priority",     # Q12 spirit: join + date-cond agg
+    # round-4 additions
+    "ngram_jaccard_capped_documents",  # max_doc_freq skew guard: jaccard family
 ]
 
 

@@ -136,9 +136,9 @@ def test_real_decoders_ride_the_arrow_path(spark):
 def test_unknown_format_falls_back_to_registered_type(spark):
     from s3_redshift_backup_tool_spark.operators.multimodal import (
         DecoderRegistry, deterministic_fake)
-    # png has no format-specific decoder -> media_type fallback (stub)
+    # jpeg has no format-specific decoder -> media_type fallback (stub)
     f = DecoderRegistry.decode("image", b"\x01\x02\x03",
-                               {"format": "png"})
+                               {"format": "jpeg"})
     assert f == deterministic_fake(b"\x01\x02\x03", {})
 
 
@@ -181,3 +181,169 @@ def test_wav_decoder_rides_the_arrow_path(spark):
         assert abs(feat[0] - 0.5) < 1e-3                       # duration
         amp = 0.1 * (i + 1)
         assert abs(feat[1] - amp / 2 ** 0.5) < 1e-2            # rms scales
+
+
+# -- PNG (stdlib zlib codec) ------------------------------------------------
+
+def test_png_roundtrip_exact():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_png, encode_png)
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def _png_with_filters(px, filters):
+    """Hand-build a PNG applying a given filter type per scanline, so the
+    decoder's unfilter path is exercised against spec-forward filtering."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        _paeth, _png_chunk, _PNG_SIG)
+    h, w, _ = px.shape
+    bpp, stride = 3, w * 3
+    flat = px.reshape(h, stride).astype(np.int16)
+    raw = bytearray()
+    for y, ftype in zip(range(h), filters):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int16)
+        line = np.zeros(stride, dtype=np.int16)
+        for x in range(stride):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                line[x] = cur[x]
+            elif ftype == 1:
+                line[x] = cur[x] - a
+            elif ftype == 2:
+                line[x] = cur[x] - b
+            elif ftype == 3:
+                line[x] = cur[x] - (a + b) // 2
+            elif ftype == 4:
+                line[x] = cur[x] - _paeth(a, b, c)
+        raw += bytes([ftype]) + bytes((line & 0xFF).astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_decode_reverses_all_five_filters():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import decode_png
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    got = decode_png(_png_with_filters(px, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, px)
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_png, _png_chunk, _PNG_SIG)
+
+    def build(ctype, channels, body_px):
+        h, w = body_px.shape[:2]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + body_px[y].tobytes() for y in range(h))
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    out = decode_png(build(0, 1, gray))
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray[:, :, 0])
+    assert np.array_equal(out[:, :, 1], gray[:, :, 0])
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 0] = 200
+    rgba[..., 3] = 7  # alpha must be dropped, not blended
+    out = decode_png(build(6, 4, rgba))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[..., 0], np.full((2, 2), 200))
+    assert np.array_equal(out[..., 1], np.zeros((2, 2)))
+
+
+def test_png_interlaced_rejected():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_png, _png_chunk, _PNG_SIG)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(payload)
+
+
+def test_png_feature_matches_bmp_feature():
+    """Same pixels through either container must land on the same point
+    in feature space — the descriptor is format-independent."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        bmp_feature, encode_bmp, encode_png, png_feature)
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert png_feature(encode_png(px)) == bmp_feature(encode_bmp(px))
+
+
+def test_png_resize_nearest_neighbor():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_png, encode_png, png_resize)
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    big = decode_png(png_resize(encode_png(px), 4, 4))
+    assert big.shape == (4, 4, 3)
+    assert np.array_equal(big[0, 0], [255, 0, 0])
+    assert np.array_equal(big[3, 3], [255, 255, 255])
+
+
+def test_png_decoder_rides_the_arrow_path(spark):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import encode_png
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, extract_features)
+    rows = []
+    for i in range(4):
+        px = np.full((3, 5, 3), i * 60, dtype=np.uint8)
+        rows.append((i, bytearray(encode_png(px))))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    media = attach_media(df, "content", "doc_id", media_type="image",
+                         fmt="png")
+    out = {r["media_id"]: r["feature"]
+           for r in extract_features(media).collect()}
+    assert len(out) == 4
+    for i, feat in out.items():
+        assert feat[0] == 5.0 and feat[1] == 3.0
+        assert abs(feat[2] - (i * 60) / 255.0) < 1e-6
+
+
+def test_resize_images_uses_real_png_kernel(spark):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        decode_png, encode_png)
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, resize_images)
+    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_png(px)))],
+                               "doc_id long, content binary")
+    media = attach_media(df, "content", "doc_id", media_type="image",
+                         fmt="png")
+    row = resize_images(media, 4, 2).collect()[0]
+    out = decode_png(bytes(row["payload"]))
+    assert out.shape == (2, 4, 3)
+    assert np.array_equal(out, np.full((2, 4, 3), 99, dtype=np.uint8))
+    assert row["meta"]["width"] == 4 and row["meta"]["height"] == 2
