@@ -90,16 +90,20 @@ class ParquetManifest:
     def _exists(self) -> bool:
         # Hadoop FileSystem API, not local glob — the manifest may live on
         # an object store (s3a://...) where os/glob would always say
-        # "absent" and every staged file would silently reload.
+        # "absent" and every staged file would silently reload. Recursive
+        # listFiles, because only an actual data file proves the manifest
+        # holds entries: a directory containing nothing but empty subdirs
+        # or marker files would otherwise send paths_df into a
+        # schema-inference failure (round-3 advisor finding).
         jvm = self.spark._jvm
         jsc = self.spark._jsc
         hpath = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = hpath.getFileSystem(jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return False
-        for status in fs.listStatus(hpath):
-            name = status.getPath().getName()
-            if status.isDirectory() or name.endswith(".parquet"):
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
 

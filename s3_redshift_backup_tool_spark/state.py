@@ -259,6 +259,21 @@ class WatermarkStore:
         self._save(source, table, target, doc)
         return doc
 
+    def reconcile_file_counters(self, source: str, table: str, target: str) -> dict:
+        """After a recovery load pass has fully accounted for staging
+        (everything staged is either loaded or in the manifest), lift the
+        cumulative loaded counter to the staged counter so the no-op
+        sync's leftover gate (plans.sync._staging_may_have_leftovers)
+        goes quiet again. Counters only — row totals stay external-count
+        driven."""
+        doc = self.get(source, table, target)
+        staged = int(doc["mysql_state"].get("s3_files_created") or 0)
+        rs = doc["redshift_state"]
+        rs["files_loaded_total"] = max(
+            int(rs.get("files_loaded_total") or 0), staged)
+        self._save(source, table, target, doc)
+        return doc
+
     def update_target_count(self, source: str, table: str, target: str, count: int) -> dict:
         doc = self.get(source, table, target)
         prev = int(doc["redshift_state"].get("total_rows") or 0)

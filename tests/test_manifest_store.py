@@ -90,3 +90,14 @@ def test_sync_with_50k_manifest_entries_keeps_doc_o1(spark, orders, tc,
                     staging_path=staging,
                     target_path=str(tmp_path / "target"))
     assert r2.rows_extracted == 0 and r2.files_loaded == 0 and r2.verified
+
+
+def test_manifest_empty_subdirs_are_not_data(spark, tmp_path):
+    """A manifest path holding only empty subdirectories (e.g. leftover
+    marker dirs) must read as absent — not crash paths_df with a
+    schema-inference error (round-3 advisor finding)."""
+    from s3_redshift_backup_tool_spark.operators.manifest import ParquetManifest
+    mpath = tmp_path / "_manifest"
+    (mpath / "empty_marker").mkdir(parents=True)
+    m = ParquetManifest(spark, str(mpath))
+    assert m.paths_df().count() == 0

@@ -164,3 +164,64 @@ def test_run_log_accumulates_history(spark, orders, tmp_path):
     assert rows[1]["rows_extracted"] == 0      # second run: idempotent
     assert all(r["verified"] for r in rows)
     assert rows[0]["run_id"] != rows[1]["run_id"]
+
+
+def test_noop_sync_skips_staging_listing(spark, orders, store, tmp_path,
+                                         monkeypatch):
+    """The clean no-op sync (cron's common case) must not pay a staging
+    inventory listing: the watermark doc's staged/loaded counters prove
+    there are no leftovers (round-3 verdict scale fix)."""
+    from s3_redshift_backup_tool_spark.plans import sync as sync_mod
+
+    staging = str(tmp_path / "staging")
+    target = str(tmp_path / "target")
+    cfg = _orders_cfg()
+    sync_table(spark, orders, cfg, store,
+               staging_path=staging, target_path=target)
+
+    calls = []
+    real = sync_mod._staged_files
+    monkeypatch.setattr(sync_mod, "_staged_files",
+                        lambda sp, p: calls.append(p) or real(sp, p))
+    r = sync_table(spark, orders, cfg, store,
+                   staging_path=staging, target_path=target)
+    assert r.rows_extracted == 0 and r.verified
+    assert calls == [], f"no-op sync listed staging: {calls}"
+
+
+def test_noop_sync_recovers_when_load_never_committed(spark, orders, store,
+                                                     tmp_path):
+    """Crash window between extraction commit and load commit: the staged
+    counter runs ahead of the loaded counter, so the next (empty-delta)
+    sync must still discover and load the stranded files."""
+    staging = str(tmp_path / "staging")
+    target = str(tmp_path / "target")
+    cfg = _orders_cfg()
+    r1 = sync_table(spark, orders, cfg, store,
+                    staging_path=staging, target_path=target)
+
+    # simulate the crash: roll the loaded counter back and wipe target +
+    # manifest, as if the load stage never happened
+    doc = store.get("src", "orders", "tgt")
+    doc["redshift_state"]["files_loaded_total"] = 0
+    doc["redshift_state"]["status"] = "in_progress"
+    store.backend.put(store._key("src", "orders", "tgt"), doc)
+    import shutil
+    shutil.rmtree(target)
+    shutil.rmtree(os.path.join(staging, "_manifest"))
+
+    r2 = sync_table(spark, orders, cfg, store,
+                    staging_path=staging, target_path=target)
+    assert r2.rows_extracted == 0
+    assert r2.files_loaded == r1.files_staged        # stranded files loaded
+    assert spark.read.parquet(target).count() == orders.count()
+
+    # counters resynced: the NEXT no-op pays no listing again
+    doc = store.get("src", "orders", "tgt")
+    assert not sync_mod_leftovers(doc)
+
+
+def sync_mod_leftovers(doc):
+    from s3_redshift_backup_tool_spark.plans.sync import (
+        _staging_may_have_leftovers)
+    return _staging_may_have_leftovers(doc)
