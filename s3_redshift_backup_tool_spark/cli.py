@@ -191,6 +191,26 @@ def cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_markers(args: argparse.Namespace) -> int:
+    from .plans.markers import CompletionMarkers
+    markers = CompletionMarkers(os.path.join(args.work_dir,
+                                             "_completion_markers"))
+    if args.action == "check":
+        if not args.table:
+            _emit({"error": "markers check requires -t"})
+            return 2
+        # the Airflow-sensor contract: exit 0 iff the marker exists
+        ok = markers.check(args.table, status=args.status,
+                           date_str=args.date, kind=args.kind)
+        _emit({"marker": f"{args.kind}_{args.table}_{args.status.upper()}",
+               "date": args.date or "today", "exists": ok,
+               "detail": markers.read(args.table, status=args.status,
+                                      date_str=args.date, kind=args.kind)})
+        return 0 if ok else 1
+    _emit({"markers": markers.list_markers(args.date)})
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -277,6 +297,18 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     hp.set_defaults(fn=cmd_history)
+
+    mp = sub.add_parser("markers", help="completion markers for "
+                                        "orchestrators (Airflow-sensor "
+                                        "existence contract)")
+    mp.add_argument("action", choices=["check", "list"])
+    mp.add_argument("-t", "--table", default=None,
+                    help="check: table (or pipeline with --kind pipeline)")
+    mp.add_argument("--status", default="SUCCESS")
+    mp.add_argument("--kind", default="sync", choices=["sync", "pipeline"])
+    mp.add_argument("--date", default=None, help="YYYYMMDD (default today)")
+    mp.add_argument("--work-dir", required=True)
+    mp.set_defaults(fn=cmd_markers)
     return p
 
 

@@ -298,20 +298,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def neardup_components(pairs: DataFrame, id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 20,
+                       algorithm: str = "label_prop") -> DataFrame:
     """Connected components over a near-dup candidate-pair graph: every
     doc gets the MIN doc id of its component as canonical label — the
     step that turns pairwise candidates into dedup groups.
 
-    Min-label propagation: each iteration every node takes
-    min(own label, neighbors' labels); converges in O(component
-    diameter) rounds (near-dup components are shallow — a few rounds).
-    Each round is one join + partial-aggregable groupBy; labels are
-    localCheckpoint'd so lineage stays flat. At web scale swap in the
-    large-star/small-star algorithm (Kiveris'14) — same fixed point,
-    fewer rounds on high-diameter graphs. The fixed point (component
-    min) is path-independent, so the oracle's recursive-CTE reachability
-    closure reproduces it exactly."""
+    ``algorithm="label_prop"`` (default): min-label propagation — each
+    iteration every node takes min(own label, neighbors' labels);
+    converges in O(component diameter) rounds (near-dup components are
+    shallow — a few rounds). Each round is one join + partial-aggregable
+    groupBy; labels are localCheckpoint'd so lineage stays flat.
+
+    ``algorithm="star"``: large-star/small-star (Kiveris'14) — the
+    100 TB swap for high-diameter graphs, O(log^2 n) rounds independent
+    of diameter (see :func:`neardup_components_star`). Same fixed point
+    (component min is path-independent), pinned by an equivalence test,
+    so the oracle's recursive-CTE reachability closure reproduces both
+    exactly."""
+    if algorithm == "star":
+        return neardup_components_star(pairs, id_a, id_b, max_iter)
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .union(pairs.select(F.col(id_b).alias("u"),
                                  F.col(id_a).alias("v"))).distinct())
@@ -339,6 +345,80 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
             break
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def neardup_components_star(pairs: DataFrame, id_a: str = "id_a",
+                            id_b: str = "id_b",
+                            max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", Algorithm 2). Same output contract as
+    :func:`neardup_components` — (doc_id, component-min label) — but
+    convergence takes O(log^2 n) rounds regardless of component
+    DIAMETER, where label propagation needs O(diameter) rounds: a
+    10^6-node path graph finishes in ~20 star rounds vs 10^6 label
+    rounds. Near-dup graphs are usually shallow (label_prop wins on
+    constant factors); chain-structured graphs — version histories,
+    crawl-date chains where each revision only pairs with its neighbor —
+    are where this is the only option at scale.
+
+    Per round: large-star hangs every larger neighbor of u off
+    min(N(u) ∪ {u}) — star-ifies deep trees; small-star re-hangs each
+    node's smaller neighbors (and itself) off their min — halves tree
+    height. Both are one groupBy(min) + one join per direction, all
+    partial-aggregable, edges localCheckpoint'd per round so lineage
+    stays flat. Fixed point: every component is a star centered at its
+    min, detected by an order-independent (count, hash-sum) edge-set
+    checksum — two O(1)-row aggs, no edge-set collect."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .union(edges.select("v")).distinct()
+             .localCheckpoint(eager=True))
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (a hash SUM overflows long); edges are distinct, so xor can't
+        # cancel duplicate rows
+        r = e.agg(F.count(F.lit(1)).alias("n"),
+                  F.coalesce(F.bit_xor(F.xxhash64("u", "v")),
+                             F.lit(0)).alias("h")).first()
+        return int(r["n"]), int(r["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: for each u, every STRICTLY LARGER neighbor links to
+        # m = min(N(u) ∪ {u})
+        und = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (und.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (und.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: for each u over its SMALLER neighbors Γ,
+        # m = min(Γ); re-hang Γ \ {m} and u itself off m
+        sm = (large.union(large.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+              .filter(F.col("v") < F.col("u")))
+        smins = sm.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (sm.join(smins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(smins.select("u", F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+        cs = _checksum(edges)
+        if cs == prev:
+            break
+        prev = cs
+    # converged edges are (member -> component min); centers label themselves
+    return (nodes.join(edges.select(F.col("u").alias("doc_id"),
+                                    F.col("v").alias("component")),
+                       "doc_id", "left")
+            .select("doc_id", F.coalesce("component", F.col("doc_id"))
+                    .alias("component")))
 
 
 def decontaminate_overlap(eval_df: DataFrame, train_df: DataFrame,

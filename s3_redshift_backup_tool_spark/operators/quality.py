@@ -90,8 +90,11 @@ def psi_drift(ref: "DataFrame", cur: "DataFrame", col: str,
     if lo is None or hi is None:
         r = ref.agg(F.min(F.col(col).cast("double")),
                     F.max(F.col(col).cast("double"))).first()
-        lo = lo if lo is not None else float(r[0])
-        hi = hi if hi is not None else float(r[1])
+        # an empty (or all-NULL) reference has no min/max: fall back to
+        # the unit range so PSI stays finite, mirroring the empty-current
+        # guard below (round-3 advisor finding)
+        lo = lo if lo is not None else (float(r[0]) if r[0] is not None else 0.0)
+        hi = hi if hi is not None else (float(r[1]) if r[1] is not None else 1.0)
     span = (hi - lo) or 1.0
 
     def hist(df, name):

@@ -659,6 +659,34 @@ def neardup_clusters_documents(spark, sf_dir):
     return dd.neardup_components(pairs)
 
 
+@q("neardup_clusters_star_documents",
+   f"""WITH RECURSIVE {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+      SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u""",
+   "same dedup groups via large-star/small-star rounds (Kiveris'14): "
+   "O(log^2 n) rounds independent of component diameter — the 100 TB "
+   "swap for chain-shaped near-dup graphs; identical fixed point, so "
+   "the same reachability-closure oracle must match bit-for-bit")
+def neardup_clusters_star_documents(spark, sf_dir):
+    pairs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
+                         n=3, num_hashes=16, bands=8)
+    return dd.neardup_components(pairs, algorithm="star")
+
+
 @q("ngram_jaccard_pairs_documents",
    f"""WITH {_SHINGLE_CTE},
       sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
@@ -2016,9 +2044,9 @@ _WINDOW = [
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
     "neardup_clusters_documents", "ngram_jaccard_pairs_documents",
     "simhash_documents", "fingerprint_documents",
-    "cosine_topk_embeddings", "quantize_int8_embeddings",
+    "batch_cosine_topk_embeddings", "quantize_int8_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
-    "embedding_neardup_pairs", "hash_sample_documents",
+    "embedding_neardup_pairs", "train_val_test_split_documents",
     "dup_span_chunks_documents",
     "multimodal_features",
     # text analysis / corpus curation
@@ -2066,8 +2094,8 @@ _TAIL = [
     "knn_label_eval_embeddings",     # batch-cosine + vote windows
     # round-3 additions / demoted siblings (full oracle coverage lives in
     # tests/test_full_parity.py regardless of the driver window)
-    "batch_cosine_topk_embeddings",  # cosine machinery: cosine_topk
-    "train_val_test_split_documents",# hash-gate: hash_sample_documents
+    "cosine_topk_embeddings",        # cosine machinery: batch_cosine_topk
+    "hash_sample_documents",         # hash-gate: train_val_test_split
     "multimodal_payload_stats",      # builtin agg: quality_metrics family
     "volume_shipping_pair_nations",  # Q7: revenue_by_nation join family
     "market_share_by_year",          # Q8: star join + conditional share
@@ -2091,6 +2119,7 @@ _TAIL = [
     "late_shipment_by_priority",     # Q12 spirit: join + date-cond agg
     # round-4 additions
     "ngram_jaccard_capped_documents",  # max_doc_freq skew guard: jaccard family
+    "neardup_clusters_star_documents", # Kiveris'14 star rounds: clusters family
 ]
 
 

@@ -76,6 +76,10 @@ class IncrementalRollup:
         permanently under-count every group. Stale ``__tmp*`` writes are
         discarded (their delta is re-applied by the caller's retry)."""
         base = self.state_path.rstrip("/")
+        if not os.path.isdir(os.path.dirname(base) or "."):
+            # nothing to recover: the first apply() with a nested state
+            # path runs before Spark has created the parent directory
+            return
         for entry in os.listdir(os.path.dirname(base) or "."):
             full = os.path.join(os.path.dirname(base) or ".", entry)
             if full.startswith(base + "__tmp"):

@@ -459,6 +459,11 @@ def sync_pipeline(
             results[tc.table_name] = _run(tc)
     append_run_log(spark, os.path.join(work_dir, "_run_log"),
                    pipeline.name, results)
+    # orchestration handshake: per-table + pipeline completion markers
+    # (reference airflow_integration.py; idempotent, first run of the
+    # day owns the marker)
+    from .markers import publish_run_markers
+    publish_run_markers(work_dir, pipeline.name, results)
     return results
 
 

@@ -177,3 +177,43 @@ def test_history_verb(capsys, pipeline_yml, tmp_path, sf_dir):
     assert rc == 0 and len(res["runs"]) == 2
     assert res["runs"][0]["rows_extracted"] > 0
     assert res["runs"][1]["rows_extracted"] == 0
+
+
+def test_markers_written_on_sync_and_checkable(capsys, pipeline_yml,
+                                               tmp_path, sf_dir):
+    work = str(tmp_path / "work")
+    rc, _ = _run(capsys, ["sync", "-p", pipeline_yml, "-t", "orders",
+                          "--source-dir", sf_dir, "--work-dir", work])
+    assert rc == 0
+
+    # Airflow-sensor contract: exit 0 + exists when the table synced clean
+    rc, out = _run(capsys, ["markers", "check", "-t", "orders",
+                            "--work-dir", work])
+    assert rc == 0 and out["exists"]
+    assert out["detail"]["table"] == "orders"
+    assert out["detail"]["status"] == "SUCCESS"
+
+    rc, out = _run(capsys, ["markers", "check", "-t", "cli_test",
+                            "--kind", "pipeline", "--work-dir", work])
+    assert rc == 0 and out["exists"]
+    assert out["detail"]["tables"] == ["orders"]
+
+    # a table that never synced -> exit 1 (sensor keeps waiting)
+    rc, out = _run(capsys, ["markers", "check", "-t", "lineitem",
+                            "--work-dir", work])
+    assert rc == 1 and not out["exists"]
+
+    rc, out = _run(capsys, ["markers", "list", "--work-dir", work])
+    assert rc == 0 and len(out["markers"]) == 2
+
+
+def test_markers_idempotent_first_writer_wins(tmp_path):
+    from s3_redshift_backup_tool_spark.plans.markers import CompletionMarkers
+    m = CompletionMarkers(str(tmp_path / "_completion_markers"))
+    assert m.write_table_marker("orders", "SUCCESS", "run-1", "20260814")
+    # same-day rerun must not overwrite (downstream freshness contract)
+    assert not m.write_table_marker("orders", "SUCCESS", "run-2", "20260814")
+    assert m.read("orders", date_str="20260814")["execution_id"] == "run-1"
+    # a FAILED marker is a distinct key: both can exist for one day
+    assert m.write_table_marker("orders", "FAILED", "run-3", "20260814")
+    assert m.check("orders", "FAILED", "20260814")

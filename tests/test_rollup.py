@@ -153,3 +153,30 @@ def test_psi_drift_zero_for_identical_and_large_for_shifted(spark, documents):
     shifted = psi_drift(ref, ref.select(
         (F.col("n_chars") * 3).alias("n_chars")), "n_chars").first()["psi"]
     assert shifted > 0.25  # drifted by the standard gate
+
+
+def test_psi_drift_finite_on_empty_reference(spark, documents):
+    """Mirror of the empty-current case: an empty ref side has no min/max
+    to derive buckets from — fall back to the unit range, stay finite."""
+    import math
+
+    from s3_redshift_backup_tool_spark.operators.quality import psi_drift
+
+    cur = documents.select("doc_id", "n_chars")
+    ref = cur.filter("doc_id < 0")  # empty snapshot
+    r = psi_drift(ref, cur, "n_chars").first()
+    assert r["n_ref_rows"] == 0 and r["n_cur_rows"] > 0
+    assert r["psi"] is not None and math.isfinite(r["psi"])
+
+
+def test_incremental_rollup_nested_state_path_first_apply(spark, orders,
+                                                          tmp_path):
+    """First apply() with a state path whose PARENT doesn't exist yet must
+    not die in recovery's parent-dir listing (round-3 advisor finding)."""
+    from s3_redshift_backup_tool_spark.plans.rollup import IncrementalRollup
+
+    state = str(tmp_path / "not" / "yet" / "created" / "state")
+    r = IncrementalRollup(spark, state, keys=["o_orderstatus"],
+                          value_col="o_totalprice")
+    r.apply(orders.limit(50))
+    assert r.read().count() > 0
