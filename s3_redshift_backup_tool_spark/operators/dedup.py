@@ -147,7 +147,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 16, bands: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket; docs
     sharing any band-bucket become candidate pairs.
 
@@ -155,9 +156,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     bucket -> collect_list -> in-bucket combinations), not a bucket
     self-join: the signature pipeline is computed ONCE (a self-join's two
     aliased sides defeat Spark's exchange reuse and would run it twice),
-    and shuffle volume stays O(docs x bands). At web scale add a bucket
-    cardinality cap (``max_bucket``) — a degenerate bucket of b docs
-    would otherwise emit b^2/2 pairs."""
+    and shuffle volume stays O(docs x bands). ``max_bucket_size`` is the
+    web-scale degenerate-bucket guard — a bucket of b docs would
+    otherwise emit b^2/2 pairs (see _pairs_from_banded)."""
     rows_per_band = num_hashes // bands
     banded = (signatures
               .withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -165,7 +166,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
               .agg(F.md5(F.concat_ws(",", F.sort_array(
                   F.collect_list(F.concat_ws(":", "hash_idx", "min_hash")))))
                    .alias("band_hash")))
-    return _pairs_from_banded(banded, id_col)
+    return _pairs_from_banded(banded, id_col, max_bucket_size)
 
 
 def _band_hash_from_array(band: int, rows_per_band: int):
@@ -180,13 +181,27 @@ def _band_hash_from_array(band: int, rows_per_band: int):
     return F.md5(F.concat_ws(",", F.sort_array(entries)))
 
 
-def _pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+def _pairs_from_banded(banded: DataFrame, id_col: str,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """(id, band, band_hash) -> distinct candidate pairs via per-bucket
     sorted id lists (see lsh_candidate_pairs docstring for why not a
-    self-join)."""
+    self-join).
+
+    ``max_bucket_size`` is the degenerate-bucket guard: a bucket of b
+    docs emits b^2/2 pairs AND materializes a b-element id array in one
+    task, so one boilerplate-heavy band bucket at web scale (empty docs,
+    template pages) can dominate the whole job. Buckets over the cap are
+    dropped entirely — a band shared by thousands of documents carries
+    no near-dup signal (it is the MinHash analogue of a stop-shingle),
+    and any true near-dup pair inside it almost surely shares another,
+    smaller bucket. Candidate recall becomes a lower bound, the
+    conservative direction (same contract as ngram_jaccard_pairs'
+    max_doc_freq)."""
     buckets = (banded.groupBy("band", "band_hash")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
@@ -198,7 +213,8 @@ def _pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
 
 
 def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              n: int = 3, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+              n: int = 3, num_hashes: int = 16, bands: int = 4,
+              max_bucket_size: int | None = None) -> DataFrame:
     """MinHash + LSH banding end-to-end, band hashes computed per-row
     from the signature ARRAY: the (doc, band) reassembly shuffle of the
     exploded-signature path disappears — the only shuffles left are the
@@ -223,7 +239,7 @@ def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     banded = with_band.select(
         id_col, "band",
         F.md5(F.concat_ws(",", F.sort_array(entries))).alias("band_hash"))
-    return _pairs_from_banded(banded, id_col)
+    return _pairs_from_banded(banded, id_col, max_bucket_size)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

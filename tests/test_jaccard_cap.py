@@ -24,3 +24,24 @@ def test_cap_of_zero_prunes_everything(spark, documents):
     out = ngram_jaccard_pairs(documents.limit(50), n=3, threshold=0.0,
                               max_doc_freq=0)
     assert out.count() == 0
+
+
+def test_lsh_max_bucket_size_drops_degenerate_buckets(spark):
+    """The degenerate-bucket guard: identical docs all land in one giant
+    band bucket; with the cap below the clique size those pairs vanish,
+    while an unrelated small near-dup pair survives."""
+    from s3_redshift_backup_tool_spark.operators.dedup import lsh_pairs
+
+    boiler = "the same boilerplate template page " * 6
+    rows = [(i, boiler) for i in range(20)]                  # giant bucket
+    rows += [(100, "a genuinely unique document about owls and rivers"),
+             (101, "a genuinely unique document about owls and rivers")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {(r["id_a"], r["id_b"]) for r in lsh_pairs(docs).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in lsh_pairs(docs, max_bucket_size=10).collect()}
+    assert (100, 101) in full and (100, 101) in capped
+    assert any(a < 20 and b < 20 for a, b in full)       # clique pairs exist
+    assert not any(a < 20 and b < 20 for a, b in capped)  # ...and are dropped
+    assert capped <= full
