@@ -224,37 +224,84 @@ def ann_topk_ivf(df: DataFrame, query_vec: list[float],
                 .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))
 
 
-def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
-                         n_planes: int = 6, vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
-    """Embedding near-duplicate pairs: SRP-bucket grouping + exact cosine
-    filter. The bucket key bounds the comparisons: no O(n^2) cross
-    product. Pairs come from per-bucket collected (id, vec) lists rather
-    than a bucket self-join — the aliased self-join defeats Spark's
-    exchange reuse and would compute the bucket projection twice; one
-    groupBy computes it once. At web scale cap bucket size (raise
-    ``n_planes``) so a degenerate bucket can't collect unboundedly."""
-    b = srp_buckets(df, n_planes, vec_col, id_col)
-    buckets = (b.groupBy("bucket")
-                .agg(F.array_sort(F.collect_list(
-                    F.struct(F.col(id_col).alias("id"),
-                             F.col(vec_col).alias("v")))).alias("items"))
-                .filter(F.size("items") > 1)
-                # one partition per bucket: the collected rows are tiny
-                # (AQE would coalesce them onto one task) but each hides
-                # |bucket|^2/2 cosine evaluations of downstream compute
-                .repartition(1 << n_planes, F.col("bucket")))
+def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
+                      n_parts: int, vec_col: str, id_col: str) -> DataFrame:
+    """Cosine pairs WITHIN each key group (SRP bucket, IVF cluster):
+    per-key collected (id, vec) lists rather than a keyed self-join —
+    the aliased self-join defeats Spark's exchange reuse and would
+    compute the upstream projection twice; one groupBy computes it once.
+    Each id lives in exactly one group, so no distinct is needed."""
+    buckets = (keyed.groupBy(key_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v")))).alias("items"))
+               .filter(F.size("items") > 1)
+               # one partition per group: the collected rows are tiny
+               # (AQE would coalesce them onto one task) but each hides
+               # |group|^2/2 cosine evaluations of downstream compute
+               .repartition(n_parts, F.col(key_col)))
     pairs = F.flatten(F.transform(
         F.col("items"),
         lambda x, i: F.transform(
             F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
             lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
                                F.round(cosine(x["v"], y["v"]), 6).alias("cos_sim")))))
-    # no distinct needed: each id lives in exactly one bucket (single
-    # banding), so a pair can only be emitted once
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b", "p.cos_sim")
             .filter(F.col("cos_sim") >= threshold))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         n_planes: int = 6, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-duplicate pairs: SRP-bucket grouping + exact cosine
+    filter. The bucket key bounds the comparisons: no O(n^2) cross
+    product. At web scale cap bucket size (raise ``n_planes``) so a
+    degenerate bucket can't collect unboundedly."""
+    b = srp_buckets(df, n_planes, vec_col, id_col)
+    return _pairs_within_key(b, "bucket", threshold, 1 << n_planes,
+                             vec_col, id_col)
+
+
+def semantic_dedup_pairs(df: DataFrame,
+                         centroids: list[tuple[int, list[float]]],
+                         threshold: float = 0.95,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-partition the corpus, then cosine pairs WITHIN each cluster
+    only — semantic redundancy lives inside tight neighborhoods, so the
+    cluster key bounds comparisons exactly like an LSH bucket but with
+    data-adaptive boundaries (SRP planes are data-blind; centroids
+    follow density, so mutually-near vectors are far less likely to be
+    split across keys).
+
+    Scale shape: assignment is the zero-shuffle per-row argmin
+    (``ivf_assign``); one shuffle on centroid_id; per-cluster pair gen.
+    At 1B vectors use kmeans_centroids over a hash-gate sample and raise
+    n_centroids so cluster populations stay bounded (cost is
+    sum(|cluster|^2)/2 cosines)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    return _pairs_within_key(assigned, "centroid_id", threshold,
+                             max(len(centroids), 1), vec_col, id_col)
+
+
+def semantic_dedup(df: DataFrame,
+                   centroids: list[tuple[int, list[float]]],
+                   threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """End-to-end SemDeDup: keep one canonical vector (the MIN id) per
+    within-cluster near-dup component, plus every vector in no
+    component. Components run over the pair graph only (tiny next to the
+    corpus); the corpus itself is touched once via left_anti — the same
+    shape as dedup.dedup_keep_canonical."""
+    from .dedup import neardup_components
+
+    pairs = semantic_dedup_pairs(df, centroids, threshold, vec_col, id_col)
+    comp = neardup_components(pairs)
+    drop = comp.filter(F.col("component") != F.col("doc_id")) \
+               .select(F.col("doc_id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",

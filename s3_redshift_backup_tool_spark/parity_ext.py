@@ -897,6 +897,38 @@ def embedding_neardup_pairs(spark, sf_dir):
     return sim.cosine_neardup_pairs(emb, threshold=0.3, n_planes=4)
 
 
+@q("semantic_dedup_pairs_embeddings",
+   f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+      d AS (SELECT e.vec_id, e.embedding, c.cid,
+                   {_L2.format(a='e.embedding', b='c.cv')} AS dist
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d),
+      assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1)
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({_DOT.format(a='x.embedding', b='y.embedding')}
+                   / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                      * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+               AS cos_sim
+      FROM assign x JOIN assign y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE round({_DOT.format(a='x.embedding', b='y.embedding')}
+                  / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                     * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+            >= 0.3""",
+   "SemDeDup candidate pairs (Abbas'23): zero-shuffle argmin cluster "
+   "assignment (first-8 deterministic quantizer, swappable for k-means) "
+   "then cosine pairs within cluster only — data-adaptive neighborhoods "
+   "bound the comparisons, never O(n^2)")
+def semantic_dedup_pairs_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    return sim.semantic_dedup_pairs(emb, cents, threshold=0.3)
+
+
 # ==========================================================================
 # Deterministic sampling / dataset splits
 # ==========================================================================
@@ -2120,6 +2152,7 @@ _TAIL = [
     # round-4 additions
     "ngram_jaccard_capped_documents",  # max_doc_freq skew guard: jaccard family
     "neardup_clusters_star_documents", # Kiveris'14 star rounds: clusters family
+    "semantic_dedup_pairs_embeddings", # SemDeDup: embedding_neardup family
 ]
 
 

@@ -132,3 +132,46 @@ def test_ivf_index_persists_and_reproduces_results(spark, embeddings, tmp_path):
     b = ann_topk_ivf(embeddings, q, centroids=loaded, nprobe=2).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in a] == \
            [(r["vec_id"], r["cos_sim"]) for r in b]
+
+
+def test_semantic_dedup_keeps_one_per_tight_neighborhood(spark):
+    """SemDeDup end-to-end: near-identical vectors in one cluster
+    collapse to the min id; distinct vectors all survive."""
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        ivf_centroids, semantic_dedup, semantic_dedup_pairs)
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),     # near-dup of 11/12 (and near 0)
+        (11, [0.91, 0.09, 0.0, 0.0]),
+        (12, [0.89, 0.11, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),     # lone vector, own direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(emb, n_centroids=2)
+
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.999)
+    pair_ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (10, 11) in pair_ids and (10, 12) in pair_ids
+    assert all(a >= 10 and b >= 10 for a, b in pair_ids)  # 0/1 not near-dups
+
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(emb, cents, threshold=0.999).collect())
+    assert kept == [0, 1, 10, 20]       # 11, 12 collapse into 10
+
+
+def test_semantic_pairs_never_cross_clusters(spark):
+    """The cluster key must bound comparisons: two identical vectors
+    assigned to different clusters (forced by centroid choice) yield no
+    pair — the documented recall/cost trade of cluster-bounded dedup."""
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        semantic_dedup_pairs)
+
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.01]),
+            (5, [1.0, 0.0]), (6, [-1.0, 0.01])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [-1.0, 0.01])]
+    got = {(r["id_a"], r["id_b"])
+           for r in semantic_dedup_pairs(emb, cents, threshold=0.5).collect()}
+    assert got == {(0, 5), (1, 6)}
