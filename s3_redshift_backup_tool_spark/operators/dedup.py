@@ -259,15 +259,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingle — the reported jaccard becomes a LOWER BOUND (shared
     boilerplate no longer counts toward the intersection), which is the
     conservative direction for dedup: boilerplate overlap is
-    deliberately not treated as similarity."""
-    sh = word_shingles(df, text_col, id_col, n)
+    deliberately not treated as similarity.
+
+    The shingle relation is localCheckpoint'd (lazily): it feeds sizes,
+    the doc-frequency filter, and BOTH self-join sides, and Spark's
+    exchange reuse does not fire across those differently-shaped
+    consumers — unmaterialized, the split+transform+explode shingling
+    pipeline executes 4-6x per query (measured; the corpus-shingling CPU
+    is the dominant cost at scale). One materialization pass trades
+    executor storage (~shingle volume) for 3-5 saved corpus shingles."""
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if max_doc_freq is not None:
         rare = (sh.groupBy("shingle")
                   .agg(F.count(F.lit(1)).alias("df"))
                   .filter(F.col("df") <= max_doc_freq)
                   .select("shingle"))
-        sh = sh.join(rare, "shingle")
+        # checkpoint again post-cap: both self-join sides read the capped
+        # relation, which would otherwise re-run the cap join twice
+        sh = sh.join(rare, "shingle").localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle")
