@@ -4,7 +4,7 @@
 CDC filter + schema alignment on orders, SURVEY §7.1 step 1) at sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full parity registry
 (s3_redshift_backup_tool_spark/parity.py + parity_ext.py): every operator
-from SURVEY §2 plus the LLM-data-pipeline extensions — 95 queries, every
+from SURVEY §2 plus the LLM-data-pipeline extensions, every
 one with a DuckDB oracle (zero rows-only entries); the live count is
 ``len(queries())``. The registry is
 ordered so each unique operator family sits inside the driver's checked

@@ -121,3 +121,33 @@ def psi_drift(ref: "DataFrame", cur: "DataFrame", col: str,
                  F.lit(n_buckets).alias("n_buckets"),
                  F.sum("n_ref").alias("n_ref_rows"),
                  F.sum("n_cur").alias("n_cur_rows"))
+
+
+def group_zscore_outliers(df: "DataFrame", group_col: str, value_col: str,
+                          z_threshold: float = 2.5) -> "DataFrame":
+    """Per-group z-score anomaly flagging: rows whose value sits more
+    than ``z_threshold`` population standard deviations from their
+    group's mean — the load-time outlier screen for numeric columns
+    (precedes winsorization/clipping in a curation funnel).
+
+    Shape: one partial-aggregable groupBy to (mean, stddev_pop, n) per
+    group — the stats relation has one row per group, so its join back
+    onto the fact side is AQE-broadcastable for any realistic group
+    cardinality; the fact table itself is touched once and never
+    shuffled (the join key arrives via broadcast). Zero-variance groups
+    produce no outliers by definition (guarded against div-by-zero).
+    Output: (group, value-row id columns, value, z) filtered to
+    |z| > threshold."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    stats = (df.groupBy(group_col)
+               .agg(F.avg(v).alias("__mu"),
+                    F.stddev_pop(v).alias("__sigma")))
+    joined = df.join(F.broadcast(stats), group_col)
+    z = F.round((v - F.col("__mu")) / F.col("__sigma"), 6)
+    return (joined
+            .filter(F.col("__sigma") > 0)
+            .withColumn("z", z)
+            .filter(F.abs(F.col("z")) > z_threshold)
+            .drop("__mu", "__sigma"))

@@ -1,0 +1,82 @@
+"""Lexical retrieval over the document corpus: TF-IDF / BM25 scoring.
+
+Capability extension beyond the reference (whose users score relevance
+in Redshift SQL when they need it at all): rank documents against a
+term query with BM25 (Robertson-Spärck Jones), the standard lexical
+baseline next to the embedding ANN operators in
+``operators/similarity.py``.
+
+Scale design (100 TB corpus, short query):
+- The corpus is FILTERED to docs containing at least one query term
+  before anything is exploded — ``array_contains`` disjunction in
+  WholeStageCodegen at scan speed; non-matching docs (the vast
+  majority) never leave the scan stage.
+- Only *matching* terms are exploded, so the postings relation is
+  O(matched docs x query terms), not O(corpus tokens).
+- Document frequencies aggregate to |query| rows and corpus stats to
+  one row — both sides broadcast; the only shuffle keyed on data is the
+  per-(doc, term) tf groupBy, partial-aggregable map-side.
+- Top-k is ``orderBy().limit(k)`` -> TakeOrderedAndProject (per-partition
+  heaps + k-row driver merge), never a global sort.
+
+Every hash-free, engine-portable float op (ln, multiply, divide) so the
+DuckDB oracle reproduces scores to double rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              *, k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag-of-terms query.
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the
+    non-negative Lucene variant). Ties break on ``id_col`` so the cut at
+    ``k`` is deterministic across engines.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    term_lit = F.array(*[F.lit(t) for t in query_terms])
+    # corpus stats over ALL docs (N, avgdl): one 1-row agg, broadcast
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"))
+    # scan-stage filter: only docs sharing a term survive to the explode
+    # postings materialized once (lazy localCheckpoint): the relation
+    # feeds both the per-(doc, term) tf side and the df aggregation, and
+    # exchange reuse does not fire across those differently-shaped
+    # consumers — unmaterialized, the corpus filter+explode runs twice
+    matched = (docs
+               .filter(F.arrays_overlap(toks, term_lit))
+               .select(F.col(id_col), F.size(toks).alias("dl"),
+                       F.explode(F.array_intersect(toks, term_lit))
+                        .alias("term"),
+                       toks.alias("__t"))
+               .select(id_col, "dl", "term",
+                       F.size(F.filter(F.col("__t"),
+                                       lambda x: x == F.col("term")))
+                        .cast("double").alias("tf"))
+               .localCheckpoint(eager=False))
+    df_t = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))  # one row per matched doc&term
+    scored = (matched
+              .join(F.broadcast(df_t), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (scored
+            .groupBy(id_col)
+            .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(k))

@@ -128,3 +128,22 @@ def chunk_documents(df: DataFrame, key_col: str, text_col,
         F.col("c.i").alias(id_out),
         F.concat_ws(" ", F.col("c.t")).alias(text_out),
         F.size("c.t").cast("long").alias("n_tokens"))
+
+
+def importance_sample(df: DataFrame, key_col: str, weight: Column,
+                      salt: str = "") -> DataFrame:
+    """Deterministic importance-weighted sampling: keep a row iff
+    ``hash(key) mod GATE < clamp(weight, 0, 1) * GATE`` — each row's
+    keep probability equals its weight (DSIR-style quality-weighted
+    resampling, with the same reproducibility-by-hash contract as
+    :func:`sample_by_hash`: same keys + same weights -> same sample on
+    any engine, any partitioning, any day).
+
+    ``weight`` is a per-row Column in [0, 1] (values outside are
+    clamped), typically a quality score. A per-row filter: no shuffle,
+    pushdown-composable, and nested salts give decorrelated replicates
+    for ablations."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        hash_gate(F.col(key_col), salt)
+        < F.floor(w * GATE).cast("long"))

@@ -1,0 +1,81 @@
+"""Mergeable sketch operators: count-min frequency estimation.
+
+Capability extension beyond the reference: at 100 TB an exact
+token-frequency table shuffles O(vocabulary) rows (web-scale corpora
+have billions of distinct tokens); a count-min sketch (Cormode &
+Muthukrishnan 2005) bounds the state at ``depth x width`` counters
+regardless of corpus size, with one-sided error (never undercounts,
+overcounts by at most eps*N with probability 1-delta for
+width=e/eps, depth=ln(1/delta)).
+
+Spark shape: the sketch IS a DataFrame of (d, bucket, count) — the
+groupBy partial-aggregates map-side to at most depth*width rows per
+partition before the exchange, so the shuffle carries O(partitions x
+depth x width) rows, not O(tokens). Sketches from different corpus
+slices merge by unioning and re-summing (counter-wise add), which is
+how incremental maintenance works: sketch the delta, merge.
+
+Hashes are md5-prefix int64 (portable: the DuckDB oracle reproduces
+every bucket, hence every estimate, exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_prefix_int, tokens
+
+
+def _bucket(col, d: int, width: int):
+    return md5_prefix_int(col, salt=f"cms{d}") % width
+
+
+def cms_sketch(df: DataFrame, text_col: str = "text",
+               depth: int = 4, width: int = 512) -> DataFrame:
+    """Build a count-min sketch over whitespace tokens of ``text_col``.
+
+    Returns (d, bucket, c) with at most ``depth*width`` rows. One
+    explode to tokens, one per-row transform to depth (d, bucket)
+    pairs, one partial-aggregable groupBy."""
+    term = F.explode(tokens(F.col(text_col))).alias("term")
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _bucket(F.col("term"), d, width).alias("bucket"))
+        for d in range(depth)])).alias("r")
+    return (df.select(term)
+              .select(rows)
+              .select("r.d", "r.bucket")
+              .groupBy("d", "bucket")
+              .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width, salt family):
+    counter-wise sum. Enables incremental maintenance (sketch the
+    delta, merge) and tree-reduction across corpus shards."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, terms: list[str],
+                 depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-estimate token frequencies for ``terms``:
+    ``min over d of sketch[d][bucket_d(term)]`` (0 for empty buckets).
+
+    The candidate relation is |terms| x depth rows — broadcast side of
+    the join against the (<= depth*width)-row sketch; nothing scales
+    with the corpus."""
+    spark = sketch.sparkSession
+    cand = spark.createDataFrame([(t,) for t in terms], ["term"])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _bucket(F.col("term"), d, width).alias("bucket"))
+        for d in range(depth)])).alias("r")
+    cb = cand.select("term", rows).select("term", "r.d", "r.bucket")
+    return (cb.join(sketch, ["d", "bucket"], "left")
+              .fillna(0, ["c"])
+              .groupBy("term")
+              .agg(F.min("c").alias("cms_count")))

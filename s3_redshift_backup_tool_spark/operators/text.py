@@ -180,6 +180,61 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
          & (top_frac <= max_top_ngram_char_frac)).alias("repetition_ok"))
 
 
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 min_alpha_word_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021 §A1.1, the
+    standard web-corpus quality gate also used by Dolma/RefinedWeb):
+
+    - word count within ``[min_words, max_words]``
+    - mean word length within ``[min_mean_word_len, max_mean_word_len]``
+      (computed as ``(chars - (n-1)) / n`` — single-space separation,
+      same formula as :func:`avg_token_len` so the two agree)
+    - hash/ellipsis symbols per word ``<= max_symbol_word_ratio``
+    - fraction of words containing an alphabetic char
+      ``>= min_alpha_word_ratio``
+    - at least ``min_stop_hits`` stopword occurrences
+
+    Emits each measured signal, one boolean per rule, and the conjunctive
+    ``gopher_keep``. Every expression is a built-in per-row column op —
+    WholeStageCodegen, zero shuffle, pushdown-composable — so at 100 TB
+    the gate runs at scan speed and composes with the curation funnel
+    before any expensive dedup stage."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    mean_wl = avg_token_len(c)
+    symbol_ratio = F.round(
+        F.regexp_count(c, F.lit("#|\\.\\.\\.")).cast("double") / n_words, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / n_words, 6)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("long")
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_sym = symbol_ratio <= max_symbol_word_ratio
+    r_alpha = alpha_ratio >= min_alpha_word_ratio
+    r_stop = stop_hits >= min_stop_hits
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("rule_word_count"),
+        r_wl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_wl & r_sym & r_alpha & r_stop).alias("gopher_keep"))
+
+
 def stratified_sample(df: DataFrame, group_col: str, k: int,
                       id_col: str = "doc_id") -> DataFrame:
     """Deterministic per-group cap: at most ``k`` rows per group, chosen

@@ -2056,6 +2056,194 @@ def pii_scrub_customer(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 4: rule-based quality gate, lexical retrieval, outlier screen,
+# importance-weighted sampling
+# ==========================================================================
+
+@q("gopher_quality_documents",
+   f"""WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(t) AS BIGINT) AS n_words,
+              round(CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t), 6)
+                AS mean_word_len,
+              round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                    / len(t), 6) AS symbol_word_ratio,
+              round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS DOUBLE) / len(t), 6) AS alpha_word_ratio,
+              CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+                   AS BIGINT) AS stop_hits
+            FROM s)
+      SELECT *,
+             n_words BETWEEN 40 AND 100000 AS rule_word_count,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+             symbol_word_ratio <= 0.1 AS rule_symbol_ratio,
+             alpha_word_ratio >= 0.8 AS rule_alpha_words,
+             stop_hits >= 2 AS rule_stopwords,
+             (n_words BETWEEN 40 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND symbol_word_ratio <= 0.1
+               AND alpha_word_ratio >= 0.8
+               AND stop_hits >= 2 AS gopher_keep
+      FROM m""",
+   "Gopher rule-based quality gate (Rae'21 A1.1; Dolma/RefinedWeb "
+   "standard): word-count bounds, mean word length, symbol ratio, "
+   "alpha-word fraction, stopword floor — all per-row built-ins in "
+   "WholeStageCodegen, zero shuffle, runs at scan speed ahead of "
+   "expensive dedup stages")
+def gopher_quality_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.gopher_rules(docs, min_words=40)
+
+
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_TERMS_SQL = "['" + "', '".join(_BM25_TERMS) + "']"
+
+@q("bm25_search_documents",
+   f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM tk),
+      m AS (SELECT doc_id, len(t) AS dl,
+                   unnest(list_intersect(t, {_BM25_TERMS_SQL})) AS term, t
+            FROM tk
+            WHERE len(list_intersect(t, {_BM25_TERMS_SQL})) > 0),
+      tf AS (SELECT doc_id, dl, term,
+                    CAST(len(list_filter(t, x -> x = term)) AS DOUBLE) AS tf
+             FROM m),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 10""",
+   "BM25 lexical retrieval top-10 (Lucene idf variant, k1=1.2 b=0.75): "
+   "corpus filtered by arrays_overlap at scan speed before any explode, "
+   "postings O(matched docs x terms), df/corpus-stats broadcast, top-k "
+   "via TakeOrderedAndProject — the lexical baseline beside the "
+   "embedding ANN operators")
+def bm25_search_documents(spark, sf_dir):
+    from .operators import retrieval as rtv
+    docs = _t(spark, sf_dir, "documents")
+    return rtv.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+@q("zscore_outliers_events",
+   """WITH s AS (SELECT event_type AS p,
+                      avg(value) AS mu,
+                      stddev_pop(value) AS sigma
+               FROM events GROUP BY 1)
+      SELECT event_id, event_type, value,
+             round((value - mu) / sigma, 6) AS z
+      FROM events JOIN s ON event_type = p
+      WHERE sigma > 0
+        AND abs(round((value - mu) / sigma, 6)) > 3.0""",
+   "per-group z-score outlier screen (|z| > 3 vs the group's "
+   "population stats): one partial-aggregable stats groupBy (1 row per "
+   "group, broadcast back), fact side touched once, never shuffled")
+def zscore_outliers_events(spark, sf_dir):
+    from .operators.quality import group_zscore_outliers
+    ev = _t(spark, sf_dir, "events")
+    out = group_zscore_outliers(ev, "event_type", "value", 3.0)
+    return out.select("event_id", "event_type", "value", "z")
+
+
+_QS_SQL = f"""round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      + greatest(1.0 - abs(round(CAST(len(list_filter(string_split(text, ' '),
+            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) - 0.25) * 2, 0.0)
+      + (1.0 - least(round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]',
+            '', 'g')) AS DOUBLE) / length(text), 6) * 5, 1.0))) / 3, 6)"""
+
+@q("importance_sample_documents",
+   f"""WITH s AS (SELECT doc_id, {_QS_SQL} AS weight FROM documents)
+      SELECT doc_id, weight FROM s
+      WHERE {_H.format(x="'imp' || doc_id::VARCHAR")} % {1_000_000}
+            < CAST(floor(weight * {1_000_000}) AS BIGINT)""",
+   "importance-weighted deterministic sampling (DSIR-style): keep "
+   "probability = per-row quality score via the hash gate — same "
+   "reproducibility contract as sample_by_hash (engine/partitioning/"
+   "day-independent), per-row filter, zero shuffle; salted replicates "
+   "decorrelate for ablations")
+def importance_sample_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = tx.quality_score(F.col("text"))
+    out = smp.importance_sample(docs, "doc_id", w, salt="imp")
+    return out.select("doc_id", w.alias("weight"))
+
+
+_CMS_TERMS = ["join", "hash", "row", "batch", "scan", "customer",
+              "spark", "window", "merge", "zzzz_absent"]
+_CMS_TERMS_SQL = "['" + "', '".join(_CMS_TERMS) + "']"
+_CMS_B = ("CAST('0x' || substr(md5('cms' || d::VARCHAR || term), 1, 15) "
+          "AS BIGINT) % 512")
+
+@q("cms_heavy_hitters_documents",
+   f"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      ds AS (SELECT unnest(range(4)) AS d),
+      buck AS (SELECT term, d, {_CMS_B} AS bucket FROM tok, ds),
+      sketch AS (SELECT d, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+      cand AS (SELECT unnest({_CMS_TERMS_SQL}) AS term),
+      cb AS (SELECT term, d, {_CMS_B} AS bucket FROM cand, ds),
+      est AS (SELECT term, min(coalesce(c, 0)) AS cms_count
+              FROM cb LEFT JOIN sketch USING (d, bucket) GROUP BY 1),
+      exact AS (SELECT term, count(*) AS exact_count FROM tok GROUP BY 1)
+      SELECT term, coalesce(exact_count, 0) AS exact_count, cms_count,
+             cms_count >= coalesce(exact_count, 0) AS no_undercount
+      FROM est LEFT JOIN exact USING (term)""",
+   "count-min sketch frequency estimation (Cormode'05; 4x512 "
+   "counters): the sketch groupBy partial-aggregates to <= depth*width "
+   "rows per partition, so the shuffle is O(partitions x 2048) rows "
+   "regardless of corpus size — the 100 TB replacement for an exact "
+   "O(vocabulary) token count; one-sided error (no_undercount) checked "
+   "against the exact counts, every bucket reproduced by the oracle")
+def cms_heavy_hitters_documents(spark, sf_dir):
+    from .operators import sketches as sk
+    docs = _t(spark, sf_dir, "documents")
+    sketch = sk.cms_sketch(docs, depth=4, width=512)
+    est = sk.cms_estimate(sketch, _CMS_TERMS, depth=4, width=512)
+    exact = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+                 .join(F.broadcast(
+                     spark.createDataFrame([(t,) for t in _CMS_TERMS],
+                                           ["term"])), "term"))
+    return (est.join(exact, "term", "left")
+               .fillna(0, ["exact_count"])
+               .select("term", "exact_count", "cms_count",
+                       (F.col("cms_count") >= F.col("exact_count"))
+                       .alias("no_undercount")))
+
+
+@q("approx_percentile_check_lineitem",
+   """SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+               AS p50_exact,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4)
+               AS p95_exact,
+             TRUE AS p50_within, TRUE AS p95_within
+      FROM lineitem""",
+   "approx_percentile (KLL-family fixed-memory quantile sketch — the "
+   "100 TB path where exact percentile would sort-shuffle the column) "
+   "asserted within 1% of the exact interpolated percentile; oracle "
+   "checks the exact side (quantile_cont = Spark percentile semantics)")
+def approx_percentile_check_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    agg = li.agg(
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5, 0.95))")
+         .alias("ex"),
+        F.percentile_approx(v, [0.5, 0.95], 10000).alias("ap"))
+    return agg.select(
+        F.round(F.col("ex")[0], 4).alias("p50_exact"),
+        F.round(F.col("ex")[1], 4).alias("p95_exact"),
+        (F.abs(F.col("ap")[0] - F.col("ex")[0])
+         <= 0.01 * F.col("ex")[0]).alias("p50_within"),
+        (F.abs(F.col("ap")[1] - F.col("ex")[1])
+         <= 0.01 * F.col("ex")[1]).alias("p95_within"))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
 # must appear early; redundant variants whose code paths are fully covered
@@ -2153,6 +2341,12 @@ _TAIL = [
     "ngram_jaccard_capped_documents",  # max_doc_freq skew guard: jaccard family
     "neardup_clusters_star_documents", # Kiveris'14 star rounds: clusters family
     "semantic_dedup_pairs_embeddings", # SemDeDup: embedding_neardup family
+    "gopher_quality_documents",        # per-row rule gate: text_stats family
+    "bm25_search_documents",           # lexical retrieval: vocab/topk families
+    "zscore_outliers_events",          # group stats + broadcast-back screen
+    "importance_sample_documents",     # weighted hash gate: hash_sample family
+    "cms_heavy_hitters_documents",     # count-min sketch: bounded-state agg
+    "approx_percentile_check_lineitem",# quantile sketch accuracy gate
 ]
 
 
