@@ -4,6 +4,9 @@ Composes the LLM-data operators into the pipeline a 100 TB pretraining
 corpus actually runs, in the cost-ordered sequence cheap-narrow ->
 expensive-wide:
 
+    0. rule gate          Gopher per-row rules (optional) — the cheapest
+                          filter runs first so every later stage sees
+                          fewer rows; pure codegen, zero shuffle
     1. exact dedup        digest groupBy (shuffle = 32B/row)
     2. near-dup dedup     MinHash -> LSH pairs -> connected components;
                           keep each component's canonical (min-id) doc
@@ -54,6 +57,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str | None = "source",
+    gopher_min_words: int | None = None,
     minhash_hashes: int = 16,
     minhash_bands: int = 8,
     min_quality: float = 0.3,
@@ -67,6 +71,15 @@ def curate_corpus(
     """Run the full curation pipeline; see module docstring for stages."""
     res = CurationResult(out_path=out_path)
     res.counts["input"] = docs.count()
+
+    # -- 0. Gopher rule gate (optional): per-row codegen filter, so the
+    # dedup shuffles below see only rule-passing docs -----------------------
+    if gopher_min_words is not None:
+        keep = (tx.gopher_rules(docs, text_col, id_col,
+                                min_words=gopher_min_words)
+                  .filter(F.col("gopher_keep")).select(id_col))
+        docs = docs.join(keep, id_col, "left_semi")
+        res.counts["rule_gate"] = docs.count()
 
     # -- 1. exact dedup ---------------------------------------------------
     canon = dd.exact_dedup(docs, text_col, id_col).select(

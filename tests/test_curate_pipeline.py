@@ -83,3 +83,15 @@ def test_curate_scrubs_pii_before_packing(spark, tmp_path):
     assert shipped.filter(F.col("text").contains("@")).count() == 0
     assert shipped.filter(F.col("text").contains("<EMAIL>")).count() == \
         shipped.count()
+
+
+def test_curate_gopher_gate_runs_first(spark, documents):
+    from s3_redshift_backup_tool_spark.operators.text import gopher_rules
+    res = curate_corpus(spark, documents, gopher_min_words=40,
+                        min_quality=0.0, pack_buckets=4)
+    c = res.counts
+    expected = (gopher_rules(documents, min_words=40)
+                .filter("gopher_keep").count())
+    assert c["rule_gate"] == expected
+    assert 0 < c["rule_gate"] < c["input"]
+    assert c["rule_gate"] >= c["exact_dedup"] >= c["near_dedup"]
