@@ -24,11 +24,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import MERSENNE61, _affine, minhash_params
 from .text import md5_prefix_int, tokens
 
+#: affine coefficients for the depth hash rows (Carter-Wegman family over
+#: the 30-bit halves of ONE md5 base hash — one real digest per token +
+#: depth cheap mixes instead of depth md5 passes; same construction and
+#: overflow-safety argument as the MinHash family in operators/dedup.py)
+CMS_SEED = 7
 
-def _bucket(col, d: int, width: int):
-    return md5_prefix_int(col, salt=f"cms{d}") % width
+
+def _buckets(h, depth: int, width: int):
+    """depth (d, bucket) structs derived from one base hash column."""
+    params = minhash_params(depth, seed=CMS_SEED)
+    return [(_affine(h, a, b, c)) % width for a, b, c in params]
 
 
 def cms_sketch(df: DataFrame, text_col: str = "text",
@@ -39,10 +48,10 @@ def cms_sketch(df: DataFrame, text_col: str = "text",
     explode to tokens, one per-row transform to depth (d, bucket)
     pairs, one partial-aggregable groupBy."""
     term = F.explode(tokens(F.col(text_col))).alias("term")
+    h = md5_prefix_int(F.col("term"))
     rows = F.explode(F.array(*[
-        F.struct(F.lit(d).alias("d"),
-                 _bucket(F.col("term"), d, width).alias("bucket"))
-        for d in range(depth)])).alias("r")
+        F.struct(F.lit(d).alias("d"), b.alias("bucket"))
+        for d, b in enumerate(_buckets(h, depth, width))])).alias("r")
     return (df.select(term)
               .select(rows)
               .select("r.d", "r.bucket")
@@ -70,10 +79,10 @@ def cms_estimate(sketch: DataFrame, terms: list[str],
     with the corpus."""
     spark = sketch.sparkSession
     cand = spark.createDataFrame([(t,) for t in terms], ["term"])
+    h = md5_prefix_int(F.col("term"))
     rows = F.explode(F.array(*[
-        F.struct(F.lit(d).alias("d"),
-                 _bucket(F.col("term"), d, width).alias("bucket"))
-        for d in range(depth)])).alias("r")
+        F.struct(F.lit(d).alias("d"), b.alias("bucket"))
+        for d, b in enumerate(_buckets(h, depth, width))])).alias("r")
     cb = cand.select("term", rows).select("term", "r.d", "r.bucket")
     return (cb.join(sketch, ["d", "bucket"], "left")
               .fillna(0, ["c"])

@@ -2176,16 +2176,25 @@ def importance_sample_documents(spark, sf_dir):
 _CMS_TERMS = ["join", "hash", "row", "batch", "scan", "customer",
               "spark", "window", "merge", "zzzz_absent"]
 _CMS_TERMS_SQL = "['" + "', '".join(_CMS_TERMS) + "']"
-_CMS_B = ("CAST('0x' || substr(md5('cms' || d::VARCHAR || term), 1, 15) "
-          "AS BIGINT) % 512")
+# one md5 base hash per token + 4 Carter-Wegman affine mixes (same
+# family/seed as operators/sketches.py CMS_SEED)
+_CMS_PARAMS = dd.minhash_params(4, seed=7)  # sketches.CMS_SEED
+_CMS_A = "[" + ", ".join(str(a) for a, _, _ in _CMS_PARAMS) + "]"
+_CMS_BB = "[" + ", ".join(str(b) for _, b, _ in _CMS_PARAMS) + "]"
+_CMS_C = "[" + ", ".join(str(c) for _, _, c in _CMS_PARAMS) + "]"
+_CMS_B = (f"((({_CMS_A})[d + 1] * (h & 1073741823)"
+          f" + ({_CMS_BB})[d + 1] * (h >> 30)"
+          f" + ({_CMS_C})[d + 1]) % {(1 << 61) - 1}) % 512")
 
 @q("cms_heavy_hitters_documents",
-   f"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+   f"""WITH tok0 AS (SELECT unnest(string_split(text, ' ')) AS term
                   FROM documents),
+      tok AS (SELECT term, {_H.format(x='term')} AS h FROM tok0),
       ds AS (SELECT unnest(range(4)) AS d),
       buck AS (SELECT term, d, {_CMS_B} AS bucket FROM tok, ds),
       sketch AS (SELECT d, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
-      cand AS (SELECT unnest({_CMS_TERMS_SQL}) AS term),
+      cand0 AS (SELECT unnest({_CMS_TERMS_SQL}) AS term),
+      cand AS (SELECT term, {_H.format(x='term')} AS h FROM cand0),
       cb AS (SELECT term, d, {_CMS_B} AS bucket FROM cand, ds),
       est AS (SELECT term, min(coalesce(c, 0)) AS cms_count
               FROM cb LEFT JOIN sketch USING (d, bucket) GROUP BY 1),
@@ -2241,6 +2250,31 @@ def approx_percentile_check_lineitem(spark, sf_dir):
          <= 0.01 * F.col("ex")[0]).alias("p50_within"),
         (F.abs(F.col("ap")[1] - F.col("ex")[1])
          <= 0.01 * F.col("ex")[1]).alias("p95_within"))
+
+
+@q("hll_union_distinct_users",
+   """SELECT event_type, count(DISTINCT user_id) AS n_users,
+             TRUE AS within_tol
+      FROM events GROUP BY event_type""",
+   "mergeable distinct-count rollup (Apache DataSketches HLL via "
+   "hll_sketch_agg/hll_union_agg): per-(type, day) sketches re-aggregate "
+   "to per-type WITHOUT re-scanning raw events — the 100 TB rollup-"
+   "maintenance path where daily sketch partials are stored and any "
+   "coarser grain is a cheap sketch union; estimate asserted within 5% "
+   "of exact, oracle checks the exact side")
+def hll_union_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+         .alias("__approx"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"))
+    return (merged.join(exact, "event_type")
+            .select("event_type", "n_users",
+                    (F.abs(F.col("__approx") - F.col("n_users"))
+                     <= 0.05 * F.col("n_users")).alias("within_tol")))
 
 
 # ==========================================================================
@@ -2347,6 +2381,7 @@ _TAIL = [
     "importance_sample_documents",     # weighted hash gate: hash_sample family
     "cms_heavy_hitters_documents",     # count-min sketch: bounded-state agg
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
+    "hll_union_distinct_users",        # mergeable HLL sketch rollup
 ]
 
 
