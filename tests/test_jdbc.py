@@ -155,3 +155,38 @@ def test_info_schema_discovery_roundtrip():
     assert "id BIGINT NOT NULL" in ddl
     assert "total_fee DECIMAL(18,10)" in ddl
     assert "is_active BOOLEAN" in ddl
+
+
+# ---------------------------------------------------------------- sink
+
+def test_jdbc_load_append_replace_upsert(spark, derby):
+    from s3_redshift_backup_tool_spark.sources.readers import read_jdbc
+    from s3_redshift_backup_tool_spark.sources.writers import (
+        jdbc_count, load_jdbc_append, load_jdbc_replace, load_jdbc_upsert)
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, status string, val double")
+    # K2 append creates the table on first load
+    load_jdbc_append(base, derby, "WH_TARGET", num_partitions=2)
+    assert jdbc_count(spark, derby, "WH_TARGET") == 3
+
+    # staged MERGE upsert: 1 update (id=2) + 1 insert (id=4), one
+    # set-based statement inside the warehouse
+    delta = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], "id long, status string, val double")
+    load_jdbc_upsert(spark, delta, derby, "WH_TARGET", ["id"])
+    got = {r["id"]: (r["status"], r["val"]) for r in
+           read_jdbc(spark, {"url": derby, "dbtable": "WH_TARGET"}).collect()}
+    assert jdbc_count(spark, derby, "WH_TARGET") == 4
+    assert got[2] == ("B2", 99.0)       # updated in place
+    assert got[4] == ("d", 40.0)        # inserted
+    assert got[1] == ("a", 10.0)        # untouched
+
+    # upsert is idempotent: same delta again changes nothing
+    load_jdbc_upsert(spark, delta, derby, "WH_TARGET", ["id"])
+    assert jdbc_count(spark, derby, "WH_TARGET") == 4
+
+    # K3 truncate-then-load replaces content, keeps the table
+    load_jdbc_replace(base.filter("id <= 2"), derby, "WH_TARGET")
+    assert jdbc_count(spark, derby, "WH_TARGET") == 2
