@@ -180,3 +180,23 @@ def test_incremental_rollup_nested_state_path_first_apply(spark, orders,
                           value_col="o_totalprice")
     r.apply(orders.limit(50))
     assert r.read().count() > 0
+
+
+def test_incremental_cms_sketch_maintenance(spark, documents, tmp_path):
+    """A count-min sketch is counter-wise additive, so incremental
+    maintenance is exactly IncrementalRollup over keys (d, bucket):
+    sketch(delta 1) + sketch(delta 2) + ... == sketch(whole corpus),
+    without ever re-scanning earlier deltas."""
+    from s3_redshift_backup_tool_spark.operators.sketches import cms_sketch
+    from s3_redshift_backup_tool_spark.plans.rollup import IncrementalRollup
+
+    r = IncrementalRollup(spark, str(tmp_path / "cms_state"),
+                          keys=["d", "bucket"], value_col="c")
+    for m in range(3):
+        r.apply(cms_sketch(documents.filter(f"doc_id % 3 = {m}"),
+                           depth=4, width=512))
+    got = {(row["d"], row["bucket"]): int(row["sum_value"])
+           for row in r.read().collect()}
+    want = {(row["d"], row["bucket"]): row["c"]
+            for row in cms_sketch(documents, depth=4, width=512).collect()}
+    assert got == want
