@@ -147,3 +147,23 @@ def importance_sample(df: DataFrame, key_col: str, weight: Column,
     return df.filter(
         hash_gate(F.col(key_col), salt)
         < F.floor(w * GATE).cast("long"))
+
+
+def mixture_sample(df: DataFrame, key_col: str, group_col: str,
+                   weights: dict[str, float], *, default: float = 0.0,
+                   salt: str = "") -> DataFrame:
+    """Domain-mixture sampling: per-group keep rates realized as
+    deterministic rejection sampling — the "data mixing" step of
+    pretraining pipelines (DoReMi/The Pile-style domain reweighting),
+    where each source contributes in a tuned proportion rather than its
+    natural share.
+
+    ``weights`` maps group value -> keep probability in [0, 1]; groups
+    absent from the map get ``default``. Built on
+    :func:`importance_sample`, so it inherits the hash-gate contract:
+    per-row filter (zero shuffle), engine/partitioning/rerun-stable,
+    and nested (a group's 0.25 sample is a subset of its 0.5 sample)."""
+    w = F.lit(float(default))
+    for g, p in sorted(weights.items()):
+        w = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(w)
+    return importance_sample(df, key_col, w, salt=salt)

@@ -2252,6 +2252,26 @@ def approx_percentile_check_lineitem(spark, sf_dir):
          <= 0.01 * F.col("ex")[1]).alias("p95_within"))
 
 
+_MIX_W = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_CASE = ("CASE " + " ".join(
+    f"WHEN source = '{g}' THEN {p}" for g, p in sorted(_MIX_W.items()))
+    + " ELSE 0.1 END")
+
+@q("mixture_sample_by_source",
+   f"""SELECT doc_id, source FROM documents
+      WHERE {_H.format(x="'mix' || doc_id::VARCHAR")} % {1_000_000}
+            < CAST(floor(({_MIX_CASE}) * {1_000_000}) AS BIGINT)""",
+   "domain-mixture sampling (DoReMi-style source reweighting as "
+   "deterministic rejection sampling): per-source keep rates via the "
+   "hash gate — zero shuffle, rerun/engine-stable, nested subsets per "
+   "source; the 'data mixing' step between curation and packing")
+def mixture_sample_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.mixture_sample(docs, "doc_id", "source", _MIX_W,
+                             default=0.1, salt="mix")
+    return out.select("doc_id", "source")
+
+
 @q("hll_union_distinct_users",
    """SELECT event_type, count(DISTINCT user_id) AS n_users,
              TRUE AS within_tol
@@ -2382,6 +2402,7 @@ _TAIL = [
     "cms_heavy_hitters_documents",     # count-min sketch: bounded-state agg
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
+    "mixture_sample_by_source",        # domain mixing: importance_sample kin
 ]
 
 

@@ -160,3 +160,31 @@ def test_cms_never_undercounts_and_merges(spark, documents):
     full = {(r["d"], r["bucket"]): r["c"] for r in sketch.collect()}
     got = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
     assert got == full
+
+
+# ------------------------------------------------------ mixture sample
+
+def test_mixture_sample_rates_and_nesting(spark, documents):
+    from s3_redshift_backup_tool_spark.operators.sampling import mixture_sample
+    n_src = {r["source"]: r["n"] for r in
+             documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    out = mixture_sample(documents, "doc_id", "source",
+                         {"src0": 1.0, "src1": 0.0}, default=0.5)
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert by_src.get("src0") == n_src["src0"]     # weight 1 keeps all
+    assert "src1" not in by_src                     # weight 0 drops all
+    others = sum(v for k, v in by_src.items() if k not in ("src0", "src1"))
+    total_others = sum(v for k, v in n_src.items() if k not in ("src0", "src1"))
+    assert 0.3 * total_others < others < 0.7 * total_others
+
+    # per-source nesting: 0.25 sample of a source is inside its 0.5 sample
+    a = {r["doc_id"] for r in mixture_sample(
+        documents, "doc_id", "source", {"src2": 0.25}, default=0.0)
+        .select("doc_id").collect()}
+    b = {r["doc_id"] for r in mixture_sample(
+        documents, "doc_id", "source", {"src2": 0.5}, default=0.0)
+        .select("doc_id").collect()}
+    assert a <= b and len(a) < len(b)
