@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import MERSENNE61, _affine, minhash_params
+from .dedup import MERSENNE61, minhash_params
 from .text import md5_prefix_int, tokens
 
 #: affine coefficients for the depth hash rows (Carter-Wegman family over
@@ -34,10 +34,27 @@ from .text import md5_prefix_int, tokens
 CMS_SEED = 7
 
 
-def _buckets(h, depth: int, width: int):
-    """depth (d, bucket) structs derived from one base hash column."""
+def _bucket_rows(base: DataFrame, depth: int, width: int) -> DataFrame:
+    """(other cols..., d, bucket) rows from a relation carrying a base
+    hash column ``__h``: explode a depth-index sequence and pick the
+    affine coefficients per row via ``element_at`` on literal arrays.
+
+    NOT ``explode(array(struct(d, bucket_d)))``: the optimizer inlines a
+    generator's input expression into the Generate node, duplicating the
+    md5 child into every struct element (depth copies per row — the same
+    regression minhash_signatures documents and pins; observed 16 md5
+    references in the optimized CMS plan before this rewrite)."""
     params = minhash_params(depth, seed=CMS_SEED)
-    return [(_affine(h, a, b, c)) % width for a, b, c in params]
+    a = F.element_at(F.array(*[F.lit(p[0]) for p in params]), F.col("d") + 1)
+    b = F.element_at(F.array(*[F.lit(p[1]) for p in params]), F.col("d") + 1)
+    c = F.element_at(F.array(*[F.lit(p[2]) for p in params]), F.col("d") + 1)
+    h = F.col("__h")
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(h, 30)
+    bucket = ((a * lo + b * hi + c) % F.lit(MERSENNE61)) % width
+    rows = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+    return rows.withColumn("bucket", bucket).drop("__h")
 
 
 def cms_sketch(df: DataFrame, text_col: str = "text",
@@ -48,13 +65,9 @@ def cms_sketch(df: DataFrame, text_col: str = "text",
     explode to tokens, one per-row transform to depth (d, bucket)
     pairs, one partial-aggregable groupBy."""
     term = F.explode(tokens(F.col(text_col))).alias("term")
-    h = md5_prefix_int(F.col("term"))
-    rows = F.explode(F.array(*[
-        F.struct(F.lit(d).alias("d"), b.alias("bucket"))
-        for d, b in enumerate(_buckets(h, depth, width))])).alias("r")
-    return (df.select(term)
-              .select(rows)
-              .select("r.d", "r.bucket")
+    base = (df.select(term)
+              .select(md5_prefix_int(F.col("term")).alias("__h")))
+    return (_bucket_rows(base, depth, width)
               .groupBy("d", "bucket")
               .agg(F.count(F.lit(1)).alias("c")))
 
@@ -79,11 +92,9 @@ def cms_estimate(sketch: DataFrame, terms: list[str],
     with the corpus."""
     spark = sketch.sparkSession
     cand = spark.createDataFrame([(t,) for t in terms], ["term"])
-    h = md5_prefix_int(F.col("term"))
-    rows = F.explode(F.array(*[
-        F.struct(F.lit(d).alias("d"), b.alias("bucket"))
-        for d, b in enumerate(_buckets(h, depth, width))])).alias("r")
-    cb = cand.select("term", rows).select("term", "r.d", "r.bucket")
+    cb = _bucket_rows(
+        cand.select("term", md5_prefix_int(F.col("term")).alias("__h")),
+        depth, width).select("term", "d", "bucket")
     return (cb.join(sketch, ["d", "bucket"], "left")
               .fillna(0, ["c"])
               .groupBy("term")

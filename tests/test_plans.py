@@ -277,3 +277,48 @@ def test_q6_predicates_all_pushed(plan):
     pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_gopher_and_importance_are_narrow(plan):
+    """Round-4 per-row gates (Gopher rules, importance/mixture sampling)
+    must stay pure narrow plans: no exchange of any kind."""
+    for name in ("gopher_quality_documents", "importance_sample_documents",
+                 "mixture_sample_by_source"):
+        p = plan(name)
+        assert "Exchange" not in p, f"{name} shuffles"
+
+
+def test_bm25_topk_and_broadcasts(plan):
+    """BM25: top-k must be TakeOrderedAndProject (no global sort); the
+    df and corpus-stats relations must arrive via broadcast, so the only
+    hash exchange keys on the per-(doc, term) tf groupBy."""
+    p = plan("bm25_search_documents")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_sketch_aggregates_map_side(plan):
+    """The sketch groupBy must partial-aggregate (two HashAggregate
+    levels) so the exchange carries <= depth*width counter rows per
+    partition, never raw token rows; and the token md5 must run once
+    (affine mixes derive the depth bucket rows)."""
+    p = plan("cms_heavy_hitters_documents")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_cms_md5_runs_once_per_side(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.parity import REGISTRY
+    df = REGISTRY["cms_heavy_hitters_documents"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # 3 legitimate digests: sketch tokens, candidate terms, exact-count
+    # tokens. The salted-md5 form had 4 per token row alone.
+    assert opt.count("md5") <= 3, f"md5 duplicated {opt.count('md5')}x"
+
+
+def test_zscore_stats_join_is_broadcast(plan):
+    """The per-group stats relation (1 row per group) must broadcast
+    back onto the fact side — the fact table is never hash-exchanged."""
+    p = plan("zscore_outliers_events", mode="formatted")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
