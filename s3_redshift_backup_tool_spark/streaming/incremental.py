@@ -254,3 +254,48 @@ def streaming_curate(
             .trigger(availableNow=True)
             .start()
             .awaitTermination())
+
+
+def streaming_sketch_maintenance(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    state_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 512,
+) -> None:
+    """Streaming count-min maintenance: each availableNow micro-batch is
+    sketched (one groupBy to <= depth*width counter rows) and folded into
+    the parquet-backed rollup state — the corpus-wide token-frequency
+    sketch stays current without ever re-reading earlier batches.
+
+    Counter-wise additivity makes this exactly IncrementalRollup over
+    (d, bucket) (pinned batch-side by
+    test_rollup.py::test_incremental_cms_sketch_maintenance); the state
+    swap is the same rename-aside crash-safe protocol as
+    streaming_upsert_sync. foreachBatch + the checkpoint give
+    at-least-once batch delivery with idempotent replay ONLY up to the
+    swap (a crash between rollup commit and checkpoint commit would
+    re-fold one batch); production hardening is a batch-id ledger column
+    in the rollup state, noted here rather than built because the
+    failure window is the same one streaming_upsert_sync documents."""
+    from ..operators.sketches import cms_sketch
+    from ..plans.rollup import IncrementalRollup
+
+    rollup = IncrementalRollup(spark, state_path,
+                               keys=["d", "bucket"], value_col="c")
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup.apply(cms_sketch(batch_df, text_col, depth=depth,
+                                width=width))
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_fold)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())

@@ -284,3 +284,39 @@ def test_streaming_curate_dedups_across_batches(spark, tmp_path):
     # which in-batch duplicate (1 or 2) survived is partition-order
     # dependent; the cross-batch duplicate (4) must never appear
     assert 5 in ids and 4 not in ids and len(ids & {1, 2}) == 1
+
+
+def test_streaming_sketch_maintenance(spark, tmp_path):
+    """The corpus token-frequency CMS stays current across availableNow
+    runs without re-reading earlier batches, and equals the sketch of
+    everything seen; a re-run with no new files changes nothing."""
+    from s3_redshift_backup_tool_spark.operators.sketches import cms_sketch
+    from s3_redshift_backup_tool_spark.plans.rollup import IncrementalRollup
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_sketch_maintenance)
+
+    src = str(tmp_path / "crawl")
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, "spark joins rows fast"), (2, "rows shuffle slow")],
+        "doc_id long, text string")
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_sketch_maintenance(spark, src, schema, state, ckpt)
+
+    b2 = spark.createDataFrame([(3, "spark spark merge")],
+                               "doc_id long, text string")
+    b2.write.mode("append").parquet(src)
+    streaming_sketch_maintenance(spark, src, schema, state, ckpt)
+    # idempotent no-op pass: no new files, state unchanged
+    streaming_sketch_maintenance(spark, src, schema, state, ckpt)
+
+    rollup = IncrementalRollup(spark, state, keys=["d", "bucket"],
+                               value_col="c")
+    got = {(r["d"], r["bucket"]): int(r["sum_value"])
+           for r in rollup.read().collect()}
+    want = {(r["d"], r["bucket"]): r["c"]
+            for r in cms_sketch(spark.read.parquet(src)).collect()}
+    assert got == want
