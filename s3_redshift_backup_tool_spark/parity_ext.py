@@ -2317,7 +2317,7 @@ _WINDOW = [
     # LLM-data-pipeline: dedup / similarity / sampling / multimodal
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
     "neardup_clusters_documents", "ngram_jaccard_pairs_documents",
-    "simhash_documents", "fingerprint_documents",
+    "simhash_documents", "cms_heavy_hitters_documents",
     "batch_cosine_topk_embeddings", "quantize_int8_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
     "embedding_neardup_pairs", "train_val_test_split_documents",
@@ -2336,7 +2336,7 @@ _WINDOW = [
     "pricing_summary_lineitem", "revenue_by_nation",
     "order_priority_exists", "shipping_priority_top10",
     "supplier_revenue_by_nation",
-    "distinct_users_daily", "cube_status_priority_orders",
+    "bm25_search_documents", "cube_status_priority_orders",
     "price_percentiles_orders", "approx_distinct_users_check",
     "large_volume_orders",
 ]
@@ -2396,13 +2396,17 @@ _TAIL = [
     "neardup_clusters_star_documents", # Kiveris'14 star rounds: clusters family
     "semantic_dedup_pairs_embeddings", # SemDeDup: embedding_neardup family
     "gopher_quality_documents",        # per-row rule gate: text_stats family
-    "bm25_search_documents",           # lexical retrieval: vocab/topk families
     "zscore_outliers_events",          # group stats + broadcast-back screen
     "importance_sample_documents",     # weighted hash gate: hash_sample family
-    "cms_heavy_hitters_documents",     # count-min sketch: bounded-state agg
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
+    # rotated out of the window round 4 (in-window siblings cover the
+    # machinery: approx_distinct_users_check for distinct counting,
+    # simhash_documents for per-row fold hashing) to admit the two NEW
+    # operator families, bm25 retrieval and count-min sketches
+    "distinct_users_daily",
+    "fingerprint_documents",
 ]
 
 
