@@ -98,9 +98,11 @@ DecoderRegistry.register("video", deterministic_fake)
 
 # real kernels for self-describing formats (stdlib+numpy, no external libs)
 from .codecs import bmp_feature, png_feature, wav_feature  # noqa: E402
+from .jpeg import jpeg_feature  # noqa: E402
 
 DecoderRegistry.register("image/bmp", bmp_feature)
 DecoderRegistry.register("image/png", png_feature)
+DecoderRegistry.register("image/jpeg", jpeg_feature)
 DecoderRegistry.register("audio/wav", wav_feature)
 
 

@@ -136,9 +136,10 @@ def test_real_decoders_ride_the_arrow_path(spark):
 def test_unknown_format_falls_back_to_registered_type(spark):
     from s3_redshift_backup_tool_spark.operators.multimodal import (
         DecoderRegistry, deterministic_fake)
-    # jpeg has no format-specific decoder -> media_type fallback (stub)
+    # gif has no format-specific decoder -> media_type fallback (stub)
+    # (jpeg graduated to a real kernel in round 4 — operators/jpeg.py)
     f = DecoderRegistry.decode("image", b"\x01\x02\x03",
-                               {"format": "jpeg"})
+                               {"format": "gif"})
     assert f == deterministic_fake(b"\x01\x02\x03", {})
 
 
@@ -347,3 +348,87 @@ def test_resize_images_uses_real_png_kernel(spark):
     assert out.shape == (2, 4, 3)
     assert np.array_equal(out, np.full((2, 4, 3), 99, dtype=np.uint8))
     assert row["meta"]["width"] == 4 and row["meta"]["height"] == 2
+
+
+# ------------------------------------------------------------------ JPEG
+
+def test_jpeg_roundtrip_close():
+    """Lossy but close: a smooth image survives encode->decode within
+    JPEG's usual error envelope, at non-multiple-of-8 dimensions."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+    y, x = np.mgrid[0:37, 0:53]
+    img = np.stack([40 + y * 2, 60 + x * 2, 80 + (x + y)],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    blob = encode_jpeg(img)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    back = decode_jpeg(blob)
+    assert back.shape == img.shape and back.dtype == np.uint8
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() < 40
+
+
+def test_jpeg_survives_noise_and_byte_stuffing():
+    """Random noise maximizes entropy-coded data (exercises the 0xFF
+    stuffing path on both sides); decode must reproduce dimensions and
+    stay broadly faithful (noise is JPEG's worst case, so only a loose
+    error bound holds)."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    back = decode_jpeg(blob)
+    assert back.shape == img.shape
+    # quantization of noise is coarse; just require correlation, not
+    # closeness: decoded luma must track input luma
+    lum_in = img.mean(axis=-1).ravel()
+    lum_out = back.astype(float).mean(axis=-1).ravel()
+    assert np.corrcoef(lum_in, lum_out)[0, 1] > 0.8
+
+
+def test_jpeg_unsupported_profiles_named():
+    import numpy as np
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+    img = np.zeros((8, 8, 3), np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2                       # pretend progressive
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_feature_and_resize():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import (
+        bmp_feature, encode_bmp)
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, jpeg_feature, jpeg_resize)
+    y, x = np.mgrid[0:32, 0:32]
+    img = np.stack([y * 4, x * 4, (x + y) * 2], axis=-1) \
+        .clip(0, 255).astype(np.uint8)
+    feat = jpeg_feature(encode_jpeg(img))
+    ref = bmp_feature(encode_bmp(img))
+    assert len(feat) == len(ref) == 8
+    assert feat[0] == ref[0] and feat[1] == ref[1]       # exact w/h
+    for a, b in zip(feat[2:], ref[2:]):                  # lossy channels
+        assert abs(a - b) < 0.05
+    small = decode_jpeg(jpeg_resize(encode_jpeg(img), 16, 8))
+    assert small.shape == (8, 16, 3)
+
+
+def test_jpeg_registered_in_decoder_registry():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.jpeg import encode_jpeg
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        DecoderRegistry)
+    img = np.full((16, 16, 3), 128, np.uint8)
+    feat = DecoderRegistry.decode("image", encode_jpeg(img),
+                                  {"format": "jpeg"})
+    assert len(feat) == 8 and feat[0] == 16.0 and feat[1] == 16.0
