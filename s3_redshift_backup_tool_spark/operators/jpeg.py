@@ -231,11 +231,14 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("expected (h, w, 3) RGB array")
-    h, w, _ = pixels.shape
-    ycc = _rgb_to_ycbcr(pixels)
+    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes; a (h, w) array
+    encodes as single-component grayscale."""
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("expected (h, w, 3) RGB or (h, w) gray array")
+    h, w = pixels.shape[:2]
+    ycc = pixels[..., None].astype(np.float64) if gray \
+        else _rgb_to_ycbcr(pixels)
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
     padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
 
@@ -244,21 +247,27 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     dc_codes = _canonical_codes(dc_bits, dc_vals)
     ac_codes = _canonical_codes(ac_bits, ac_vals)
 
+    ncomp = 1 if gray else 3
     out = bytearray(b"\xff\xd8")                        # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, b"\x00" + bytes(int(_QT_LUMA[i]) for i in _ZIGZAG))
-    out += _seg(0xDB, b"\x01" + bytes(int(_QT_CHROMA[i]) for i in _ZIGZAG))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+    if ncomp == 3:
+        out += _seg(0xDB, b"\x01" + bytes(int(_QT_CHROMA[i]) for i in _ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    comp_spec = ((1, 0),) if gray else ((1, 0), (2, 1), (3, 1))
+    for cid, tq in comp_spec:
         sof += struct.pack(">BBB", cid, 0x11, tq)       # 1x1 sampling
     out += _seg(0xC0, sof)
-    for tc_th, (bits, vals) in (((0 << 4) | 0, (dc_bits, dc_vals)),
-                                ((1 << 4) | 0, (ac_bits, ac_vals)),
-                                ((0 << 4) | 1, (dc_bits, dc_vals)),
-                                ((1 << 4) | 1, (ac_bits, ac_vals))):
+    tables = [((0 << 4) | 0, (dc_bits, dc_vals)),
+              ((1 << 4) | 0, (ac_bits, ac_vals))]
+    if ncomp == 3:
+        tables += [((0 << 4) | 1, (dc_bits, dc_vals)),
+                   ((1 << 4) | 1, (ac_bits, ac_vals))]
+    for tc_th, (bits, vals) in tables:
         out += _seg(0xC4, bytes([tc_th] + bits + vals))
-    sos = struct.pack(">B", 3)
-    for cid, tda in ((1, 0x00), (2, 0x11), (3, 0x11)):
+    sos = struct.pack(">B", ncomp)
+    for cid, tda in (((1, 0x00),) if gray
+                     else ((1, 0x00), (2, 0x11), (3, 0x11))):
         sos += struct.pack(">BB", cid, tda)
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, sos)
@@ -268,7 +277,7 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     pred = [0, 0, 0]
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            for ci in range(3):
+            for ci in range(ncomp):
                 block = padded[by:by + 8, bx:bx + 8, ci] - 128.0
                 coef = _DCT @ block @ _DCT.T
                 q = np.round(coef / qts[ci].reshape(8, 8)).astype(np.int64)

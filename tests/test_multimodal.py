@@ -432,3 +432,17 @@ def test_jpeg_registered_in_decoder_registry():
     feat = DecoderRegistry.decode("image", encode_jpeg(img),
                                   {"format": "jpeg"})
     assert len(feat) == 8 and feat[0] == 16.0 and feat[1] == 16.0
+
+
+def test_jpeg_grayscale_single_component():
+    """(h, w) input -> 1-component file; decoder replicates to RGB."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+    y, x = np.mgrid[0:24, 0:17]
+    gray = (30 + 4 * y + 2 * x).clip(0, 255).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(gray))
+    assert back.shape == (24, 17, 3)
+    assert np.array_equal(back[..., 0], back[..., 1])
+    err = np.abs(back[..., 0].astype(int) - gray.astype(int))
+    assert err.mean() < 3.0
