@@ -2272,6 +2272,30 @@ def mixture_sample_by_source(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@q("scd2_history_events",
+   """WITH chg AS (SELECT user_id, event_type, ts, event_id,
+                        lag(event_type) OVER w AS prev
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      seg AS (SELECT user_id, event_type, ts AS valid_from, event_id
+              FROM chg WHERE prev IS NULL OR event_type <> prev)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER w2 AS valid_to,
+             lead(valid_from) OVER w2 IS NULL AS is_current
+      FROM seg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)""",
+   "SCD Type 2 reconstruction from a change log: consecutive same-value "
+   "rows collapse into validity-bounded segments (lag) with "
+   "valid_to/is_current from lead — one shuffle on the key; the "
+   "incremental twin (plans/scd2.py SCD2Target) rewrites only touched "
+   "keys' segments per CDC delta and is equivalence-tested against this "
+   "batch form")
+def scd2_history_events(spark, sf_dir):
+    from .plans.scd2 import scd2_from_log
+    ev = _t(spark, sf_dir, "events")
+    return scd2_from_log(ev, "user_id", "event_type", "ts", "event_id")
+
+
 @q("hll_union_distinct_users",
    """SELECT event_type, count(DISTINCT user_id) AS n_users,
              TRUE AS within_tol
@@ -2401,6 +2425,7 @@ _TAIL = [
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
+    "scd2_history_events",             # type-2 dimension reconstruction
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
