@@ -2321,6 +2321,79 @@ def hll_union_distinct_users(spark, sf_dir):
                      <= 0.05 * F.col("n_users")).alias("within_tol")))
 
 
+@q("event_transition_matrix",
+   """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+                 FROM events)
+      SELECT prev AS from_type, event_type AS to_type,
+             count(*) AS n_transitions
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1, 2""",
+   "behavioral transition matrix (first-order Markov counts over "
+   "per-user event sequences): one shuffle on user_id for the lag "
+   "window, then a partial-aggregable groupBy whose state is "
+   "|types|^2 rows — at 100 TB the window shuffle dominates and rides "
+   "the same user_id partitioning every per-user operator shares")
+def event_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("prev", F.lag("event_type").over(w))
+              .filter(F.col("prev").isNotNull())
+              .groupBy(F.col("prev").alias("from_type"),
+                       F.col("event_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+@q("corr_matrix_lineitem",
+   """SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+             round(corr(l_extendedprice, l_discount), 6) AS price_discount,
+             round(corr(l_quantity, l_discount), 6) AS qty_discount,
+             count(*) AS n
+      FROM lineitem""",
+   "pairwise Pearson correlations in ONE pass (corr is an algebraic "
+   "aggregate: partial (n, sum, sum_sq, sum_xy) states merge "
+   "map-side, so the shuffle carries 4 numbers per pair per partition "
+   "— never a second scan per pair)")
+def corr_matrix_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q_, p_, d_ = (F.col(c).cast("double") for c in
+                  ("l_quantity", "l_extendedprice", "l_discount"))
+    return li.agg(
+        F.round(F.corr(q_, p_), 6).alias("qty_price"),
+        F.round(F.corr(p_, d_), 6).alias("price_discount"),
+        F.round(F.corr(q_, d_), 6).alias("qty_discount"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@q("table_checksum_orders",
+   f"""SELECT count(*) AS n_rows,
+             bit_xor({_H.format(
+                 x="o_orderkey::VARCHAR || '|' || o_orderstatus || '|' "
+                   "|| o_totalprice::DECIMAL(18,2)::VARCHAR")}) AS checksum
+      FROM orders""",
+   "order-independent row-level table checksum (A7's stronger form: "
+   "count verification cannot see corruption that preserves "
+   "cardinality): bit_xor of per-row md5-prefix hashes over the checked "
+   "columns — commutative/associative so partials merge map-side, "
+   "overflow-free at any row count (a 64-bit SUM would overflow and "
+   "ANSI Spark would raise), and source/target checksum independently "
+   "on different engines and compare as two scalars; floats enter the "
+   "row representation through an exact DECIMAL(18,2) rendering because "
+   "double->string formatting differs across engines")
+def table_checksum_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"))
+    h = tx.md5_prefix_int(row_repr)
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("checksum"))
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -2426,6 +2499,9 @@ _TAIL = [
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
     "scd2_history_events",             # type-2 dimension reconstruction
+    "event_transition_matrix",         # Markov counts: window+agg family
+    "corr_matrix_lineitem",            # algebraic one-pass statistics
+    "table_checksum_orders",           # row-level sync verification
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
