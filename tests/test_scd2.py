@@ -81,3 +81,40 @@ def test_scd2_untouched_keys_not_rewritten(spark, tmp_path):
     assert (2, "x", 10, None, True) in rows          # untouched, still open
     assert (1, "a", 10, 20, False) in rows
     assert (1, "b", 20, None, True) in rows
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# random per-key change logs: a few keys, few attr values (to force
+# collapses), strictly increasing seq; ts drawn small so ties happen
+_log_rows = st.lists(
+    st.tuples(st.integers(1, 4),                 # key
+              st.sampled_from(["a", "b", "c"]),  # attr
+              st.integers(0, 20)),               # ts
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_log_rows, cut=st.integers(1, 19))
+def test_scd2_incremental_equals_batch_property(spark, tmp_path_factory,
+                                                rows, cut):
+    """For ANY change log and ANY ts-ordered two-batch split, folding
+    batches incrementally equals one-shot reconstruction. seq is the
+    global row index, so equal-ts rows keep a deterministic order and
+    the split at a ts boundary respects the per-key monotone contract."""
+    data = [(k, a, t, i) for i, (k, a, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, event_type string, ts long, event_id long")
+    tgt = SCD2Target(spark, str(tmp_path_factory.mktemp("scd2") / "dim"),
+                     "user_id", "event_type", "ts", "event_id")
+    b1 = df.filter(F.col("ts") < cut)
+    b2 = df.filter(F.col("ts") >= cut)
+    for b in (b1, b2):
+        if b.count():
+            tgt.apply(b)
+    want = _canon(scd2_from_log(df, "user_id", "event_type", "ts",
+                                "event_id"))
+    assert _canon(tgt.read()) == want
