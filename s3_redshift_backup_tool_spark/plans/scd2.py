@@ -137,3 +137,15 @@ class SCD2Target:
     def read(self) -> DataFrame:
         self._recover()
         return self.spark.read.parquet(self.state_path)
+
+
+def dim_as_of(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of a Type 2 dimension: the segment covering
+    ``ts`` per key (``valid_from <= ts < valid_to``, open segments
+    unbounded). A narrow filter — partition pruning applies if the
+    dimension is stored partitioned on is_current; joining facts at
+    THEIR event time is the as-of join in operators/temporal.py."""
+    t = F.lit(ts)
+    return dim.filter((F.col("valid_from") <= t)
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > t)))

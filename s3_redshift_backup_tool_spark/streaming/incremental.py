@@ -299,3 +299,39 @@ def streaming_sketch_maintenance(
           .trigger(availableNow=True)
           .start()
           .awaitTermination())
+
+
+def streaming_scd2_maintenance(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    state_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    seq_col: str,
+) -> None:
+    """Streaming Type 2 dimension maintenance: each availableNow
+    micro-batch of CDC rows folds into the SCD2 target (touched-keys
+    rewrite only — plans/scd2.py). SCD2Target.apply drops replayed
+    rows older than the open segment, so foreachBatch's at-least-once
+    redelivery is absorbed (same caveat window as
+    streaming_sketch_maintenance: a crash between state swap and
+    checkpoint commit replays one batch, which here is a no-op)."""
+    from ..plans.scd2 import SCD2Target
+
+    target = SCD2Target(spark, state_path, key_col, attr_col, ts_col,
+                        seq_col)
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target.apply(batch_df)
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_fold)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())

@@ -118,3 +118,48 @@ def test_scd2_incremental_equals_batch_property(spark, tmp_path_factory,
     want = _canon(scd2_from_log(df, "user_id", "event_type", "ts",
                                 "event_id"))
     assert _canon(tgt.read()) == want
+
+
+def test_dim_as_of_point_in_time(spark):
+    from s3_redshift_backup_tool_spark.plans.scd2 import dim_as_of
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 30, 2), (2, "x", 20, 3)],
+        "user_id long, event_type string, ts long, event_id long")
+    dim = scd2_from_log(df, "user_id", "event_type", "ts", "event_id")
+    at25 = {(r["user_id"], r["event_type"])
+            for r in dim_as_of(dim, 25).collect()}
+    assert at25 == {(1, "a"), (2, "x")}      # b starts at 30
+    at30 = {(r["user_id"], r["event_type"])
+            for r in dim_as_of(dim, 30).collect()}
+    assert at30 == {(1, "b"), (2, "x")}      # boundary: valid_from <= ts
+    assert dim_as_of(dim, 5).count() == 0    # before any history
+
+
+def test_streaming_scd2_maintenance(spark, tmp_path):
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_scd2_maintenance)
+
+    src = str(tmp_path / "cdc")
+    state = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "x", 10, 2)],
+        "user_id long, event_type string, ts long, event_id long")
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_scd2_maintenance(spark, src, schema, state, ckpt,
+                               "user_id", "event_type", "ts", "event_id")
+    b2 = spark.createDataFrame(
+        [(1, "b", 20, 3)],
+        "user_id long, event_type string, ts long, event_id long")
+    b2.write.mode("append").parquet(src)
+    streaming_scd2_maintenance(spark, src, schema, state, ckpt,
+                               "user_id", "event_type", "ts", "event_id")
+    # no-op pass: nothing new, state unchanged
+    streaming_scd2_maintenance(spark, src, schema, state, ckpt,
+                               "user_id", "event_type", "ts", "event_id")
+    rows = _canon(spark.read.parquet(state))
+    want = _canon(scd2_from_log(
+        spark.read.parquet(src), "user_id", "event_type", "ts", "event_id"))
+    assert rows == want
+    assert (1, "a", 10, 20, False) in rows and (2, "x", 10, None, True) in rows
