@@ -80,3 +80,32 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
             .agg(F.round(F.sum(contrib), 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col(id_col))
             .limit(k))
+
+
+def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id",
+             rrf_k: int = 60, topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack'09): fuse ranked candidate lists
+    by ``sum over lists of 1 / (rrf_k + rank)`` — the standard
+    score-scale-free way to combine lexical and semantic retrieval.
+
+    Each input carries (id_col, rank); docs missing from a list simply
+    contribute nothing (no imputation). The union is tiny — k rows per
+    list — so the fuse is a driver-light few-row aggregation at the end
+    of two already-bounded retrieval plans; ties break on id."""
+    tagged = ranked_lists[0].select(id_col, "rank")
+    for r in ranked_lists[1:]:
+        tagged = tagged.unionByName(r.select(id_col, "rank"))
+    score = F.round(F.sum(1.0 / (F.lit(rrf_k) + F.col("rank"))), 6)
+    return (tagged.groupBy(id_col)
+            .agg(score.alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col(id_col))
+            .limit(topk))
+
+
+def with_rank(df: DataFrame, order_col: str, id_col: str = "doc_id"):
+    """1-based rank by (order_col desc, id). The input is an
+    already-LIMITed candidate list (k rows), so the single-partition
+    global window is k-row work, not a scale hazard."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col(order_col).desc(), F.col(id_col))
+    return df.withColumn("rank", F.row_number().over(w))

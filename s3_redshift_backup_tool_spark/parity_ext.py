@@ -2321,6 +2321,58 @@ def hll_union_distinct_users(spark, sf_dir):
                      <= 0.05 * F.col("n_users")).alias("within_tol")))
 
 
+@q("hybrid_search_rrf",
+   f"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM tk),
+      m AS (SELECT doc_id, len(t) AS dl,
+                   unnest(list_intersect(t, {_BM25_TERMS_SQL})) AS term, t
+            FROM tk
+            WHERE len(list_intersect(t, {_BM25_TERMS_SQL})) > 0),
+      tf AS (SELECT doc_id, dl, term,
+                    CAST(len(list_filter(t, x -> x = term)) AS DOUBLE) AS tf
+             FROM m),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      lex AS (SELECT doc_id,
+                     round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                               * tf * 2.2
+                               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                           6) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN stats
+              GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+      lexr AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY score DESC, doc_id) AS rank FROM lex),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      sem AS (SELECT e.vec_id AS doc_id,
+                     round({_DOT.format(a='e.embedding', b='qv')}
+                           / (sqrt({_DOT.format(a='e.embedding',
+                                                b='e.embedding')})
+                              * sqrt({_DOT.format(a='qv', b='qv')})), 6)
+                       AS score
+              FROM embeddings e, q
+              ORDER BY score DESC, e.vec_id LIMIT 20),
+      semr AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY score DESC, doc_id) AS rank FROM sem),
+      u AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr)
+      SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf
+      FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""",
+   "hybrid retrieval with reciprocal-rank fusion (Cormack'09): BM25 "
+   "top-20 and brute-cosine top-20 fused score-scale-free by "
+   "sum(1/(60+rank)) — both candidate plans are bounded before the "
+   "fuse, so the union/agg is k-row work; swap the cosine side for the "
+   "IVF/LSH ANN operators at corpus scale without touching the fusion")
+def hybrid_search_rrf(spark, sf_dir):
+    from .operators import retrieval as rtv
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    lex = rtv.with_rank(rtv.bm25_topk(docs, _BM25_TERMS, k=20), "bm25")
+    semt = (sim.cosine_topk(emb, qvec, k=20)
+            .withColumnRenamed("vec_id", "doc_id"))
+    sem = rtv.with_rank(semt, "cos_sim")
+    return rtv.rrf_fuse([lex, sem], topk=10)
+
+
 @q("event_transition_matrix",
    """WITH seq AS (SELECT user_id, event_type, ts, event_id,
                         lag(event_type) OVER (PARTITION BY user_id
@@ -2499,6 +2551,7 @@ _TAIL = [
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
     "scd2_history_events",             # type-2 dimension reconstruction
+    "hybrid_search_rrf",               # RRF fusion: bm25+cosine composition
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification

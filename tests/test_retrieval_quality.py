@@ -188,3 +188,27 @@ def test_mixture_sample_rates_and_nesting(spark, documents):
         documents, "doc_id", "source", {"src2": 0.5}, default=0.0)
         .select("doc_id").collect()}
     assert a <= b and len(a) < len(b)
+
+
+# ------------------------------------------------------------ rrf fuse
+
+def test_rrf_fusion_hand_computed(spark):
+    from s3_redshift_backup_tool_spark.operators.retrieval import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], topk=4).collect()}
+    assert out[1] == round(1 / 61 + 1 / 62, 6)
+    assert out[3] == round(1 / 63 + 1 / 61, 6)
+    assert out[2] == round(1 / 62, 6)
+    assert out[9] == round(1 / 63, 6)
+    # doc in both lists outranks docs in one
+    assert out[1] > out[2] and out[3] > out[9]
+
+
+def test_rrf_topk_cut_deterministic(spark):
+    from s3_redshift_backup_tool_spark.operators.retrieval import rrf_fuse
+    # all same rank -> identical scores; cut must take lowest ids
+    a = spark.createDataFrame([(i, 1) for i in range(10)],
+                              ["doc_id", "rank"])
+    ids = [r["doc_id"] for r in rrf_fuse([a], topk=3).collect()]
+    assert ids == [0, 1, 2]
