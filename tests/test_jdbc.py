@@ -190,3 +190,34 @@ def test_jdbc_load_append_replace_upsert(spark, derby):
     # K3 truncate-then-load replaces content, keeps the table
     load_jdbc_replace(base.filter("id <= 2"), derby, "WH_TARGET")
     assert jdbc_count(spark, derby, "WH_TARGET") == 2
+
+
+def test_sync_then_warehouse_load_end_to_end(spark, derby, tmp_path):
+    """The full reference pipeline shape on live components: CDC sync
+    stages parquet + advances the watermark, then the staged target
+    loads into the JDBC warehouse and row counts verify end-to-end."""
+    import os
+
+    from s3_redshift_backup_tool_spark.plans.pipeline import (
+        pipeline_from_dict)
+    from s3_redshift_backup_tool_spark.plans.sync import sync_pipeline
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    from s3_redshift_backup_tool_spark.sources.writers import (
+        jdbc_count, load_jdbc_append)
+    from s3_redshift_backup_tool_spark.state import (
+        LocalJsonBackend, WatermarkStore)
+
+    work = str(tmp_path / "work")
+    store = WatermarkStore(LocalJsonBackend(os.path.join(work, "state")))
+    pipe = pipeline_from_dict({
+        "pipeline": {"name": "p", "source": "s", "target": "t"},
+        "tables": {"orders": {"cdc_strategy": "hybrid",
+                              "cdc_timestamp_column": "o_orderdate",
+                              "cdc_id_column": "o_orderkey"}}})
+    rd = lambda n: read_table(spark, "/root/testdata/sf0.001", n)  # noqa: E731
+    res = sync_pipeline(spark, pipe, store, rd, work)["orders"]
+    assert res.verified and res.rows_extracted == 1500
+
+    target = spark.read.parquet(os.path.join(work, "target", "orders"))
+    load_jdbc_append(target, derby, "WH_ORDERS", num_partitions=4)
+    assert jdbc_count(spark, derby, "WH_ORDERS") == res.target_rows == 1500
