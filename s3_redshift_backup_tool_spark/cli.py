@@ -191,6 +191,35 @@ def cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warehouse(args: argparse.Namespace) -> int:
+    """Load a parquet target into a JDBC warehouse table and verify the
+    row count — the operational face of sources/writers.py (production:
+    swap for the Redshift COPY connector; flags unchanged)."""
+    from .session import get_spark
+    from .sources.writers import (jdbc_count, load_jdbc_append,
+                                  load_jdbc_replace, load_jdbc_upsert)
+    spark = get_spark("cli_warehouse", cpus=args.cpus)
+    df = spark.read.parquet(args.target_path)
+    n = df.count()
+    if args.mode == "append":
+        load_jdbc_append(df, args.url, args.table,
+                         num_partitions=args.connections)
+    elif args.mode == "replace":
+        load_jdbc_replace(df, args.url, args.table)
+    else:
+        if not args.keys:
+            print("upsert requires --keys", file=sys.stderr)
+            return 2
+        load_jdbc_upsert(spark, df, args.url, args.table,
+                         args.keys.split(","))
+    wh = jdbc_count(spark, args.url, args.table)
+    verified = wh >= n if args.mode == "append" else \
+        (wh == n if args.mode == "replace" else wh >= n)
+    _emit({"rows_read": n, "warehouse_rows": wh, "mode": args.mode,
+           "verified": verified})
+    return 0 if verified else 1
+
+
 def cmd_markers(args: argparse.Namespace) -> int:
     from .plans.markers import CompletionMarkers
     markers = CompletionMarkers(os.path.join(args.work_dir,
@@ -309,6 +338,21 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--date", default=None, help="YYYYMMDD (default today)")
     mp.add_argument("--work-dir", required=True)
     mp.set_defaults(fn=cmd_markers)
+
+    whp = sub.add_parser("warehouse", help="load a parquet target into a "
+                                           "JDBC warehouse table and "
+                                           "verify counts")
+    whp.add_argument("--target-path", required=True)
+    whp.add_argument("--url", required=True, help="JDBC URL")
+    whp.add_argument("--table", required=True)
+    whp.add_argument("--mode", default="append",
+                     choices=["append", "replace", "upsert"])
+    whp.add_argument("--keys", default=None,
+                     help="comma-separated key columns (upsert)")
+    whp.add_argument("--connections", type=int, default=8,
+                     help="max parallel warehouse connections")
+    whp.add_argument("--cpus", type=int, default=8)
+    whp.set_defaults(fn=cmd_warehouse)
     return p
 
 

@@ -217,3 +217,24 @@ def test_markers_idempotent_first_writer_wins(tmp_path):
     # a FAILED marker is a distinct key: both can exist for one day
     assert m.write_table_marker("orders", "FAILED", "run-3", "20260814")
     assert m.check("orders", "FAILED", "20260814")
+
+
+def test_warehouse_verb(capsys, pipeline_yml, tmp_path, sf_dir):
+    """sync -> warehouse load (embedded Derby) -> verified counts, from
+    the operational surface."""
+    work = str(tmp_path / "work")
+    rc, _ = _run(capsys, ["sync", "-p", pipeline_yml, "--source-dir", sf_dir,
+                          "--work-dir", work, "-t", "orders", "--cpus", "8"])
+    assert rc == 0
+    url = f"jdbc:derby:{tmp_path / 'wh'};create=true"
+    target = f"{work}/target/orders"
+    rc, res = _run(capsys, ["warehouse", "--target-path", target,
+                            "--url", url, "--table", "WH_ORDERS",
+                            "--mode", "append", "--cpus", "8"])
+    assert rc == 0
+    assert res["verified"] and res["warehouse_rows"] == res["rows_read"] > 0
+    # replace keeps the table but swaps content
+    rc, res = _run(capsys, ["warehouse", "--target-path", target,
+                            "--url", url, "--table", "WH_ORDERS",
+                            "--mode", "replace", "--cpus", "8"])
+    assert rc == 0 and res["verified"]
