@@ -2373,6 +2373,36 @@ def hybrid_search_rrf(spark, sf_dir):
     return rtv.rrf_fuse([lex, sem], topk=10)
 
 
+@q("fuzzy_pairs_customer",
+   """WITH c AS (SELECT c_custkey, c_name,
+                      substring(c_name, 10, 8) AS block
+               FROM customer)
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM c a JOIN c b
+        ON a.block = b.block AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+   "record linkage via blocked fuzzy self-join (block = all-but-last "
+   "digit, <= 10 names per block): equi-join on a blocking "
+   "key bounds candidate pairs to O(sum block^2) BEFORE the quadratic "
+   "edit-distance runs (an unblocked fuzzy join is O(n^2) and cannot "
+   "hash-join — the same bucket-the-candidates principle as LSH); "
+   "levenshtein only evaluates inside blocks, post-join, codegen'd")
+def fuzzy_pairs_customer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.select("c_custkey", "c_name",
+                    F.substring("c_name", 10, 8).alias("block"))
+    a = c.select(F.col("c_custkey").alias("key_a"),
+                 F.col("c_name").alias("name_a"), "block")
+    b = c.select(F.col("c_custkey").alias("key_b"),
+                 F.col("c_name").alias("name_b"), "block")
+    dist = F.levenshtein("name_a", "name_b")
+    return (a.join(b, "block")
+             .filter(F.col("key_a") < F.col("key_b"))
+             .filter(dist <= 1)
+             .select("key_a", "key_b", dist.alias("dist")))
+
+
 @q("event_transition_matrix",
    """WITH seq AS (SELECT user_id, event_type, ts, event_id,
                         lag(event_type) OVER (PARTITION BY user_id
@@ -2552,6 +2582,7 @@ _TAIL = [
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
     "scd2_history_events",             # type-2 dimension reconstruction
     "hybrid_search_rrf",               # RRF fusion: bm25+cosine composition
+    "fuzzy_pairs_customer",            # blocked edit-distance linkage
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
