@@ -180,6 +180,50 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
          & (top_frac <= max_top_ngram_char_frac)).alias("repetition_ok"))
 
 
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for robust dedup/fingerprinting (the CCNet/
+    Dolma preprocessing step): lowercase, punctuation stripped,
+    whitespace collapsed, trimmed. Exact dedup on the NORMALIZED form
+    catches the near-identical docs (case/punct/spacing variants) that
+    byte-exact dedup misses, without any MinHash machinery. Per-row
+    codegen expressions; ASCII-scoped regex so Java and RE2 agree."""
+    out = F.lower(col)
+    out = F.regexp_replace(out, "[^a-z0-9\\s]", " ")
+    out = F.regexp_replace(out, "\\s+", " ")
+    return F.trim(out)
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Character-bigram LM scoring — the CCNet-style perplexity proxy
+    for corpus filtering: documents whose character statistics diverge
+    from the corpus (boilerplate, encoding garbage, non-language bytes)
+    score low, without any external LM.
+
+    Two aggregations: (1) the bigram frequency table over the corpus —
+    the "model", at most |alphabet|^2 rows (~1.4k for the normalized
+    ASCII alphabet), broadcast back; (2) per-doc mean log probability.
+    Shuffle volume: bigram counts partial-aggregate to <= 1.4k rows per
+    partition; the per-doc agg shuffles (doc, partial sums). At 100 TB
+    the frequency table would be trained once on a sample and persisted
+    (the same swap note as the IVF index) — here it is self-consistent
+    over the scored corpus so the oracle can reproduce it exactly."""
+    norm = normalize_text(F.col(text_col))
+    base = (df.select(id_col, norm.alias("__t"))
+              .filter(F.length("__t") >= 2))
+    idx = F.sequence(F.lit(1), F.length("__t") - 1)
+    grams = F.transform(idx, lambda i: F.col("__t").substr(i, F.lit(2)))
+    ex = base.select(id_col, F.explode(grams).alias("g"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    model = freq.crossJoin(F.broadcast(total)) \
+                .select("g", (F.col("c") / F.col("total")).alias("p"))
+    return (ex.join(F.broadcast(model), "g")
+              .groupBy(id_col)
+              .agg(F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
+                   F.count(F.lit(1)).alias("n_bigrams")))
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", *,
                  min_words: int = 50, max_words: int = 100_000,

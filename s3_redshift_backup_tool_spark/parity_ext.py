@@ -2373,6 +2373,55 @@ def hybrid_search_rrf(spark, sf_dir):
     return rtv.rrf_fuse([lex, sem], topk=10)
 
 
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower({x}), "
+             "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+@q("normalized_dedup_documents",
+   f"""WITH n AS (SELECT doc_id,
+                       {_H.format(x=_NORM_SQL.format(x='text'))} AS digest
+               FROM documents)
+      SELECT digest, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             count(*) AS n_dupes
+      FROM n GROUP BY digest""",
+   "exact dedup on the NORMALIZED text form (lowercase, punct stripped, "
+   "whitespace collapsed — the CCNet/Dolma preprocessing step): catches "
+   "case/punct/spacing variants byte-exact dedup misses, same "
+   "digest-groupBy shuffle shape (32B/row) as exact_dedup")
+def normalized_dedup_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    digest = tx.md5_prefix_int(tx.normalize_text(F.col("text")))
+    return (docs.select("doc_id", digest.alias("digest"))
+                .groupBy("digest")
+                .agg(F.min("doc_id").alias("canonical_id"),
+                     F.count(F.lit(1)).alias("n_dupes")))
+
+
+@q("bigram_logprob_documents",
+   f"""WITH n AS (SELECT doc_id, {_NORM_SQL.format(x='text')} AS t
+               FROM documents),
+      b AS (SELECT doc_id, t FROM n WHERE length(t) >= 2),
+      ex AS (SELECT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, length(t) - 1),
+                        i -> substring(t, i, 2))) AS g
+             FROM b),
+      freq AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+      tot AS (SELECT sum(c) AS total FROM freq),
+      model AS (SELECT g, c / total AS p FROM freq CROSS JOIN tot)
+      SELECT doc_id, round(avg(ln(p)), 6) AS avg_logprob,
+             count(*) AS n_bigrams
+      FROM ex JOIN model USING (g)
+      GROUP BY doc_id""",
+   "char-bigram LM quality score (CCNet perplexity-proxy filter): the "
+   "corpus IS the model (<= |alphabet|^2 frequency rows, broadcast "
+   "back), per-doc mean log-prob flags statistically-divergent text; "
+   "at 100 TB the frequency table trains once on a sample and persists "
+   "(IVF-index-style lifecycle), leaving one scoring pass")
+def bigram_logprob_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_logprob(docs)
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2583,6 +2632,8 @@ _TAIL = [
     "scd2_history_events",             # type-2 dimension reconstruction
     "hybrid_search_rrf",               # RRF fusion: bm25+cosine composition
     "fuzzy_pairs_customer",            # blocked edit-distance linkage
+    "normalized_dedup_documents",      # normalize-then-dedup: exact_dedup kin
+    "bigram_logprob_documents",        # char-LM quality proxy (CCNet-style)
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification

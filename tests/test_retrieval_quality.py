@@ -212,3 +212,32 @@ def test_rrf_topk_cut_deterministic(spark):
                               ["doc_id", "rank"])
     ids = [r["doc_id"] for r in rrf_fuse([a], topk=3).collect()]
     assert ids == [0, 1, 2]
+
+
+# --------------------------------------------- normalization + char LM
+
+def test_normalize_catches_variant_dupes(spark):
+    from s3_redshift_backup_tool_spark.operators.text import (
+        md5_prefix_int, normalize_text)
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other doc")],
+        ["doc_id", "text"])
+    out = (df.select("doc_id",
+                     md5_prefix_int(normalize_text(F.col("text")))
+                     .alias("d"))
+             .groupBy("d").count().collect())
+    counts = sorted(r["count"] for r in out)
+    assert counts == [1, 2]          # 1 and 2 collapse; 3 stands alone
+
+
+def test_bigram_logprob_flags_divergent_text(spark):
+    from s3_redshift_backup_tool_spark.operators.text import bigram_logprob
+    typical = "the table row scan hash join merge sort filter value "
+    rows = [(i, typical * 3) for i in range(8)]
+    rows.append((99, "zq xj qz jx zz qq xx jj zq xj qz jx"))  # rare bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_logprob"]
+           for r in bigram_logprob(df).collect()}
+    typical_scores = [v for k, v in out.items() if k != 99]
+    assert out[99] < min(typical_scores)   # divergent doc scores lowest
+    assert all(v < 0 for v in out.values())  # log-probs are negative
