@@ -2422,6 +2422,67 @@ def bigram_logprob_documents(spark, sf_dir):
     return tx.bigram_logprob(docs)
 
 
+@q("lexical_diversity_by_source",
+   """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+      SELECT source, count(*) AS n_tokens,
+             count(DISTINCT w) AS n_types,
+             round(count(DISTINCT w) / count(*)::DOUBLE, 6)
+               AS type_token_ratio
+      FROM t GROUP BY source""",
+   "lexical diversity per source (type-token ratio, the Heaps-law "
+   "corpus diagnostic: template/boilerplate sources show depressed "
+   "TTR): one explode + a partial-aggregable count-distinct per group")
+def lexical_diversity_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("source",
+                        F.explode(tx.tokens(F.col("text"))).alias("w"))
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.count_distinct("w").alias("n_types"),
+                     F.round(F.count_distinct("w")
+                             / F.count(F.lit(1)).cast("double"), 6)
+                      .alias("type_token_ratio")))
+
+
+@q("gopher_pass_rates_by_source",
+   f"""WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                FROM documents),
+      m AS (SELECT doc_id, source,
+              CAST(len(t) AS BIGINT) AS n_words,
+              round(CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t), 6)
+                AS mwl,
+              CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+                   AS BIGINT) AS stop_hits
+            FROM s)
+      SELECT source,
+             round(avg(CASE WHEN n_words BETWEEN 40 AND 100000
+                            THEN 1.0 ELSE 0.0 END), 6) AS rate_word_count,
+             round(avg(CASE WHEN stop_hits >= 2 THEN 1.0 ELSE 0.0 END), 6)
+               AS rate_stopwords,
+             round(avg(CASE WHEN n_words BETWEEN 40 AND 100000
+                             AND mwl BETWEEN 3.0 AND 10.0
+                             AND stop_hits >= 2
+                            THEN 1.0 ELSE 0.0 END), 6) AS rate_keep_core,
+             count(*) AS n_docs
+      FROM m GROUP BY source""",
+   "curation dashboard: per-source Gopher rule pass rates (which "
+   "sources the gate is eating — the first question after any funnel "
+   "run); reuses the per-row rule expressions, one groupBy on source")
+def gopher_pass_rates_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rules = tx.gopher_rules(docs, min_words=40)
+    joined = docs.select("doc_id", "source").join(rules, "doc_id")
+    as_rate = lambda c: F.round(F.avg(F.col(c).cast("double")), 6)  # noqa: E731
+    core = (F.col("rule_word_count") & F.col("rule_mean_word_len")
+            & F.col("rule_stopwords")).cast("double")
+    return (joined.groupBy("source")
+            .agg(as_rate("rule_word_count").alias("rate_word_count"),
+                 as_rate("rule_stopwords").alias("rate_stopwords"),
+                 F.round(F.avg(core), 6).alias("rate_keep_core"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2634,6 +2695,8 @@ _TAIL = [
     "fuzzy_pairs_customer",            # blocked edit-distance linkage
     "normalized_dedup_documents",      # normalize-then-dedup: exact_dedup kin
     "bigram_logprob_documents",        # char-LM quality proxy (CCNet-style)
+    "lexical_diversity_by_source",     # TTR diagnostics: corpus_stats kin
+    "gopher_pass_rates_by_source",     # funnel dashboard: gopher kin
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
