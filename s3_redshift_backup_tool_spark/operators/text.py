@@ -224,6 +224,33 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("n_bigrams")))
 
 
+def gopher_keep_expr(c: Column, *,
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_word_len: float = 3.0,
+                     max_mean_word_len: float = 10.0,
+                     max_symbol_word_ratio: float = 0.1,
+                     min_alpha_word_ratio: float = 0.8,
+                     min_stop_hits: int = 2) -> Column:
+    """The Gopher rule conjunction as ONE boolean column expression —
+    usable directly in a streaming filter (where a projection-shaped
+    transform doesn't compose); :func:`gopher_rules` shares these
+    thresholds and additionally surfaces the per-rule flags."""
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    mean_wl = avg_token_len(c)
+    symbol_ratio = F.round(
+        F.regexp_count(c, F.lit("#|\\.\\.\\.")).cast("double") / n_words, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / n_words, 6)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_word_ratio)
+            & (alpha_ratio >= min_alpha_word_ratio)
+            & (stop_hits >= min_stop_hits))
+
+
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", *,
                  min_words: int = 50, max_words: int = 100_000,

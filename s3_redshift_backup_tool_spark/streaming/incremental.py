@@ -224,10 +224,14 @@ def streaming_curate(
     text_col: str = "text",
     min_quality: float = 0.3,
     scrub: bool = True,
+    gopher_min_words: int | None = None,
 ) -> None:
     """Streaming corpus intake: each availableNow pass takes newly
     crawled document files through quality gate -> cross-batch exact
     dedup -> PII redaction -> corpus append, exactly once.
+    ``gopher_min_words`` additionally applies the Gopher rule gate
+    (same per-row expressions as the batch funnel's stage 0), so the
+    streaming and batch intake paths enforce one contract.
 
     The dedup is ``dropDuplicates`` on the content digest with NO
     watermark: corpus identity never expires, so the state store keeps
@@ -239,6 +243,9 @@ def streaming_curate(
     from ..operators import text as tx
 
     stream = spark.readStream.schema(schema).parquet(source_glob)
+    if gopher_min_words is not None:
+        stream = stream.filter(tx.gopher_keep_expr(
+            F.col(text_col), min_words=gopher_min_words))
     cleaned = (stream
                .filter(tx.quality_score(F.col(text_col)) >= min_quality)
                .withColumn("content_hash",

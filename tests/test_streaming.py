@@ -320,3 +320,27 @@ def test_streaming_sketch_maintenance(spark, tmp_path):
     want = {(r["d"], r["bucket"]): r["c"]
             for r in cms_sketch(spark.read.parquet(src)).collect()}
     assert got == want
+
+
+def test_streaming_curate_gopher_gate(spark, tmp_path):
+    """The streaming intake enforces the same Gopher rule contract as
+    the batch funnel's stage 0."""
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_curate)
+
+    src = str(tmp_path / "crawl")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    long_good = ("the quick brown fox jumps over the lazy dog and it "
+                 "keeps going with plenty of plain words in a sentence "
+                 "that easily clears a forty word minimum because it "
+                 "just keeps adding ordinary words to the end of it")
+    short_doc = "too short to pass the gate"
+    spark.createDataFrame([(1, long_good), (2, short_doc)],
+                          "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_curate(spark, src, schema, out, ckpt, min_quality=0.0,
+                     scrub=False, gopher_min_words=40)
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
