@@ -2483,6 +2483,58 @@ def gopher_pass_rates_by_source(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+@q("key_skew_profile_events",
+   """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+      SELECT count(*) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             round(avg(n), 6) AS avg_rows,
+             round(quantile_cont(n, 0.99), 6) AS p99_rows,
+             round(max(n) / avg(n), 6) AS skew_factor
+      FROM c""",
+   "join-key skew profile (the measurement BEFORE reaching for "
+   "operators/skew.py salting: skew_factor = hottest key vs mean): "
+   "one partial-aggregable per-key count, then a 1-row stats agg over "
+   "the counts — the exact percentile runs over |keys| rows, not "
+   "|events| rows, so it stays cheap even when the fact table doesn't")
+def key_skew_profile_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 6).alias("avg_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_factor"))
+
+
+@q("dup_rate_by_source",
+   f"""WITH d AS (SELECT doc_id, source, {_H.format(x='text')} AS digest
+               FROM documents),
+      g AS (SELECT digest, count(*) AS n FROM d GROUP BY 1)
+      SELECT source, count(*) AS n_docs,
+             CAST(count(*) FILTER (n > 1) AS BIGINT) AS n_in_dupe_groups,
+             round(count(*) FILTER (n > 1) / count(*)::DOUBLE, 6)
+               AS dup_rate
+      FROM d JOIN g USING (digest)
+      GROUP BY source""",
+   "per-source exact-duplicate exposure (which sources are copying "
+   "which — the dedup diagnostic run before choosing per-source caps): "
+   "digest groupBy + broadcast-back of the dupe groups, one groupBy on "
+   "source")
+def dup_rate_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source",
+                    tx.md5_prefix_int(F.col("text")).alias("digest"))
+    g = d.groupBy("digest").agg(F.count(F.lit(1)).alias("n"))
+    dup = (F.col("n") > 1).cast("long")
+    return (d.join(g, "digest")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(dup).alias("n_in_dupe_groups"),
+                  F.round(F.sum(dup) / F.count(F.lit(1)).cast("double"), 6)
+                   .alias("dup_rate")))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2697,6 +2749,8 @@ _TAIL = [
     "bigram_logprob_documents",        # char-LM quality proxy (CCNet-style)
     "lexical_diversity_by_source",     # TTR diagnostics: corpus_stats kin
     "gopher_pass_rates_by_source",     # funnel dashboard: gopher kin
+    "key_skew_profile_events",         # skew measurement: precedes salting
+    "dup_rate_by_source",              # dup exposure: exact_dedup kin
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
