@@ -2535,6 +2535,65 @@ def dup_rate_by_source(spark, sf_dir):
                    .alias("dup_rate")))
 
 
+@q("unpivot_measure_stats_lineitem",
+   """WITH u AS (SELECT measure, CAST(value AS DOUBLE) AS value
+               FROM (SELECT CAST(l_quantity AS DOUBLE) AS quantity,
+                            CAST(l_discount AS DOUBLE) AS discount,
+                            CAST(l_tax AS DOUBLE) AS tax
+                     FROM lineitem)
+               UNPIVOT (value FOR measure IN (quantity, discount, tax)))
+      SELECT measure, count(*) AS n,
+             round(avg(value), 6) AS mean,
+             round(min(value), 6) AS min_v,
+             round(max(value), 6) AS max_v
+      FROM u GROUP BY measure""",
+   "wide->long reshaping (unpivot/melt, the inverse of the pivot "
+   "query): per-measure summary stats in one pass — unpivot is a "
+   "per-row Expand (no shuffle), the groupBy carries 3 group states")
+def unpivot_measure_stats_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"))
+    long = wide.unpivot([], ["quantity", "discount", "tax"],
+                        "measure", "value")
+    return (long.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 6).alias("mean"),
+                 F.round(F.min("value"), 6).alias("min_v"),
+                 F.round(F.max("value"), 6).alias("max_v")))
+
+
+@q("id_gap_audit_orders",
+   """WITH s AS (SELECT o_orderkey AS id,
+                      lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+               FROM orders WHERE o_orderstatus = 'F')
+      SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+             id - prev - 1 AS missing
+      FROM s WHERE prev IS NOT NULL AND id - prev > 1""",
+   "id-sequence gap audit (the row-loss detector for id_only/hybrid "
+   "CDC: a hole in the key sequence at the target means rows were "
+   "skipped or lost in flight): one global-ordered lag — at scale run "
+   "per id-range bucket (gaps are local properties, so bucketing by "
+   "id>>20 makes the window partition-parallel with a boundary row per "
+   "bucket); emits (gap_start, gap_end, missing) per hole. Audited "
+   "here over the status='F' subset so the fixture yields real gaps "
+   "(the unfiltered target audit returning zero rows IS the pass "
+   "condition in production)")
+def id_gap_audit_orders(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    w = Window.orderBy("id")
+    s = orders.select(F.col("o_orderkey").alias("id")) \
+              .withColumn("prev", F.lag("id").over(w))
+    return (s.filter(F.col("prev").isNotNull()
+                     & (F.col("id") - F.col("prev") > 1))
+             .select((F.col("prev") + 1).alias("gap_start"),
+                     (F.col("id") - 1).alias("gap_end"),
+                     (F.col("id") - F.col("prev") - 1).alias("missing")))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2751,6 +2810,8 @@ _TAIL = [
     "gopher_pass_rates_by_source",     # funnel dashboard: gopher kin
     "key_skew_profile_events",         # skew measurement: precedes salting
     "dup_rate_by_source",              # dup exposure: exact_dedup kin
+    "unpivot_measure_stats_lineitem",  # wide->long reshape: pivot inverse
+    "id_gap_audit_orders",             # CDC row-loss detector: verify kin
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
