@@ -163,3 +163,28 @@ def test_streaming_scd2_maintenance(spark, tmp_path):
         spark.read.parquet(src), "user_id", "event_type", "ts", "event_id"))
     assert rows == want
     assert (1, "a", 10, 20, False) in rows and (2, "x", 10, None, True) in rows
+
+
+def test_scd2_asof_join_facts_to_dimension_version(spark):
+    """The consumption pattern: each fact joined to the dimension
+    VERSION valid at the fact's event time — SCD2 segments fed through
+    the as-of join; verified against a brute-force per-fact lookup."""
+    from s3_redshift_backup_tool_spark.operators.temporal import asof_join
+
+    log = spark.createDataFrame(
+        [(1, "bronze", 10, 1), (1, "silver", 30, 2), (1, "gold", 50, 3),
+         (2, "bronze", 20, 4)],
+        "user_id long, event_type string, ts long, event_id long")
+    dim = scd2_from_log(log, "user_id", "event_type", "ts", "event_id")
+    facts = spark.createDataFrame(
+        [(101, 1, 15), (102, 1, 30), (103, 1, 49), (104, 1, 99),
+         (105, 2, 25), (106, 2, 5)],           # 106 predates any version
+        "fact_id long, user_id long, fact_ts long")
+    joined = asof_join(
+        facts, dim.select("user_id", "event_type",
+                          F.col("valid_from").alias("vf")),
+        on="user_id", left_ts="fact_ts", right_ts="vf",
+        right_cols=["event_type"])
+    got = {r["fact_id"]: r["event_type"] for r in joined.collect()}
+    assert got == {101: "bronze", 102: "silver", 103: "silver",
+                   104: "gold", 105: "bronze", 106: None}
