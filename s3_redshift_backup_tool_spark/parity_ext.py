@@ -2594,6 +2594,40 @@ def id_gap_audit_orders(spark, sf_dir):
                      (F.col("id") - F.col("prev") - 1).alias("missing")))
 
 
+@q("python_source_cdc_feed",
+   """WITH g AS (SELECT unnest(generate_series(0, 4999)) AS id),
+      f AS (SELECT id,
+                   (id * 2654435761) % 1000000 / 100.0 AS value,
+                   CASE WHEN id % 10 <= 7 THEN 'I'
+                        WHEN id % 10 = 8 THEN 'U' ELSE 'D' END AS op,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + to_seconds(id) AS ts
+            FROM g WHERE id >= 1000)
+      SELECT op, count(*) AS n_rows,
+             round(sum(value), 4) AS sum_value,
+             CAST(max(id) AS BIGINT) AS max_id,
+             max(ts) AS max_ts
+      FROM f GROUP BY op""",
+   "custom Python Data Source (Spark 4 pyspark.sql.datasource): the "
+   "cdc_feed simulator read through the same id_only watermark "
+   "predicate as any CDC scan — pushFilters() narrows the GENERATED "
+   "range at the source (the Python-source analogue of PushedFilters), "
+   "partitions() gives executor-parallel splits, and the feed is a "
+   "pure function of id so the oracle regenerates it exactly")
+def python_source_cdc_feed(spark, sf_dir):
+    from .operators.cdc import CDCConfig, Watermark, apply_cdc
+    from .sources.pysource import CDCFeedDataSource
+    spark.dataSource.register(CDCFeedDataSource)
+    df = spark.read.format("cdc_feed").option("end", 5000).load()
+    delta = apply_cdc(df, CDCConfig(strategy="id_only", id_column="id"),
+                      Watermark(last_id=999))
+    return (delta.groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.max("id").alias("max_id"),
+                 F.max("ts").alias("max_ts")))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2812,6 +2846,7 @@ _TAIL = [
     "dup_rate_by_source",              # dup exposure: exact_dedup kin
     "unpivot_measure_stats_lineitem",  # wide->long reshape: pivot inverse
     "id_gap_audit_orders",             # CDC row-loss detector: verify kin
+    "python_source_cdc_feed",          # Spark-4 Python Data Source seam
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification

@@ -43,6 +43,9 @@ def get_spark(app_name: str = "s3_redshift_backup_tool_spark",
         # would block PushedFilters on every CDC watermark query)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source filter pushdown (sources/pysource.py): off
+        # by default in 4.1, required for pushFilters() readers
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
