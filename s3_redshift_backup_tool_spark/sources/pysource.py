@@ -105,3 +105,75 @@ class CDCFeedDataSource(DataSource):
 
     def reader(self, schema) -> CDCFeedReader:
         return CDCFeedReader(self.options)
+
+
+# -- Python Data Source WRITER: two-phase-commit JSON-lines sink -----------
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_name: str
+    final_name: str
+    n_rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Executor tasks write to ``_tmp_*`` files; the driver-side
+    ``commit()`` renames every task file into place and drops a
+    ``_SUCCESS`` marker, ``abort()`` deletes the temps — the classic
+    two-phase output commit, expressed in the Python writer API. A
+    reader that requires ``_SUCCESS`` therefore never sees a torn
+    write (same contract as Spark's own FileOutputCommitter v1)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _FileCommit:
+        part = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f"_tmp_{part}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str,
+                                    sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(tmp_name=tmp,
+                           final_name=os.path.join(
+                               self.path, f"part-{part}.jsonl"),
+                           n_rows=n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.rename(m.tmp_name, m.final_name)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(sum(m.n_rows for m in messages)))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_name)
+            except FileNotFoundError:
+                pass
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", p).mode("append")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "jsonl_sink is append-only (overwrite would need a "
+                "directory-swap commit; use the parquet target for that)")
+        return JsonLinesWriter(self.options)

@@ -71,3 +71,40 @@ def test_feed_composes_with_cdc_operators(spark):
     ops = {r["op"]: r["n"] for r in
            delta.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert ops == {"I": 400, "U": 50, "D": 50}      # 80/10/10 cycle
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The Python writer's task temps become visible only after the
+    driver commit (rename + _SUCCESS), and content round-trips."""
+    import json
+    import os
+
+    from s3_redshift_backup_tool_spark.sources.pysource import (
+        JsonLinesSinkDataSource)
+
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    out = str(tmp_path / "sink")
+    df = _feed(spark, end=100).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.startswith("_tmp_")]
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 4
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            rows += [json.loads(l) for l in fh]
+    assert len(rows) == 100
+    assert int(open(os.path.join(out, "_SUCCESS")).read()) == 100
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[3]["op"] == "I" and by_id[9]["op"] == "D"
+
+    # append accumulates; overwrite is an explicit NotImplementedError
+    df.limit(10).write.format("jsonl_sink").option("path", out) \
+      .mode("append").save()
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="append-only"):
+        df.write.format("jsonl_sink").option("path", out) \
+          .mode("overwrite").save()
