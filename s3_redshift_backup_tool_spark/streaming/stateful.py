@@ -10,6 +10,15 @@ groupBy key, so memory is bounded by (keys x state size) per partition;
 the GroupStateTimeout eviction keeps abandoned keys from accumulating
 forever. Use built-in windowed aggs when they fit — this is for logic
 they can't express (running de-dup, custom counters, session carry-over).
+
+API note: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
+with typed Value/List/Map state + timers, RocksDB-backed) is the
+designed successor to this API; it requires the ``protobuf`` package,
+which this container lacks (verified: the streaming runner crashes on
+``google.protobuf`` import), so these operators stay on
+``applyInPandasWithState`` — semantically equivalent for everything
+built here, and the migration is mechanical (state schema + timer
+declarations move into a StatefulProcessor class).
 """
 
 from __future__ import annotations
