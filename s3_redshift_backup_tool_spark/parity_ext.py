@@ -2628,6 +2628,84 @@ def python_source_cdc_feed(spark, sf_dir):
                  F.max("ts").alias("max_ts")))
 
 
+@q("events_since_last_purchase",
+   """WITH s AS (SELECT event_id, user_id, ts, event_type,
+                      max(CASE WHEN event_type = 'purchase' THEN ts END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS last_purchase_ts
+               FROM events)
+      SELECT event_id, user_id, event_type, last_purchase_ts
+      FROM s WHERE event_type = 'error' AND last_purchase_ts IS NOT NULL""",
+   "conditional running state without a self-join: each error event "
+   "annotated with its user's most recent PRIOR purchase via "
+   "max(CASE)-over-rows-frame (the same last-ignorenulls machinery as "
+   "the as-of join, inlined) — one shuffle on user_id, no events x "
+   "purchases join")
+def events_since_last_purchase(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_p = F.max(F.when(F.col("event_type") == "purchase",
+                          F.col("ts"))).over(w)
+    return (ev.withColumn("last_purchase_ts", last_p)
+              .filter((F.col("event_type") == "error")
+                      & F.col("last_purchase_ts").isNotNull())
+              .select("event_id", "user_id", "event_type",
+                      "last_purchase_ts"))
+
+
+@q("token_pmi_pairs_documents",
+   f"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                    AS w
+                  FROM documents),
+      topw AS (SELECT w, count(*) AS df FROM tok GROUP BY w
+               ORDER BY df DESC, w LIMIT 20),
+      t AS (SELECT tok.doc_id, tok.w, topw.df FROM tok JOIN topw USING (w)),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      pairs AS (SELECT a.w AS w_a, b.w AS w_b,
+                       a.df AS df_a, b.df AS df_b, count(*) AS co
+                FROM t a JOIN t b
+                  ON a.doc_id = b.doc_id AND a.w < b.w
+                GROUP BY 1, 2, 3, 4)
+      SELECT w_a, w_b, co,
+             round(ln((co * n_docs)::DOUBLE / (df_a * df_b)), 6) AS pmi
+      FROM pairs CROSS JOIN n
+      ORDER BY pmi DESC, w_a, w_b LIMIT 25""",
+   "token co-occurrence PMI over the top-20 vocabulary (collocation / "
+   "topic-drift diagnostic): the vocabulary cut BOUNDS the pair space "
+   "to 190 pairs before the doc-level self-join runs (same "
+   "block-the-candidates principle as LSH/fuzzy matching); "
+   "presence-based (list_distinct) so df and co-occurrence count docs, "
+   "not tokens")
+def token_pmi_pairs_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.array_distinct(
+                          F.split(F.col("text"), " "))).alias("w"))
+    topw = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+               .orderBy(F.col("df").desc(), "w").limit(20))
+    t = tok.join(F.broadcast(topw), "w")
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
+    a = t.select(F.col("doc_id"), F.col("w").alias("w_a"),
+                 F.col("df").alias("df_a"))
+    b = t.select(F.col("doc_id"), F.col("w").alias("w_b"),
+                 F.col("df").alias("df_b"))
+    pairs = (a.join(b, "doc_id")
+              .filter(F.col("w_a") < F.col("w_b"))
+              .groupBy("w_a", "w_b", "df_a", "df_b")
+              .agg(F.count(F.lit(1)).alias("co")))
+    return (pairs.crossJoin(F.broadcast(n_docs))
+            .select("w_a", "w_b", "co",
+                    F.round(F.log((F.col("co") * F.col("n_docs"))
+                                  .cast("double")
+                                  / (F.col("df_a") * F.col("df_b"))), 6)
+                     .alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w_a", "w_b")
+            .limit(25))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2847,6 +2925,8 @@ _TAIL = [
     "unpivot_measure_stats_lineitem",  # wide->long reshape: pivot inverse
     "id_gap_audit_orders",             # CDC row-loss detector: verify kin
     "python_source_cdc_feed",          # Spark-4 Python Data Source seam
+    "events_since_last_purchase",      # conditional running state: window kin
+    "token_pmi_pairs_documents",       # collocation PMI: bounded pair space
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
