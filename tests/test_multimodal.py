@@ -446,3 +446,14 @@ def test_jpeg_grayscale_single_component():
     assert np.array_equal(back[..., 0], back[..., 1])
     err = np.abs(back[..., 0].astype(int) - gray.astype(int))
     assert err.mean() < 3.0
+
+
+def test_jpeg_tiny_images_pad_and_crop():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+    for shape in ((1, 1, 3), (3, 9, 3), (8, 1, 3)):
+        img = np.full(shape, 77, np.uint8)
+        back = decode_jpeg(encode_jpeg(img))
+        assert back.shape == shape
+        assert abs(int(back.mean()) - 77) < 6     # flat field survives
