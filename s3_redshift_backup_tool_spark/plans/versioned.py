@@ -1,0 +1,147 @@
+"""Manifest-versioned parquet table: atomic commits, snapshot reads,
+time travel, rollback — on storage with NO atomic directory rename.
+
+The repo's rename-aside swaps (rollup/scd2/streaming upsert) are
+correct on POSIX filesystems, but object stores (the reference's S3
+world) have no atomic rename — the industry answer (Iceberg/Delta) is
+a METADATA pointer: data files are immutable and append-only, each
+commit writes a new manifest listing the file set, and one tiny
+"current version" pointer flips atomically. This module is that
+mechanism reduced to its core, compatible with everything here:
+
+- data files land under ``data/`` with unique names (never rewritten,
+  never renamed — object-store safe);
+- a commit writes ``_versions/v{N}.json`` (the full file list — O(files)
+  metadata, fine up to ~100k files; beyond that Iceberg's manifest
+  trees are the swap) then writes the ``_current`` pointer via
+  write-temp + ``os.replace`` (atomic on POSIX; on S3 the equivalent
+  is a conditional PUT / DynamoDB pointer — one swap point, documented);
+- readers resolve a version (default: current) and read EXACTLY those
+  files — concurrent with any writer, no torn reads, and old versions
+  stay readable until ``vacuum``;
+- ``rollback(n)`` re-points to an old manifest without touching data;
+- ``vacuum()`` deletes files unreferenced by any retained version.
+
+Single-writer by contract (CDC sync is one job per table); the
+advisory lock in ``state.py`` is the guard if two schedulers race.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.meta_dir = os.path.join(path, "_versions")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- pointer ----------------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _set_pointer(self, version: int) -> None:
+        tmp = self._pointer_path() + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer_path())   # the ONE atomic flip
+
+    # -- manifests --------------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    # -- write ------------------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as new immutable data files and publish the next
+        version. ``append`` unions with the current file set;
+        ``overwrite`` publishes only the new files (old files stay on
+        disk for time travel until vacuum)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode {mode!r}")
+        write_id = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, write_id)
+        df.write.parquet(out)   # unique subdir: no rename, no overwrite
+        new_files = sorted(
+            os.path.join(out, f) for f in os.listdir(out)
+            if f.endswith(".parquet"))
+        cur = self.current_version()
+        base = [] if (mode == "overwrite" or cur is None) \
+            else self._read_manifest(cur)["files"]
+        version = (cur or 0) + 1
+        manifest = {"version": version, "mode": mode,
+                    "committed_at": time.time(),
+                    "files": base + new_files}
+        mp = self._manifest_path(version)
+        with open(mp + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mp + ".tmp", mp)
+        self._set_pointer(version)
+        return version
+
+    # -- read -------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        files = self._read_manifest(v)["files"]
+        if not files:
+            raise FileNotFoundError(f"version {v} is empty")
+        return self.spark.read.parquet(*files)
+
+    def rollback(self, version: int) -> None:
+        """Re-point to an old manifest; data untouched, O(1)."""
+        if version not in self.versions():
+            raise ValueError(f"unknown version {version}")
+        self._set_pointer(version)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data files unreferenced by the retained versions (the
+        last ``keep_last`` plus whatever the pointer targets). Returns
+        deleted paths. Old manifests beyond retention are dropped too."""
+        vs = self.versions()
+        cur = self.current_version()
+        keep_versions = set(vs[-keep_last:]) | ({cur} if cur else set())
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced.update(self._read_manifest(v)["files"])
+        deleted = []
+        for sub in os.listdir(self.data_dir):
+            d = os.path.join(self.data_dir, sub)
+            for f in os.listdir(d):
+                full = os.path.join(d, f)
+                if f.endswith(".parquet") and full not in referenced:
+                    os.remove(full)
+                    deleted.append(full)
+            if not os.listdir(d):
+                os.rmdir(d)
+        for v in vs:
+            if v not in keep_versions:
+                os.remove(self._manifest_path(v))
+        return deleted

@@ -1,0 +1,68 @@
+"""Manifest-versioned table: atomic commits, time travel, rollback,
+vacuum — the object-store-safe alternative to rename swaps."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from s3_redshift_backup_tool_spark.plans.versioned import VersionedTable
+
+
+def _vals(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+def test_commit_append_overwrite_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert t.current_version() is None
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    v1 = t.commit(spark.range(3).selectExpr("id as v"))
+    v2 = t.commit(spark.range(3, 5).selectExpr("id as v"))          # append
+    v3 = t.commit(spark.range(100, 102).selectExpr("id as v"),
+                  mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert _vals(t.read()) == [100, 101]            # current = overwrite
+    assert _vals(t.read(version=2)) == [0, 1, 2, 3, 4]   # time travel
+    assert _vals(t.read(version=1)) == [0, 1, 2]
+
+
+def test_rollback_is_metadata_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(3).selectExpr("id as v"))
+    t.commit(spark.range(10, 12).selectExpr("id as v"), mode="overwrite")
+    t.rollback(1)
+    assert t.current_version() == 1
+    assert _vals(t.read()) == [0, 1, 2]
+    # a new commit appends on top of the rolled-back state
+    t.commit(spark.range(5, 6).selectExpr("id as v"))
+    assert _vals(t.read()) == [0, 1, 2, 5]
+    with pytest.raises(ValueError):
+        t.rollback(99)
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(3).selectExpr("id as v"))
+    t.commit(spark.range(50, 53).selectExpr("id as v"), mode="overwrite")
+    before = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+    deleted = t.vacuum(keep_last=1)
+    assert deleted                                   # v1's files went away
+    after = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+    assert after < before
+    assert _vals(t.read()) == [50, 51, 52]           # current unaffected
+    assert t.versions() == [2]                       # old manifest dropped
+
+
+def test_snapshot_read_isolated_from_concurrent_commit(spark, tmp_path):
+    """A reader that resolved version N keeps reading N's exact file
+    set even after a writer publishes N+1 (no torn reads)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(3).selectExpr("id as v"))
+    snapshot = t.read()                  # plan pinned to v1's files
+    t.commit(spark.range(90, 95).selectExpr("id as v"), mode="overwrite")
+    assert _vals(snapshot) == [0, 1, 2]  # unaffected by the new commit
+    assert _vals(t.read()) == [90, 91, 92, 93, 94]
