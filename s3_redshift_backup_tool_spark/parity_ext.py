@@ -2706,6 +2706,50 @@ def token_pmi_pairs_documents(spark, sf_dir):
             .limit(25))
 
 
+@q("ccnet_buckets_by_source",
+   f"""WITH n AS (SELECT doc_id, {_NORM_SQL.format(x='text')} AS t
+               FROM documents),
+      b AS (SELECT doc_id, t FROM n WHERE length(t) >= 2),
+      ex AS (SELECT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, length(t) - 1),
+                        i -> substring(t, i, 2))) AS g
+             FROM b),
+      freq AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+      tot AS (SELECT sum(c) AS total FROM freq),
+      model AS (SELECT g, c / total AS p FROM freq CROSS JOIN tot),
+      scored AS (SELECT doc_id, round(avg(ln(p)), 6) AS lp
+                 FROM ex JOIN model USING (g) GROUP BY doc_id),
+      bucketed AS (SELECT doc_id,
+                          ntile(3) OVER (ORDER BY lp DESC, doc_id)
+                            AS bucket
+                   FROM scored)
+      SELECT d.source,
+             CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS lm_bucket,
+             count(*) AS n_docs
+      FROM bucketed JOIN documents d USING (doc_id)
+      GROUP BY 1, 2""",
+   "CCNet head/middle/tail split: corpus terciles by char-LM score "
+   "(head = most language-like), tallied per source — the standard "
+   "quality-stratified mixture input; composes bigram_logprob with "
+   "ntile; at 100 TB the tercile boundaries come from approx_percentile "
+   "instead of a global ntile sort (documented swap)")
+def ccnet_buckets_by_source(spark, sf_dir):
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.bigram_logprob(docs).select(
+        "doc_id", F.col("avg_logprob").alias("lp"))
+    w = Window.orderBy(F.col("lp").desc(), "doc_id")
+    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    name = (F.when(F.col("bucket") == 1, "head")
+             .when(F.col("bucket") == 2, "middle")
+             .otherwise("tail"))
+    return (bucketed.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source", name.alias("lm_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2927,6 +2971,7 @@ _TAIL = [
     "python_source_cdc_feed",          # Spark-4 Python Data Source seam
     "events_since_last_purchase",      # conditional running state: window kin
     "token_pmi_pairs_documents",       # collocation PMI: bounded pair space
+    "ccnet_buckets_by_source",         # LM-score terciles: bigram+ntile kin
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
