@@ -66,3 +66,36 @@ def test_snapshot_read_isolated_from_concurrent_commit(spark, tmp_path):
     t.commit(spark.range(90, 95).selectExpr("id as v"), mode="overwrite")
     assert _vals(snapshot) == [0, 1, 2]  # unaffected by the new commit
     assert _vals(t.read()) == [90, 91, 92, 93, 94]
+
+
+def test_cdc_feed_incremental_commits_with_time_travel(spark, tmp_path):
+    """The intended production composition: each CDC increment (pulled
+    from the Python changefeed source through the watermark predicate)
+    commits one new table version — yesterday's corpus stays readable
+    while today's publishes, and rollback undoes a bad load in O(1)."""
+    from s3_redshift_backup_tool_spark.operators.cdc import (
+        CDCConfig, Watermark, apply_cdc, extract_watermark)
+    from s3_redshift_backup_tool_spark.sources.pysource import (
+        CDCFeedDataSource)
+
+    spark.dataSource.register(CDCFeedDataSource)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    cfg = CDCConfig(strategy="id_only", id_column="id")
+
+    def pull(end, wm):
+        df = spark.read.format("cdc_feed").option("end", end).load()
+        return apply_cdc(df, cfg, wm)
+
+    d1 = pull(1000, Watermark())
+    t.commit(d1)
+    wm = extract_watermark(d1, cfg)
+    d2 = pull(1500, wm)                       # only the new 500 ids
+    assert d2.count() == 500
+    t.commit(d2)                              # append increment
+    assert t.read(version=1).count() == 1000  # yesterday still readable
+    assert t.read().count() == 1500
+    # bad load discovered -> O(1) rollback, then re-publish
+    t.rollback(1)
+    assert t.read().count() == 1000
+    t.commit(d2)
+    assert t.read().count() == 1500
