@@ -106,14 +106,23 @@ class VersionedTable:
         return version
 
     # -- read -------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
+        """Snapshot read of ``version`` (default: current pointer).
+        ``merge_schema=True`` unions column sets across the version's
+        files — appends that ADDED columns read as null-padded history
+        (the additive half of schema evolution; schema.py's evolution
+        diff decides whether an incoming change is additive)."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         files = self._read_manifest(v)["files"]
         if not files:
             raise FileNotFoundError(f"version {v} is empty")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def rollback(self, version: int) -> None:
         """Re-point to an old manifest; data untouched, O(1)."""

@@ -99,3 +99,17 @@ def test_cdc_feed_incremental_commits_with_time_travel(spark, tmp_path):
     assert t.read().count() == 1000
     t.commit(d2)
     assert t.read().count() == 1500
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """Appending a delta with an ADDED column: mergeSchema reads old
+    files null-padded; time travel still shows the old schema."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.commit(spark.createDataFrame([(2, "b", 9.5)],
+                                   "id long, s string, score double"))
+    cur = t.read(merge_schema=True)
+    assert set(cur.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows == {1: None, 2: 9.5}
+    assert set(t.read(version=1).columns) == {"id", "s"}
