@@ -220,6 +220,27 @@ def cmd_warehouse(args: argparse.Namespace) -> int:
     return 0 if verified else 1
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    """Versioned-table lifecycle: versions / rollback / vacuum."""
+    from .plans.versioned import VersionedTable
+    from .session import get_spark
+    spark = get_spark("cli_table", cpus=args.cpus)
+    t = VersionedTable(spark, args.path)
+    if args.action == "versions":
+        _emit({"versions": t.versions(), "current": t.current_version()})
+    elif args.action == "rollback":
+        if args.version is None:
+            print("rollback requires --version", file=sys.stderr)
+            return 2
+        t.rollback(args.version)
+        _emit({"current": t.current_version()})
+    else:  # vacuum
+        deleted = t.vacuum(keep_last=args.keep_last)
+        _emit({"deleted_files": len(deleted),
+               "versions": t.versions()})
+    return 0
+
+
 def cmd_markers(args: argparse.Namespace) -> int:
     from .plans.markers import CompletionMarkers
     markers = CompletionMarkers(os.path.join(args.work_dir,
@@ -353,6 +374,15 @@ def build_parser() -> argparse.ArgumentParser:
                      help="max parallel warehouse connections")
     whp.add_argument("--cpus", type=int, default=8)
     whp.set_defaults(fn=cmd_warehouse)
+
+    tp = sub.add_parser("table", help="versioned-table lifecycle "
+                                      "(plans/versioned.py)")
+    tp.add_argument("action", choices=["versions", "rollback", "vacuum"])
+    tp.add_argument("--path", required=True)
+    tp.add_argument("--version", type=int, default=None)
+    tp.add_argument("--keep-last", type=int, default=2)
+    tp.add_argument("--cpus", type=int, default=8)
+    tp.set_defaults(fn=cmd_table)
     return p
 
 

@@ -238,3 +238,22 @@ def test_warehouse_verb(capsys, pipeline_yml, tmp_path, sf_dir):
                             "--url", url, "--table", "WH_ORDERS",
                             "--mode", "replace", "--cpus", "8"])
     assert rc == 0 and res["verified"]
+
+
+def test_table_verb_versions_rollback_vacuum(capsys, spark, tmp_path):
+    from s3_redshift_backup_tool_spark.plans.versioned import VersionedTable
+    path = str(tmp_path / "tbl")
+    t = VersionedTable(spark, path)
+    t.commit(spark.range(3).selectExpr("id as v"))
+    t.commit(spark.range(5).selectExpr("id as v"), mode="overwrite")
+
+    rc, res = _run(capsys, ["table", "versions", "--path", path,
+                            "--cpus", "8"])
+    assert rc == 0 and res["versions"] == [1, 2] and res["current"] == 2
+    rc, res = _run(capsys, ["table", "rollback", "--path", path,
+                            "--version", "1", "--cpus", "8"])
+    assert rc == 0 and res["current"] == 1
+    rc, res = _run(capsys, ["table", "vacuum", "--path", path,
+                            "--keep-last", "1", "--cpus", "8"])
+    assert rc == 0 and res["deleted_files"] >= 0
+    assert t.read().count() == 3                  # rolled-back state intact
