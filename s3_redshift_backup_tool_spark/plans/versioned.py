@@ -78,11 +78,15 @@ class VersionedTable:
         return sorted(out)
 
     # -- write ------------------------------------------------------------
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(self, df: DataFrame, mode: str = "append",
+               note: str | None = None) -> int:
         """Write ``df`` as new immutable data files and publish the next
         version. ``append`` unions with the current file set;
         ``overwrite`` publishes only the new files (old files stay on
-        disk for time travel until vacuum)."""
+        disk for time travel until vacuum). ``note`` is stamped into
+        the manifest — an idempotency key: a caller that crashed after
+        committing but before recording its own bookkeeping can ask
+        :meth:`find_note` whether the work already landed."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
         write_id = uuid.uuid4().hex[:12]
@@ -96,7 +100,7 @@ class VersionedTable:
             else self._read_manifest(cur)["files"]
         version = (cur or 0) + 1
         manifest = {"version": version, "mode": mode,
-                    "committed_at": time.time(),
+                    "committed_at": time.time(), "note": note,
                     "files": base + new_files}
         mp = self._manifest_path(version)
         with open(mp + ".tmp", "w") as fh:
@@ -123,6 +127,13 @@ class VersionedTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*files)
+
+    def find_note(self, note: str) -> int | None:
+        """Version whose manifest carries ``note``, if any (newest wins)."""
+        for v in reversed(self.versions()):
+            if self._read_manifest(v).get("note") == note:
+                return v
+        return None
 
     def rollback(self, version: int) -> None:
         """Re-point to an old manifest; data untouched, O(1)."""
