@@ -2750,6 +2750,39 @@ def ccnet_buckets_by_source(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+@q("purchase_value_daily_gapfilled",
+   """WITH spine AS (SELECT unnest(generate_series(DATE '2024-01-01',
+                                                 DATE '2024-01-30',
+                                                 INTERVAL 1 DAY))::DATE
+                       AS day),
+      daily AS (SELECT ts::DATE AS day,
+                       round(sum(value), 4) AS revenue,
+                       count(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT spine.day,
+             coalesce(revenue, 0.0) AS revenue,
+             coalesce(n_purchases, 0) AS n_purchases
+      FROM spine LEFT JOIN daily USING (day)""",
+   "calendar-spine gap filling (reporting contract: every day present, "
+   "zero-filled): sequence() generates the spine from literals — a "
+   "broadcast-sized relation regardless of fact volume — and the fact "
+   "side contributes one partial-aggregable daily rollup; no window "
+   "tricks, no driver loop")
+def purchase_value_daily_gapfilled(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit("2024-01-01").cast("date"),
+                             F.lit("2024-01-30").cast("date"))).alias("day"))
+    daily = (ev.filter(F.col("event_type") == "purchase")
+               .groupBy(F.to_date("ts").alias("day"))
+               .agg(F.round(F.sum("value"), 4).alias("revenue"),
+                    F.count(F.lit(1)).alias("n_purchases")))
+    return (spine.join(daily, "day", "left")
+            .select("day",
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+                    F.coalesce("n_purchases", F.lit(0)).alias("n_purchases")))
+
+
 @q("fuzzy_pairs_customer",
    """WITH c AS (SELECT c_custkey, c_name,
                       substring(c_name, 10, 8) AS block
@@ -2972,6 +3005,7 @@ _TAIL = [
     "events_since_last_purchase",      # conditional running state: window kin
     "token_pmi_pairs_documents",       # collocation PMI: bounded pair space
     "ccnet_buckets_by_source",         # LM-score terciles: bigram+ntile kin
+    "purchase_value_daily_gapfilled",  # calendar-spine reporting contract
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
