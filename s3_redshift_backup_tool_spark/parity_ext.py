@@ -2887,6 +2887,260 @@ def table_checksum_orders(spark, sf_dir):
 
 
 # ==========================================================================
+# TPC-H family completion. The fixtures have no partsupp table, so Q2 /
+# Q11 / Q16 / Q20 are re-expressed over lineitem-derived supply facts —
+# the PLAN SHAPES the TPC-H numbers exercise (decorrelated scalar-min
+# rejoin, global-total HAVING, distinct-agg with NOT-IN anti-join,
+# aggregated-subquery semi-join chain) are preserved exactly; only the
+# partsupp columns are replaced by their lineitem analogues. Together
+# with Q1/Q3..Q8/Q10/Q12/Q13/Q15/Q17/Q18/Q19/Q21/Q22 elsewhere in the
+# registry this closes the 22-query family.
+# ==========================================================================
+
+
+@q("promo_revenue_share",
+   """SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+             CAST(total AS DOUBLE) AS total_revenue,
+             round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS promo_share_pct
+      FROM (SELECT
+              sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+              sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS total
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01')""",
+   "TPC-H Q14: promo revenue share — the ship-date filter pushes to the "
+   "lineitem scan, part is the only join (AQE broadcasts it at this "
+   "cardinality; at 100 TB part scales slower than lineitem so the "
+   "broadcast survives far longer than the fact growth), and the "
+   "conditional share is one map-side-combinable aggregate; DECIMAL "
+   "accumulation keeps the two engines bit-equal")
+def promo_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                     & (F.col("l_shipdate") < "1997-04-01"))
+             .join(part, li.l_partkey == part.p_partkey)
+             .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                   .alias("promo"),
+                  F.sum(rev).alias("total")))
+    return agg.select(
+        F.col("promo").cast("double").alias("promo_revenue"),
+        F.col("total").cast("double").alias("total_revenue"),
+        F.round(100.0 * F.col("promo").cast("double")
+                / F.col("total").cast("double"), 6).alias("promo_share_pct"))
+
+
+@q("min_cost_supplier_per_part",
+   """WITH unit AS (SELECT l_partkey, l_suppkey,
+                         min(l_extendedprice / l_quantity) AS unit_price
+                  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      best AS (SELECT l_partkey AS bk, min(unit_price) AS best_price
+               FROM unit GROUP BY l_partkey)
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             unit_price
+      FROM unit
+      JOIN best     ON l_partkey = bk AND unit_price = best_price
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'STANDARD'
+      QUALIFY row_number() OVER (PARTITION BY p_partkey
+                                 ORDER BY s_acctbal DESC, s_suppkey) = 1""",
+   "TPC-H Q2 shape (partsupp's supplycost replaced by the observed "
+   "lineitem unit price): the correlated scalar-min subquery is "
+   "decorrelated into a groupBy-min + equality rejoin on the SAME "
+   "grouping key — so the rejoin reuses the aggregate's hash "
+   "partitioning instead of a second global pass — and the tie-break is "
+   "a per-part window (partitions are part-sized, never global). "
+   "Region/nation broadcast; part filter applied before its join")
+def min_cost_supplier_per_part(spark, sf_dir):
+    from pyspark.sql.window import Window
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    unit = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                    .alias("unit_price")))
+    best = (unit.groupBy(F.col("l_partkey").alias("bk"))
+                .agg(F.min("unit_price").alias("best_price")))
+    w = (Window.partitionBy("p_partkey")
+               .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")))
+    return (unit.join(best, (unit.l_partkey == best.bk)
+                      & (unit.unit_price == best.best_price))
+                .join(part.filter((F.col("p_size") <= 10)
+                                  & (F.col("p_type") == "STANDARD")),
+                      unit.l_partkey == part.p_partkey)
+                .join(sup, unit.l_suppkey == sup.s_suppkey)
+                .join(F.broadcast(nation),
+                      sup.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                      nation.n_regionkey == region.r_regionkey)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                        "s_acctbal", "n_name", "unit_price"))
+
+
+@q("profit_by_nation_year",
+   """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      GROUP BY n_name, year(o_orderdate)""",
+   "TPC-H Q9 shape (supplycost proxied by 0.6 x retail price): "
+   "product-line profit by supplier nation and order year. The p_name "
+   "LIKE filter lands on the part scan BEFORE its join, so the "
+   "fact-side rows are pruned by the first (broadcast-sized) join "
+   "rather than carried through the star; per-row profit is cast to "
+   "DECIMAL before the sum so partials merge exactly on both engines")
+def profit_by_nation_year(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+              ).cast("decimal(18,4)")
+    return (li.join(part.filter(F.col("p_name").like("%red%")),
+                    li.l_partkey == part.p_partkey)
+              .join(sup, li.l_suppkey == sup.s_suppkey)
+              .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").alias("o_year"))
+              .agg(F.sum(profit).cast("double").alias("sum_profit")))
+
+
+@q("important_parts_share",
+   """WITH pv AS (SELECT l_partkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS dvalue
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+                GROUP BY l_partkey)
+      SELECT l_partkey AS p_partkey, CAST(dvalue AS DOUBLE) AS value
+      FROM pv
+      WHERE CAST(dvalue AS DOUBLE) >
+            (SELECT CAST(sum(dvalue) AS DOUBLE) FROM pv) * 0.001""",
+   "TPC-H Q11 shape (stock value proxied by shipped revenue per part "
+   "from one nation's suppliers): the correlated global-total HAVING is "
+   "decorrelated into a 1-row aggregate broadcast back over the per-part "
+   "values — the per-part relation is computed ONCE and reused for both "
+   "the threshold and the filter (no second scan of lineitem). DECIMAL "
+   "partials keep the threshold comparison engine-exact")
+def important_parts_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    pv = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+                  sup.s_nationkey == nation.n_nationkey)
+            .groupBy("l_partkey")
+            .agg(F.sum(rev).alias("dvalue")))
+    pv = pv.localCheckpoint(eager=False)  # reuse: threshold + filter
+    thresh = pv.agg((F.sum("dvalue").cast("double") * 0.001).alias("__thresh"))
+    return (pv.join(F.broadcast(thresh))
+              .filter(F.col("dvalue").cast("double") > F.col("__thresh"))
+              .select(F.col("l_partkey").alias("p_partkey"),
+                      F.col("dvalue").cast("double").alias("value")))
+
+
+@q("supplier_count_by_part_attrs",
+   """SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_type NOT IN ('PROMO', 'ECONOMY')
+        AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size""",
+   "TPC-H Q16 shape (the complaints NOT-IN replaced by the "
+   "negative-balance suppliers): distinct-supplier counts per part "
+   "attribute triple. The NOT IN is a left_anti join against a "
+   "filtered dimension (broadcast-sized — the excluded set is always "
+   "<< supplier); countDistinct expands to a two-level aggregate whose "
+   "first level deduplicates map-side, so the shuffle carries "
+   "(attrs, suppkey) pairs, not raw lineitem rows")
+def supplier_count_by_part_attrs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    bad = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter((F.col("p_brand") != "Brand#1")
+                     & ~F.col("p_type").isin("PROMO", "ECONOMY")
+                     & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+              .join(pf, li.l_partkey == pf.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@q("excess_shipped_suppliers",
+   """WITH shipped AS (SELECT l_suppkey,
+                            sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                       AND l_partkey IN (SELECT p_partkey FROM part
+                                         WHERE p_name LIKE 'small%')
+                     GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 3
+        AND s_suppkey IN (SELECT l_suppkey FROM shipped
+                          WHERE CAST(qty AS DOUBLE) > 400.0)""",
+   "TPC-H Q20 shape (availqty > half-of-shipped replaced by a shipped-"
+   "quantity threshold over the same filtered-part, bounded-year "
+   "aggregate): a chain of semi-joins — part filter semi-joins into "
+   "the lineitem scan (broadcast: the filtered key set is small), the "
+   "aggregated subquery semi-joins up to supplier. Both IN clauses "
+   "become left_semi joins, so no row is ever duplicated and the "
+   "supplier table is touched once")
+def excess_shipped_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pk = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                         & (F.col("l_shipdate") < "1997-01-01"))
+                 .join(F.broadcast(pk), li.l_partkey == pk.p_partkey,
+                       "left_semi")
+                 .groupBy("l_suppkey")
+                 .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                       .alias("qty"))
+                 .filter(F.col("qty").cast("double") > 400.0)
+                 .select("l_suppkey"))
+    return (sup.join(shipped, sup.s_suppkey == shipped.l_suppkey, "left_semi")
+               .join(F.broadcast(nation.filter(F.col("n_regionkey") == 3)),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", "s_name", "n_name"))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
 # must appear early; redundant variants whose code paths are fully covered
@@ -3009,6 +3263,13 @@ _TAIL = [
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
     "table_checksum_orders",           # row-level sync verification
+    # TPC-H family completion (no partsupp in fixtures; shapes preserved)
+    "promo_revenue_share",             # Q14: conditional share-of-revenue
+    "min_cost_supplier_per_part",      # Q2: decorrelated min + rejoin
+    "profit_by_nation_year",           # Q9: star join, filter-before-join
+    "important_parts_share",           # Q11: global-total HAVING
+    "supplier_count_by_part_attrs",    # Q16: distinct agg + NOT-IN anti
+    "excess_shipped_suppliers",        # Q20: aggregated-subquery semi-join
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
