@@ -221,11 +221,22 @@ def cmd_warehouse(args: argparse.Namespace) -> int:
 
 
 def cmd_table(args: argparse.Namespace) -> int:
-    """Versioned-table lifecycle: versions / rollback / vacuum."""
+    """Versioned-table lifecycle: versions / rollback / vacuum / merge."""
     from .plans.versioned import VersionedTable
     from .session import get_spark
     spark = get_spark("cli_table", cpus=args.cpus)
     t = VersionedTable(spark, args.path)
+    if args.action == "merge":
+        if not args.delta or not args.keys:
+            print("merge requires --delta and --keys", file=sys.stderr)
+            return 2
+        delta = spark.read.parquet(args.delta)
+        v = t.merge(delta, keys=args.keys.split(","), note=args.note)
+        man = t._read_manifest(v)
+        _emit({"version": v,
+               "rewritten_files": len(man["rewritten_files"]),
+               "total_files": len(man["files"])})
+        return 0
     if args.action == "versions":
         _emit({"versions": t.versions(), "current": t.current_version()})
     elif args.action == "rollback":
@@ -377,10 +388,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     tp = sub.add_parser("table", help="versioned-table lifecycle "
                                       "(plans/versioned.py)")
-    tp.add_argument("action", choices=["versions", "rollback", "vacuum"])
+    tp.add_argument("action",
+                    choices=["versions", "rollback", "vacuum", "merge"])
     tp.add_argument("--path", required=True)
     tp.add_argument("--version", type=int, default=None)
     tp.add_argument("--keep-last", type=int, default=2)
+    tp.add_argument("--delta", default=None,
+                    help="parquet path of the upsert delta (merge)")
+    tp.add_argument("--keys", default=None,
+                    help="comma-separated merge key columns")
+    tp.add_argument("--note", default=None,
+                    help="idempotency note stamped into the manifest")
     tp.add_argument("--cpus", type=int, default=8)
     tp.set_defaults(fn=cmd_table)
     return p

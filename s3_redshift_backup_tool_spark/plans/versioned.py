@@ -34,6 +34,17 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _plain_path(p: str) -> str:
+    """``input_file_name()`` returns a ``file:``-scheme URI; manifests
+    store plain OS paths — normalize so the two compare equal."""
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
 
 
 class VersionedTable:
@@ -102,6 +113,80 @@ class VersionedTable:
         manifest = {"version": version, "mode": mode,
                     "committed_at": time.time(), "note": note,
                     "files": base + new_files}
+        mp = self._manifest_path(version)
+        with open(mp + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mp + ".tmp", mp)
+        self._set_pointer(version)
+        return version
+
+    def merge(self, delta: DataFrame, keys: list[str],
+              note: str | None = None) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``delta`` replace
+        current rows with the same key; unmatched delta keys are
+        inserts. The Delta/Iceberg COW discipline at file granularity:
+
+        1. a key semi-join against the snapshot (tagged with
+           ``input_file_name()``) finds the TOUCHED files — only file
+           names cross the driver, O(files) not O(rows);
+        2. only touched files are rewritten (their rows anti-joined
+           against the delta keys, then unioned with the whole delta) —
+           untouched files are carried into the new manifest BY
+           REFERENCE, so a merge that hits 1% of files rewrites 1% of
+           the table, not 100%;
+        3. the new manifest + pointer flip publish atomically, and the
+           pre-merge version stays time-travelable until vacuum.
+
+        At 100 TB this is the difference between an upsert being
+        proportional to the delta's key-locality and being a full
+        table rewrite; pair with a clustered/z-ordered layout
+        (``operators.layout``) so hot keys collocate into few files.
+        ``delta`` must be unique on ``keys`` (checked — one aggregate;
+        a non-unique delta would make the result order-dependent).
+        Contrast: ``plans/scd2.py`` rewrites touched KEYS of a
+        dimension with history; this rewrites touched FILES of a fact
+        snapshot in place. Reference parity: the upsert half of the
+        reference's staged COPY + DELETE/INSERT Redshift load
+        (reference src/core/gemini_redshift_loader.py), minus the
+        warehouse."""
+        cnt = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.struct(*keys)).alias("d")).first()
+        if cnt["n"] != cnt["d"]:
+            raise ValueError(
+                f"delta is not unique on {keys}: {cnt['n']} rows, "
+                f"{cnt['d']} distinct keys")
+        cur = self.current_version()
+        if cur is None:
+            return self.commit(delta, mode="append", note=note)
+        base = self._read_manifest(cur)["files"]
+        snap = self.spark.read.parquet(*base) \
+            .withColumn("__file", F.input_file_name())
+        dkeys = delta.select(*keys).distinct()
+        touched = {
+            _plain_path(r["__file"])
+            for r in snap.join(dkeys, keys, "left_semi")
+                         .select("__file").distinct().collect()}
+        write_id = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, write_id)
+        if touched:
+            kept_rows = (self.spark.read.parquet(*sorted(touched))
+                         .join(dkeys, keys, "left_anti"))
+            rewritten = kept_rows.unionByName(
+                delta.select(*kept_rows.columns))
+        else:
+            rewritten = delta
+        rewritten.write.parquet(out)
+        new_files = sorted(
+            os.path.join(out, f) for f in os.listdir(out)
+            if f.endswith(".parquet"))
+        version = cur + 1
+        manifest = {"version": version, "mode": "merge",
+                    "committed_at": time.time(), "note": note,
+                    "merge_keys": keys,
+                    "rewritten_files": sorted(touched),
+                    "files": [f for f in base if f not in touched]
+                             + new_files}
         mp = self._manifest_path(version)
         with open(mp + ".tmp", "w") as fh:
             json.dump(manifest, fh)

@@ -257,3 +257,27 @@ def test_table_verb_versions_rollback_vacuum(capsys, spark, tmp_path):
                             "--keep-last", "1", "--cpus", "8"])
     assert rc == 0 and res["deleted_files"] >= 0
     assert t.read().count() == 3                  # rolled-back state intact
+
+
+def test_table_verb_merge(capsys, spark, tmp_path):
+    from s3_redshift_backup_tool_spark.plans.versioned import VersionedTable
+    path = str(tmp_path / "tbl")
+    t = VersionedTable(spark, path)
+    t.commit(spark.createDataFrame(
+        [(k, f"a{k}") for k in range(4)], "k int, val string"))
+    dpath = str(tmp_path / "delta")
+    spark.createDataFrame([(2, "Z"), (9, "NEW")],
+                          "k int, val string").write.parquet(dpath)
+
+    rc, res = _run(capsys, ["table", "merge", "--path", path,
+                            "--delta", dpath, "--keys", "k",
+                            "--note", "m1", "--cpus", "8"])
+    assert rc == 0 and res["version"] == 2
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got[2] == "Z" and got[9] == "NEW" and got[0] == "a0"
+    assert t.find_note("m1") == 2
+
+    # missing args -> usage error, not a stack trace
+    rc = main(["table", "merge", "--path", path, "--cpus", "8"])
+    capsys.readouterr()
+    assert rc == 2

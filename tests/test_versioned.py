@@ -113,3 +113,82 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     rows = {r["id"]: r["score"] for r in cur.collect()}
     assert rows == {1: None, 2: 9.5}
     assert set(t.read(version=1).columns) == {"id", "s"}
+
+
+# -- copy-on-write MERGE ----------------------------------------------------
+
+def _rows(df):
+    return sorted((r["k"], r["val"]) for r in df.collect())
+
+
+def test_merge_updates_inserts_and_prunes_files(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # two commits with disjoint key ranges -> disjoint file sets
+    t.commit(spark.createDataFrame(
+        [(k, f"a{k}") for k in range(5)], "k int, val string"))
+    t.commit(spark.createDataFrame(
+        [(k, f"b{k}") for k in range(10, 15)], "k int, val string"))
+    base_files = set(t._read_manifest(t.current_version())["files"])
+
+    delta = spark.createDataFrame(
+        [(12, "B12"), (99, "NEW")], "k int, val string")
+    v = t.merge(delta, keys=["k"])
+
+    got = dict(_rows(t.read()))
+    assert got[12] == "B12"                      # update applied
+    assert got[99] == "NEW"                      # insert applied
+    assert got[0] == "a0" and got[14] == "b14"   # untouched rows intact
+    assert len(got) == 11
+
+    # file-level pruning: files holding only keys 0-4 are carried BY
+    # REFERENCE into the new manifest, not rewritten
+    man = t._read_manifest(v)
+    rewritten = set(man["rewritten_files"])
+    carried = set(man["files"]) & base_files
+    assert rewritten and rewritten < base_files
+    first_commit_files = {f for f in base_files if f not in rewritten}
+    assert first_commit_files <= carried
+
+    # pre-merge snapshot stays time-travelable
+    old = dict(_rows(t.read(version=v - 1)))
+    assert old[12] == "b12" and 99 not in old
+
+
+def test_merge_on_empty_table_is_insert_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v = t.merge(spark.createDataFrame([(1, "x")], "k int, val string"),
+                keys=["k"])
+    assert v == 1
+    assert _rows(t.read()) == [(1, "x")]
+
+
+def test_merge_insert_only_delta_rewrites_nothing(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "x")], "k int, val string"))
+    base_files = set(t._read_manifest(t.current_version())["files"])
+    v = t.merge(spark.createDataFrame([(2, "y")], "k int, val string"),
+                keys=["k"])
+    man = t._read_manifest(v)
+    assert man["rewritten_files"] == []
+    assert base_files <= set(man["files"])
+    assert _rows(t.read()) == [(1, "x"), (2, "y")]
+
+
+def test_merge_rejects_non_unique_delta(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "x")], "k int, val string"))
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, val string")
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge(dup, keys=["k"])
+
+
+def test_merge_then_vacuum_drops_replaced_files(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [(k, f"a{k}") for k in range(4)], "k int, val string"))
+    t.merge(spark.createDataFrame([(2, "Z")], "k int, val string"),
+            keys=["k"])
+    deleted = t.vacuum(keep_last=1)
+    assert deleted                                # replaced files reclaimed
+    got = dict(_rows(t.read()))
+    assert got[2] == "Z" and got[0] == "a0" and len(got) == 4
