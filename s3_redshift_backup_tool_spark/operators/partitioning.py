@@ -10,7 +10,9 @@ unconditionally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -29,3 +31,61 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if n >= target:
         return df
     return df.repartition(target)
+
+
+def assign_global_ids(df: DataFrame, order_cols: list[str | Column],
+                      id_col: str = "row_id", start: int = 1,
+                      num_partitions: int | None = None,
+                      checkpoint: bool = True) -> DataFrame:
+    """Dense global row numbers in ``order_cols`` order WITHOUT the
+    single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses
+    the whole table into ONE task — the classic scale cliff when a
+    pipeline needs stable example ids (sharding, pairing, reproducible
+    sampling) over billions of rows. The distributed equivalent is the
+    textbook two-pass:
+
+    1. ``repartitionByRange`` on the order columns (range exchange —
+       the same shuffle a global sort pays, but it is the ONLY wide op
+       here) + ``sortWithinPartitions``;
+    2. per-partition local ``row_number`` (window partitioned by
+       ``spark_partition_id()`` — every partition numbered in
+       parallel);
+    3. an exclusive prefix sum over the per-partition counts (one
+       O(num_partitions)-row aggregate; the running total is a window
+       over that TINY relation, not the data) broadcast back and added
+       to the local rank.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker);
+    otherwise ids among ties are nondeterministic across runs — same
+    contract as the reference's deterministic write ordering
+    (SURVEY §2.6 O1). Cost: one range shuffle + one broadcast join;
+    nothing global ever serializes onto one core."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n, *cols)
+                .sortWithinPartitions(*cols)
+                .withColumn("__pid", F.spark_partition_id()))
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    # one materialization feeds BOTH the offsets aggregate and the join:
+    # if the range exchange were recomputed per consumer, a task retry
+    # could re-sample different range boundaries and the offsets would
+    # disagree with the pids they are joined back to
+    # (checkpoint=False is for plan inspection in tests only)
+    local = ranged.withColumn("__lrn", F.row_number().over(local_w))
+    if checkpoint:
+        local = local.localCheckpoint(eager=False)
+    # exclusive prefix sum over per-partition counts: tiny relation
+    pid_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1)
+    offsets = (local.groupBy("__pid").count()
+                    .withColumn("__offset",
+                                F.coalesce(F.sum("count").over(pid_w),
+                                           F.lit(0)))
+                    .select("__pid", "__offset"))
+    return (local.join(F.broadcast(offsets), "__pid")
+                 .withColumn(id_col,
+                             (F.lit(start) + F.col("__offset")
+                              + F.col("__lrn") - 1).cast("bigint"))
+                 .drop("__pid", "__lrn", "__offset"))

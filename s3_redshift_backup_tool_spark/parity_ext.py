@@ -3140,6 +3140,25 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("stable_global_ids_orders",
+   """SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS row_id
+      FROM orders""",
+   "dense global row ids WITHOUT the single-partition window the "
+   "oracle SQL implies: repartitionByRange + per-partition row_number "
+   "+ an exclusive prefix sum over the O(num_partitions) counts "
+   "broadcast back. The ORDER BY window serializes a 100 TB table "
+   "onto one core; this shape's only wide op is the range exchange a "
+   "global sort already pays. Stable-example-id backbone for "
+   "sharding/pairing/reproducible sampling")
+def stable_global_ids_orders(spark, sf_dir):
+    from .operators.partitioning import assign_global_ids
+    orders = _t(spark, sf_dir, "orders")
+    out = assign_global_ids(orders.select("o_orderkey"), ["o_orderkey"])
+    return out.select("o_orderkey",
+                      F.col("row_id").cast("bigint").alias("row_id"))
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -3270,6 +3289,7 @@ _TAIL = [
     "important_parts_share",           # Q11: global-total HAVING
     "supplier_count_by_part_attrs",    # Q16: distinct agg + NOT-IN anti
     "excess_shipped_suppliers",        # Q20: aggregated-subquery semi-join
+    "stable_global_ids_orders",        # global sequence w/o 1-part window
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
