@@ -517,6 +517,48 @@ def dup_span_chunks(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= min_docs))
 
 
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """Robust-winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken, SIGMOD'03 — the MOSS algorithm): hash EVERY ``k``-word
+    shingle (all offsets, unlike :func:`dup_span_chunks`'s fixed
+    non-overlapping chunks), then keep the distinct minimum of each
+    sliding window of ``window`` consecutive shingle hashes.
+
+    The guarantee fixed chunking cannot give: any shared run of at
+    least ``k + window - 1`` words between two documents yields at
+    least one IDENTICAL fingerprint in both, regardless of how the
+    copy is aligned — chunk boundaries can split a copied span so the
+    two sides hash differently; window-minima cannot. Fingerprint
+    density is ~2/(window+1) of positions, so the selected set stays
+    a small fraction of all shingles.
+
+    Scale shape: shingling, hashing and window-min selection are
+    per-row array expressions (zero shuffle, codegen'd); only the
+    8-byte selected fingerprints are exploded. Output:
+    (``id_col``, fingerprint) pairs — compose with a groupBy for the
+    corpus-level dup report, or a self-join for pair generation."""
+    df = fan_out(df)  # per-row hot loop
+    w = F.split(F.col(text_col), " ")
+    ns = (F.size(w) - k + 1).cast("int")            # shingle count
+    grams = F.transform(
+        F.sequence(F.lit(0), ns - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, F.lit(k))))
+    hashes = F.transform(grams, lambda g: md5_prefix_int(g))
+    # materialize the hash array as a named attribute BEFORE the
+    # window-min transform references it: an inline expression would be
+    # re-evaluated per window position (O(ns) md5 passes per window ->
+    # quadratic per doc) — the minhash Generate-inlining lesson
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__hs")) - window),
+        lambda j: F.array_min(F.slice(F.col("__hs"), j + 1, F.lit(window))))
+    return (df.filter(F.size(w) >= k + window - 1)
+              .select(F.col(id_col), hashes.alias("__hs"))
+              .select(F.col(id_col),
+                      F.explode(F.array_distinct(mins)).alias("fingerprint")))
+
+
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          keep_cols: list[str] | None = None) -> DataFrame:

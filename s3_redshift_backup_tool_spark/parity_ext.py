@@ -3140,6 +3140,34 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("winnowing_dup_fingerprints_documents",
+   f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      h AS (SELECT doc_id,
+                   list_transform(range(len(w) - 5 + 1), i ->
+                     {_H.format(x="array_to_string(w[i+1:i+5], ' ')")}) AS hs
+            FROM t),
+      f AS (SELECT doc_id,
+                   list_distinct(list_transform(range(len(hs) - 4 + 1),
+                     j -> list_min(hs[j+1:j+4]))) AS fps
+            FROM h),
+      e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+      SELECT fp AS fingerprint, count(DISTINCT doc_id) AS n_docs
+      FROM e GROUP BY fp HAVING count(DISTINCT doc_id) >= 2""",
+   "robust winnowing (Schleimer'03 / MOSS): window-min fingerprints "
+   "over ALL 5-gram offsets — any shared run of >= 8 words yields an "
+   "identical fingerprint in both docs regardless of copy alignment "
+   "(dup_span_chunks' fixed chunk boundaries cannot promise that). "
+   "Per-row array math with the md5 array materialized ONCE per doc; "
+   "shuffle carries only selected 8-byte fingerprints")
+def winnowing_dup_fingerprints_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fps = dd.winnowing_fingerprints(docs, k=5, window=4)
+    return (fps.groupBy("fingerprint")
+               .agg(F.countDistinct("doc_id").alias("n_docs"))
+               .filter(F.col("n_docs") >= 2))
+
+
 @q("stable_global_ids_orders",
    """SELECT o_orderkey,
              row_number() OVER (ORDER BY o_orderkey) AS row_id
@@ -3290,6 +3318,7 @@ _TAIL = [
     "supplier_count_by_part_attrs",    # Q16: distinct agg + NOT-IN anti
     "excess_shipped_suppliers",        # Q20: aggregated-subquery semi-join
     "stable_global_ids_orders",        # global sequence w/o 1-part window
+    "winnowing_dup_fingerprints_documents",  # MOSS window-min fingerprints
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW

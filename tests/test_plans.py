@@ -322,3 +322,13 @@ def test_zscore_stats_join_is_broadcast(plan):
     p = plan("zscore_outliers_events", mode="formatted")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_winnowing_md5_runs_once(spark, sf_dir):
+    """The shingle md5 array must be a materialized attribute, not an
+    inline expression re-evaluated per window position (which would be
+    quadratic per doc — the minhash Generate-inlining lesson)."""
+    from s3_redshift_backup_tool_spark.parity import REGISTRY
+    df = REGISTRY["winnowing_dup_fingerprints_documents"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 1, f"md5 duplicated {opt.count('md5')}x"

@@ -127,3 +127,39 @@ def test_lang_id_confusion_diagonal_dominates(spark, documents):
     diag = sum(r["n"] for r in conf if r["lang"] == r["p"])
     total = sum(r["n"] for r in conf)
     assert diag > 0 and total > 0
+
+
+# -- winnowing fingerprints -------------------------------------------------
+
+def test_winnowing_guarantee_shared_span(spark):
+    """Any shared run of >= k + window - 1 words yields at least one
+    identical fingerprint, regardless of alignment — the property that
+    fixed-boundary chunking cannot give."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+    span = " ".join(f"s{i}" for i in range(12))     # 12-word copied span
+    a = "alpha beta gamma " + span + " delta"
+    b = "one two three four five " + span + " six seven"   # misaligned
+    c = " ".join(f"u{i}" for i in range(30))        # unrelated
+    docs = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string")
+    fps = winnowing_fingerprints(docs, k=5, window=4)
+    by_doc = {d: {r["fingerprint"] for r in rows} for d, rows in
+              ((x, [r for r in fps.collect() if r["doc_id"] == x])
+               for x in ("a", "b", "c"))}
+    assert by_doc["a"] & by_doc["b"], "shared 12-word span must collide"
+    assert not (by_doc["a"] & by_doc["c"])
+    assert not (by_doc["b"] & by_doc["c"])
+
+
+def test_winnowing_short_docs_dropped(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+    docs = spark.createDataFrame(
+        [("s", "only seven words here not quite eight"),
+         ("t", "this one has exactly eight words in it")],
+        "doc_id string, text string")
+    out = winnowing_fingerprints(docs, k=5, window=4)
+    assert {r["doc_id"] for r in out.collect()} == {"t"}
