@@ -3140,6 +3140,34 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("udtf_json_kv_events",
+   """WITH kv AS (SELECT event_type, unnest(json_keys(props)) AS key,
+                       props
+                FROM events)
+      SELECT event_type, key, count(*) AS n,
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.' || key)
+                               AS BIGINT)) AS BIGINT) AS sum_value
+      FROM kv GROUP BY event_type, key""",
+   "Spark-4 Python UDTF surface (Arrow-batched lateral row expansion): "
+   "tolerant JSON key/value explosion in Python where from_json needs "
+   "a known schema. NOT the scale path for schematized JSON — "
+   "json_props_extract_events is (codegen, zero Python); this seam is "
+   "for bespoke parsers. The aggregate downstream is ordinary "
+   "partial-aggregable groupBy")
+def udtf_json_kv_events(spark, sf_dir):
+    from .functions.udtfs import register_udtfs
+    register_udtfs(spark)
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__udtf_events")
+    kv = spark.sql("""
+        SELECT e.event_type, j.key, j.value
+        FROM __udtf_events e, LATERAL json_kv(e.props) j""")
+    return (kv.groupBy("event_type", "key")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("bigint")).cast("bigint")
+                    .alias("sum_value")))
+
+
 @q("winnowing_dup_fingerprints_documents",
    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents WHERE len(string_split(text, ' ')) >= 8),
@@ -3319,6 +3347,7 @@ _TAIL = [
     "excess_shipped_suppliers",        # Q20: aggregated-subquery semi-join
     "stable_global_ids_orders",        # global sequence w/o 1-part window
     "winnowing_dup_fingerprints_documents",  # MOSS window-min fingerprints
+    "udtf_json_kv_events",             # Spark-4 Python UDTF lateral seam
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
