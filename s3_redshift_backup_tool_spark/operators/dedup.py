@@ -517,6 +517,66 @@ def dup_span_chunks(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= min_docs))
 
 
+def remove_boilerplate_chunks(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              chunk_words: int = 16,
+                              max_docs: int = 2) -> DataFrame:
+    """C4-style boilerplate REMOVAL (the scrub :func:`dup_span_chunks`
+    only detects): delete from every document each ``chunk_words``-word
+    chunk that occurs in more than ``max_docs`` distinct documents,
+    then reassemble the survivors in original order (plus the
+    final sub-chunk remainder, which is never corpus-counted).
+
+    Two-pass shape, both passes cheap at 100 TB: (1) chunk-hash
+    corpus counts — shuffle is O(chunks x 8B) with map-side combine;
+    (2) positional chunks re-joined to the (filtered, much smaller)
+    hot-chunk set via left_anti on the 8-byte hash, then per-doc
+    reassembly with sort_array(collect_list(struct(pos, chunk))) — the
+    groupBy shuffles each doc's surviving text exactly once. No
+    windows, no Python. Output: (id, clean_text, n_removed)."""
+    df = fan_out(df)
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.floor(F.size(w) / chunk_words).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i * chunk_words + 1,
+                                                F.lit(chunk_words))))
+    remainder = F.concat_ws(
+        " ", F.slice(w, n_chunks * chunk_words + 1,
+                     F.size(w) - n_chunks * chunk_words))
+    base = df.select(
+        F.col(id_col),
+        F.when(n_chunks > 0, chunks).otherwise(F.array()).alias("__chunks"),
+        F.nullif(remainder, F.lit("")).alias("__rest"))
+    pos = (base.select(id_col, F.posexplode("__chunks").alias("pos", "chunk"))
+               .withColumn("chunk_hash", md5_prefix_int(F.col("chunk"))))
+    hot = (pos.groupBy("chunk_hash")
+              .agg(F.countDistinct(id_col).alias("__nd"))
+              .filter(F.col("__nd") > max_docs)
+              .select("chunk_hash"))
+    body = (pos.join(hot, "chunk_hash", "left_anti")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                    F.struct("pos", "chunk"))).alias("__kc"))
+               .select(F.col(id_col),
+                       F.concat_ws(
+                           " ", F.transform("__kc", lambda s: s["chunk"]))
+                        .alias("__body")))
+    removed = (pos.join(hot, "chunk_hash", "left_semi")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_removed")))
+    # base is preserved with a left join so a doc whose EVERY chunk was
+    # boilerplate still comes back (as its remainder, possibly empty)
+    return (base.select(id_col, "__rest")
+                .join(body, id_col, "left")
+                .join(removed, id_col, "left")
+                .select(F.col(id_col),
+                        F.concat_ws(" ", "__body", "__rest")
+                         .alias("clean_text"),
+                        F.coalesce(F.col("n_removed"), F.lit(0))
+                         .cast("int").alias("n_removed")))
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
                            window: int = 4) -> DataFrame:

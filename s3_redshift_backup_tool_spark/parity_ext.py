@@ -3140,6 +3140,46 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("boilerplate_scrub_documents",
+   f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+      b AS (SELECT doc_id, w, CAST(floor(len(w) / 16) AS INT) AS nc
+            FROM t),
+      ix AS (SELECT doc_id, w, nc, unnest(range(nc)) AS i FROM b),
+      ch AS (SELECT doc_id, CAST(i AS INT) AS i,
+                    array_to_string(w[i*16+1 : i*16+16], ' ') AS chunk
+             FROM ix),
+      hot AS (SELECT {_H.format(x='chunk')} AS h FROM ch
+              GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+      body AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS body
+               FROM ch
+               WHERE {_H.format(x='chunk')} NOT IN (SELECT h FROM hot)
+               GROUP BY doc_id),
+      rem AS (SELECT doc_id, count(*) AS n_removed
+              FROM ch WHERE {_H.format(x='chunk')} IN (SELECT h FROM hot)
+              GROUP BY doc_id),
+      rest AS (SELECT doc_id,
+                      nullif(array_to_string(w[nc*16+1 : len(w)], ' '), '')
+                        AS rest
+               FROM b)
+      SELECT b.doc_id,
+             concat_ws(' ', body.body, rest.rest) AS clean_text,
+             CAST(coalesce(rem.n_removed, 0) AS INT) AS n_removed
+      FROM b
+      LEFT JOIN body USING (doc_id)
+      LEFT JOIN rem  USING (doc_id)
+      JOIN rest      USING (doc_id)""",
+   "C4-style boilerplate REMOVAL with reassembly (dup_span_chunks only "
+   "detects): chunks occurring in >1 doc are deleted from every doc and "
+   "the survivors re-concatenated in order. Corpus pass shuffles 8-byte "
+   "chunk hashes with map-side combine; reassembly shuffles each doc's "
+   "surviving text exactly once; docs losing ALL chunks are preserved "
+   "via the base left join (byte-exact string oracle)")
+def boilerplate_scrub_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.remove_boilerplate_chunks(docs, chunk_words=16, max_docs=1)
+
+
 @q("udtf_json_kv_events",
    """WITH kv AS (SELECT event_type, unnest(json_keys(props)) AS key,
                        props
@@ -3348,6 +3388,7 @@ _TAIL = [
     "stable_global_ids_orders",        # global sequence w/o 1-part window
     "winnowing_dup_fingerprints_documents",  # MOSS window-min fingerprints
     "udtf_json_kv_events",             # Spark-4 Python UDTF lateral seam
+    "boilerplate_scrub_documents",     # C4 chunk removal + reassembly
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW

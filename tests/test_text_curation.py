@@ -163,3 +163,49 @@ def test_winnowing_short_docs_dropped(spark):
         "doc_id string, text string")
     out = winnowing_fingerprints(docs, k=5, window=4)
     assert {r["doc_id"] for r in out.collect()} == {"t"}
+
+
+# -- boilerplate chunk removal ----------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_boilerplate_scrub_removes_shared_chunk_keeps_order(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        remove_boilerplate_chunks,
+    )
+    boiler = " ".join(f"b{i}" for i in range(4))          # shared chunk
+    u1 = " ".join(f"x{i}" for i in range(4))
+    u2 = " ".join(f"y{i}" for i in range(4))
+    z = "z0 z1 z2 z3"
+    docs = _mk_docs(spark, [
+        ("a", u1 + " " + boiler + " " + u2 + " tail words"),
+        ("b", boiler + " " + z),                           # shares ONLY boiler
+        ("c", "totally different words here okay then"),
+    ])
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_boilerplate_chunks(
+               docs, chunk_words=4, max_docs=1).collect()}
+    # 'a': chunks [u1, boiler, u2]; boiler removed; remainder 'tail words'
+    assert out["a"] == (u1 + " " + u2 + " tail words", 1)
+    # 'b': chunks [boiler, z]; boiler removed, z kept
+    assert out["b"] == (z, 1)
+    # 'c': untouched (chunk 'totally different words here' unique)
+    assert out["c"][1] == 0 and out["c"][0].startswith("totally")
+
+
+def test_boilerplate_scrub_doc_fully_removed_still_present(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        remove_boilerplate_chunks,
+    )
+    boiler = "p q r s"
+    docs = _mk_docs(spark, [
+        ("a", boiler), ("b", boiler),        # exactly one chunk each
+        ("c", "short doc"),                  # < chunk_words: no chunks
+    ])
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_boilerplate_chunks(
+               docs, chunk_words=4, max_docs=1).collect()}
+    assert out["a"] == ("", 1) and out["b"] == ("", 1)
+    assert out["c"] == ("short doc", 0)
