@@ -91,6 +91,58 @@ def _bucket(ts_us: Column, bucket_us: int) -> Column:
     return F.floor(ts_us / F.lit(bucket_us))
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner interval-x-interval overlap join: pairs rows whose CLOSED
+    intervals ``[l.start, l.end]`` and ``[r.start, r.end]`` intersect
+    (and share the equi keys). The third temporal-join family next to
+    :func:`asof_join` (point-to-latest-point) and
+    :func:`range_join_bucketed` (point-in-window).
+
+    The naive formulation is a non-equi theta join — Catalyst can only
+    run it as a nested loop, O(n x m) per key at 100 TB. Here each
+    interval explodes into the fixed-width buckets it covers and the
+    join is an ordinary hash equi-join on (keys, bucket). A pair whose
+    intervals share several buckets would match repeatedly, so instead
+    of a distinct (a second full shuffle) each pair is emitted ONLY in
+    the bucket containing the overlap's own start,
+    ``greatest(l.start, r.start)`` — exactly one bucket per pair, no
+    dedup pass. Cost knob: ``bucket_s`` trades row duplication
+    (ceil(interval_len/bucket)+1 copies) against per-bucket join
+    fan-out; size it near the median interval length."""
+    keys = [on] if isinstance(on, str) else list(on)
+    bucket_us = bucket_s * 1_000_000
+
+    def _cover(df: DataFrame, s: str, e: str) -> DataFrame:
+        sus, eus = F.unix_micros(F.col(s)), F.unix_micros(F.col(e))
+        return (df.withColumn("__sus", sus)
+                  .withColumn("__eus", eus)
+                  .withColumn("__bucket", F.explode(F.sequence(
+                      _bucket(sus, bucket_us), _bucket(eus, bucket_us)))))
+
+    l2 = _cover(left, left_start, left_end)
+    r2 = _cover(right, right_start, right_end) \
+        .withColumnsRenamed({"__sus": "__rsus", "__eus": "__reus"})
+    joined = (l2.join(r2, keys + ["__bucket"])
+                .filter((F.col("__sus") <= F.col("__reus"))
+                        & (F.col("__rsus") <= F.col("__eus")))
+                .filter(F.col("__bucket")
+                        == _bucket(F.greatest(F.col("__sus"),
+                                              F.col("__rsus")), bucket_us)))
+    out_cols = (keys
+                + [c for c in left.columns if c not in keys]
+                + [c for c in right.columns if c not in keys])
+    return joined.select(*out_cols)
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -3140,6 +3140,39 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("overlapping_purchase_intervals_events",
+   """WITH iv AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                       min(ts) AS s, max(ts) AS e
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2)
+      SELECT a.day AS day, count(*) AS n_pairs
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND a.user_id < b.user_id
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY a.day""",
+   "interval-x-interval overlap join (third temporal family after "
+   "as-of and point-in-window): daily purchase-activity intervals per "
+   "user, pairs whose intervals intersect. The oracle's theta join is "
+   "a nested loop; the Spark side buckets each interval and emits each "
+   "pair only in the bucket holding greatest(starts) — a pure hash "
+   "equi-join, one match per pair, no distinct pass")
+def overlapping_purchase_intervals_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("day"), "user_id")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    a = iv.select("day", F.col("user_id").alias("user_a"),
+                  F.col("s").alias("s_a"), F.col("e").alias("e_a"))
+    b = iv.select("day", F.col("user_id").alias("user_b"),
+                  F.col("s").alias("s_b"), F.col("e").alias("e_b"))
+    pairs = tmp.interval_overlap_join(
+        a, b, on="day", left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b", bucket_s=6 * 3600)
+    return (pairs.filter(F.col("user_a") < F.col("user_b"))
+                 .groupBy("day")
+                 .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
 @q("boilerplate_scrub_documents",
    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents),
@@ -3389,6 +3422,7 @@ _TAIL = [
     "winnowing_dup_fingerprints_documents",  # MOSS window-min fingerprints
     "udtf_json_kv_events",             # Spark-4 Python UDTF lateral seam
     "boilerplate_scrub_documents",     # C4 chunk removal + reassembly
+    "overlapping_purchase_intervals_events",  # interval-x-interval join
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW

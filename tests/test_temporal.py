@@ -118,3 +118,41 @@ def test_range_join_no_duplicate_pairs(spark):
                                right_ts="rts", lower_s=-1200, upper_s=1200,
                                bucket_s=60).collect()
     assert len(rows) == 1
+
+
+# -- interval-x-interval overlap join ---------------------------------------
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    """Bucketed equi-join result == naive theta join, including pairs
+    spanning many buckets (emitted exactly once, no dedup pass)."""
+    import datetime as dt
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    left = spark.createDataFrame(
+        [("k", "L1", ts(0), ts(5)),      # long: spans many 1h buckets
+         ("k", "L2", ts(10), ts(11)),
+         ("j", "L3", ts(0), ts(1))],     # other key
+        "g string, lid string, s_a timestamp, e_a timestamp")
+    right = spark.createDataFrame(
+        [("k", "R1", ts(4, 30), ts(6)),  # overlaps L1 tail
+         ("k", "R2", ts(1), ts(2)),      # inside L1
+         ("k", "R3", ts(11, 30), ts(12)),  # disjoint from all
+         ("j", "R4", ts(0, 30), ts(3))],   # overlaps L3 on key j
+        "g string, rid string, s_b timestamp, e_b timestamp")
+
+    got = {(r["lid"], r["rid"]) for r in interval_overlap_join(
+        left, right, on="g", left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b", bucket_s=3600).collect()}
+    assert got == {("L1", "R1"), ("L1", "R2"), ("L3", "R4")}
+
+    # exactly-once: count equals set size even for multi-bucket overlaps
+    n = interval_overlap_join(
+        left, right, on="g", left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b", bucket_s=1800).count()
+    assert n == 3
