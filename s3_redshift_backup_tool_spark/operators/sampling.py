@@ -61,6 +61,30 @@ def split_by_hash(df: DataFrame, key_col: str,
     return df.withColumn(split_col, expr)
 
 
+def cluster_safe_split(df: DataFrame, key_col: str,
+                       components: DataFrame,
+                       fractions: dict[str, float], salt: str = "",
+                       split_col: str = "split",
+                       component_col: str = "component") -> DataFrame:
+    """Leak-free split that keeps NEAR-DUPLICATES together: the hash
+    gate is keyed on the row's dedup-cluster representative (its
+    connected-component label from ``dedup.neardup_components``), not
+    the row id — so two 95%-identical documents can never land one in
+    train and one in test and quietly inflate eval, the leakage
+    ``split_by_hash`` alone cannot see (Lee et al.'21 measure it).
+    Singletons (absent from ``components``) gate on their own key.
+
+    Scale shape: one left join of the corpus against the component map
+    (components only holds docs that appear in a dup pair — usually a
+    small fraction — so AQE broadcasts it while small), then the same
+    narrow hash-range assignment as ``split_by_hash``. Rows sharing a
+    cluster share a gate value, hence a split, by construction."""
+    joined = df.join(components, key_col, "left").withColumn(
+        "__rep", F.coalesce(F.col(component_col), F.col(key_col)))
+    out = split_by_hash(joined, "__rep", fractions, salt, split_col)
+    return out.drop("__rep", component_col)
+
+
 def pack_sequences(df: DataFrame, key_col: str, token_col,
                    budget: int, buckets: int = 32) -> DataFrame:
     """Deterministic token-budget sequence packing: assign each document

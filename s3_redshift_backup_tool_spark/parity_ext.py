@@ -3140,6 +3140,51 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("cluster_safe_split_documents",
+   f"""WITH RECURSIVE {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      comp AS (SELECT u AS doc_id, min(v) AS component
+               FROM reach GROUP BY u),
+      rep AS (SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS r
+              FROM documents d LEFT JOIN comp c USING (doc_id))
+      SELECT CASE
+               WHEN {_H.format(x="r::VARCHAR")} % {_GATE}
+                    < {int(0.8 * 1_000_000)} THEN 'train'
+               WHEN {_H.format(x="r::VARCHAR")} % {_GATE}
+                    < {int(0.9 * 1_000_000)} THEN 'val'
+               ELSE 'test' END AS split,
+             count(*) AS n_docs
+      FROM rep GROUP BY 1""",
+   "leak-free split that keeps near-duplicates together: the 80/10/10 "
+   "hash gate keys on the LSH connected-component representative "
+   "(singletons on their own id), so a near-dup pair can never straddle "
+   "train/test and inflate eval. One corpus-vs-component-map left join "
+   "(AQE-broadcast while the dup fraction is small) + the narrow "
+   "hash-range assignment")
+def cluster_safe_split_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
+    comps = dd.neardup_components(pairs)
+    out = smp.cluster_safe_split(
+        docs, "doc_id", comps, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @q("overlapping_purchase_intervals_events",
    """WITH iv AS (SELECT CAST(ts AS DATE) AS day, user_id,
                        min(ts) AS s, max(ts) AS e
@@ -3423,6 +3468,7 @@ _TAIL = [
     "udtf_json_kv_events",             # Spark-4 Python UDTF lateral seam
     "boilerplate_scrub_documents",     # C4 chunk removal + reassembly
     "overlapping_purchase_intervals_events",  # interval-x-interval join
+    "cluster_safe_split_documents",    # dup-cluster-keyed leak-free split
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW

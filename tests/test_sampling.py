@@ -80,3 +80,33 @@ def test_chunk_documents_rejects_bad_stride(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", max_tokens=4, stride=5)
+
+
+# -- cluster-safe split -----------------------------------------------------
+
+def test_cluster_safe_split_no_cluster_straddles(spark):
+    """Every member of a dup cluster gets the representative's split;
+    singletons gate on their own key (== plain split_by_hash)."""
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        cluster_safe_split, split_by_hash,
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint")
+    # clusters: {0..9} -> 0, {50,51} -> 50; rest singleton
+    comps = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(50, 50), (51, 50)],
+        "doc_id bigint, component bigint")
+    out = cluster_safe_split(
+        docs, "doc_id", comps, {"train": 0.6, "val": 0.2, "test": 0.2})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len({rows[i] for i in range(10)}) == 1
+    assert rows[50] == rows[51]
+    # singleton rows match the plain hash split exactly
+    plain = {r["doc_id"]: r["split"] for r in split_by_hash(
+        docs, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}).collect()}
+    for i in range(60, 200):
+        assert rows[i] == plain[i]
+    # fractions are respected roughly (hash-uniform over 200 keys)
+    from collections import Counter
+    c = Counter(rows.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
