@@ -380,3 +380,70 @@ def load_ivf_index(spark, path: str) -> list[tuple[int, list[float]]]:
     rows = spark.read.parquet(path).orderBy("centroid_id").collect()
     return [(r["centroid_id"], [float(x) for x in r["centroid"]])
             for r in rows]
+
+
+def ivf_index_add(spark, new_df: DataFrame, index_path: str,
+                  data_path: str, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> dict:
+    """Incremental IVF maintenance: assign NEW vectors with the FROZEN
+    quantizer and partition-append them into the centroid_id-partitioned
+    layout — existing inverted lists are never rewritten (append adds
+    files inside the touched ``centroid_id=`` directories only), and no
+    re-clustering runs. This is how FAISS/Milvus grow an IVF index
+    between re-trains; re-train (kmeans_centroids on a fresh sample +
+    save_ivf_index + one rewrite) only when the returned drift signal
+    says the frozen quantizer stopped fitting the data.
+
+    Drift signal: mean squared distance of the ADDED vectors to their
+    assigned centroid (their inertia/row). Compare against the same
+    statistic recorded at train time — a sustained rise means new data
+    lives between the old centroids and recall will sag.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid argmin;
+    the only movement is the partitioned append of the new rows."""
+    cents = load_ivf_index(spark, index_path)
+    assigned = ivf_assign(new_df, cents).select(
+        id_col, vec_col, "centroid_id")
+    entries = F.array(*[
+        F.struct(F.lit(int(cid)).cast("long").alias("cid"),
+                 l2_sq(F.col(vec_col),
+                       F.array(*[F.lit(float(v)) for v in vec])).alias("d"))
+        for cid, vec in cents])
+    own_d = F.filter(
+        entries, lambda e: e["cid"] == F.col("centroid_id"))[0]["d"]
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(own_d).alias("msd"),
+        F.countDistinct("centroid_id").alias("lists_touched")).first()
+    assigned.write.mode("append").partitionBy("centroid_id") \
+        .parquet(data_path)
+    return {"n_added": int(stats["n"]),
+            "mean_sq_dist": float(stats["msd"]) if stats["msd"] is not None
+            else None,
+            "lists_touched": int(stats["lists_touched"])}
+
+
+def ann_topk_indexed(spark, data_path: str, index_path: str,
+                     query_vec: list[float], k: int = 10, nprobe: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Search the PERSISTED centroid_id-partitioned IVF layout: the
+    probe-list filter is a partition-pruning predicate, so the scan
+    reads nprobe/n_centroids of the files (pinned by
+    tests/test_ivf_pruning.py for the inline variant). Pair with
+    :func:`ivf_index_add` for the full build -> add -> search
+    lifecycle without re-reading the corpus."""
+    cents = load_ivf_index(spark, index_path)
+
+    def _dist(v: list[float]) -> float:
+        return sum((float(x) - float(y)) ** 2
+                   for x, y in zip(query_vec, v))
+
+    probes = [cid for cid, _ in
+              sorted(cents, key=lambda cv: (_dist(cv[1]), cv[0]))[:nprobe]]
+    data = spark.read.parquet(data_path).filter(
+        F.col("centroid_id").isin(probes))
+    sim = F.round(cosine(F.col(vec_col),
+                         F.array(*[F.lit(float(v)) for v in query_vec])), 6)
+    return (data.select(F.col(id_col), sim.alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))

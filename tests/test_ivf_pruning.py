@@ -38,3 +38,49 @@ def test_ivf_assignment_total_and_deterministic(spark, embeddings):
     assert dist.count() <= 8
     b = ivf_assign(embeddings, cents)
     assert a.exceptAll(b).count() == 0              # deterministic
+
+
+# -- incremental index lifecycle: build -> add -> search --------------------
+
+def test_ivf_index_add_appends_without_rewrite(spark, embeddings, tmp_path):
+    import glob
+    import os
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        ann_topk_indexed, ivf_index_add, save_ivf_index,
+    )
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    idx = str(tmp_path / "idx")
+    data = str(tmp_path / "data")
+    save_ivf_index(spark, cents, idx)
+
+    base = embeddings.filter("vec_id < 150")
+    newer = embeddings.filter("vec_id >= 150")
+    (ivf_assign(base, cents).select("vec_id", "embedding", "centroid_id")
+        .write.partitionBy("centroid_id").parquet(data))
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(f"{data}/**/*.parquet", recursive=True)}
+
+    res = ivf_index_add(spark, newer, idx, data)
+    assert res["n_added"] == newer.count()
+    assert res["mean_sq_dist"] is not None and res["mean_sq_dist"] >= 0
+    assert 1 <= res["lists_touched"] <= 8
+
+    # existing inverted-list files untouched (no rewrite, pure append)
+    after = {p: os.path.getmtime(p)
+             for p in glob.glob(f"{data}/**/*.parquet", recursive=True)}
+    assert set(before) <= set(after)
+    for p, m in before.items():
+        assert after[p] == m
+    assert len(after) > len(before)
+
+    # indexed search over the grown layout == inline IVF over the corpus
+    q = [float(v) for v in
+         embeddings.filter("vec_id = 3").first()["embedding"]]
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           ann_topk_indexed(spark, data, idx, q, k=5, nprobe=2).collect()]
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            ann_topk_ivf(embeddings, q, cents, k=5, nprobe=2).collect()]
+    assert got == want
