@@ -252,6 +252,47 @@ def cmd_table(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """One-pass column profile of a parquet table: row count plus
+    per-column null count, approx distinct, and (for orderable atomic
+    types) min/max — the operational half of the reference's schema
+    discovery + density statistics (SURVEY §2 S11/A3), as one
+    aggregate job whose shuffle carries a handful of states per
+    column, never rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .session import get_spark
+    from .sources.readers import read_table
+    spark = get_spark("cli_profile", cpus=args.cpus)
+    df = read_table(spark, args.source_dir, args.table)
+    atomic = (T.NumericType, T.StringType, T.TimestampType, T.DateType,
+              T.BooleanType)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+                     .alias(f"{c} nulls"))
+        aggs.append(F.approx_count_distinct(c)
+                     .alias(f"{c} distinct"))
+        if isinstance(f.dataType, atomic):
+            aggs.append(F.min(c).cast("string").alias(f"{c} min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c} max"))
+    row = df.agg(*aggs).first().asDict()
+    cols = {}
+    for f in df.schema.fields:
+        c = f.name
+        cols[c] = {"type": f.dataType.simpleString(),
+                   "nulls": int(row[f"{c} nulls"]),
+                   "approx_distinct": int(row[f"{c} distinct"])}
+        if f"{c} min" in row:
+            cols[c]["min"] = row[f"{c} min"]
+            cols[c]["max"] = row[f"{c} max"]
+    _emit({"table": args.table, "rows": int(row["__rows"]),
+           "columns": cols})
+    return 0
+
+
 def cmd_markers(args: argparse.Namespace) -> int:
     from .plans.markers import CompletionMarkers
     markers = CompletionMarkers(os.path.join(args.work_dir,
@@ -401,6 +442,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="idempotency note stamped into the manifest")
     tp.add_argument("--cpus", type=int, default=8)
     tp.set_defaults(fn=cmd_table)
+
+    pp = sub.add_parser("profile", help="one-pass column profile of a "
+                                        "source table (nulls, distinct, "
+                                        "min/max)")
+    pp.add_argument("--source-dir", required=True)
+    pp.add_argument("-t", "--table", required=True)
+    pp.add_argument("--cpus", type=int, default=8)
+    pp.set_defaults(fn=cmd_profile)
     return p
 
 

@@ -548,31 +548,37 @@ def remove_boilerplate_chunks(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.when(n_chunks > 0, chunks).otherwise(F.array()).alias("__chunks"),
         F.nullif(remainder, F.lit("")).alias("__rest"))
+    # the positional-chunk relation feeds BOTH the corpus count and the
+    # per-doc reassembly: checkpoint so the chunk/hash pass runs once
     pos = (base.select(id_col, F.posexplode("__chunks").alias("pos", "chunk"))
-               .withColumn("chunk_hash", md5_prefix_int(F.col("chunk"))))
+               .withColumn("chunk_hash", md5_prefix_int(F.col("chunk")))
+               .localCheckpoint(eager=False))
     hot = (pos.groupBy("chunk_hash")
               .agg(F.countDistinct(id_col).alias("__nd"))
               .filter(F.col("__nd") > max_docs)
-              .select("chunk_hash"))
-    body = (pos.join(hot, "chunk_hash", "left_anti")
-               .groupBy(id_col)
-               .agg(F.sort_array(F.collect_list(
-                    F.struct("pos", "chunk"))).alias("__kc"))
-               .select(F.col(id_col),
-                       F.concat_ws(
-                           " ", F.transform("__kc", lambda s: s["chunk"]))
-                        .alias("__body")))
-    removed = (pos.join(hot, "chunk_hash", "left_semi")
+              .select("chunk_hash", F.lit(True).alias("__hot")))
+    # one tagged join + ONE per-doc aggregate computes the surviving
+    # body and the removed count together (collect_list drops the NULLs
+    # the hot tag produces) — not two separate joins + groupBys
+    per_doc = (pos.join(hot, "chunk_hash", "left")
                   .groupBy(id_col)
-                  .agg(F.count(F.lit(1)).alias("n_removed")))
+                  .agg(F.sort_array(F.collect_list(
+                           F.when(F.col("__hot").isNull(),
+                                  F.struct("pos", "chunk")))).alias("__kc"),
+                       F.sum(F.when(F.col("__hot").isNotNull(), 1)
+                              .otherwise(0)).alias("n_removed"))
+                  .select(F.col(id_col),
+                          F.concat_ws(
+                              " ", F.transform("__kc", lambda s: s["chunk"]))
+                           .alias("__body"),
+                          "n_removed"))
     # base is preserved with a left join so a doc whose EVERY chunk was
     # boilerplate still comes back (as its remainder, possibly empty)
     return (base.select(id_col, "__rest")
-                .join(body, id_col, "left")
-                .join(removed, id_col, "left")
+                .join(per_doc, id_col, "left")
                 .select(F.col(id_col),
-                        F.concat_ws(" ", "__body", "__rest")
-                         .alias("clean_text"),
+                        F.concat_ws(" ", F.nullif(F.col("__body"), F.lit("")),
+                                    "__rest").alias("clean_text"),
                         F.coalesce(F.col("n_removed"), F.lit(0))
                          .cast("int").alias("n_removed")))
 

@@ -281,3 +281,25 @@ def test_table_verb_merge(capsys, spark, tmp_path):
     rc = main(["table", "merge", "--path", path, "--cpus", "8"])
     capsys.readouterr()
     assert rc == 2
+
+
+def test_profile_verb(capsys, sf_dir):
+    rc, res = _run(capsys, ["profile", "--source-dir", sf_dir,
+                            "-t", "orders", "--cpus", "8"])
+    assert rc == 0 and res["table"] == "orders"
+    assert res["rows"] > 0
+    cols = res["columns"]
+    assert cols["o_orderkey"]["nulls"] == 0
+    assert cols["o_orderkey"]["approx_distinct"] > 0
+    assert "min" in cols["o_orderdate"] and "max" in cols["o_orderdate"]
+    # every schema column profiled
+    assert set(cols) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate", "o_orderpriority"}
+
+
+def test_profile_verb_skips_minmax_for_arrays(capsys, sf_dir):
+    rc, res = _run(capsys, ["profile", "--source-dir", sf_dir,
+                            "-t", "embeddings", "--cpus", "8"])
+    assert rc == 0
+    emb = res["columns"]["embedding"]
+    assert "min" not in emb and emb["approx_distinct"] > 0
