@@ -2956,11 +2956,13 @@ def promo_revenue_share(spark, sf_dir):
                                  ORDER BY s_acctbal DESC, s_suppkey) = 1""",
    "TPC-H Q2 shape (partsupp's supplycost replaced by the observed "
    "lineitem unit price): the correlated scalar-min subquery is "
-   "decorrelated into a groupBy-min + equality rejoin on the SAME "
-   "grouping key — so the rejoin reuses the aggregate's hash "
-   "partitioning instead of a second global pass — and the tie-break is "
-   "a per-part window (partitions are part-sized, never global). "
-   "Region/nation broadcast; part filter applied before its join")
+   "decorrelated into a per-part WINDOW minimum over the aggregated "
+   "unit relation — one lineitem scan and two exchanges total, where "
+   "the groupBy-min + equality-rejoin formulation computed the unit "
+   "aggregate twice (aliased self-consumption defeats Spark's exchange "
+   "reuse; plan-measured). The tie-break window then runs on the same "
+   "l_partkey partitioning, so it adds no exchange. Region/nation "
+   "broadcast; part filter applied before its join")
 def min_cost_supplier_per_part(spark, sf_dir):
     from pyspark.sql.window import Window
     li = _t(spark, sf_dir, "lineitem")
@@ -2971,12 +2973,13 @@ def min_cost_supplier_per_part(spark, sf_dir):
     unit = (li.groupBy("l_partkey", "l_suppkey")
               .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                     .alias("unit_price")))
-    best = (unit.groupBy(F.col("l_partkey").alias("bk"))
-                .agg(F.min("unit_price").alias("best_price")))
+    w_min = Window.partitionBy("l_partkey")
+    unit = (unit.withColumn("__best", F.min("unit_price").over(w_min))
+                .filter(F.col("unit_price") == F.col("__best"))
+                .drop("__best"))
     w = (Window.partitionBy("p_partkey")
                .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")))
-    return (unit.join(best, (unit.l_partkey == best.bk)
-                      & (unit.unit_price == best.best_price))
+    return (unit
                 .join(part.filter((F.col("p_size") <= 10)
                                   & (F.col("p_type") == "STANDARD")),
                       unit.l_partkey == part.p_partkey)

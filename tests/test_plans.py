@@ -332,3 +332,37 @@ def test_winnowing_md5_runs_once(spark, sf_dir):
     df = REGISTRY["winnowing_dup_fingerprints_documents"].fn(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("md5") == 1, f"md5 duplicated {opt.count('md5')}x"
+
+
+# -- TPC-H family completion (round 4): plan pins ---------------------------
+
+def test_promo_revenue_pushes_shipdate_filter(plan):
+    """Q14: the ship-date range must reach the lineitem scan — at scale
+    this is partition/row-group pruning on the fact table."""
+    p = plan("promo_revenue_share", mode="formatted")
+    pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed
+
+
+def test_q16_excludes_suppliers_via_anti_join(plan):
+    """Q16: the NOT-IN complaints exclusion compiles to an anti join
+    (broadcast at this dim size), never a per-row subquery."""
+    p = plan("supplier_count_by_part_attrs")
+    assert "LeftAnti" in p
+
+
+def test_q20_semi_join_chain(plan):
+    """Q20: both IN clauses become semi joins — no row duplication, the
+    supplier table touched once."""
+    p = plan("excess_shipped_suppliers")
+    assert p.count("LeftSemi") >= 2
+
+
+def test_q2_single_lineitem_scan_two_exchanges(plan):
+    """Q2: the window-min decorrelation reads lineitem ONCE (the
+    groupBy-min + rejoin form computed the unit aggregate twice —
+    aliased self-consumption defeats exchange reuse) and the tie-break
+    window adds no exchange beyond the two the aggregation needs."""
+    p = plan("min_cost_supplier_per_part").split("== Initial Plan ==")[0]
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("hashpartitioning(l_partkey") <= 2
