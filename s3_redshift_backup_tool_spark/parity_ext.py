@@ -3264,7 +3264,7 @@ def boilerplate_scrub_documents(spark, sf_dir):
 @q("udtf_json_kv_events",
    """WITH kv AS (SELECT event_type, unnest(json_keys(props)) AS key,
                        props
-                FROM events)
+                FROM events WHERE event_type = 'purchase')
       SELECT event_type, key, count(*) AS n,
              CAST(sum(TRY_CAST(json_extract_string(props, '$.' || key)
                                AS BIGINT)) AS BIGINT) AS sum_value
@@ -3273,13 +3273,19 @@ def boilerplate_scrub_documents(spark, sf_dir):
    "tolerant JSON key/value explosion in Python where from_json needs "
    "a known schema. NOT the scale path for schematized JSON — "
    "json_props_extract_events is (codegen, zero Python); this seam is "
-   "for bespoke parsers. The aggregate downstream is ordinary "
-   "partial-aggregable groupBy")
+   "for bespoke parsers, so the query scopes it to the purchase slice "
+   "the way a real pipeline would quarantine only the rows that NEED "
+   "Python (the event_type filter pushes below the UDTF to the scan). "
+   "The aggregate downstream is ordinary partial-aggregable groupBy")
 def udtf_json_kv_events(spark, sf_dir):
     from .functions.udtfs import register_udtfs
+    from .operators.partitioning import fan_out
     register_udtfs(spark)
     ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("__udtf_events")
+    # filter BEFORE the UDTF (only the quarantine slice pays Python),
+    # fan_out so the per-row eval runs on every core — the single-file
+    # fixture otherwise feeds the whole lateral to ONE task
+    fan_out(ev.filter(F.col("event_type") == "purchase"))         .createOrReplaceTempView("__udtf_events")
     kv = spark.sql("""
         SELECT e.event_type, j.key, j.value
         FROM __udtf_events e, LATERAL json_kv(e.props) j""")
