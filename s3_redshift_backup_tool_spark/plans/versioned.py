@@ -301,6 +301,50 @@ class VersionedTable:
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
 
+    def compact(self, target_file_bytes: int = 128 << 20,
+                note: str | None = None,
+                stats_cols: list[str] | None = None) -> dict:
+        """Bin-pack the current snapshot's SMALL files (< half the
+        target size) into ~target-sized ones and publish the result as
+        a new version — the antidote to streaming/CDC merge commits
+        accreting a file per batch until scan planning is dominated by
+        open-file overhead. Large files are carried by reference (never
+        rewritten); the pre-compaction version stays time-travelable
+        and ``vacuum`` reclaims the replaced small files later.
+        Equivalent of OPTIMIZE in Delta/Iceberg, minus clustering —
+        for clustered output z-order the data and commit with
+        ``stats_cols`` so file skipping bites again after compaction.
+
+        Returns {version, compacted, carried, files_out}; a snapshot
+        with fewer than two small files is a no-op (no empty version
+        published)."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        files = self._read_manifest(cur)["files"]
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = sorted(f for f in files
+                       if sizes[f] < target_file_bytes // 2)
+        if len(small) < 2:
+            return {"version": cur, "compacted": 0,
+                    "carried": len(files), "files_out": len(files)}
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        write_id = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, write_id)
+        self.spark.read.parquet(*small).coalesce(int(n_out)) \
+            .write.parquet(out)
+        new_files = sorted(
+            os.path.join(out, f) for f in os.listdir(out)
+            if f.endswith(".parquet"))
+        stats = {f: self._file_stats(f, stats_cols) for f in new_files} \
+            if stats_cols else None
+        big = [f for f in files if f not in set(small)]
+        version = self._publish(big + new_files, "compact", note, stats,
+                                extra={"compacted_files": len(small)})
+        return {"version": version, "compacted": len(small),
+                "carried": len(big), "files_out": len(big) + len(new_files)}
+
     def find_note(self, note: str) -> int | None:
         """Version whose manifest carries ``note``, if any (newest wins)."""
         for v in reversed(self.versions()):

@@ -127,6 +127,49 @@ def streaming_upsert_sync(
           .awaitTermination())
 
 
+def streaming_merge_versioned(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    table_path: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    ts_col: str,
+) -> None:
+    """Streaming CDC upsert into a :class:`plans.versioned.VersionedTable`
+    — the 100 TB successor to :func:`streaming_upsert_sync`'s full-target
+    rewrite, exactly as that docstring promises: each micro-batch is
+    compacted to its latest record per key and MERGEd copy-on-write, so
+    only the files containing touched keys are rewritten and every batch
+    publishes an atomic, time-travelable version.
+
+    Exactly-once without the directory swap: the streaming checkpoint
+    replays at-least-once, and each batch stamps ``cdc-batch-{epoch}``
+    as its manifest note — a replayed batch finds its own note and
+    skips, so redelivery cannot double-apply. (The note check + commit
+    run on the single writer, per VersionedTable's contract.)"""
+    from ..operators.dedup import latest_record_dedup
+    from ..plans.versioned import VersionedTable
+
+    table = VersionedTable(spark, table_path)
+
+    def _merge(batch_df: DataFrame, epoch: int) -> None:
+        note = f"cdc-batch-{epoch}"
+        if table.find_note(note) is not None:
+            return                      # replayed batch: already landed
+        if batch_df.isEmpty():
+            return                      # no empty versions
+        batch = latest_record_dedup(batch_df, key_cols, ts_col)
+        table.merge(batch, keys=key_cols, note=note)
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_merge)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

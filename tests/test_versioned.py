@@ -238,3 +238,35 @@ def test_stats_survive_merge_and_missing_stats_kept(spark, tmp_path):
     assert statless <= set(keep2) and skipped2 >= 0
     got = {r["k"]: r["v"] for r in t.read(where=("k", 0, 10)).collect()}
     assert got[5] == 999 and len(got) == 11
+
+
+# -- small-file compaction --------------------------------------------------
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # 6 tiny single-file commits (streaming-merge accretion pattern)
+    for i in range(6):
+        t.commit(spark.range(i * 10, i * 10 + 10)
+                      .selectExpr("id as k", "id*2 as v").coalesce(1))
+    v_before = t.current_version()
+    files_before, _ = t.prune_files()
+    assert len(files_before) == 6
+
+    res = t.compact(target_file_bytes=1 << 30, stats_cols=["k"])
+    assert res["compacted"] == 6 and res["files_out"] == 1
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(60))
+    # pre-compaction version still time-travelable
+    assert len(t.read(version=v_before).collect()) == 60
+    # stats recorded for the packed file: pruning still works
+    keep, skipped = t.prune_files(where=("k", 5, 6))
+    assert len(keep) == 1 and skipped == 0
+
+    # second compaction: single file left -> no-op, no new version
+    cur = t.current_version()
+    res2 = t.compact(target_file_bytes=1 << 30)
+    assert res2["version"] == cur and t.current_version() == cur
+
+    # vacuum reclaims the replaced tiny files
+    deleted = t.vacuum(keep_last=1)
+    assert len(deleted) >= 6
+    assert len(t.read().collect()) == 60
