@@ -71,6 +71,49 @@ def run_quality_gate(df: DataFrame, *, max_null_pct: float = 100.0,
                          violations=violations, metrics=row)
 
 
+def check_constraints(df: DataFrame,
+                      constraints: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Declarative row-constraint audit (the deequ/Great-Expectations
+    core in one aggregate): ``constraints`` is [(name, boolean Column)]
+    and the output is one row per constraint —
+    (constraint, n_rows, n_violations, pass) — computed in a SINGLE
+    partial-aggregable scan regardless of how many constraints run.
+    NULL predicate results count as violations (a null price fails
+    ``price > 0``), matching SQL CHECK semantics under ``NOT (cond IS
+    TRUE)``. Referential checks need a second relation — see
+    :func:`fk_violations`."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for name, cond in constraints:
+        aggs.append(
+            F.count(F.when(~cond.eqNullSafe(True), 1)).alias(name))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(name).alias("constraint"),
+                 F.col(name).alias("n_violations"))
+        for name, _ in constraints])
+    return (row.select(F.col("__rows").alias("n_rows"),
+                       F.explode(pairs).alias("c"))
+               .select(F.col("c.constraint").alias("constraint"),
+                       "n_rows",
+                       F.col("c.n_violations").alias("n_violations"),
+                       (F.col("c.n_violations") == 0).alias("pass")))
+
+
+def fk_violations(child: DataFrame, parent: DataFrame,
+                  child_key: str, parent_key: str) -> DataFrame:
+    """Referential-integrity audit: child rows whose key has no parent.
+    One left_anti join (AQE broadcasts the DISTINCT parent-key side
+    while it is small; at dimension scale it degrades to a shuffled
+    anti-join — never a per-row lookup). Output: one row
+    (n_orphans, n_distinct_orphan_keys)."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key, "left_anti")
+    return orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct(child_key).alias("n_distinct_orphan_keys"))
+
+
 def psi_drift(ref: "DataFrame", cur: "DataFrame", col: str,
               n_buckets: int = 10, lo: float | None = None,
               hi: float | None = None, eps: float = 1e-6) -> "DataFrame":

@@ -3143,6 +3143,54 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("constraint_audit_orders",
+   """WITH v AS (SELECT count(*) AS n_rows,
+                      count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                                 THEN 1 END) AS c_price,
+                      count(CASE WHEN NOT coalesce(
+                                   o_orderstatus IN ('O','F','P'), FALSE)
+                                 THEN 1 END) AS c_status,
+                      count(CASE WHEN NOT coalesce(
+                                   o_orderpriority <> '1-URGENT', FALSE)
+                                 THEN 1 END) AS c_urgent
+               FROM orders),
+      fk AS (SELECT count(*) AS viol FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+      SELECT 'totalprice_positive' AS "constraint", n_rows,
+             c_price AS n_violations, c_price = 0 AS pass FROM v
+      UNION ALL
+      SELECT 'status_known', n_rows, c_status, c_status = 0 FROM v
+      UNION ALL
+      SELECT 'priority_never_urgent', n_rows, c_urgent, c_urgent = 0
+      FROM v
+      UNION ALL
+      SELECT 'custkey_has_customer', (SELECT n_rows FROM v), viol,
+             viol = 0 FROM fk""",
+   "declarative data-contract audit (deequ-style): all row constraints "
+   "in ONE partial-aggregable scan (null predicate = violation, SQL "
+   "CHECK semantics) + a referential check as one anti-join — the "
+   "n-constraints cost is one pass, not n. priority_never_urgent is "
+   "deliberately failing so the violation counting itself is "
+   "oracle-witnessed")
+def constraint_audit_orders(spark, sf_dir):
+    from .operators import quality as ql
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rows = ql.check_constraints(orders, [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("priority_never_urgent", F.col("o_orderpriority") != "1-URGENT"),
+    ])
+    n_rows = orders.count()
+    fk = (ql.fk_violations(orders, cust, "o_custkey", "c_custkey")
+            .select(F.lit("custkey_has_customer").alias("constraint"),
+                    F.lit(n_rows).cast("long").alias("n_rows"),
+                    F.col("n_orphans").alias("n_violations"),
+                    (F.col("n_orphans") == 0).alias("pass")))
+    return rows.unionByName(fk)
+
+
 @q("cluster_safe_split_documents",
    f"""WITH RECURSIVE {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -3478,6 +3526,7 @@ _TAIL = [
     "boilerplate_scrub_documents",     # C4 chunk removal + reassembly
     "overlapping_purchase_intervals_events",  # interval-x-interval join
     "cluster_safe_split_documents",    # dup-cluster-keyed leak-free split
+    "constraint_audit_orders",         # deequ-style contract audit
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW

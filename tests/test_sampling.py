@@ -110,3 +110,32 @@ def test_cluster_safe_split_no_cluster_straddles(spark):
     from collections import Counter
     c = Counter(rows.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+# -- constraint audit -------------------------------------------------------
+
+def test_check_constraints_null_is_violation(spark):
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        check_constraints,
+    )
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id int, price double")
+    out = {r["constraint"]: (r["n_violations"], r["pass"])
+           for r in check_constraints(df, [
+               ("price_positive", F.col("price") > 0),
+               ("id_small", F.col("id") < 100)]).collect()}
+    # -5 fails, NULL fails (SQL CHECK semantics), 10 passes
+    assert out["price_positive"] == (2, False)
+    assert out["id_small"] == (0, True)
+
+
+def test_fk_violations_counts_orphans(spark):
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        fk_violations,
+    )
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (9,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = fk_violations(child, parent, "k", "pk").first()
+    assert r["n_orphans"] == 2 and r["n_distinct_orphan_keys"] == 1
