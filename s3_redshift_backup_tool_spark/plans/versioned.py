@@ -345,6 +345,64 @@ class VersionedTable:
         return {"version": version, "compacted": len(small),
                 "carried": len(big), "files_out": len(big) + len(new_files)}
 
+    def changes(self, v_from: int, v_to: int,
+                keys: list[str]) -> DataFrame:
+        """Changefeed OUT of the table: the keyed row-level diff between
+        two snapshots, classified as insert / update / delete — what a
+        downstream consumer needs to follow the table without rescanning
+        it (Delta CDF / Iceberg changelog in miniature).
+
+        The manifest makes this cheap: files carried BY REFERENCE
+        between the two versions are bit-identical, so only the file
+        sets' symmetric difference is read — after a merge that touched
+        1% of files, the diff reads 2% of the table, not 200%. Rows in
+        common files cancel by construction and never enter the join.
+        The remaining full-outer join on ``keys`` classifies:
+
+        - key only in added files            -> insert
+        - key only in removed files          -> delete
+        - key in both with any column change -> update
+        (key in both, rows equal — a file rewrite that carried the row
+        unchanged, e.g. compaction — is dropped: no phantom changes.)
+
+        Output: all columns of the TO side (null for deletes) +
+        ``_change`` ∈ {insert, update, delete}. Requires ``keys`` to be
+        unique per snapshot (the merge/upsert discipline)."""
+        man_from = self._read_manifest(v_from)["files"]
+        man_to = self._read_manifest(v_to)["files"]
+        removed = [f for f in man_from if f not in set(man_to)]
+        added = [f for f in man_to if f not in set(man_from)]
+        if not removed and not added:
+            df = self.read(v_to)
+            return (df.select(*df.columns,
+                              F.lit("insert").alias("_change"))
+                      .limit(0))
+        cols = self.read(v_to).columns
+
+        def _side(files: list[str]) -> DataFrame:
+            if not files:
+                return self.read(v_to).select(*cols).limit(0)
+            return self.spark.read.parquet(*files).select(*cols)
+
+        old = _side(removed).select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols])
+        new = _side(added)
+        cond = [new[k].eqNullSafe(old[f"__o_{k}"]) for k in keys]
+        j = new.join(old, cond, "full_outer")
+        non_keys = [c for c in cols if c not in keys]
+        changed = F.lit(False)
+        for c in non_keys:
+            changed = changed | ~new[c].eqNullSafe(old[f"__o_{c}"])
+        kind = (F.when(old[f"__o_{keys[0]}"].isNull(), "insert")
+                 .when(new[keys[0]].isNull(), "delete")
+                 .when(changed, "update"))
+        out_cols = [
+            F.coalesce(new[k], old[f"__o_{k}"]).alias(k) for k in keys
+        ] + [new[c].alias(c) for c in non_keys]
+        return (j.withColumn("_change", kind)
+                 .filter(F.col("_change").isNotNull())
+                 .select(*out_cols, "_change"))
+
     def find_note(self, note: str) -> int | None:
         """Version whose manifest carries ``note``, if any (newest wins)."""
         for v in reversed(self.versions()):

@@ -270,3 +270,45 @@ def test_compact_binpacks_small_files(spark, tmp_path):
     deleted = t.vacuum(keep_last=1)
     assert len(deleted) >= 6
     assert len(t.read().collect()) == 60
+
+
+# -- snapshot-diff changefeed -----------------------------------------------
+
+def test_changes_between_versions_classifies_and_prunes(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [(k, f"a{k}") for k in range(5)], "k int, val string"))
+    v1 = t.current_version()
+    t.commit(spark.createDataFrame(
+        [(k, f"b{k}") for k in range(10, 15)], "k int, val string"))
+    v2 = t.current_version()
+    # merge: update k=12, insert k=99 (touches only the second commit's
+    # files -> the diff must not read the first commit's files)
+    t.merge(spark.createDataFrame(
+        [(12, "B12"), (99, "NEW")], "k int, val string"), keys=["k"])
+    v3 = t.current_version()
+
+    ch = {r["k"]: (r["val"], r["_change"])
+          for r in t.changes(v2, v3, keys=["k"]).collect()}
+    # carried-by-reference rows (k 0-4) and unchanged rewritten rows
+    # (k 10,11,13,14) produce NO phantom changes
+    assert ch == {12: ("B12", "update"), 99: ("NEW", "insert")}
+
+    # append-only step: all inserts
+    ch12 = {r["k"]: r["_change"]
+            for r in t.changes(v1, v2, keys=["k"]).collect()}
+    assert ch12 == {k: "insert" for k in range(10, 15)}
+
+    # overwrite drops everything except what it writes -> deletes
+    t.commit(spark.createDataFrame([(12, "only")], "k int, val string"),
+             mode="overwrite")
+    v4 = t.current_version()
+    ch34 = {r["k"]: r["_change"]
+            for r in t.changes(v3, v4, keys=["k"]).collect()}
+    assert ch34[99] == "delete" and ch34[0] == "delete"
+    assert ch34[12] == "update"
+    assert len([c for c in ch34.values() if c == "delete"]) == 10
+
+    # identical versions -> empty feed with the right schema
+    empty = t.changes(v3, v3, keys=["k"])
+    assert empty.count() == 0 and "_change" in empty.columns
