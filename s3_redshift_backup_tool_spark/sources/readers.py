@@ -161,3 +161,44 @@ def read_json_lines(spark: SparkSession, path: str, schema,
     opts = {"mode": "FAILFAST", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"}
     opts.update(options)
     return spark.read.options(**opts).schema(schema).json(path)
+
+
+def read_with_quarantine(spark: SparkSession, path: str, schema,
+                         quarantine_path: str, fmt: str = "json",
+                         **options) -> tuple[DataFrame, int]:
+    """The middle road between FAILFAST (one bad row kills a 100 TB
+    load) and silent PERMISSIVE (bad rows become nulls nobody sees):
+    malformed rows are routed to a quarantine table, clean rows flow on,
+    and the caller gets the quarantine count to alert on — Spark's
+    ``badRecordsPath`` semantics built from the public PERMISSIVE +
+    ``columnNameOfCorruptRecord`` contract so it works on any build.
+
+    One read pass, two filtered writes... except clean rows are NOT
+    written here — they are returned as a DataFrame (the pipeline's own
+    sink decides where they land); only the (usually tiny) corrupt slice
+    is materialized, with the raw line preserved for forensics.
+    PERMISSIVE caveat handled: Spark requires the corrupt-record column
+    to be part of the schema, and a cached/filtered corrupt column
+    needs the raw row retained — hence the explicit select split.
+
+    Returns (clean_df_without_corrupt_col, n_quarantined)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    corrupt = "_corrupt_record"
+    full = T.StructType(schema.fields + [T.StructField(corrupt,
+                                                       T.StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
+    opts.update(options)
+    reader = spark.read.options(**opts).schema(full)
+    raw = reader.json(path) if fmt == "json" else reader.csv(path)
+    # cache so the corrupt/clean split reads the source once, and
+    # because Spark disallows filtering on the corrupt column alone
+    # over a bare file scan (SPARK-38523 guard)
+    raw = raw.cache()
+    bad = raw.filter(F.col(corrupt).isNotNull()).select(corrupt)
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(quarantine_path)
+    clean = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    return clean, n_bad

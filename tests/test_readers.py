@@ -77,3 +77,45 @@ def test_csv_failfast_rejects_malformed(spark, tmp_path):
                            T.StructField("b", T.StringType())])
     with pytest.raises(Exception):
         read_csv(spark, str(p), schema).collect()
+
+
+# -- quarantine reader ------------------------------------------------------
+
+def test_read_with_quarantine_routes_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+    from s3_redshift_backup_tool_spark.sources.readers import (
+        read_with_quarantine,
+    )
+    src = tmp_path / "in.jsonl"
+    src.write_text('\n'.join([
+        '{"id": 1, "v": "a"}',
+        'THIS IS NOT JSON',
+        '{"id": 2, "v": "b"}',
+        '{"id": broken}',
+    ]) + '\n')
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    q = str(tmp_path / "quarantine")
+    clean, n_bad = read_with_quarantine(spark, str(src), schema, q)
+    assert n_bad == 2
+    assert sorted((r["id"], r["v"]) for r in clean.collect()) == \
+        [(1, "a"), (2, "b")]
+    # raw lines preserved for forensics
+    kept = {r["_corrupt_record"] for r in spark.read.parquet(q).collect()}
+    assert "THIS IS NOT JSON" in kept and '{"id": broken}' in kept
+
+
+def test_read_with_quarantine_clean_input_writes_nothing(spark, tmp_path):
+    import os
+    from pyspark.sql import types as T
+    from s3_redshift_backup_tool_spark.sources.readers import (
+        read_with_quarantine,
+    )
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"id": 1, "v": "a"}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    q = str(tmp_path / "quarantine")
+    clean, n_bad = read_with_quarantine(spark, str(src), schema, q)
+    assert n_bad == 0 and clean.count() == 1
+    assert not os.path.exists(q)       # no empty quarantine artifacts
