@@ -3143,6 +3143,46 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("token_kl_by_source",
+   """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                FROM documents),
+      st AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      ct AS (SELECT t, sum(c) AS cc FROM st GROUP BY 1),
+      ss AS (SELECT source, sum(c) AS sc FROM st GROUP BY 1),
+      tot AS (SELECT sum(cc) AS n FROM ct)
+      SELECT source,
+             round(sum((c / sc) * ln((c / sc) / (cc / n))), 6)
+               AS kl_divergence,
+             CAST(sc AS BIGINT) AS n_tokens
+      FROM st JOIN ct USING (t) JOIN ss USING (source) CROSS JOIN tot
+      GROUP BY source, sc""",
+   "per-source token-distribution KL divergence vs the whole corpus — "
+   "the domain-drift diagnostic behind mixture reweighting (a source "
+   "whose KL jumps is no longer the distribution the mixture weights "
+   "were tuned on; PSI's categorical big sibling). After the first "
+   "groupBy everything is vocabulary-sized: the join carries "
+   "(source x token) count rows, the totals are broadcast-sized, and "
+   "the per-row log term is codegen'd")
+def token_kl_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split("text", " ")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    ct = st.groupBy("t").agg(F.sum("c").alias("cc"))
+    ss = st.groupBy("source").agg(F.sum("c").alias("sc"))
+    tot = ct.agg(F.sum("cc").alias("n"))
+    p_s = F.col("c") / F.col("sc")
+    p_c = F.col("cc") / F.col("n")
+    return (st.join(ct, "t")
+              .join(F.broadcast(ss), "source")
+              .join(F.broadcast(tot))
+              .groupBy("source", "sc")
+              .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6)
+                    .alias("kl_divergence"))
+              .select("source", "kl_divergence",
+                      F.col("sc").cast("bigint").alias("n_tokens")))
+
+
 @q("constraint_audit_orders",
    """WITH v AS (SELECT count(*) AS n_rows,
                       count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
@@ -3527,6 +3567,7 @@ _TAIL = [
     "overlapping_purchase_intervals_events",  # interval-x-interval join
     "cluster_safe_split_documents",    # dup-cluster-keyed leak-free split
     "constraint_audit_orders",         # deequ-style contract audit
+    "token_kl_by_source",              # domain-drift KL diagnostics
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
