@@ -268,6 +268,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pipeline executes 4-6x per query (measured; the corpus-shingling CPU
     is the dominant cost at scale). One materialization pass trades
     executor storage (~shingle volume) for 3-5 saved corpus shingles."""
+    counts = _ngram_pair_counts(df, text_col, id_col, n, max_doc_freq)
+    return (counts
+            .withColumn("jaccard", F.round(
+                F.col("inter").cast("double") /
+                (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard"))
+
+
+def _ngram_pair_counts(df: DataFrame, text_col: str, id_col: str, n: int,
+                       max_doc_freq: int | None) -> DataFrame:
+    """Shared inverted-index machinery: per-pair shingle intersection
+    counts + both set sizes (see :func:`ngram_jaccard_pairs` for the
+    cost shape and the checkpoint rationale)."""
     sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if max_doc_freq is not None:
@@ -286,12 +300,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
               .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter").cast("double") /
-                (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def overlap_coefficient_pairs(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              threshold: float = 0.8,
+                              max_doc_freq: int | None = None) -> DataFrame:
+    """Szymkiewicz-Simpson overlap coefficient:
+    ``inter / min(|A|, |B|)`` — the NEAR-SUPERSET detector Jaccard
+    structurally misses. A 100-word doc quoted verbatim inside a
+    5000-word doc has Jaccard ~0.02 (invisible at any sane threshold)
+    but overlap ~1.0; that containment case is exactly how licensing
+    leaks and eval-set contamination hide inside long concatenated
+    training documents. Same inverted-index cost shape and
+    ``max_doc_freq`` skew guard as :func:`ngram_jaccard_pairs`
+    (the lower-bound caveat applies to the numerator here too)."""
+    counts = _ngram_pair_counts(df, text_col, id_col, n, max_doc_freq)
+    return (counts
+            .withColumn("overlap", F.round(
+                F.col("inter").cast("double")
+                / F.least("size_a", "size_b"), 6))
+            .filter(F.col("overlap") >= threshold)
+            .select("id_a", "id_b", "inter", "size_a", "size_b", "overlap"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -707,6 +707,30 @@ def ngram_jaccard_pairs_documents(spark, sf_dir):
                                   n=3, threshold=0.1)
 
 
+@q("overlap_coeff_pairs_documents",
+   f"""WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+             round(CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size), 6)
+               AS overlap
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size), 6)
+            >= 0.5""",
+   "Szymkiewicz-Simpson overlap coefficient (inter / min size): the "
+   "near-SUPERSET detector Jaccard structurally misses — a short doc "
+   "quoted verbatim inside a long one scores ~1.0 here but ~0.02 on "
+   "Jaccard, which is how contamination hides in concatenated training "
+   "docs. Same inverted-index machinery as the jaccard family")
+def overlap_coeff_pairs_documents(spark, sf_dir):
+    return dd.overlap_coefficient_pairs(_t(spark, sf_dir, "documents"),
+                                        n=3, threshold=0.5)
+
+
 @q("ngram_jaccard_capped_documents",
    f"""WITH {_SHINGLE_CTE},
       sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
@@ -3568,6 +3592,7 @@ _TAIL = [
     "cluster_safe_split_documents",    # dup-cluster-keyed leak-free split
     "constraint_audit_orders",         # deequ-style contract audit
     "token_kl_by_source",              # domain-drift KL diagnostics
+    "overlap_coeff_pairs_documents",   # near-superset/quote detection
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW

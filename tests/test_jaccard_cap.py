@@ -45,3 +45,18 @@ def test_lsh_max_bucket_size_drops_degenerate_buckets(spark):
     assert any(a < 20 and b < 20 for a, b in full)       # clique pairs exist
     assert not any(a < 20 and b < 20 for a, b in capped)  # ...and are dropped
     assert capped <= full
+
+
+def test_overlap_coefficient_finds_containment_jaccard_misses(spark):
+    """A short doc quoted inside a long one: overlap ~1.0, jaccard tiny."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        ngram_jaccard_pairs, overlap_coefficient_pairs,
+    )
+    short = " ".join(f"q{i}" for i in range(12))
+    long_ = " ".join(f"w{i}" for i in range(200)) + " " + short
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id int, text string")
+    ov = overlap_coefficient_pairs(docs, n=3, threshold=0.8).collect()
+    assert len(ov) == 1 and ov[0]["overlap"] >= 0.99
+    jc = ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    assert jc == []                     # invisible to jaccard
