@@ -237,6 +237,10 @@ def cmd_table(args: argparse.Namespace) -> int:
                "rewritten_files": len(man["rewritten_files"]),
                "total_files": len(man["files"])})
         return 0
+    if args.action == "compact":
+        res = t.compact(target_file_bytes=args.target_mb << 20)
+        _emit(res)
+        return 0
     if args.action == "versions":
         _emit({"versions": t.versions(), "current": t.current_version()})
     elif args.action == "rollback":
@@ -430,7 +434,8 @@ def build_parser() -> argparse.ArgumentParser:
     tp = sub.add_parser("table", help="versioned-table lifecycle "
                                       "(plans/versioned.py)")
     tp.add_argument("action",
-                    choices=["versions", "rollback", "vacuum", "merge"])
+                    choices=["versions", "rollback", "vacuum", "merge",
+                             "compact"])
     tp.add_argument("--path", required=True)
     tp.add_argument("--version", type=int, default=None)
     tp.add_argument("--keep-last", type=int, default=2)
@@ -440,6 +445,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated merge key columns")
     tp.add_argument("--note", default=None,
                     help="idempotency note stamped into the manifest")
+    tp.add_argument("--target-mb", type=int, default=128,
+                    help="compaction target file size (MiB)")
     tp.add_argument("--cpus", type=int, default=8)
     tp.set_defaults(fn=cmd_table)
 

@@ -303,3 +303,16 @@ def test_profile_verb_skips_minmax_for_arrays(capsys, sf_dir):
     assert rc == 0
     emb = res["columns"]["embedding"]
     assert "min" not in emb and emb["approx_distinct"] > 0
+
+
+def test_table_verb_compact(capsys, spark, tmp_path):
+    from s3_redshift_backup_tool_spark.plans.versioned import VersionedTable
+    path = str(tmp_path / "tbl")
+    t = VersionedTable(spark, path)
+    for i in range(3):
+        t.commit(spark.range(i * 5, i * 5 + 5).selectExpr("id as v")
+                      .coalesce(1))
+    rc, res = _run(capsys, ["table", "compact", "--path", path,
+                            "--target-mb", "512", "--cpus", "8"])
+    assert rc == 0 and res["compacted"] == 3 and res["files_out"] == 1
+    assert t.read().count() == 15
