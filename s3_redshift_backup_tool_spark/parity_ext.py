@@ -3482,10 +3482,10 @@ _WINDOW = [
     "multimodal_features",
     # text analysis / corpus curation
     "text_stats_documents", "repetition_signals_documents",
-    "lang_id_confusion_documents", "stratified_sample_by_source",
+    "boilerplate_scrub_documents", "stratified_sample_by_source",
     "pii_scrub_customer",
     # windows / top-k / temporal joins / streaming
-    "latest_record_per_user", "event_gap_lag_window",
+    "latest_record_per_user", "overlapping_purchase_intervals_events",
     "topk_orders_by_price", "asof_click_attribution",
     "range_clicks_before_purchase", "tumbling_daily_events",
     "session_windows_events",
@@ -3495,7 +3495,7 @@ _WINDOW = [
     "supplier_revenue_by_nation",
     "bm25_search_documents", "cube_status_priority_orders",
     "price_percentiles_orders", "approx_distinct_users_check",
-    "large_volume_orders",
+    "winnowing_dup_fingerprints_documents",
 ]
 
 _TAIL = [
@@ -3585,14 +3585,17 @@ _TAIL = [
     "supplier_count_by_part_attrs",    # Q16: distinct agg + NOT-IN anti
     "excess_shipped_suppliers",        # Q20: aggregated-subquery semi-join
     "stable_global_ids_orders",        # global sequence w/o 1-part window
-    "winnowing_dup_fingerprints_documents",  # MOSS window-min fingerprints
     "udtf_json_kv_events",             # Spark-4 Python UDTF lateral seam
-    "boilerplate_scrub_documents",     # C4 chunk removal + reassembly
-    "overlapping_purchase_intervals_events",  # interval-x-interval join
     "cluster_safe_split_documents",    # dup-cluster-keyed leak-free split
     "constraint_audit_orders",         # deequ-style contract audit
     "token_kl_by_source",              # domain-drift KL diagnostics
     "overlap_coeff_pairs_documents",   # near-superset/quote detection
+    # rotated out of the window this round to admit the new operator
+    # families (interval-overlap join, C4 boilerplate removal, MOSS
+    # winnowing) — each has an in-window machinery sibling:
+    "event_gap_lag_window",            # lag window: latest_record kin
+    "lang_id_confusion_documents",     # n-gram markers: text_stats kin
+    "large_volume_orders",             # Q18 join+agg: shipping_priority kin
     # rotated out of the window round 4 (in-window siblings cover the
     # machinery: approx_distinct_users_check for distinct counting,
     # simhash_documents for per-row fold hashing) to admit the two NEW
