@@ -8,9 +8,15 @@ from s3_redshift_backup_tool_spark.plans.scd2 import SCD2Target, scd2_from_log
 
 
 def _canon(df):
-    return sorted(tuple(r) for r in
-                  df.select("user_id", "event_type", "valid_from",
-                            "valid_to", "is_current").collect())
+    # None-safe sort: valid_to is NULL on current rows, and ties on the
+    # leading columns (duplicate same-ts events) would otherwise compare
+    # None against int and raise
+    def _key(t):
+        return tuple((v is None, v) for v in t)
+    return sorted((tuple(r) for r in
+                   df.select("user_id", "event_type", "valid_from",
+                             "valid_to", "is_current").collect()),
+                  key=_key)
 
 
 def test_scd2_from_log_hand_case(spark):
