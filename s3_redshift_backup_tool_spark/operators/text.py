@@ -231,6 +231,36 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("n_bigrams")))
 
 
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the cheap garbage detector between length heuristics and the
+    bigram LM: encoding mojibake and binary-in-text score anomalously
+    HIGH, single-char/whitespace runs and template spam anomalously
+    LOW, while natural language sits in a narrow band (~2.7-3.2 bits
+    for English-like text). Used as a screen before the costlier LM
+    pass (the compression-ratio signal's pure-SQL cousin).
+
+    Shape: explode normalized chars -> one (doc, char) groupBy whose
+    shuffle carries <= |alphabet| rows per doc with map-side combine,
+    then a per-doc fold via the algebraic identity
+    ``H = log2(N) - (sum n*log2 n)/N`` — no window, two partial-
+    aggregable groupBys total. Output: (id, entropy_bits, n_chars)."""
+    norm = normalize_text(F.col(text_col))
+    ex = (df.select(id_col, norm.alias("__t"))
+            .filter(F.length("__t") >= 1)
+            .select(id_col, F.explode(F.split("__t", "")).alias("ch"))
+            .filter(F.col("ch") != ""))
+    cnt = ex.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
+    return (cnt.groupBy(id_col)
+               .agg(F.sum("n").alias("N"),
+                    F.sum(F.col("n") * F.log2("n")).alias("s"))
+               .select(F.col(id_col),
+                       F.round(F.log2("N") - F.col("s") / F.col("N"), 6)
+                        .alias("entropy_bits"),
+                       F.col("N").cast("bigint").alias("n_chars")))
+
+
 def gopher_keep_expr(c: Column, *,
                      min_words: int = 50, max_words: int = 100_000,
                      min_mean_word_len: float = 3.0,

@@ -3167,6 +3167,31 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("char_entropy_documents",
+   f"""WITH n AS (SELECT doc_id, {_NORM_SQL.format(x='text')} AS t
+               FROM documents),
+      b AS (SELECT doc_id, t FROM n WHERE length(t) >= 1),
+      ex AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, length(t)),
+                                          i -> substring(t, i, 1))) AS ch
+             FROM b),
+      cnt AS (SELECT doc_id, ch, count(*) AS n FROM ex GROUP BY 1, 2),
+      agg AS (SELECT doc_id, sum(n) AS nn,
+                     sum(n * log2(n)) AS s
+              FROM cnt GROUP BY 1)
+      SELECT doc_id, round(log2(nn) - s / nn, 6) AS entropy_bits,
+             CAST(nn AS BIGINT) AS n_chars
+      FROM agg""",
+   "per-doc character Shannon entropy — the cheap garbage screen "
+   "between length heuristics and the bigram LM (mojibake scores "
+   "anomalously high, template spam anomalously low). Algebraic "
+   "identity H = log2(N) - (sum n log2 n)/N: two partial-aggregable "
+   "groupBys, no window, shuffle <= |alphabet| rows per doc")
+def char_entropy_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.char_entropy(docs)
+
+
 @q("token_kl_by_source",
    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
                 FROM documents),
@@ -3590,6 +3615,7 @@ _TAIL = [
     "constraint_audit_orders",         # deequ-style contract audit
     "token_kl_by_source",              # domain-drift KL diagnostics
     "overlap_coeff_pairs_documents",   # near-superset/quote detection
+    "char_entropy_documents",          # Shannon-entropy garbage screen
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
