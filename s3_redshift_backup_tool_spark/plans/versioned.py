@@ -303,7 +303,8 @@ class VersionedTable:
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 note: str | None = None,
-                stats_cols: list[str] | None = None) -> dict:
+                stats_cols: list[str] | None = None,
+                zorder_cols: list[str] | None = None) -> dict:
         """Bin-pack the current snapshot's SMALL files (< half the
         target size) into ~target-sized ones and publish the result as
         a new version — the antidote to streaming/CDC merge commits
@@ -332,8 +333,22 @@ class VersionedTable:
         n_out = max(1, -(-total // target_file_bytes))
         write_id = uuid.uuid4().hex[:12]
         out = os.path.join(self.data_dir, write_id)
-        self.spark.read.parquet(*small).coalesce(int(n_out)) \
-            .write.parquet(out)
+        packed = self.spark.read.parquet(*small)
+        if zorder_cols:
+            # cluster while rewriting anyway: range-partition on the
+            # z key so the recorded min/max ranges become DISJOINT
+            # across output files and stats pruning bites again
+            # (compaction without clustering produces files that all
+            # span the whole value range — stats that prune nothing)
+            from ..operators.layout import zorder_key
+            z = zorder_key(packed, zorder_cols)
+            packed = (packed.withColumn("__z", z)
+                            .repartitionByRange(int(n_out), F.col("__z"))
+                            .sortWithinPartitions("__z")
+                            .drop("__z"))
+        else:
+            packed = packed.coalesce(int(n_out))
+        packed.write.parquet(out)
         new_files = sorted(
             os.path.join(out, f) for f in os.listdir(out)
             if f.endswith(".parquet"))

@@ -312,3 +312,26 @@ def test_changes_between_versions_classifies_and_prunes(spark, tmp_path):
     # identical versions -> empty feed with the right schema
     empty = t.changes(v3, v3, keys=["k"])
     assert empty.count() == 0 and "_change" in empty.columns
+
+
+def test_compact_with_zorder_restores_pruning(spark, tmp_path):
+    """Compacting interleaved commits WITHOUT clustering yields files
+    that all span the whole key range (stats prune nothing); with
+    zorder_cols the rewritten files get disjoint ranges and skipping
+    bites again."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # 4 commits, each spanning the FULL key range (interleaved keys)
+    for i in range(4):
+        t.commit(spark.range(0, 400).filter(f"id % 4 = {i}")
+                      .selectExpr("id as k", "id*2 as v").coalesce(1),
+                 stats_cols=["k"])
+    keep, skipped = t.prune_files(where=("k", 0, 20))
+    assert skipped == 0                     # every file overlaps
+
+    res = t.compact(target_file_bytes=4_000, stats_cols=["k"],
+                    zorder_cols=["k"])
+    assert res["compacted"] == 4 and res["files_out"] >= 2
+    keep2, skipped2 = t.prune_files(where=("k", 0, 20))
+    assert skipped2 >= 1                    # clustering restored skipping
+    got = sorted(r["k"] for r in t.read(where=("k", 0, 20)).collect())
+    assert got == list(range(0, 21))
