@@ -3167,6 +3167,33 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("variant_props_events",
+   """SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+             round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k,
+             count(CASE WHEN json_extract(props, '$.k') IS NULL
+                        THEN 1 END) AS n_missing
+      FROM events GROUP BY event_type""",
+   "Spark 4 VARIANT path for semi-structured columns: parse_json ONCE "
+   "into the binary-encoded VARIANT, then typed try_variant_get "
+   "extractions — repeated field accesses skip re-parsing the JSON "
+   "text (the from_json alternative needs the full schema up front; "
+   "VARIANT keeps schema-on-read per access). Same aggregate shape as "
+   "json_props_extract_events, different storage/access surface")
+def variant_props_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum("k").cast("long").alias("sum_k"),
+                   F.round(F.avg("k"), 6).alias("avg_k"),
+                   F.count(F.when(F.col("k").isNull(), 1))
+                    .alias("n_missing")))
+
+
 @q("char_entropy_documents",
    f"""WITH n AS (SELECT doc_id, {_NORM_SQL.format(x='text')} AS t
                FROM documents),
@@ -3616,6 +3643,7 @@ _TAIL = [
     "token_kl_by_source",              # domain-drift KL diagnostics
     "overlap_coeff_pairs_documents",   # near-superset/quote detection
     "char_entropy_documents",          # Shannon-entropy garbage screen
+    "variant_props_events",            # Spark-4 VARIANT semi-structured
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
