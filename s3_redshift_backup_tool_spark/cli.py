@@ -241,6 +241,22 @@ def cmd_table(args: argparse.Namespace) -> int:
         res = t.compact(target_file_bytes=args.target_mb << 20)
         _emit(res)
         return 0
+    if args.action == "changes":
+        if args.from_version is None or args.version is None or \
+                not args.keys:
+            print("changes requires --from-version, --version (to) "
+                  "and --keys", file=sys.stderr)
+            return 2
+        feed = t.changes(args.from_version, args.version,
+                         keys=args.keys.split(","))
+        if args.out:
+            feed.write.mode("overwrite").parquet(args.out)
+        counts = {r["_change"]: r["n"] for r in
+                  feed.groupBy("_change").count()
+                      .withColumnRenamed("count", "n").collect()}
+        _emit({"from": args.from_version, "to": args.version,
+               "changes": counts, "out": args.out})
+        return 0
     if args.action == "versions":
         _emit({"versions": t.versions(), "current": t.current_version()})
     elif args.action == "rollback":
@@ -435,7 +451,7 @@ def build_parser() -> argparse.ArgumentParser:
                                       "(plans/versioned.py)")
     tp.add_argument("action",
                     choices=["versions", "rollback", "vacuum", "merge",
-                             "compact"])
+                             "compact", "changes"])
     tp.add_argument("--path", required=True)
     tp.add_argument("--version", type=int, default=None)
     tp.add_argument("--keep-last", type=int, default=2)
@@ -447,6 +463,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="idempotency note stamped into the manifest")
     tp.add_argument("--target-mb", type=int, default=128,
                     help="compaction target file size (MiB)")
+    tp.add_argument("--from-version", type=int, default=None,
+                    help="changefeed start version (changes)")
+    tp.add_argument("--out", default=None,
+                    help="optional parquet path for the change rows")
     tp.add_argument("--cpus", type=int, default=8)
     tp.set_defaults(fn=cmd_table)
 

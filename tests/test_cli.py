@@ -316,3 +316,21 @@ def test_table_verb_compact(capsys, spark, tmp_path):
                             "--target-mb", "512", "--cpus", "8"])
     assert rc == 0 and res["compacted"] == 3 and res["files_out"] == 1
     assert t.read().count() == 15
+
+
+def test_table_verb_changes(capsys, spark, tmp_path):
+    from s3_redshift_backup_tool_spark.plans.versioned import VersionedTable
+    path = str(tmp_path / "tbl")
+    t = VersionedTable(spark, path)
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, val string"))
+    t.merge(spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k int, val string"), keys=["k"])
+    out = str(tmp_path / "feed")
+    rc, res = _run(capsys, ["table", "changes", "--path", path,
+                            "--from-version", "1", "--version", "2",
+                            "--keys", "k", "--out", out, "--cpus", "8"])
+    assert rc == 0
+    assert res["changes"] == {"update": 1, "insert": 1}
+    feed = {r["k"]: r["_change"] for r in spark.read.parquet(out).collect()}
+    assert feed == {2: "update", 3: "insert"}
