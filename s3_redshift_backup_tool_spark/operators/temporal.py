@@ -91,6 +91,41 @@ def _bucket(ts_us: Column, bucket_us: int) -> Column:
     return F.floor(ts_us / F.lit(bucket_us))
 
 
+def interpolate_linear(df: DataFrame, key_col: str, order_col: str,
+                       value_col: str,
+                       out_col: str = "value_filled") -> DataFrame:
+    """Per-key linear interpolation of missing (NULL) values over an
+    ordered series — the gap-filler for sensor/feature pipelines where
+    a dropped reading must not become a dropped row (the calendar-spine
+    gap-fill's row-level sibling: that creates missing ROWS, this
+    repairs missing VALUES).
+
+    Four windows over the SAME (key, order) partitioning — Spark plans
+    them on one exchange + one sort, not four: running last non-null
+    value/position backward, first non-null forward, then the affine
+    blend ``prev + (next-prev) * (t-t_prev)/(t_next-t_prev)``. Edge
+    policy: leading nulls backfill, trailing nulls forward-fill,
+    coincident timestamps fall back to the previous value (no 0/0).
+    ``order_col`` must be numeric (epoch seconds/micros)."""
+    k, t, v = F.col(key_col), F.col(order_col), F.col(value_col)
+    w_prev = (Window.partitionBy(k).orderBy(t)
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(k).orderBy(t)
+              .rowsBetween(0, Window.unboundedFollowing))
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    blend = (prev_v + (next_v - prev_v)
+             * (t - prev_t) / (next_t - prev_t))
+    filled = (F.when(v.isNotNull(), v)
+               .when(prev_v.isNull(), next_v)        # leading gap
+               .when(next_v.isNull(), prev_v)        # trailing gap
+               .when(next_t == prev_t, prev_v)       # coincident ts
+               .otherwise(blend))
+    return df.withColumn(out_col, filled)
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

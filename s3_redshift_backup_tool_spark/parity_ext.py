@@ -3167,6 +3167,48 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("interpolate_value_events",
+   """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                      CASE WHEN event_type <> 'click' THEN value END AS v
+               FROM events),
+      w AS (SELECT event_id, user_id, t, v,
+                   last_value(v IGNORE NULLS) OVER pw AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN t END
+                              IGNORE NULLS) OVER pw AS pt,
+                   first_value(v IGNORE NULLS) OVER nw AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN t END
+                               IGNORE NULLS) OVER nw AS nt
+            FROM b
+            WINDOW pw AS (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   nw AS (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id,
+             round(CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN nt = pt THEN pv
+                        ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                   END, 6) AS value_filled
+      FROM w""",
+   "per-key linear interpolation of missing values (click events stand "
+   "in for dropped sensor readings): four IGNORE-NULLS windows over ONE "
+   "(user, time) partitioning — one exchange + one sort, not four — "
+   "then the affine blend; leading gaps backfill, trailing gaps "
+   "forward-fill. The row-level sibling of the calendar-spine gap-fill "
+   "(that repairs missing ROWS, this repairs missing VALUES)")
+def interpolate_value_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") != "click", F.col("value")).alias("v"))
+    out = tmp.interpolate_linear(base, "user_id", "t", "v")
+    return out.select("event_id", "user_id",
+                      F.round("value_filled", 6).alias("value_filled"))
+
+
 @q("variant_props_events",
    """SELECT event_type,
              count(*) AS n_events,
@@ -3644,6 +3686,7 @@ _TAIL = [
     "overlap_coeff_pairs_documents",   # near-superset/quote detection
     "char_entropy_documents",          # Shannon-entropy garbage screen
     "variant_props_events",            # Spark-4 VARIANT semi-structured
+    "interpolate_value_events",        # per-key linear gap repair
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:

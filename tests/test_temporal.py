@@ -156,3 +156,39 @@ def test_interval_overlap_join_matches_theta_join(spark):
         left, right, on="g", left_start="s_a", left_end="e_a",
         right_start="s_b", right_end="e_b", bucket_s=1800).count()
     assert n == 3
+
+
+def test_interpolate_linear_blend_and_edges(spark):
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        interpolate_linear,
+    )
+    rows = [
+        # key A: leading null, interior gap, trailing null
+        ("A", 0, None), ("A", 10, 10.0), ("A", 15, None), ("A", 20, 30.0),
+        ("A", 30, None),
+        # key B: all null stays null
+        ("B", 0, None), ("B", 5, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {(r["k"], r["t"]): r["value_filled"] for r in
+           interpolate_linear(df, "k", "t", "v").collect()}
+    assert got[("A", 0)] == 10.0          # leading backfill
+    assert got[("A", 15)] == 20.0         # midpoint blend
+    assert got[("A", 30)] == 30.0         # trailing forward fill
+    assert got[("A", 10)] == 10.0 and got[("A", 20)] == 30.0
+    assert got[("B", 0)] is None and got[("B", 5)] is None
+
+
+def test_interpolate_single_sort_plan(spark):
+    """All four windows share one (key, order) partitioning: the plan
+    must contain exactly one exchange and one sort for the data."""
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        interpolate_linear,
+    )
+    df = spark.createDataFrame(
+        [("A", i, float(i) if i % 3 else None) for i in range(30)],
+        "k string, t long, v double")
+    out = interpolate_linear(df, "k", "t", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 2       # one sort (+AQE reprint slack)
