@@ -126,6 +126,41 @@ def interpolate_linear(df: DataFrame, key_col: str, order_col: str,
     return df.withColumn(out_col, filled)
 
 
+def ewma_by_key(df: DataFrame, key_col: str, order_col: str,
+                value_col: str, alpha: float = 0.3,
+                out_col: str = "ewma") -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    ``s_i = alpha*v_i + (1-alpha)*s_{i-1}``, seeded with the first
+    observation — the standard recency-weighted feature (user spend
+    level, sensor baseline) that a plain window cannot express because
+    the recurrence is not associative.
+
+    Shape: one groupBy collecting the ordered series per key, then a
+    per-row left fold (``F.aggregate``) — the recurrence runs inside
+    codegen, not Python. The collected array bounds this to series
+    that fit in executor memory (sessions, daily windows, per-user
+    event history); for UNBOUNDED series, chunk by time window and
+    chain the carry (s is itself the sufficient statistic, so the
+    chunked fold is exact). NULL values must be filtered by the
+    caller (a NULL would poison the fold). Output:
+    (key, n_points, out_col)."""
+    a = float(alpha)
+    series = F.array_sort(F.collect_list(
+        F.struct(F.col(order_col).alias("t"),
+                 F.col(value_col).alias("v"))))
+    vals = F.transform(F.col("__s"), lambda s: s["v"].cast("double"))
+    init = F.element_at(vals, 1)
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    fold = F.aggregate(
+        rest, init,
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc)
+    return (df.groupBy(key_col)
+              .agg(series.alias("__s"))
+              .select(F.col(key_col),
+                      F.size("__s").alias("n_points"),
+                      fold.alias(out_col)))
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

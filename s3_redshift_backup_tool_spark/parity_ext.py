@@ -3167,6 +3167,29 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("ewma_purchase_value_by_user",
+   """WITH s AS (SELECT user_id, list(value ORDER BY ts) AS vs
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id)
+      SELECT user_id, len(vs) AS n_points,
+             round(list_reduce(vs, (acc, v) -> 0.3 * v + 0.7 * acc), 6)
+               AS ewma
+      FROM s""",
+   "final per-user EWMA of purchase values (recency-weighted spend "
+   "level): the recurrence is non-associative so no plain window can "
+   "express it — one groupBy collects the ordered series, a codegen'd "
+   "left fold runs the recurrence per row. Bounded per-key series; the "
+   "chunk-and-carry swap for unbounded streams is documented on the "
+   "operator")
+def ewma_purchase_value_by_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = tmp.ewma_by_key(
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id", "ts", "value", alpha=0.3)
+    return out.select("user_id", "n_points",
+                      F.round("ewma", 6).alias("ewma"))
+
+
 @q("interpolate_value_events",
    """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS t,
                       CASE WHEN event_type <> 'click' THEN value END AS v
@@ -3687,6 +3710,7 @@ _TAIL = [
     "char_entropy_documents",          # Shannon-entropy garbage screen
     "variant_props_events",            # Spark-4 VARIANT semi-structured
     "interpolate_value_events",        # per-key linear gap repair
+    "ewma_purchase_value_by_user",     # non-associative fold feature
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:

@@ -192,3 +192,20 @@ def test_interpolate_single_sort_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") <= 2       # one sort (+AQE reprint slack)
+
+
+def test_ewma_hand_case_and_chunk_carry(spark):
+    from s3_redshift_backup_tool_spark.operators.temporal import ewma_by_key
+    rows = [("u", i, v) for i, v in enumerate([10.0, 20.0, 40.0, 80.0])]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = ewma_by_key(df, "k", "t", "v", alpha=0.5).first()
+    # fold: 10 -> 15 -> 27.5 -> 53.75
+    assert r["n_points"] == 4 and abs(r["ewma"] - 53.75) < 1e-12
+
+    # chunk-and-carry is exact: fold(chunk2, seed=fold(chunk1)) == full
+    import functools
+    full = functools.reduce(lambda a, v: 0.5 * v + 0.5 * a,
+                            [20.0, 40.0, 80.0], 10.0)
+    c1 = functools.reduce(lambda a, v: 0.5 * v + 0.5 * a, [20.0], 10.0)
+    c2 = functools.reduce(lambda a, v: 0.5 * v + 0.5 * a, [40.0, 80.0], c1)
+    assert c2 == full == r["ewma"]
