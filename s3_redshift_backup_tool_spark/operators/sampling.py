@@ -61,6 +61,37 @@ def split_by_hash(df: DataFrame, key_col: str,
     return df.withColumn(split_col, expr)
 
 
+def weighted_sample_exact_k(df: DataFrame, group_col: str, k: int,
+                            weight: Column, key_col: str,
+                            salt: str = "") -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement per group
+    (Efraimidis-Spirakis'06 exponential race): each row draws
+    ``e = -ln(u) / w`` with u from the deterministic hash gate, and the
+    k smallest per group win — inclusion probability proportional to
+    weight, no replacement, reproducible across runs/partitionings/
+    engines because u is a pure function of the key.
+
+    This is what ``importance_sample`` (Bernoulli, random SIZE) cannot
+    give: a fixed budget per group with weight-proportional selection —
+    'exactly 10k docs per source, preferring high-quality ones'.
+    Shape: narrow per-row math + one per-group top-k window (partitions
+    are group-sized; for a group too hot for one task, pre-aggregate
+    per salt-shard then re-rank the k×shards survivors — exact, since
+    a group's global top-k is contained in the union of shard top-ks).
+    Rows with weight <= 0 or NULL are excluded (they'd win with
+    infinite keys)."""
+    from pyspark.sql.window import Window
+    u = (hash_gate(F.col(key_col), salt) + F.lit(0.5)) / F.lit(GATE)
+    e = -F.log(u) / weight
+    w = Window.partitionBy(group_col).orderBy(F.asc("__es"),
+                                              F.asc(key_col))
+    return (df.filter(weight.isNotNull() & (weight > 0))
+              .withColumn("__es", e)
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k)
+              .drop("__es", "__rn"))
+
+
 def cluster_safe_split(df: DataFrame, key_col: str,
                        components: DataFrame,
                        fractions: dict[str, float], salt: str = "",

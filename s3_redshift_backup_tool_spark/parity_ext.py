@@ -3167,6 +3167,29 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("weighted_sample_per_source",
+   f"""WITH e AS (SELECT source, doc_id, n_chars,
+                      -ln(({_GATE_SQL} + 0.5) / {_GATE}.0)
+                        / n_chars AS es
+               FROM documents WHERE n_chars > 0)
+      SELECT source, doc_id, n_chars
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY es, doc_id) <= 5""",
+   "exactly-k weighted sampling without replacement per group "
+   "(Efraimidis-Spirakis exponential race, u from the deterministic "
+   "hash gate): a fixed per-source budget with inclusion probability "
+   "proportional to length — what Bernoulli importance sampling "
+   "cannot give (random size). Narrow per-row math + one group-sized "
+   "top-k window; the salt-shard re-rank swap for hot groups is on "
+   "the operator docstring")
+def weighted_sample_per_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.weighted_sample_exact_k(
+        docs, "source", 5, F.col("n_chars").cast("double"), "doc_id")
+    return out.select("source", "doc_id", "n_chars")
+
+
 @q("ewma_purchase_value_by_user",
    """WITH s AS (SELECT user_id, list(value ORDER BY ts) AS vs
                FROM events WHERE event_type = 'purchase'
@@ -3711,6 +3734,7 @@ _TAIL = [
     "variant_props_events",            # Spark-4 VARIANT semi-structured
     "interpolate_value_events",        # per-key linear gap repair
     "ewma_purchase_value_by_user",     # non-associative fold feature
+    "weighted_sample_per_source",      # ES exact-k weighted sampling
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:

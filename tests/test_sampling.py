@@ -139,3 +139,28 @@ def test_fk_violations_counts_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     r = fk_violations(child, parent, "k", "pk").first()
     assert r["n_orphans"] == 2 and r["n_distinct_orphan_keys"] == 1
+
+
+def test_weighted_sample_exact_k_properties(spark):
+    from pyspark.sql import functions as F
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        weighted_sample_exact_k,
+    )
+    df = spark.createDataFrame(
+        [(g, i, float(1 + (i % 7))) for g in ("a", "b") for i in range(50)]
+        + [("a", 999, 0.0), ("b", 998, None)],     # excluded rows
+        "g string, id int, w double")
+    out = weighted_sample_exact_k(df, "g", 10, F.col("w"), "id")
+    rows = out.collect()
+    from collections import Counter
+    per = Counter(r["g"] for r in rows)
+    assert per == {"a": 10, "b": 10}               # exactly k per group
+    assert all(r["id"] not in (999, 998) for r in rows)
+    # deterministic: same call, same sample
+    again = {(r["g"], r["id"]) for r in weighted_sample_exact_k(
+        df, "g", 10, F.col("w"), "id").collect()}
+    assert again == {(r["g"], r["id"]) for r in rows}
+    # weight-proportional in aggregate: heavy rows (w>=6) appear more
+    # often than their uniform share among winners
+    heavy = sum(1 for r in rows if r["w"] >= 6.0)
+    assert heavy >= 5                               # ~2/7 uniform -> ~5.7
