@@ -3167,6 +3167,48 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("dup_graph_triangles",
+   f"""WITH {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+      deg AS (SELECT n, count(*) AS d
+              FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY n),
+      tri AS (SELECT count(*) AS t
+              FROM e ab JOIN e bc ON ab.b = bc.a
+                        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+      agg AS (SELECT count(*) AS n_nodes,
+                     CAST(sum(d * (d - 1)) / 2 AS DOUBLE) AS wedges
+              FROM deg),
+      ne AS (SELECT count(*) AS n_edges FROM e)
+      SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(t AS BIGINT) AS n_triangles,
+             CASE WHEN wedges > 0
+                  THEN round(3.0 * t / wedges, 6) END AS transitivity
+      FROM agg, ne, tri""",
+   "triangle count + global transitivity of the near-dup candidate "
+   "graph — the dedup-quality gauge: high transitivity means the LSH "
+   "pairs are equivalence-like and component merging is safe; low "
+   "means the threshold admits accidental bridges. Spark side uses "
+   "degree orientation (max out-degree O(sqrt(E)) — a hub node cannot "
+   "emit quadratic wedges); the oracle counts the canonical a<b<c "
+   "join, same total")
+def dup_graph_triangles(spark, sf_dir):
+    from .operators.graph import triangle_stats
+    pairs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
+                         n=3, num_hashes=16, bands=8)
+    return triangle_stats(pairs)
+
+
 @q("weighted_sample_per_source",
    f"""WITH e AS (SELECT source, doc_id, n_chars,
                       -ln(({_GATE_SQL} + 0.5) / {_GATE}.0)
@@ -3735,6 +3777,7 @@ _TAIL = [
     "interpolate_value_events",        # per-key linear gap repair
     "ewma_purchase_value_by_user",     # non-associative fold feature
     "weighted_sample_per_source",      # ES exact-k weighted sampling
+    "dup_graph_triangles",             # transitivity dedup gauge
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
