@@ -75,9 +75,10 @@ def weighted_sample_exact_k(df: DataFrame, group_col: str, k: int,
     give: a fixed budget per group with weight-proportional selection —
     'exactly 10k docs per source, preferring high-quality ones'.
     Shape: narrow per-row math + one per-group top-k window (partitions
-    are group-sized; for a group too hot for one task, pre-aggregate
-    per salt-shard then re-rank the k×shards survivors — exact, since
-    a group's global top-k is contained in the union of shard top-ks).
+    are group-sized; a group too hot for one task goes through
+    ``skew.grouped_topk_sharded`` — shard-local top-k then a bounded
+    re-rank, exact because a group's global top-k is contained in the
+    union of its shard top-ks).
     Rows with weight <= 0 or NULL are excluded (they'd win with
     infinite keys)."""
     from pyspark.sql.window import Window

@@ -54,3 +54,43 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     b = salt_big_side(big, num_salts, scatter_col)
     s = explode_small_side(small, num_salts)
     return b.join(s, keys + [SALT], how).drop(SALT)
+
+
+def grouped_topk_sharded(df: DataFrame, group_col: str,
+                         order_cols: list, k: int,
+                         shards: int = 16,
+                         key_col: str | None = None) -> DataFrame:
+    """Per-group top-k that survives HOT groups: the plain
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts each
+    whole group in one task — a group holding 10% of a 100 TB table
+    serializes 10 TB through one core. Two-stage exact alternative:
+
+    1. shard stage: rank within (group, shard) where the shard is a
+       deterministic hash of ``key_col`` (or a hash of all order
+       columns) — every shard-local top-k runs in parallel, and a
+       group's true top-k is a SUBSET of the union of its shard
+       top-ks (each true winner beats everything in its own shard);
+    2. re-rank stage: the same window over only the k*shards
+       survivors per group — bounded input, skew gone.
+
+    Cost: two narrow window passes instead of one; the first pass's
+    partitions are ``1/shards`` the group size. Exact for any data.
+    ``order_cols`` should end with a unique tiebreaker for
+    deterministic output (same contract as assign_global_ids)."""
+    from pyspark.sql.window import Window
+
+    from .text import md5_prefix_int
+    shard_src = F.col(key_col) if key_col else \
+        F.concat_ws("|", *[F.col(c) if isinstance(c, str) else c
+                           for c in order_cols])
+    ordering = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    shard = F.pmod(md5_prefix_int(shard_src.cast("string")),
+                   F.lit(shards))
+    w1 = Window.partitionBy(group_col, "__shard").orderBy(*ordering)
+    w2 = Window.partitionBy(group_col).orderBy(*ordering)
+    return (df.withColumn("__shard", shard)
+              .withColumn("__r1", F.row_number().over(w1))
+              .filter(F.col("__r1") <= k)
+              .withColumn("__r2", F.row_number().over(w2))
+              .filter(F.col("__r2") <= k)
+              .drop("__shard", "__r1", "__r2"))

@@ -50,3 +50,26 @@ def test_hot_key_actually_splits(spark):
 def test_unsupported_how_raises(spark, orders):
     with pytest.raises(ValueError):
         salted_join(orders, orders, on="o_orderkey", how="full")
+
+
+def test_grouped_topk_sharded_equals_plain_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from s3_redshift_backup_tool_spark.operators.skew import (
+        grouped_topk_sharded,
+    )
+    # one hot group (800 rows) + small groups; ties on value broken by id
+    rows = [("hot", i, float(i % 50)) for i in range(800)] + \
+           [("g2", i, float(i)) for i in range(30)] + \
+           [("g3", 0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double") \
+              .repartition(8)
+    order = [F.desc("v"), F.asc("id")]
+    got = {(r["g"], r["id"]) for r in grouped_topk_sharded(
+        df, "g", order, k=7, shards=5, key_col="id").collect()}
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {(r["g"], r["id"]) for r in
+            df.withColumn("rn", F.row_number().over(w))
+              .filter("rn <= 7").collect()}
+    assert got == want
+    assert sum(1 for g, _ in got if g == "hot") == 7
