@@ -117,8 +117,14 @@ class VersionedTable:
                     except UnicodeDecodeError:
                         ok = False
                         break
+                import datetime as _dt
+                if isinstance(mn, (_dt.datetime, _dt.date)):
+                    # ISO strings: JSON-serializable AND ordered
+                    # lexicographically == chronologically, so pruning
+                    # works when `where` bounds are ISO strings too
+                    mn, mx = mn.isoformat(), mx.isoformat()
                 lo = mn if lo is None else min(lo, mn)
-                hi = mx if hi is None else max(hi, mx)
+                hi = hi if hi is not None and hi >= mx else mx
             out[c] = [lo, hi] if ok and lo is not None else None
         return out
 

@@ -42,6 +42,12 @@ def get_spark(app_name: str = "s3_redshift_backup_tool_spark",
         # predicates pushable into the parquet scan (a cast above the scan
         # would block PushedFilters on every CDC watermark query)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # TIMESTAMP_MICROS, not the INT96 legacy default: INT96 carries
+        # NO min/max statistics in the parquet footer, which silently
+        # disables row-group skipping AND the versioned table's
+        # manifest-stats file pruning for timestamp columns
+        .config("spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python Data Source filter pushdown (sources/pysource.py): off
         # by default in 4.1, required for pushFilters() readers

@@ -335,3 +335,21 @@ def test_compact_with_zorder_restores_pruning(spark, tmp_path):
     assert skipped2 >= 1                    # clustering restored skipping
     got = sorted(r["k"] for r in t.read(where=("k", 0, 20)).collect())
     assert got == list(range(0, 21))
+
+
+def test_stats_on_timestamp_column_json_safe_and_prunable(spark, tmp_path):
+    """Parquet footer stats for timestamps come back as datetimes —
+    they must serialize into the JSON manifest (ISO strings) and prune
+    against ISO-string bounds (lexicographic == chronological)."""
+    import datetime as dt
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for day in (1, 15):
+        rows = [(i, dt.datetime(2024, 1, day, h)) for i, h in
+                enumerate(range(5))]
+        t.commit(spark.createDataFrame(rows, "k int, ts timestamp")
+                      .coalesce(1), stats_cols=["ts"])
+    keep, skipped = t.prune_files(
+        where=("ts", "2024-01-14T00:00:00", "2024-01-16T00:00:00"))
+    assert len(keep) == 1 and skipped == 1
+    got = t.read(version=None).count()      # plain read unaffected
+    assert got == 10
