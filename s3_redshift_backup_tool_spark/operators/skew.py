@@ -80,9 +80,12 @@ def grouped_topk_sharded(df: DataFrame, group_col: str,
     from pyspark.sql.window import Window
 
     from .text import md5_prefix_int
+    if key_col is None and not all(isinstance(c, str) for c in order_cols):
+        raise ValueError(
+            "grouped_topk_sharded needs key_col when order_cols contain "
+            "sort expressions (desc()/asc() are not hashable values)")
     shard_src = F.col(key_col) if key_col else \
-        F.concat_ws("|", *[F.col(c) if isinstance(c, str) else c
-                           for c in order_cols])
+        F.concat_ws("|", *[F.col(c) for c in order_cols])
     ordering = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     shard = F.pmod(md5_prefix_int(shard_src.cast("string")),
                    F.lit(shards))

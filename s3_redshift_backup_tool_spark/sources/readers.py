@@ -194,7 +194,11 @@ def read_with_quarantine(spark: SparkSession, path: str, schema,
     raw = reader.json(path) if fmt == "json" else reader.csv(path)
     # cache so the corrupt/clean split reads the source once, and
     # because Spark disallows filtering on the corrupt column alone
-    # over a bare file scan (SPARK-38523 guard)
+    # over a bare file scan (SPARK-38523 guard). The cache stays pinned
+    # behind the returned clean DataFrame (unpersisting would re-trip
+    # SPARK-38523 at the caller's action); in a long-lived loop, drop
+    # it after consuming `clean` via spark.catalog.clearCache() or by
+    # writing `clean` out and re-reading
     raw = raw.cache()
     bad = raw.filter(F.col(corrupt).isNotNull()).select(corrupt)
     n_bad = bad.count()
