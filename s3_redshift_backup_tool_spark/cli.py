@@ -176,6 +176,36 @@ def cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_status(args: argparse.Namespace) -> int:
+    """Pipeline status dashboard (reference `status`,
+    src/cli/main.py:1116-1262): one row per synced table from the
+    watermark store — cumulative source/target rows, state machine
+    status, last extracted (ts, id) — straight off the JSON documents
+    (no Spark session; status must work when the cluster doesn't)."""
+    import glob as _glob
+    import json as _json
+    state_root = os.path.join(args.work_dir, "state", "watermarks", "v2")
+    tables = []
+    for fn in sorted(_glob.glob(os.path.join(state_root, "*.json"))):
+        with open(fn) as fh:
+            doc = _json.load(fh)
+        ms, rs = doc.get("mysql_state", {}), doc.get("redshift_state", {})
+        tables.append({
+            "key": os.path.basename(fn)[:-5],
+            "source_rows_total": ms.get("total_rows"),
+            "target_rows_total": rs.get("total_rows"),
+            "status": ms.get("status"),
+            "target_status": rs.get("status"),
+            "last_timestamp": ms.get("last_timestamp"),
+            "last_id": ms.get("last_id"),
+            "in_sync": ms.get("total_rows") == rs.get("total_rows"),
+        })
+    _emit({"work_dir": args.work_dir, "tables": tables,
+           "all_in_sync": bool(tables)
+           and all(t["in_sync"] for t in tables)})
+    return 0 if tables and all(t["in_sync"] for t in tables) else         (0 if not args.strict else 1)
+
+
 def cmd_history(args: argparse.Namespace) -> int:
     from .plans.sync import read_run_log
     from .session import get_spark
@@ -410,6 +440,13 @@ def build_parser() -> argparse.ArgumentParser:
     op.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     op.set_defaults(fn=cmd_optimize)
+
+    stp = sub.add_parser("status", help="per-table sync status off the "
+                                        "watermark store (no Spark)")
+    stp.add_argument("--work-dir", required=True)
+    stp.add_argument("--strict", action="store_true",
+                     help="exit 1 when any table is out of sync")
+    stp.set_defaults(fn=cmd_status)
 
     hp = sub.add_parser("history", help="query the sync run log (one row "
                                         "per run x table)")

@@ -334,3 +334,22 @@ def test_table_verb_changes(capsys, spark, tmp_path):
     assert res["changes"] == {"update": 1, "insert": 1}
     feed = {r["k"]: r["_change"] for r in spark.read.parquet(out).collect()}
     assert feed == {2: "update", 3: "insert"}
+
+
+def test_status_verb(capsys, pipeline_yml, tmp_path, sf_dir):
+    work = str(tmp_path / "work")
+    rc, _ = _run(capsys, ["sync", "-p", pipeline_yml,
+                          "--source-dir", sf_dir, "--work-dir", work,
+                          "--cpus", "8"])
+    assert rc == 0
+    rc, res = _run(capsys, ["status", "--work-dir", work])
+    assert rc == 0 and res["all_in_sync"]
+    t = res["tables"][0]
+    assert t["source_rows_total"] == t["target_rows_total"] > 0
+    assert t["status"] == "success" and t["last_id"] is not None
+
+    # strict mode + empty work dir -> failure exit
+    rc2 = main(["status", "--work-dir", str(tmp_path / "nope"),
+                "--strict"])
+    capsys.readouterr()
+    assert rc2 == 1
