@@ -176,6 +176,19 @@ def cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_config(args: argparse.Namespace) -> int:
+    """Dump the EFFECTIVE pipeline configuration (reference `config`,
+    src/cli/main.py:1441-1504): the YAML parsed through the same
+    loader the sync uses, with per-table defaults resolved — what the
+    job will actually run, not what the file literally says."""
+    from .plans.pipeline import load_pipeline_yaml
+    pipe = load_pipeline_yaml(args.pipeline)
+    _emit({"pipeline": {"name": pipe.name, "source": pipe.source,
+                        "target": pipe.target},
+           "tables": [dataclasses.asdict(t) for t in pipe.tables]})
+    return 0
+
+
 def cmd_status(args: argparse.Namespace) -> int:
     """Pipeline status dashboard (reference `status`,
     src/cli/main.py:1116-1262): one row per synced table from the
@@ -440,6 +453,11 @@ def build_parser() -> argparse.ArgumentParser:
     op.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     op.set_defaults(fn=cmd_optimize)
+
+    cfp = sub.add_parser("config", help="dump the effective pipeline "
+                                        "configuration as JSON")
+    cfp.add_argument("-p", "--pipeline", required=True)
+    cfp.set_defaults(fn=cmd_config)
 
     stp = sub.add_parser("status", help="per-table sync status off the "
                                         "watermark store (no Spark)")

@@ -353,3 +353,9 @@ def test_status_verb(capsys, pipeline_yml, tmp_path, sf_dir):
                 "--strict"])
     capsys.readouterr()
     assert rc2 == 1
+
+
+def test_config_verb(capsys, pipeline_yml):
+    rc, res = _run(capsys, ["config", "-p", pipeline_yml])
+    assert rc == 0 and res["pipeline"]["name"]
+    assert res["tables"] and "cdc_strategy" in res["tables"][0]
