@@ -220,14 +220,20 @@ def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exploded-signature path disappears — the only shuffles left are the
     bucket groupBy and the final distinct. Output identical to
     ``lsh_candidate_pairs(minhash_signatures(df))``."""
-    rows_per_band = num_hashes // bands
     arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
-    # Explode a band INDEX sequence, not an array built from sig: a
-    # generator input referencing the sig alias gets inlined into the
-    # Generate node, re-running the whole signature pipeline per band
-    # (9 md5 transforms in the optimized plan). With the index explode,
-    # sig stays a materialized child attribute and the band hash above
-    # the Generate reads it for free.
+    # banding explodes a band INDEX sequence, not an array built from
+    # sig: a generator input referencing the sig alias gets inlined
+    # into the Generate node, re-running the whole signature pipeline
+    # per band (9 md5 transforms in the optimized plan; plan-pinned)
+    banded = _banded_from_array(arr, id_col, num_hashes, bands)
+    return _pairs_from_banded(banded, id_col, max_bucket_size)
+
+
+def _banded_from_array(arr: DataFrame, id_col: str, num_hashes: int,
+                       bands: int) -> DataFrame:
+    """(id, sig) -> (id, band, band_hash), band index exploded (NOT an
+    array built from sig — see lsh_pairs' Generate-inlining note)."""
+    rows_per_band = num_hashes // bands
     with_band = arr.select(
         F.col(id_col), F.col("sig"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
@@ -236,10 +242,62 @@ def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.concat_ws(":", (k + j).cast("string"),
                     F.element_at("sig", (k + j + 1).cast("int")).cast("string"))
         for j in range(rows_per_band)])
-    banded = with_band.select(
+    return with_band.select(
         id_col, "band",
         F.md5(F.concat_ws(",", F.sort_array(entries))).alias("band_hash"))
-    return _pairs_from_banded(banded, id_col, max_bucket_size)
+
+
+def lsh_bipartite_pairs(left: DataFrame, right: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_hashes: int = 16, bands: int = 8,
+                        max_bucket_size: int | None = None,
+                        min_est_jaccard: float | None = None) -> DataFrame:
+    """Fuzzy CROSS-CORPUS near-dup pairs (eval-vs-train fuzzy
+    decontamination, the GPT-3-style eval scrub): MinHash-LSH as a
+    BIPARTITE join — left (eval) band hashes equi-join right (train)
+    band hashes, so the candidate space is bucket-bounded exactly like
+    the self-join family but no within-side pairs are ever generated.
+    :func:`decontaminate_overlap` catches EXACT shingle overlap; this
+    catches paraphrased/partially-edited leakage it misses.
+
+    Candidates then get an estimated Jaccard from signature agreement
+    (``mean(sig_l[i] == sig_r[i])``, the unbiased MinHash estimator) —
+    signatures join back onto the (few) candidates rather than riding
+    through the band explode. ``max_bucket_size`` caps per-side bucket
+    width (a bucket of l x r docs emits l*r rows). Output:
+    (eval_id, train_id, est_jaccard)."""
+    sl = minhash_signature_array(left, text_col, id_col, n, num_hashes)
+    sr = minhash_signature_array(right, text_col, id_col, n, num_hashes)
+    sl = sl.localCheckpoint(eager=False)    # feeds banding + estimate
+    sr = sr.localCheckpoint(eager=False)
+    bl = _banded_from_array(sl, id_col, num_hashes, bands) \
+        .withColumnsRenamed({id_col: "eval_id"})
+    br = _banded_from_array(sr, id_col, num_hashes, bands) \
+        .withColumnsRenamed({id_col: "train_id"})
+    if max_bucket_size is not None:
+        wl = bl.groupBy("band", "band_hash").count() \
+               .filter(F.col("count") <= max_bucket_size) \
+               .select("band", "band_hash")
+        wr = br.groupBy("band", "band_hash").count() \
+               .filter(F.col("count") <= max_bucket_size) \
+               .select("band", "band_hash")
+        bl = bl.join(wl, ["band", "band_hash"], "left_semi")
+        br = br.join(wr, ["band", "band_hash"], "left_semi")
+    cand = (bl.join(br, ["band", "band_hash"])
+              .select("eval_id", "train_id").distinct())
+    est = F.size(F.filter(
+        F.zip_with(F.col("__sl"), F.col("__sr"),
+                   lambda x, y: x == y),
+        lambda t: t)) / F.lit(float(num_hashes))
+    out = (cand.join(sl.select(F.col(id_col).alias("eval_id"),
+                               F.col("sig").alias("__sl")), "eval_id")
+               .join(sr.select(F.col(id_col).alias("train_id"),
+                               F.col("sig").alias("__sr")), "train_id")
+               .select("eval_id", "train_id",
+                       F.round(est, 6).alias("est_jaccard")))
+    if min_est_jaccard is not None:
+        out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

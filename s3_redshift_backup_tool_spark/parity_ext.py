@@ -3167,6 +3167,45 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("fuzzy_decontamination_pairs",
+   f"""WITH {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      tr AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      cand AS (SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS train_id
+               FROM banded a
+               JOIN banded b ON a.band = b.band
+                            AND a.band_hash = b.band_hash
+               JOIN ev ON ev.doc_id = a.doc_id
+               JOIN tr ON tr.doc_id = b.doc_id),
+      est AS (SELECT c.eval_id, c.train_id,
+                     sum(CASE WHEN s1.min_hash = s2.min_hash
+                              THEN 1 ELSE 0 END) / 16.0 AS ej
+              FROM cand c
+              JOIN sig s1 ON s1.doc_id = c.eval_id
+              JOIN sig s2 ON s2.doc_id = c.train_id
+                         AND s2.hash_idx = s1.hash_idx
+              GROUP BY c.eval_id, c.train_id)
+      SELECT eval_id, train_id, round(ej, 6) AS est_jaccard
+      FROM est WHERE ej >= 0.25""",
+   "fuzzy eval-vs-train decontamination (GPT-3-style scrub): bipartite "
+   "MinHash-LSH join — eval band hashes equi-join train band hashes, "
+   "bucket-bounded with NO within-side pairs, then the unbiased "
+   "signature-agreement Jaccard estimate on the few candidates. "
+   "Catches paraphrased/edited leakage the exact-shingle "
+   "decontaminate_overlap misses")
+def fuzzy_decontamination_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    tr = docs.filter(F.col("source") != "src0")
+    return dd.lsh_bipartite_pairs(ev, tr, n=3, num_hashes=16, bands=8,
+                                  min_est_jaccard=0.25)
+
+
 @q("dup_graph_triangles",
    f"""WITH {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -3778,6 +3817,7 @@ _TAIL = [
     "ewma_purchase_value_by_user",     # non-associative fold feature
     "weighted_sample_per_source",      # ES exact-k weighted sampling
     "dup_graph_triangles",             # transitivity dedup gauge
+    "fuzzy_decontamination_pairs",     # bipartite LSH eval scrub
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:

@@ -60,3 +60,39 @@ def test_overlap_coefficient_finds_containment_jaccard_misses(spark):
     assert len(ov) == 1 and ov[0]["overlap"] >= 0.99
     jc = ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
     assert jc == []                     # invisible to jaccard
+
+
+def test_lsh_bipartite_no_within_side_pairs_and_estimates(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        lsh_bipartite_pairs,
+    )
+    span = " ".join(f"s{i}" for i in range(40))
+    ev = spark.createDataFrame(
+        [(1, span), (2, " ".join(f"e{i}" for i in range(40)))],
+        "doc_id int, text string")
+    tr = spark.createDataFrame(
+        [(10, span),                                   # exact copy of 1
+         (11, span + " tail extra words here now"),    # near copy of 1
+         (12, " ".join(f"t{i}" for i in range(40)))],  # unrelated
+        "doc_id int, text string")
+    out = {(r["eval_id"], r["train_id"]): r["est_jaccard"]
+           for r in lsh_bipartite_pairs(ev, tr, num_hashes=16,
+                                        bands=8).collect()}
+    assert out[(1, 10)] == 1.0                         # exact copy
+    assert (1, 11) in out and out[(1, 11)] >= 0.5      # near copy
+    assert all(e in (1, 2) and t in (10, 11, 12) for e, t in out)
+    assert (2, 12) not in out and (1, 12) not in out
+
+
+def test_lsh_bipartite_bucket_cap_drops_degenerate(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        lsh_bipartite_pairs,
+    )
+    boiler = " ".join(f"b{i}" for i in range(30))
+    ev = spark.createDataFrame([(i, boiler) for i in range(5)],
+                               "doc_id int, text string")
+    tr = spark.createDataFrame([(100 + i, boiler) for i in range(5)],
+                               "doc_id int, text string")
+    full = lsh_bipartite_pairs(ev, tr).count()
+    capped = lsh_bipartite_pairs(ev, tr, max_bucket_size=2).count()
+    assert full == 25 and capped == 0
