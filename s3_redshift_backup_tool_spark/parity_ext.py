@@ -3167,6 +3167,40 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("rolling_median_daily_revenue",
+   """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1)
+      SELECT day, revenue,
+             round(median(revenue) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS med7
+      FROM d""",
+   "7-row rolling MEDIAN of daily revenue — the robust trend line mean "
+   "smoothing can't give (one bulk order skews a mean for a week; the "
+   "median shrugs). Order statistics over window frames: Spark's "
+   "median() rejects frames, so the frame is collected (<= 7 values), "
+   "sorted, and interpolated per row — exact, and the window runs over "
+   "the DAY-grain relation (thousands of rows at any corpus size; the "
+   "fact table was already reduced by the groupBy)")
+def rolling_median_daily_revenue(spark, sf_dir):
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+                   .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                         .cast("double").alias("revenue")))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return daily.select("day", "revenue",
+                        F.round(med, 6).alias("med7"))
+
+
 @q("fuzzy_decontamination_pairs",
    f"""WITH {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -3818,6 +3852,7 @@ _TAIL = [
     "weighted_sample_per_source",      # ES exact-k weighted sampling
     "dup_graph_triangles",             # transitivity dedup gauge
     "fuzzy_decontamination_pairs",     # bipartite LSH eval scrub
+    "rolling_median_daily_revenue",    # order stats over window frames
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
