@@ -3167,6 +3167,33 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("embedding_dim_stats",
+   """SELECT dim,
+             round(avg(v), 6) AS mean_v,
+             round(stddev_samp(v), 6) AS std_v,
+             round(min(v), 6) AS min_v,
+             round(max(v), 6) AS max_v
+      FROM (SELECT unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings)
+      GROUP BY dim""",
+   "per-dimension corpus statistics over the embedding column — the "
+   "standardization/whitening prep before ANN indexing (a dimension "
+   "with 10x the variance dominates every L2 distance; standardize or "
+   "rotate first). posexplode + one groupBy on the dim id: shuffle "
+   "carries dim-count aggregation states, the k x 1 stats table "
+   "broadcasts back for the actual scaling")
+def embedding_dim_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v")) \
+            .select("dim", F.col("v").cast("double").alias("v"))
+    return (ex.groupBy("dim")
+              .agg(F.round(F.avg("v"), 6).alias("mean_v"),
+                   F.round(F.stddev_samp("v"), 6).alias("std_v"),
+                   F.round(F.min("v"), 6).alias("min_v"),
+                   F.round(F.max("v"), 6).alias("max_v")))
+
+
 @q("rolling_median_daily_revenue",
    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -3853,6 +3880,7 @@ _TAIL = [
     "dup_graph_triangles",             # transitivity dedup gauge
     "fuzzy_decontamination_pairs",     # bipartite LSH eval scrub
     "rolling_median_daily_revenue",    # order stats over window frames
+    "embedding_dim_stats",             # standardization prep for ANN
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
