@@ -3167,6 +3167,39 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("top_bigrams_per_source",
+   """WITH t AS (SELECT source, string_split(text, ' ') AS w
+               FROM documents),
+      g AS (SELECT source,
+                   unnest(list_transform(range(len(w) - 1), i ->
+                       w[i+1] || ' ' || w[i+2])) AS gram
+            FROM t WHERE len(w) >= 2),
+      c AS (SELECT source, gram, count(*) AS n FROM g GROUP BY 1, 2)
+      SELECT source, gram, n
+      FROM c
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, gram) <= 5""",
+   "top-5 word bigrams per source — grouped heavy hitters through the "
+   "SHARDED top-k (shard-local rank, then a bounded re-rank of the "
+   "k x shards survivors): the hot-group-safe form of the per-group "
+   "window the oracle writes naively. Exact for any skew; ties broken "
+   "(count desc, gram asc) on both engines")
+def top_bigrams_per_source(spark, sf_dir):
+    from .operators.skew import grouped_topk_sharded
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, F.lit(2))))
+    c = (docs.filter(F.size(w) >= 2)
+             .select("source", F.explode(grams).alias("gram"))
+             .groupBy("source", "gram")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return grouped_topk_sharded(
+        c, "source", [F.desc("n"), F.asc("gram")], k=5, shards=8,
+        key_col="gram")
+
+
 @q("embedding_dim_stats",
    """SELECT dim,
              round(avg(v), 6) AS mean_v,
@@ -3881,6 +3914,7 @@ _TAIL = [
     "fuzzy_decontamination_pairs",     # bipartite LSH eval scrub
     "rolling_median_daily_revenue",    # order stats over window frames
     "embedding_dim_stats",             # standardization prep for ANN
+    "top_bigrams_per_source",          # sharded grouped heavy hitters
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
