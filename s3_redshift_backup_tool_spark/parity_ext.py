@@ -3167,6 +3167,61 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("curation_attrition_documents",
+   f"""WITH s AS (SELECT doc_id, source, text,
+                      string_split(text, ' ') AS t
+               FROM documents),
+      m AS (SELECT doc_id, source, text,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
+                     AS mwl,
+                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                        AS DOUBLE) / len(t) AS swr,
+                   CAST(len(list_filter(t, x ->
+                        regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                     / len(t) AS awr,
+                   CAST(len(list_filter(t, x ->
+                        list_contains({_STOP_SQL}, x))) AS BIGINT) AS sh
+            FROM s),
+      g AS (SELECT * FROM m
+            WHERE n_words BETWEEN 40 AND 100000
+              AND mwl BETWEEN 3.0 AND 10.0 AND swr <= 0.1
+              AND awr >= 0.8 AND sh >= 2),
+      canon AS (SELECT md5({_NORM_SQL.format(x='text')}) AS h,
+                       min(doc_id) AS doc_id
+                FROM g GROUP BY 1),
+      canon_src AS (SELECT c.doc_id, m.source
+                    FROM canon c JOIN m ON m.doc_id = c.doc_id),
+      capped AS (SELECT doc_id FROM canon_src
+                 QUALIFY row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id) <= 20)
+      SELECT 'input' AS stage, count(*) AS n_docs FROM s
+      UNION ALL SELECT 'gopher_gate', count(*) FROM g
+      UNION ALL SELECT 'normalized_dedup', count(*) FROM canon
+      UNION ALL SELECT 'per_source_cap', count(*) FROM capped""",
+   "the curation funnel's attrition report (the number every pipeline "
+   "review asks for first): input -> Gopher rule gate -> normalized "
+   "exact dedup -> per-source cap, each stage's survivor count in one "
+   "result. Cheapest-first ordering (codegen'd rules prune before the "
+   "dedup shuffle touches anything); the dedup stage shuffles 128-bit "
+   "digests, the cap is a source-partitioned window")
+def curation_attrition_documents(spark, sf_dir):
+    from pyspark.sql.window import Window
+    docs = _t(spark, sf_dir, "documents")
+    n_input = docs.count()
+    g = docs.filter(tx.gopher_keep_expr(F.col("text"), min_words=40))
+    canon = (g.groupBy(F.md5(tx.normalize_text(F.col("text"))).alias("h"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    canon_src = canon.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (canon_src.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") <= 20))
+    rows = [("input", n_input), ("gopher_gate", g.count()),
+            ("normalized_dedup", canon.count()),
+            ("per_source_cap", capped.count())]
+    return spark.createDataFrame(rows, "stage string, n_docs bigint")
+
+
 @q("top_bigrams_per_source",
    """WITH t AS (SELECT source, string_split(text, ' ') AS w
                FROM documents),
@@ -3915,6 +3970,7 @@ _TAIL = [
     "rolling_median_daily_revenue",    # order stats over window frames
     "embedding_dim_stats",             # standardization prep for ANN
     "top_bigrams_per_source",          # sharded grouped heavy hitters
+    "curation_attrition_documents",    # funnel attrition report
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
