@@ -3561,7 +3561,10 @@ def token_kl_by_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("source",
                       F.explode(F.split("text", " ")).alias("t"))
-    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    # the (source, token) counts feed the corpus totals, the source
+    # totals AND the final join — checkpoint so the corpus tokenization
+    # pass runs once (the ngram_jaccard/bigram materialization lesson)
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))             .localCheckpoint(eager=False)
     ct = st.groupBy("t").agg(F.sum("c").alias("cc"))
     ss = st.groupBy("source").agg(F.sum("c").alias("sc"))
     tot = ct.agg(F.sum("cc").alias("n"))
