@@ -383,6 +383,65 @@ def overlap_coefficient_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "inter", "size_a", "size_b", "overlap"))
 
 
+def jaccard_prefix_filter_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.5) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (the PPJoin family,
+    Chaudhuri'06/Xiao'08): same answers as
+    :func:`ngram_jaccard_pairs`, radically fewer candidates.
+
+    Pigeonhole: J(x,y) >= t implies |x∩y| >= ceil(t*|x|), so under ANY
+    fixed global token order two qualifying sets must share a token
+    among the first ``|x| - ceil(t*|x|) + 1`` of either — index ONLY
+    that prefix. Tokens are ordered rarest-first (ascending document
+    frequency, tie-broken by token), which pushes the indexed prefix
+    into the rare tail where posting lists are short: the join cost
+    collapses from sum(df^2) over ALL shingles to the prefix tokens'
+    lists. No global rank relation is materialized — each doc sorts
+    its OWN tokens by the (df, token) key, so the "global order" costs
+    one broadcast-free join of df counts.
+
+    Verification is per-pair and exact: the candidates join back both
+    docs' full sorted-distinct token arrays and intersect them
+    (array_intersect — arrays, never a second corpus shuffle).
+    Shuffles: df counts, the prefix self-join, candidate distinct, two
+    array joins. At threshold 0.8 the prefix is ~20% of each set."""
+    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    keyed = (sh.join(dfreq, "shingle")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("__df"), F.col("shingle")))).alias("__o"))
+               .select(F.col(id_col),
+                       F.transform("__o", lambda s: s["shingle"])
+                        .alias("toks"))
+               .localCheckpoint(eager=False))
+    sz = F.size("toks")
+    prefix_len = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
+    pref = keyed.select(
+        id_col, F.explode(F.slice("toks", 1, prefix_len)).alias("tok"))
+    a = pref.select(F.col(id_col).alias("id_a"), "tok")
+    b = pref.select(F.col(id_col).alias("id_b"), "tok")
+    cand = (a.join(b, "tok")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    ta = keyed.select(F.col(id_col).alias("id_a"),
+                      F.col("toks").alias("__ta"))
+    tb = keyed.select(F.col(id_col).alias("id_b"),
+                      F.col("toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+                .select("id_a", "id_b",
+                        inter.alias("inter"),
+                        F.size("__ta").alias("size_a"),
+                        F.size("__tb").alias("size_b"))
+                .withColumn("jaccard", F.round(
+                    F.col("inter").cast("double")
+                    / (F.col("size_a") + F.col("size_b")
+                       - F.col("inter")), 6))
+                .filter(F.col("jaccard") >= threshold))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash signature (Charikar'02): per-token md5 hash, per-bit +-1

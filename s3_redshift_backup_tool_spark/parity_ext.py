@@ -731,6 +731,32 @@ def overlap_coeff_pairs_documents(spark, sf_dir):
                                         n=3, threshold=0.5)
 
 
+@q("jaccard_prefix_pairs_documents",
+   f"""WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+             round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
+            >= 0.3""",
+   "EXACT Jaccard via PPJoin prefix filtering (Chaudhuri'06/Xiao'08): "
+   "only the rarest |x|-ceil(t|x|)+1 tokens of each set are indexed "
+   "(pigeonhole: qualifying pairs must collide in either prefix), so "
+   "the self-join reads short rare-token posting lists instead of "
+   "sum(df^2) over every shingle; candidates verify per-pair via "
+   "array_intersect. The oracle is the NAIVE inverted-index join — "
+   "equality across the algorithm swap is the check")
+def jaccard_prefix_pairs_documents(spark, sf_dir):
+    return dd.jaccard_prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+
+
 @q("ngram_jaccard_capped_documents",
    f"""WITH {_SHINGLE_CTE},
       sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
@@ -3963,6 +3989,7 @@ _TAIL = [
     "constraint_audit_orders",         # deequ-style contract audit
     "token_kl_by_source",              # domain-drift KL diagnostics
     "overlap_coeff_pairs_documents",   # near-superset/quote detection
+    "jaccard_prefix_pairs_documents",  # PPJoin prefix filtering
     "char_entropy_documents",          # Shannon-entropy garbage screen
     "variant_props_events",            # Spark-4 VARIANT semi-structured
     "interpolate_value_events",        # per-key linear gap repair

@@ -96,3 +96,29 @@ def test_lsh_bipartite_bucket_cap_drops_degenerate(spark):
     full = lsh_bipartite_pairs(ev, tr).count()
     capped = lsh_bipartite_pairs(ev, tr, max_bucket_size=2).count()
     assert full == 25 and capped == 0
+
+
+def test_prefix_filter_equals_inverted_index(spark):
+    """PPJoin prefix filtering returns the EXACT same pairs as the
+    full inverted-index join, at several thresholds."""
+    import random
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs, ngram_jaccard_pairs,
+    )
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    base = rng.sample(vocab, 30)
+    for i in range(12):
+        words = list(base)
+        for _ in range(rng.randrange(0, 14)):      # mutate a few words
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for t in (0.3, 0.5, 0.8):
+        want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                ngram_jaccard_pairs(df, n=3, threshold=t).collect()}
+        got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+               jaccard_prefix_filter_pairs(df, n=3,
+                                           threshold=t).collect()}
+        assert got == want and (t > 0.7 or want)
