@@ -366,3 +366,23 @@ def test_q2_single_lineitem_scan_two_exchanges(plan):
     p = plan("min_cost_supplier_per_part").split("== Initial Plan ==")[0]
     assert p.count("lineitem.parquet") == 1
     assert p.count("hashpartitioning(l_partkey") <= 2
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Global guard over EVERY registry query's optimized plan: a
+    missing join condition compiles to CartesianProduct and is a
+    silent O(n*m) bomb at scale. 1-row broadcast scalars legitimately
+    plan as BroadcastNestedLoopJoin and are allowed."""
+    bad = []
+    for name, spec in REGISTRY.items():
+        try:
+            plan = spec.fn(spark, sf_dir)._jdf.queryExecution() \
+                .sparkPlan().toString()
+        except Exception as e:          # noqa: BLE001
+            bad.append(f"{name}: plan failed: {e}")
+            continue
+        # physical node check: 1-row scalar joins legitimately plan as
+        # BroadcastNestedLoopJoin; CartesianProduct is the bomb
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct in physical plan")
+    assert not bad, bad
