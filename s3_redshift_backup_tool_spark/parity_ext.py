@@ -3193,6 +3193,44 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+@q("benford_audit_orders",
+   """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                                        AS BIGINT) AS VARCHAR),
+                             1, 1) AS INT) AS digit
+               FROM orders WHERE o_totalprice >= 1),
+      t AS (SELECT count(*) AS total FROM d),
+      o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit)
+      SELECT digit, n_obs,
+             round(CAST(n_obs AS DOUBLE) / total, 6) AS p_obs,
+             round(log10(1 + 1.0 / digit), 6) AS p_benford,
+             round(pow(n_obs - total * log10(1 + 1.0 / digit), 2)
+                   / (total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+      FROM o CROSS JOIN t""",
+   "Benford's-law leading-digit audit of order totals — the classic "
+   "fabricated-data screen (organic monetary amounts follow "
+   "log10(1+1/d); synthetic/tampered ones don't): per-digit observed "
+   "vs expected frequency plus the chi-square contribution. One "
+   "9-row aggregate + a 1-row total broadcast back")
+def benford_audit_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    d = (orders.filter(F.col("o_totalprice") >= 1)
+               .select(F.substring(
+                   F.floor("o_totalprice").cast("bigint").cast("string"),
+                   1, 1).cast("int").alias("digit")))
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    pb = F.log10(1 + 1.0 / F.col("digit"))
+    return (o.join(F.broadcast(t))
+             .select("digit", "n_obs",
+                     F.round(F.col("n_obs").cast("double")
+                             / F.col("total"), 6).alias("p_obs"),
+                     F.round(pb, 6).alias("p_benford"),
+                     F.round(F.pow(F.col("n_obs")
+                                   - F.col("total") * pb, 2)
+                             / (F.col("total") * pb), 6)
+                      .alias("chi2_term")))
+
+
 @q("curation_attrition_documents",
    f"""WITH s AS (SELECT doc_id, source, text,
                       string_split(text, ' ') AS t
@@ -4001,6 +4039,7 @@ _TAIL = [
     "embedding_dim_stats",             # standardization prep for ANN
     "top_bigrams_per_source",          # sharded grouped heavy hitters
     "curation_attrition_documents",    # funnel attrition report
+    "benford_audit_orders",            # leading-digit fraud screen
     # rotated out of the window this round to admit the new operator
     # families (interval-overlap join, C4 boilerplate removal, MOSS
     # winnowing) — each has an in-window machinery sibling:
