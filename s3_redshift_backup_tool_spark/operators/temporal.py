@@ -193,7 +193,11 @@ def interval_overlap_join(
 
     def _cover(df: DataFrame, s: str, e: str) -> DataFrame:
         sus, eus = F.unix_micros(F.col(s)), F.unix_micros(F.col(e))
-        return (df.withColumn("__sus", sus)
+        # inverted intervals (end < start) are dropped, NOT exploded:
+        # F.sequence silently steps DOWNWARD for them, which would
+        # fabricate buckets the interval never covers
+        return (df.filter(eus >= sus)
+                  .withColumn("__sus", sus)
                   .withColumn("__eus", eus)
                   .withColumn("__bucket", F.explode(F.sequence(
                       _bucket(sus, bucket_us), _bucket(eus, bucket_us)))))

@@ -215,9 +215,19 @@ class VersionedTable:
         reference's staged COPY + DELETE/INSERT Redshift load
         (reference src/core/gemini_redshift_loader.py), minus the
         warehouse."""
+        null_key = None
+        for k in keys:
+            cond = F.col(k).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
         cnt = delta.agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.struct(*keys)).alias("d")).first()
+            F.countDistinct(F.struct(*keys)).alias("d"),
+            F.count(F.when(null_key, 1)).alias("nulls")).first()
+        if cnt["nulls"]:
+            raise ValueError(
+                f"delta has {cnt['nulls']} rows with NULL in {keys}: "
+                "an upsert key must be total (NULL never equi-joins, so "
+                "such rows would silently become duplicate inserts)")
         if cnt["n"] != cnt["d"]:
             raise ValueError(
                 f"delta is not unique on {keys}: {cnt['n']} rows, "

@@ -209,3 +209,21 @@ def test_ewma_hand_case_and_chunk_carry(spark):
     c1 = functools.reduce(lambda a, v: 0.5 * v + 0.5 * a, [20.0], 10.0)
     c2 = functools.reduce(lambda a, v: 0.5 * v + 0.5 * a, [40.0, 80.0], c1)
     assert c2 == full == r["ewma"]
+
+
+def test_interval_overlap_drops_inverted_intervals(spark):
+    import datetime as dt
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    b = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", "L", b + dt.timedelta(hours=5), b)],   # end < start
+        "g string, lid string, s_a timestamp, e_a timestamp")
+    right = spark.createDataFrame(
+        [("k", "R", b, b + dt.timedelta(hours=9))],
+        "g string, rid string, s_b timestamp, e_b timestamp")
+    out = interval_overlap_join(
+        left, right, on="g", left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b")
+    assert out.count() == 0      # dropped, not fabricated

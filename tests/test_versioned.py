@@ -353,3 +353,12 @@ def test_stats_on_timestamp_column_json_safe_and_prunable(spark, tmp_path):
     assert len(keep) == 1 and skipped == 1
     got = t.read(version=None).count()      # plain read unaffected
     assert got == 10
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "x")], "k int, val string"))
+    bad = spark.createDataFrame([(None, "a"), (2, "b")],
+                                "k int, val string")
+    with pytest.raises(ValueError, match="NULL"):
+        t.merge(bad, keys=["k"])
