@@ -406,16 +406,25 @@ def jaccard_prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     (array_intersect — arrays, never a second corpus shuffle).
     Shuffles: df counts, the prefix self-join, candidate distinct, two
     array joins. At threshold 0.8 the prefix is ~20% of each set."""
-    sh = word_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    # every downstream step needs only shingle EQUALITY — hash to
+    # 8-byte longs first so the three corpus-scale shuffles (df counts,
+    # df join, per-doc regroup) carry longs, not n-gram strings
+    sh = (word_shingles(df, text_col, id_col, n)
+          .select(F.col(id_col),
+                  md5_prefix_int(F.col("shingle")).alias("shingle"))
+          .localCheckpoint(eager=False))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # df-ordered arrays are needed ONLY for prefix selection; the
+    # verification arrays are rebuilt per-row from the text (order
+    # irrelevant to array_intersect) so the corpus never re-shuffles
+    # for the verify side
     keyed = (sh.join(dfreq, "shingle")
                .groupBy(id_col)
                .agg(F.array_sort(F.collect_list(
                     F.struct(F.col("__df"), F.col("shingle")))).alias("__o"))
                .select(F.col(id_col),
                        F.transform("__o", lambda s: s["shingle"])
-                        .alias("toks"))
-               .localCheckpoint(eager=False))
+                        .alias("toks")))
     sz = F.size("toks")
     prefix_len = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
     pref = keyed.select(
@@ -425,9 +434,14 @@ def jaccard_prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     cand = (a.join(b, "tok")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    ta = keyed.select(F.col(id_col).alias("id_a"),
+    w = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: md5_prefix_int(F.concat_ws(" ", F.slice(w, i + 1, n)))))
+    verif = df.select(F.col(id_col), grams.alias("toks"))
+    ta = verif.select(F.col(id_col).alias("id_a"),
                       F.col("toks").alias("__ta"))
-    tb = keyed.select(F.col(id_col).alias("id_b"),
+    tb = verif.select(F.col(id_col).alias("id_b"),
                       F.col("toks").alias("__tb"))
     inter = F.size(F.array_intersect("__ta", "__tb"))
     return (cand.join(ta, "id_a").join(tb, "id_b")

@@ -744,17 +744,24 @@ def overlap_coeff_pairs_documents(spark, sf_dir):
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6)
-            >= 0.3""",
+            >= 0.8""",
    "EXACT Jaccard via PPJoin prefix filtering (Chaudhuri'06/Xiao'08): "
    "only the rarest |x|-ceil(t|x|)+1 tokens of each set are indexed "
    "(pigeonhole: qualifying pairs must collide in either prefix), so "
    "the self-join reads short rare-token posting lists instead of "
    "sum(df^2) over every shingle; candidates verify per-pair via "
-   "array_intersect. The oracle is the NAIVE inverted-index join — "
-   "equality across the algorithm swap is the check")
+   "array_intersect on hashed (8-byte) shingles. The oracle is the "
+   "NAIVE inverted-index join — equality across the algorithm swap is "
+   "the check. Honest cost note: computing the df order costs ~3 "
+   "corpus shuffles up front, so on THIS low-skew fixture the naive "
+   "join is faster — PPJoin's regime is skewed posting lists, where "
+   "sum(df^2) explodes and the fixed cost amortizes")
 def jaccard_prefix_pairs_documents(spark, sf_dir):
+    # threshold 0.8: the prefix is ~20% of each set — the regime the
+    # algorithm exists for (at 0.3 the prefix is 70% and the extra df
+    # join outweighs the pruning; measured 6.6 s vs 1.6 s at sf0.1)
     return dd.jaccard_prefix_filter_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
 @q("ngram_jaccard_capped_documents",
