@@ -151,6 +151,42 @@ def pack_sequences(df: DataFrame, key_col: str, token_col,
                        pack.alias("pack_id"))
 
 
+def pack_manifests(packed: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Turn :func:`pack_sequences` assignments into per-pack MANIFESTS —
+    the contract a tensor-building loader actually consumes: for each
+    pack, the ordered member list and the attention-boundary offsets
+    (exclusive prefix sums of member lengths), so cross-document
+    attention can be masked without re-deriving anything. One groupBy
+    on pack_id; members are ordered by the same deterministic
+    (hash, key) order packing used, so manifests are reproducible
+    across runs/engines. Output:
+    (pack_id, n_docs, total_tokens, member_ids, boundaries) — the
+    boundaries array has n_docs entries starting at 0."""
+    members = F.array_sort(F.collect_list(
+        F.struct(F.col("__g"), F.col(key_col).alias("k"),
+                 F.col("n_tokens").alias("t"))))
+    # exclusive prefix sum over the ordered member lengths
+    bounds = F.slice(
+        F.aggregate(
+            F.col("__m"),
+            F.array(F.lit(0).cast("long")),
+            lambda acc, x: F.concat(
+                acc, F.array(F.element_at(acc, -1) + x["t"]))),
+        1, F.size("__m"))
+    return (packed
+            .withColumn("__g", hash_gate(F.col(key_col)))
+            .groupBy("pack_id")
+            .agg(members.alias("__m"))
+            .select("pack_id",
+                    F.size("__m").alias("n_docs"),
+                    F.aggregate(F.col("__m"), F.lit(0).cast("long"),
+                                lambda acc, x: acc + x["t"])
+                     .alias("total_tokens"),
+                    F.transform("__m", lambda s: s["k"])
+                     .alias("member_ids"),
+                    bounds.alias("boundaries")))
+
+
 def chunk_documents(df: DataFrame, key_col: str, text_col,
                     max_tokens: int, stride: int | None = None,
                     id_out: str = "chunk_idx",

@@ -164,3 +164,36 @@ def test_weighted_sample_exact_k_properties(spark):
     # often than their uniform share among winners
     heavy = sum(1 for r in rows if r["w"] >= 6.0)
     assert heavy >= 5                               # ~2/7 uniform -> ~5.7
+
+
+def test_pack_manifests_boundaries_and_order(spark):
+    from pyspark.sql import functions as F
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        hash_gate, pack_manifests, pack_sequences,
+    )
+    docs = spark.createDataFrame(
+        [(i, 10 + (i % 5)) for i in range(60)], "doc_id bigint, n long")
+    packed = pack_sequences(docs, "doc_id", F.col("n"),
+                            budget=40, buckets=4)
+    man = pack_manifests(packed)
+    rows = man.collect()
+    assert rows
+    lens = {r["doc_id"]: r["n"] for r in docs.collect()}
+    gates = {r["doc_id"]: r[1] for r in docs.select(
+        "doc_id", hash_gate(F.col("doc_id"))).collect()}
+    for r in rows:
+        ids, b = r["member_ids"], r["boundaries"]
+        assert r["n_docs"] == len(ids) == len(b)
+        assert b[0] == 0
+        # boundaries are the exclusive prefix sums of member lengths
+        acc = 0
+        for i, d in enumerate(ids):
+            assert b[i] == acc
+            acc += lens[d]
+        assert r["total_tokens"] == acc
+        # members ordered by the packing's own (hash, key) order
+        keyed = [(gates[d], d) for d in ids]
+        assert keyed == sorted(keyed)
+    # every doc appears in exactly one pack
+    all_ids = [d for r in rows for d in r["member_ids"]]
+    assert sorted(all_ids) == list(range(60))
