@@ -401,3 +401,33 @@ def test_streaming_merge_versioned_exactly_once(spark, tmp_path):
                               key_cols=["id"], ts_col="ts")
     assert t.versions() == before_versions
     assert {r["id"]: r["val"] for r in t.read().collect()} == got
+
+
+def test_stream_static_dimension_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension — Spark plans the static side as an ordinary (re-read per
+    micro-batch) broadcast/hash join, no watermark needed. The
+    completeness sibling of the stream-stream interval join."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (1, 7.0), (3, 99.0)],
+        "user_id long, value double").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = (spark.readStream.schema(schema).parquet(src)
+              .join(dim, "user_id", "left")
+              .groupBy("tier")
+              .agg(F.sum("value").alias("total"))
+              .writeStream.outputMode("complete")
+              .format("memory").queryName("enriched")
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True)
+              .start())
+    q.awaitTermination()
+    got = {r["tier"]: r["total"] for r in
+           spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {"gold": 17.0, "basic": 5.0, None: 99.0}
