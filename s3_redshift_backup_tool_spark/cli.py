@@ -277,8 +277,8 @@ def cmd_table(args: argparse.Namespace) -> int:
         v = t.merge(delta, keys=args.keys.split(","), note=args.note)
         man = t._read_manifest(v)
         _emit({"version": v,
-               "rewritten_files": len(man["rewritten_files"]),
-               "total_files": len(man["files"])})
+               "rewritten_files": len(man.get("rewritten_files", [])),
+               "total_files": len(man.get("files", []))})
         return 0
     if args.action == "compact":
         res = t.compact(target_file_bytes=args.target_mb << 20)

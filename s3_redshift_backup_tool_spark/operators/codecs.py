@@ -128,7 +128,10 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
             out[y] = line
         elif ftype == 1:                                 # Sub
             for x in range(stride):
-                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                # plain-int arithmetic: uint8 + uint8 would wrap with a
+                # numpy overflow RuntimeWarning before the & 0xFF
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + left) & 0xFF
             out[y] = line
         elif ftype == 2:                                 # Up
             out[y] = (line.astype(np.uint16) + prev) & 0xFF

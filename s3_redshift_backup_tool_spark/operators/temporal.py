@@ -187,8 +187,21 @@ def interval_overlap_join(
     ``greatest(l.start, r.start)`` — exactly one bucket per pair, no
     dedup pass. Cost knob: ``bucket_s`` trades row duplication
     (ceil(interval_len/bucket)+1 copies) against per-bucket join
-    fan-out; size it near the median interval length."""
+    fan-out; size it near the median interval length.
+
+    The output carries every left column plus every non-key right
+    column, selected BY NAME — so the two inputs must not share any
+    non-key column name (rename before calling, e.g. when
+    self-joining a relation). Collisions are rejected up front with
+    the offending names rather than surfacing as an ambiguous-
+    reference error deep in the final select."""
     keys = [on] if isinstance(on, str) else list(on)
+    clash = sorted((set(left.columns) & set(right.columns)) - set(keys))
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join: non-key column names collide "
+            f"between left and right: {clash}; rename one side "
+            f"(e.g. right.withColumnsRenamed) before joining")
     bucket_us = bucket_s * 1_000_000
 
     def _cover(df: DataFrame, s: str, e: str) -> DataFrame:

@@ -234,15 +234,20 @@ class VersionedTable:
                 f"{cnt['d']} distinct keys")
         cur = self.current_version()
         if cur is None:
-            return self.commit(delta, mode="append", note=note)
-        base = self._read_manifest(cur)["files"]
-        snap = self.spark.read.parquet(*base) \
-            .withColumn("__file", F.input_file_name())
-        dkeys = delta.select(*keys).distinct()
-        touched = {
-            _plain_path(r["__file"])
-            for r in snap.join(dkeys, keys, "left_semi")
-                         .select("__file").distinct().collect()}
+            # First-ever merge: no base files to rewrite, but publish
+            # through the same manifest shape (merge_keys +
+            # rewritten_files) and keep stats_cols so data-skipping
+            # applies to the files this merge writes too.
+            base, touched = [], set()
+        else:
+            base = self._read_manifest(cur)["files"]
+            snap = self.spark.read.parquet(*base) \
+                .withColumn("__file", F.input_file_name())
+            dkeys = delta.select(*keys).distinct()
+            touched = {
+                _plain_path(r["__file"])
+                for r in snap.join(dkeys, keys, "left_semi")
+                             .select("__file").distinct().collect()}
         write_id = uuid.uuid4().hex[:12]
         out = os.path.join(self.data_dir, write_id)
         if touched:

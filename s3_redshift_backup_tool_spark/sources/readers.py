@@ -165,6 +165,7 @@ def read_json_lines(spark: SparkSession, path: str, schema,
 
 def read_with_quarantine(spark: SparkSession, path: str, schema,
                          quarantine_path: str, fmt: str = "json",
+                         checkpoint_clean: bool = True,
                          **options) -> tuple[DataFrame, int]:
     """The middle road between FAILFAST (one bad row kills a 100 TB
     load) and silent PERMISSIVE (bad rows become nulls nobody sees):
@@ -194,15 +195,22 @@ def read_with_quarantine(spark: SparkSession, path: str, schema,
     raw = reader.json(path) if fmt == "json" else reader.csv(path)
     # cache so the corrupt/clean split reads the source once, and
     # because Spark disallows filtering on the corrupt column alone
-    # over a bare file scan (SPARK-38523 guard). The cache stays pinned
-    # behind the returned clean DataFrame (unpersisting would re-trip
-    # SPARK-38523 at the caller's action); in a long-lived loop, drop
-    # it after consuming `clean` via spark.catalog.clearCache() or by
-    # writing `clean` out and re-reading
+    # over a bare file scan (SPARK-38523 guard).
     raw = raw.cache()
     bad = raw.filter(F.col(corrupt).isNotNull()).select(corrupt)
     n_bad = bad.count()
     if n_bad:
         bad.write.mode("append").parquet(quarantine_path)
     clean = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    if checkpoint_clean:
+        # Deterministic cache lifetime: materialize the clean slice to
+        # executor-local checkpoint blocks (freed with the DataFrame),
+        # then drop the source cache NOW — a long-lived driver looping
+        # over many inputs no longer accumulates pinned partitions
+        # until storage evicts or OOMs. Callers that would rather keep
+        # the lazy pinned-cache behavior (e.g. they write `clean` to a
+        # sink immediately and the double-materialization is not worth
+        # it) pass checkpoint_clean=False and own the unpersist.
+        clean = clean.localCheckpoint(eager=True)
+        raw.unpersist()
     return clean, n_bad

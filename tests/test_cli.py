@@ -283,6 +283,25 @@ def test_table_verb_merge(capsys, spark, tmp_path):
     assert rc == 2
 
 
+def test_table_verb_first_merge_on_empty_table(capsys, spark, tmp_path):
+    """First-ever merge (no committed version yet) must succeed AND exit
+    0: the commit-fallback regression left the manifest without
+    rewritten_files, so the CLI crashed with KeyError after publishing
+    version 1 — poison for idempotent retry scripts."""
+    from s3_redshift_backup_tool_spark.plans.versioned import VersionedTable
+    path = str(tmp_path / "tbl")
+    dpath = str(tmp_path / "delta")
+    spark.createDataFrame([(1, "x"), (2, "y")],
+                          "k int, val string").write.parquet(dpath)
+    rc, res = _run(capsys, ["table", "merge", "--path", path,
+                            "--delta", dpath, "--keys", "k",
+                            "--cpus", "8"])
+    assert rc == 0
+    assert res["version"] == 1 and res["rewritten_files"] == 0
+    t = VersionedTable(spark, path)
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
 def test_profile_verb(capsys, sf_dir):
     rc, res = _run(capsys, ["profile", "--source-dir", sf_dir,
                             "-t", "orders", "--cpus", "8"])

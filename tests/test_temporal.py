@@ -158,6 +158,25 @@ def test_interval_overlap_join_matches_theta_join(spark):
     assert n == 3
 
 
+def test_interval_overlap_join_rejects_colliding_column_names(spark):
+    """Self-join without renaming: shared non-key names are rejected
+    up front with the offending columns listed, not as an ambiguous-
+    reference error from the final select."""
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    df = spark.createDataFrame(
+        [("k", "A", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "g string, id string, s string, e string") \
+        .selectExpr("g", "id", "cast(s as timestamp) s",
+                    "cast(e as timestamp) e")
+    with pytest.raises(ValueError, match=r"collide.*\['e', 'id', 's'\]"):
+        interval_overlap_join(df, df, on="g",
+                              left_start="s", left_end="e",
+                              right_start="s", right_end="e")
+
+
 def test_interpolate_linear_blend_and_edges(spark):
     from s3_redshift_backup_tool_spark.operators.temporal import (
         interpolate_linear,

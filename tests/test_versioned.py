@@ -160,6 +160,27 @@ def test_merge_on_empty_table_is_insert_only(spark, tmp_path):
                 keys=["k"])
     assert v == 1
     assert _rows(t.read()) == [(1, "x")]
+    # the first-ever merge publishes the same manifest shape as any
+    # other merge: CLI/retry scripts reading rewritten_files must not
+    # KeyError on it
+    man = t._read_manifest(v)
+    assert man["rewritten_files"] == []
+    assert man["merge_keys"] == ["k"]
+
+
+def test_merge_on_empty_table_keeps_stats_cols(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v = t.merge(
+        spark.createDataFrame([(1, "x"), (9, "y")],
+                              "k int, val string").coalesce(1),
+        keys=["k"], stats_cols=["k"])
+    man = t._read_manifest(v)
+    stats = man.get("stats") or {}
+    assert stats, "first merge must record per-file min/max stats"
+    assert all("k" in s for s in stats.values())
+    # and the recorded stats actually prune
+    _, skipped = t.prune_files(where=("k", 100, 200))
+    assert skipped == len(man["files"])
 
 
 def test_merge_insert_only_delta_rewrites_nothing(spark, tmp_path):
