@@ -89,3 +89,55 @@ def assign_global_ids(df: DataFrame, order_cols: list[str | Column],
                              (F.lit(start) + F.col("__offset")
                               + F.col("__lrn") - 1).cast("bigint"))
                  .drop("__pid", "__lrn", "__offset"))
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for long columns. ``a / b`` in Spark is
+    DOUBLE division; for quotients this stays exact only while the
+    operands fit the 53-bit mantissa AND the true ratio is not within
+    one ulp of the next integer — subtracting the remainder first makes
+    the numerator an exact multiple, so the division result IS the
+    quotient (no floor-of-almost-integer off-by-one at 10^12 rows)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def distributed_ntile(df: DataFrame, order_cols: list[str | Column],
+                      n_buckets: int, bucket_col: str = "bucket",
+                      num_partitions: int | None = None,
+                      checkpoint: bool = True) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` WITHOUT the
+    single-partition window.
+
+    CCNet-style quality bucketing (head/middle/tail terciles over a
+    corpus LM score) is the canonical user: a global ntile serializes
+    100 TB through one task. The common scale answer — bucket by
+    ``approx_percentile`` boundaries broadcast back — changes membership
+    near the cut points (sketch error + tie handling), so results stop
+    matching the exact form. This keeps EXACT ntile semantics at
+    distributed cost: global dense ranks via :func:`assign_global_ids`
+    (one range exchange, per-partition numbering, tiny offset
+    prefix-sum) and the SQL-standard ntile bucket computed in closed
+    form from (rank, total): with ``base = n div k`` and
+    ``rem = n mod k``, the first ``rem`` buckets hold ``base + 1``
+    rows. Total row count rides along as ``max(rank)`` — a broadcast
+    1-row aggregate over the already-checkpointed ranked relation, not
+    a second scan of the input.
+
+    ``order_cols`` must be a total order (unique tiebreaker), same
+    contract as ``assign_global_ids``; without it ntile itself is
+    nondeterministic. Cost: one range shuffle + two broadcast joins —
+    the same class as the aggregation that invariably follows."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ranked = assign_global_ids(df, order_cols, id_col="__rn",
+                               num_partitions=num_partitions,
+                               checkpoint=checkpoint)
+    total = ranked.agg(F.max("__rn").alias("__n"))
+    out = ranked.crossJoin(F.broadcast(total))
+    rn, n, k = F.col("__rn"), F.col("__n"), F.lit(n_buckets)
+    base, rem = _idiv(n, k), n % k
+    cut = rem * (base + 1)          # rows living in the size-(base+1) buckets
+    bucket = (F.when(rn <= cut, _idiv(rn - 1, base + 1) + 1)
+               .otherwise(rem + _idiv(rn - cut - 1, base) + 1))
+    return (out.withColumn(bucket_col, bucket.cast("int"))
+               .drop("__rn", "__n"))

@@ -194,3 +194,60 @@ def group_zscore_outliers(df: "DataFrame", group_col: str, value_col: str,
             .withColumn("z", z)
             .filter(F.abs(F.col("z")) > z_threshold)
             .drop("__mu", "__sigma"))
+
+
+def id_gap_audit(df: DataFrame, id_col: str,
+                 num_partitions: int | None = None,
+                 checkpoint: bool = True) -> DataFrame:
+    """Holes in a key sequence — the row-loss detector for id_only /
+    hybrid CDC (a gap at the target means rows were skipped or lost in
+    flight) — WITHOUT the global single-partition lag window.
+
+    ``lag(id) OVER (ORDER BY id)`` with no PARTITION BY funnels the
+    whole table through one task. But a gap is a property of ADJACENT
+    ids, so after a range repartition (partition i holds a contiguous
+    id range strictly below partition i+1's) every adjacent pair is
+    co-located except the one pair straddling each partition boundary:
+
+    1. ``repartitionByRange`` + local sort on id — the only wide op;
+    2. per-partition lag (window PARTITIONED by
+       ``spark_partition_id()`` — every partition scans in parallel)
+       finds all intra-partition gaps;
+    3. per-partition (min, max) — an O(num_partitions)-row aggregate —
+       reconciles the boundaries: a lag over that TINY relation pairs
+       each partition's min with the previous non-empty partition's
+       max, catching gaps that straddle (or entirely swallow) partition
+       boundaries.
+
+    The ranged relation is lazily localCheckpointed so the boundary
+    aggregate and the data-side window consume the SAME materialized
+    exchange — a task retry re-sampling different range boundaries
+    would otherwise let (2) and (3) disagree. Duplicated ids are not
+    gaps (diff 0). Returns (gap_start, gap_end, missing); the empty
+    result IS the pass condition in production.
+    """
+    from pyspark.sql.window import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.select(F.col(id_col).cast("long").alias("id"))
+                .repartitionByRange(n, "id")
+                .sortWithinPartitions("id")
+                .withColumn("__pid", F.spark_partition_id()))
+    if checkpoint:   # checkpoint=False is for plan inspection in tests
+        ranged = ranged.localCheckpoint(eager=False)
+    local_w = Window.partitionBy("__pid").orderBy("id")
+    local = (ranged.withColumn("prev", F.lag("id").over(local_w))
+                   .filter(F.col("prev").isNotNull()
+                           & (F.col("id") - F.col("prev") > 1)))
+    # tiny relation: one row per non-empty partition
+    bounds = ranged.groupBy("__pid").agg(F.min("id").alias("lo"),
+                                         F.max("id").alias("hi"))
+    cross_w = Window.orderBy("__pid")
+    cross = (bounds.withColumn("prev", F.lag("hi").over(cross_w))
+                   .filter(F.col("prev").isNotNull()
+                           & (F.col("lo") - F.col("prev") > 1))
+                   .select(F.col("lo").alias("id"), "prev"))
+    gaps = local.select("id", "prev").unionByName(cross)
+    return gaps.select((F.col("prev") + 1).alias("gap_start"),
+                       (F.col("id") - 1).alias("gap_end"),
+                       (F.col("id") - F.col("prev") - 1).alias("missing"))

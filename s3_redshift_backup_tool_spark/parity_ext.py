@@ -2631,24 +2631,18 @@ def unpivot_measure_stats_lineitem(spark, sf_dir):
       FROM s WHERE prev IS NOT NULL AND id - prev > 1""",
    "id-sequence gap audit (the row-loss detector for id_only/hybrid "
    "CDC: a hole in the key sequence at the target means rows were "
-   "skipped or lost in flight): one global-ordered lag — at scale run "
-   "per id-range bucket (gaps are local properties, so bucketing by "
-   "id>>20 makes the window partition-parallel with a boundary row per "
-   "bucket); emits (gap_start, gap_end, missing) per hole. Audited "
-   "here over the status='F' subset so the fixture yields real gaps "
-   "(the unfiltered target audit returning zero rows IS the pass "
-   "condition in production)")
+   "skipped or lost in flight). Default plan is the range-bucketed lag "
+   "(quality.id_gap_audit): gaps are adjacent-pair properties, so "
+   "after a range exchange every pair is intra-partition except the "
+   "one straddling each boundary, reconciled via the O(partitions)-row "
+   "min/max relation — the oracle's global lag is the small-data twin. "
+   "Audited here over the status='F' subset so the fixture yields "
+   "real gaps (the unfiltered target audit returning zero rows IS the "
+   "pass condition in production)")
 def id_gap_audit_orders(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.quality import id_gap_audit
     orders = _t(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
-    w = Window.orderBy("id")
-    s = orders.select(F.col("o_orderkey").alias("id")) \
-              .withColumn("prev", F.lag("id").over(w))
-    return (s.filter(F.col("prev").isNotNull()
-                     & (F.col("id") - F.col("prev") > 1))
-             .select((F.col("prev") + 1).alias("gap_start"),
-                     (F.col("id") - 1).alias("gap_end"),
-                     (F.col("id") - F.col("prev") - 1).alias("missing")))
+    return id_gap_audit(orders, "o_orderkey")
 
 
 @q("python_source_cdc_feed",
@@ -2789,16 +2783,19 @@ def token_pmi_pairs_documents(spark, sf_dir):
       GROUP BY 1, 2""",
    "CCNet head/middle/tail split: corpus terciles by char-LM score "
    "(head = most language-like), tallied per source — the standard "
-   "quality-stratified mixture input; composes bigram_logprob with "
-   "ntile; at 100 TB the tercile boundaries come from approx_percentile "
-   "instead of a global ntile sort (documented swap)")
+   "quality-stratified mixture input. The default plan is the "
+   "distributed exact ntile (partitioning.distributed_ntile: range "
+   "exchange + per-partition ranks + closed-form bucket — no "
+   "single-partition window anywhere near the data), so the SAME query "
+   "runs at 100 TB; the oracle's global ntile(3) is the small-data "
+   "twin it must reproduce bit-for-bit")
 def ccnet_buckets_by_source(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.partitioning import distributed_ntile
     docs = _t(spark, sf_dir, "documents")
     scored = tx.bigram_logprob(docs).select(
         "doc_id", F.col("avg_logprob").alias("lp"))
-    w = Window.orderBy(F.col("lp").desc(), "doc_id")
-    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    bucketed = distributed_ntile(
+        scored, [F.col("lp").desc(), F.col("doc_id")], 3)
     name = (F.when(F.col("bucket") == 1, "head")
              .when(F.col("bucket") == 2, "middle")
              .otherwise("tail"))
@@ -3917,21 +3914,21 @@ _WINDOW = [
     "quality_metrics_lineitem",
     # LLM-data-pipeline: dedup / similarity / sampling / multimodal
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
-    "neardup_clusters_documents", "ngram_jaccard_pairs_documents",
-    "simhash_documents", "cms_heavy_hitters_documents",
-    "batch_cosine_topk_embeddings", "quantize_int8_embeddings",
+    "neardup_clusters_documents", "jaccard_prefix_pairs_documents",
+    "cms_heavy_hitters_documents",
+    "batch_cosine_topk_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
-    "embedding_neardup_pairs", "train_val_test_split_documents",
+    "fuzzy_decontamination_pairs", "train_val_test_split_documents",
     "dup_span_chunks_documents",
-    "multimodal_features",
+    "multimodal_features", "hybrid_search_rrf",
     # text analysis / corpus curation
     "text_stats_documents", "repetition_signals_documents",
-    "boilerplate_scrub_documents", "stratified_sample_by_source",
-    "pii_scrub_customer",
+    "ccnet_buckets_by_source", "stratified_sample_by_source",
+    "pii_scrub_customer", "id_gap_audit_orders",
     # windows / top-k / temporal joins / streaming
     "latest_record_per_user", "overlapping_purchase_intervals_events",
     "topk_orders_by_price", "asof_click_attribution",
-    "range_clicks_before_purchase", "tumbling_daily_events",
+    "scd2_history_events", "tumbling_daily_events",
     "session_windows_events",
     # analytics joins + aggregation shapes
     "pricing_summary_lineitem", "revenue_by_nation",
@@ -4002,8 +3999,6 @@ _TAIL = [
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
-    "scd2_history_events",             # type-2 dimension reconstruction
-    "hybrid_search_rrf",               # RRF fusion: bm25+cosine composition
     "fuzzy_pairs_customer",            # blocked edit-distance linkage
     "normalized_dedup_documents",      # normalize-then-dedup: exact_dedup kin
     "bigram_logprob_documents",        # char-LM quality proxy (CCNet-style)
@@ -4012,11 +4007,9 @@ _TAIL = [
     "key_skew_profile_events",         # skew measurement: precedes salting
     "dup_rate_by_source",              # dup exposure: exact_dedup kin
     "unpivot_measure_stats_lineitem",  # wide->long reshape: pivot inverse
-    "id_gap_audit_orders",             # CDC row-loss detector: verify kin
     "python_source_cdc_feed",          # Spark-4 Python Data Source seam
     "events_since_last_purchase",      # conditional running state: window kin
     "token_pmi_pairs_documents",       # collocation PMI: bounded pair space
-    "ccnet_buckets_by_source",         # LM-score terciles: bigram+ntile kin
     "purchase_value_daily_gapfilled",  # calendar-spine reporting contract
     "event_transition_matrix",         # Markov counts: window+agg family
     "corr_matrix_lineitem",            # algebraic one-pass statistics
@@ -4034,14 +4027,12 @@ _TAIL = [
     "constraint_audit_orders",         # deequ-style contract audit
     "token_kl_by_source",              # domain-drift KL diagnostics
     "overlap_coeff_pairs_documents",   # near-superset/quote detection
-    "jaccard_prefix_pairs_documents",  # PPJoin prefix filtering
     "char_entropy_documents",          # Shannon-entropy garbage screen
     "variant_props_events",            # Spark-4 VARIANT semi-structured
     "interpolate_value_events",        # per-key linear gap repair
     "ewma_purchase_value_by_user",     # non-associative fold feature
     "weighted_sample_per_source",      # ES exact-k weighted sampling
     "dup_graph_triangles",             # transitivity dedup gauge
-    "fuzzy_decontamination_pairs",     # bipartite LSH eval scrub
     "rolling_median_daily_revenue",    # order stats over window frames
     "embedding_dim_stats",             # standardization prep for ANN
     "top_bigrams_per_source",          # sharded grouped heavy hitters
@@ -4059,6 +4050,15 @@ _TAIL = [
     # operator families, bm25 retrieval and count-min sketches
     "distinct_users_daily",
     "fingerprint_documents",
+    # rotated out of the window round 5 (in-window siblings cover the
+    # machinery) to admit the re-attestation batch the round-4 judge
+    # asked for plus the two reworked scale-safe defaults:
+    "ngram_jaccard_pairs_documents",   # inverted-index jaccard: prefix sibling in-window
+    "simhash_documents",               # per-row fold hash: winnowing in-window
+    "quantize_int8_embeddings",        # narrow per-row map: attested r4
+    "embedding_neardup_pairs",         # SRP buckets: ann_lsh_topk in-window
+    "boilerplate_scrub_documents",     # C4 scrub: text_stats+repetition in-window
+    "range_clicks_before_purchase",    # range join: asof+interval in-window
 ]
 
 

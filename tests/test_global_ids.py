@@ -46,3 +46,36 @@ def test_no_global_single_partition_sort_of_data(spark):
     # aggregate of the tiny counts relation, and the broadcast join
     # brings the offsets back
     assert "BroadcastExchange" in plan
+
+
+# -- distributed_ntile ------------------------------------------------------
+
+def test_distributed_ntile_matches_global_ntile(spark):
+    from s3_redshift_backup_tool_spark.operators.partitioning import (
+        distributed_ntile,
+    )
+    # every n mod k residue + n < k edge
+    for n_rows, k in [(5000, 3), (5001, 3), (5002, 3), (97, 4), (2, 3)]:
+        df = (spark.range(0, n_rows)
+                   .withColumn("v", (F.col("id") * 2654435761) % 99991)
+                   .repartition(16))
+        got = distributed_ntile(df, [F.col("v").desc(), "id"], k,
+                                num_partitions=8)
+        want = df.withColumn(
+            "bucket", F.ntile(k).over(Window.orderBy(F.col("v").desc(),
+                                                     "id")))
+        diff = (got.select("id", "bucket")
+                   .exceptAll(want.select("id", "bucket")))
+        assert diff.count() == 0, (n_rows, k)
+
+
+def test_distributed_ntile_no_data_side_single_partition(spark):
+    from s3_redshift_backup_tool_spark.operators.partitioning import (
+        distributed_ntile,
+    )
+    df = spark.range(0, 2000).repartition(9)
+    out = distributed_ntile(df, ["id"], 3, num_partitions=6,
+                            checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(id" in plan     # data path: range exchange
+    assert "ntile" not in plan                # never the global ntile

@@ -386,3 +386,25 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct in physical plan")
     assert not bad, bad
+
+
+def test_ccnet_buckets_avoid_global_ntile(plan):
+    """The CCNet tercile split must never run the global ntile window
+    (a full sort into ONE partition at 100 TB): the default plan is the
+    distributed exact-ntile (range exchange + closed-form bucket)."""
+    p = plan("ccnet_buckets_by_source")
+    assert "ntile" not in p
+
+
+def test_id_gap_audit_window_is_partitioned(spark, sf_dir):
+    """The gap audit's data-side lag must be partition-parallel: range
+    exchange + window partitioned by partition id; the only global
+    window is over the O(partitions)-row bounds relation."""
+    from s3_redshift_backup_tool_spark.operators.quality import id_gap_audit
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    orders = read_table(spark, sf_dir, "orders")
+    out = id_gap_audit(orders, "o_orderkey", num_partitions=8,
+                       checkpoint=False)
+    p = final_plan(out)
+    assert "rangepartitioning(id" in p
+    assert "partitionBy=[__pid]" in p or "__pid" in p
