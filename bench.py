@@ -112,7 +112,7 @@ def main() -> None:
         query_times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    result = {
         "metric": "e2e_sync_lineitem_read_cdc_align_partitioned_write",
         "value": round(headline_sec, 3),
         "unit": "sec",
@@ -123,7 +123,62 @@ def main() -> None:
         "rows_per_sec": round(n_rows / headline_sec),
         "baseline_rows_per_sec": 233_000,
         "total_query_sec": round(sum(query_times.values()), 3),
-    }))
+    }
+    _persist_full_history(result)
+    print(json.dumps(result))
+
+
+def _persist_full_history(result: dict) -> None:
+    """The driver truncates BENCH_r{N}.json to a 2 KB tail, which makes
+    round-over-round per-query diffs impossible from the artifacts
+    alone. Keep the FULL result in-repo as bench_full_r{NN}.json (round
+    index = latest driver BENCH_r file + 1) and refresh a marked
+    regressions-vs-prior block in PERF.md."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
+    n = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(repo, f"bench_full_r{n:02d}.json"), "w") as fh:
+        json.dump(result, fh, indent=2, sort_keys=True)
+
+    prior_files = sorted(
+        f for f in glob.glob(os.path.join(repo, "bench_full_r*.json"))
+        if (m := re.search(r"bench_full_r(\d+)\.json$", f))
+        and int(m.group(1)) < n)
+    lines = [f"<!-- bench-regressions:start (auto-written by bench.py) -->",
+             f"## Per-query regressions vs prior round (auto, r{n:02d})",
+             ""]
+    if not prior_files:
+        lines += ["No prior bench_full_r*.json to diff against — full "
+                  "per-query history starts this round."]
+    else:
+        with open(prior_files[-1]) as fh:
+            prev = json.load(fh)
+        pq, cq = prev.get("queries", {}), result["queries"]
+        deltas = sorted(((cq[k] - pq[k], k) for k in cq if k in pq),
+                        reverse=True)[:5]
+        prev_r = re.search(r"bench_full_r(\d+)", prior_files[-1]).group(1)
+        lines += [f"Top movers vs r{prev_r} "
+                  f"(+ = slower now; {len(cq)} vs {len(pq)} queries, "
+                  f"headline {prev.get('rows_per_sec')} -> "
+                  f"{result['rows_per_sec']} rows/s):", "",
+                  "| query | prev s | now s | delta s |", "|---|---|---|---|"]
+        lines += [f"| {k} | {pq[k]:.3f} | {cq[k]:.3f} | {d:+.3f} |"
+                  for d, k in deltas]
+    lines.append("<!-- bench-regressions:end -->")
+    block = "\n".join(lines)
+    perf = os.path.join(repo, "PERF.md")
+    text = open(perf).read() if os.path.exists(perf) else ""
+    pat = re.compile(r"<!-- bench-regressions:start.*?"
+                     r"<!-- bench-regressions:end -->", re.S)
+    text = pat.sub(block, text) if pat.search(text) \
+        else text.rstrip() + "\n\n" + block + "\n"
+    with open(perf, "w") as fh:
+        fh.write(text)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,17 @@ def cmd_sync(args: argparse.Namespace) -> int:
                          cdc_timestamp_column=args.ts_column,
                          cdc_id_column=args.id_column)
         pipeline = adhoc_pipeline(args.source, args.target, tc)
+    # Persisted rename maps are picked up BY TABLE NAME (reference: the
+    # dynamic column mapper loads column_mappings/<table>.json at sync
+    # time, src/core/column_mapper.py:45-112); an inline column_map in
+    # the pipeline YAML wins over the persisted file.
+    from .operators.column_mapper import ColumnMapper
+    mapper = ColumnMapper(args.work_dir)
+    for t in pipeline.tables:
+        if not t.column_map:
+            persisted = mapper.get_mapping(t.table_name)
+            if persisted:
+                t.column_map = persisted
     spark = get_spark("cli_sync", cpus=args.cpus)
     store = _store(args.work_dir)
     results = sync_pipeline(
@@ -376,6 +387,117 @@ def cmd_markers(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_column_mapping(args: argparse.Namespace) -> int:
+    """Persisted per-table rename maps (reference
+    src/cli/column_mapping_commands.py: list/show/clear/clear-all;
+    src/core/column_mapper.py:45-112 persistence). ``set`` replaces the
+    reference's dynamic-capture path with explicit pairs; ``sync``
+    picks maps up by table name from the same work dir."""
+    from .operators.column_mapper import ColumnMapper
+    mapper = ColumnMapper(args.work_dir)
+    if args.action == "list":
+        root = mapper.root
+        tables = sorted(f[:-5] for f in os.listdir(root)
+                        if f.endswith(".json")) if os.path.isdir(root) else []
+        _emit({"tables": tables, "root": root})
+        return 0
+    if args.action == "clear-all":
+        root = mapper.root
+        n = 0
+        if os.path.isdir(root):
+            for f in list(os.listdir(root)):
+                if f.endswith(".json"):
+                    os.remove(os.path.join(root, f))
+                    n += 1
+        _emit({"cleared": n})
+        return 0
+    if not args.table:
+        _emit({"error": f"column-mapping {args.action} requires -t"})
+        return 2
+    if args.action == "show":
+        m = mapper.get_mapping(args.table)
+        _emit({"table": args.table, "mapping": m, "n_columns": len(m)})
+        return 0 if m else 1
+    if args.action == "clear":
+        existed = bool(mapper.get_mapping(args.table))
+        mapper.delete_mapping(args.table)
+        _emit({"table": args.table, "cleared": existed})
+        return 0
+    # set
+    mapping: dict[str, str] = {}
+    if args.json:
+        src = args.json
+        if src.startswith("@"):
+            with open(src[1:]) as fh:
+                mapping.update(json.load(fh))
+        else:
+            mapping.update(json.loads(src))
+    for pair in args.pair or []:
+        if "=" not in pair:
+            _emit({"error": f"--pair must be src=dst, got {pair!r}"})
+            return 2
+        s, d = pair.split("=", 1)
+        mapping[s] = d
+    if not mapping:
+        _emit({"error": "column-mapping set requires --pair and/or --json"})
+        return 2
+    try:
+        mapper.set_mapping(args.table, mapping)
+    except ValueError as e:
+        _emit({"error": str(e)})
+        return 2
+    _emit({"table": args.table, "mapping": mapping,
+           "path": mapper._path(args.table)})
+    return 0
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    """Operator-facing capability listing (reference
+    src/cli/main.py:1267 ``info``): CDC strategies with their config
+    keys, pipeline execution modes, and the registry query families."""
+    from .parity import REGISTRY
+    from . import parity_ext  # noqa: F401  (extends REGISTRY)
+    strategies = {
+        "timestamp_only": {"requires": ["cdc_timestamp_column"],
+                           "notes": "ts > watermark; UNIX-int epoch "
+                                    "columns auto-detected"},
+        "hybrid": {"requires": ["cdc_timestamp_column", "cdc_id_column"],
+                   "notes": "(ts, id) keyset pagination — the tie-safe "
+                            "default"},
+        "id_only": {"requires": ["cdc_id_column"],
+                    "notes": "id > watermark, bounded by a MAX(id) "
+                             "ceiling probe"},
+        "full_sync": {"requires": [],
+                      "notes": "replace | append via full_sync_mode"},
+        "custom_sql": {"requires": ["custom_sql"],
+                       "notes": "user SELECT with keyword-blocklist "
+                                "validation"},
+    }
+    table_config_keys = [
+        "cdc_strategy", "cdc_timestamp_column", "cdc_id_column",
+        "cdc_ordering", "timestamp_format", "full_sync_mode",
+        "custom_sql", "additional_where", "column_map", "columns",
+        "depends_on"]
+    if args.strategy:
+        if args.strategy not in strategies:
+            _emit({"error": f"unknown strategy {args.strategy!r}",
+                   "available": sorted(strategies)})
+            return 2
+        _emit({"strategy": args.strategy, **strategies[args.strategy]})
+        return 0
+    families: dict[str, int] = {}
+    for name in REGISTRY:
+        fam = name.rsplit("_", 1)[0].split("_")[0]
+        families[fam] = families.get(fam, 0) + 1
+    _emit({"strategies": strategies,
+           "table_config_keys": table_config_keys,
+           "execution_modes": ["sequential", "parallel (thread pool + "
+                               "depends_on topological order)"],
+           "registry_queries": len(REGISTRY),
+           "query_family_prefixes": dict(sorted(families.items()))})
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -532,6 +654,26 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("-t", "--table", required=True)
     pp.add_argument("--cpus", type=int, default=8)
     pp.set_defaults(fn=cmd_profile)
+
+    cm = sub.add_parser("column-mapping", help="manage persisted per-table "
+                                               "rename maps (applied by "
+                                               "sync before alignment)")
+    cm.add_argument("action", choices=["list", "show", "set", "clear",
+                                       "clear-all"])
+    cm.add_argument("-t", "--table", default=None)
+    cm.add_argument("--pair", action="append",
+                    help="src=dst rename; repeatable")
+    cm.add_argument("--json", default=None,
+                    help='inline JSON object or @file of {"src": "dst"}')
+    cm.add_argument("--work-dir", required=True,
+                    help="same root the sync verb uses")
+    cm.set_defaults(fn=cmd_column_mapping)
+
+    ip = sub.add_parser("info", help="list CDC strategies, config keys "
+                                     "and registry query families")
+    ip.add_argument("--strategy", default=None,
+                    help="show one strategy's requirements")
+    ip.set_defaults(fn=cmd_info)
     return p
 
 

@@ -378,3 +378,80 @@ def test_config_verb(capsys, pipeline_yml):
     rc, res = _run(capsys, ["config", "-p", pipeline_yml])
     assert rc == 0 and res["pipeline"]["name"]
     assert res["tables"] and "cdc_strategy" in res["tables"][0]
+
+
+def test_column_mapping_verbs_and_sync_pickup(capsys, tmp_path, sf_dir):
+    """Persisted rename maps (reference column_mapping_commands.py
+    list/show/clear + column_mapper.py persistence): create via CLI,
+    then an ad-hoc sync of the same work dir must pick the map up by
+    table name and land renamed columns in the target."""
+    import os
+    work = str(tmp_path / "work")
+
+    # empty list first
+    rc, res = _run(capsys, ["column-mapping", "list", "--work-dir", work])
+    assert rc == 0 and res["tables"] == []
+
+    rc, res = _run(capsys, ["column-mapping", "set", "-t", "orders",
+                            "--pair", "o_orderstatus=status_code",
+                            "--json", '{"o_orderpriority": "priority"}',
+                            "--work-dir", work])
+    assert rc == 0 and res["mapping"] == {
+        "o_orderstatus": "status_code", "o_orderpriority": "priority"}
+
+    rc, res = _run(capsys, ["column-mapping", "list", "--work-dir", work])
+    assert rc == 0 and res["tables"] == ["orders"]
+    rc, res = _run(capsys, ["column-mapping", "show", "-t", "orders",
+                            "--work-dir", work])
+    assert rc == 0 and res["n_columns"] == 2
+
+    # invalid target name -> usage error, nothing persisted
+    rc, res = _run(capsys, ["column-mapping", "set", "-t", "bad",
+                            "--pair", "a=9col", "--work-dir", work])
+    assert rc == 2
+
+    # e2e: ad-hoc sync picks up the persisted orders map
+    rc, out = _run(capsys, ["sync", "-t", "orders",
+                            "--strategy", "full_sync",
+                            "--source-dir", sf_dir, "--work-dir", work,
+                            "--cpus", "8"])
+    assert rc == 0 and out["orders"]["verified"]
+    import glob
+    target = glob.glob(os.path.join(work, "target", "**", "*.parquet"),
+                       recursive=True)
+    assert target
+    import pyarrow.parquet as pq
+    cols = set(pq.read_schema(target[0]).names)
+    assert "status_code" in cols and "priority" in cols
+    assert "o_orderstatus" not in cols
+
+    rc, res = _run(capsys, ["column-mapping", "clear", "-t", "orders",
+                            "--work-dir", work])
+    assert rc == 0 and res["cleared"] is True
+    rc, res = _run(capsys, ["column-mapping", "show", "-t", "orders",
+                            "--work-dir", work])
+    assert rc == 1
+
+    # clear-all over repopulated maps
+    _run(capsys, ["column-mapping", "set", "-t", "a", "--pair", "x=y",
+                  "--work-dir", work])
+    _run(capsys, ["column-mapping", "set", "-t", "b", "--pair", "x=y",
+                  "--work-dir", work])
+    rc, res = _run(capsys, ["column-mapping", "clear-all",
+                            "--work-dir", work])
+    assert rc == 0 and res["cleared"] == 2
+
+
+def test_info_verb(capsys):
+    rc, res = _run(capsys, ["info"])
+    assert rc == 0
+    assert set(res["strategies"]) == {"timestamp_only", "hybrid", "id_only",
+                                      "full_sync", "custom_sql"}
+    assert "cdc_strategy" in res["table_config_keys"]
+    assert res["registry_queries"] >= 152
+
+    rc, res = _run(capsys, ["info", "--strategy", "hybrid"])
+    assert rc == 0 and res["requires"] == ["cdc_timestamp_column",
+                                           "cdc_id_column"]
+    rc, res = _run(capsys, ["info", "--strategy", "nope"])
+    assert rc == 2
