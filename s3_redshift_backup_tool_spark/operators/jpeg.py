@@ -317,7 +317,39 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
 
 # -- decoder ---------------------------------------------------------------
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def _pil_decode(payload: bytes) -> "np.ndarray | None":
+    """PIL fallback kernel for profiles the stdlib baseline decoder
+    fences off (progressive SOF2, subsampled chroma, 12-bit, DRI).
+    Returns None when PIL is not importable — the container this repo
+    is built in has no PIL, so the caller re-raises the honest
+    NotImplementedError; a production image deploy just installs
+    Pillow and the same plan decodes every profile."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def decode_jpeg(payload: bytes, allow_pil: bool = True) -> np.ndarray:
+    """JPEG bytes -> (h, w, 3) uint8 RGB. Baseline 4:4:4 files go
+    through the from-scratch stdlib decoder; profiles it fences off
+    (progressive, subsampled chroma, DRI, 16-bit quant) dispatch to a
+    PIL kernel when Pillow is importable, else the profile-naming
+    NotImplementedError propagates."""
+    try:
+        return decode_jpeg_baseline(payload)
+    except NotImplementedError:
+        if allow_pil:
+            px = _pil_decode(payload)
+            if px is not None:
+                return px
+        raise
+
+
+def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     """Baseline 4:4:4 JPEG bytes -> (h, w, 3) uint8 RGB (grayscale files
     are replicated to 3 channels). Table-driven: decodes any conforming
     baseline file, not just this module's encoder output."""

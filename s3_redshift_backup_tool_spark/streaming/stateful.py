@@ -13,12 +13,15 @@ they can't express (running de-dup, custom counters, session carry-over).
 
 API note: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
 with typed Value/List/Map state + timers, RocksDB-backed) is the
-designed successor to this API; it requires the ``protobuf`` package,
-which this container lacks (verified: the streaming runner crashes on
-``google.protobuf`` import), so these operators stay on
-``applyInPandasWithState`` — semantically equivalent for everything
-built here, and the migration is mechanical (state schema + timer
-declarations move into a StatefulProcessor class).
+designed successor to this API. The migration is implemented here as
+``RunningTotalsProcessor`` / ``FirstSeenProcessor`` behind a
+capability gate: the runtime path requires the ``protobuf`` package
+(verified: the streaming runner crashes on ``google.protobuf`` import
+without it), so ``engine="auto"`` picks transformWithState only when
+:func:`transform_with_state_available` reports the full runtime, and
+falls back to ``applyInPandasWithState`` otherwise — both paths share
+the same per-batch update logic, pinned equivalent by tests that
+drive the processor classes directly.
 """
 
 from __future__ import annotations
@@ -42,31 +45,102 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
-def _update_running_totals(key, pdfs: Iterable[pd.DataFrame],
-                           state: GroupState):
-    n, s = state.get if state.exists else (0, 0.0)
+def transform_with_state_available() -> bool:
+    """True when the Spark-4 ``transformWithStateInPandas`` runtime is
+    fully present: the API class ships with pyspark 4.x, but the
+    worker-side state client additionally needs ``google.protobuf``
+    (absent in this container — streams crash at first micro-batch
+    without it). This probe gates ``engine="auto"``."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor)
+    except ImportError:
+        return False
+    return True
+
+
+def _resolve_engine(engine: str) -> str:
+    if engine == "auto":
+        return ("transformWithState" if transform_with_state_available()
+                else "applyInPandasWithState")
+    if engine not in ("transformWithState", "applyInPandasWithState"):
+        raise ValueError(f"unknown stateful engine {engine!r}")
+    return engine
+
+
+def _fold_totals(n: int, s: float, pdfs: Iterable[pd.DataFrame],
+                 user_id) -> pd.DataFrame:
+    """Shared per-batch update for running totals — the single source of
+    truth both stateful APIs execute, so path equivalence is structural,
+    not coincidental."""
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "sum_value": [s]})
+    return pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                         "sum_value": [s]})
+
+
+def _update_running_totals(key, pdfs: Iterable[pd.DataFrame],
+                           state: GroupState):
+    n, s = state.get if state.exists else (0, 0.0)
+    out = _fold_totals(n, s, pdfs, key[0])
+    state.update((int(out["n_events"][0]), float(out["sum_value"][0])))
+    yield out
+
+
+def _make_running_totals_processor():
+    """Deferred class construction: the StatefulProcessor base imports
+    cleanly on pyspark 4.x even without protobuf, but keeping it out of
+    module import scope lets the legacy path run on builds without the
+    module at all."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """transformWithState twin of ``_update_running_totals``
+        (typed ValueState instead of the flat state tuple)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            out = _fold_totals(n, s, rows, key[0])
+            self._state.update((int(out["n_events"][0]),
+                                float(out["sum_value"][0])))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor
 
 
 def running_totals_per_user(events: DataFrame,
                             user_col: str = "user_id",
-                            value_col: str = "value") -> DataFrame:
+                            value_col: str = "value",
+                            engine: str = "auto") -> DataFrame:
     """Cumulative (count, sum) per user across micro-batches — state the
     built-in aggs can't carry between triggers in update mode. Emits one
-    row per key per batch with the running totals."""
+    row per key per batch with the running totals.
+
+    ``engine``: ``auto`` (transformWithState when its runtime is fully
+    present, else applyInPandasWithState), or either name explicitly."""
     sel = events.select(user_col, events[value_col].cast("double").alias("value"))
-    return (sel.groupBy(user_col)
-               .applyInPandasWithState(
-                   _update_running_totals,
-                   outputStructType=RUNNING_TOTALS_SCHEMA,
-                   stateStructType=_STATE_SCHEMA,
-                   outputMode="update",
-                   timeoutConf=GroupStateTimeout.NoTimeout))
+    grouped = sel.groupBy(user_col)
+    if _resolve_engine(engine) == "transformWithState":
+        return grouped.transformWithStateInPandas(
+            _make_running_totals_processor()(),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None")
+    return grouped.applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
 
 
 SEEN_SCHEMA = T.StructType([
@@ -80,27 +154,63 @@ _SEEN_STATE = T.StructType([
 ])
 
 
+def _fold_seen(count: int, is_new: bool, pdfs: Iterable[pd.DataFrame],
+               key) -> pd.DataFrame:
+    """Shared per-batch update for the first-seen ledger (both APIs)."""
+    count += sum(len(p) for p in pdfs)
+    return pd.DataFrame({"key": [key], "is_new": [is_new],
+                         "occurrences": [count]})
+
+
 def _update_first_seen(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     # applyInPandasWithState exposes no batch id, so "when first seen" is
     # reported as a flag on the first-arrival batch (is_new), not a batch
     # number the function cannot know.
     is_new = not state.exists
     (count,) = state.get if state.exists else (0,)
-    count += sum(len(p) for p in pdfs)
-    state.update((count,))
-    yield pd.DataFrame({"key": [key[0]], "is_new": [is_new],
-                        "occurrences": [count]})
+    out = _fold_seen(count, is_new, pdfs, key[0])
+    state.update((int(out["occurrences"][0]),))
+    yield out
 
 
-def streaming_first_seen(df: DataFrame, key_col: str) -> DataFrame:
+def _make_first_seen_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class FirstSeenProcessor(StatefulProcessor):
+        """transformWithState twin of ``_update_first_seen``."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("seen", _SEEN_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            is_new = not self._state.exists()
+            (count,) = self._state.get() if self._state.exists() else (0,)
+            out = _fold_seen(count, is_new, rows, key[0])
+            self._state.update((int(out["occurrences"][0]),))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return FirstSeenProcessor
+
+
+def streaming_first_seen(df: DataFrame, key_col: str,
+                         engine: str = "auto") -> DataFrame:
     """Streaming exact dedup ledger: per key, when it was first seen and
     how many times since — the stateful form of exact_dedup for infinite
     streams (state = one small row per distinct key)."""
-    return (df.select(df[key_col].cast("string").alias("key"))
-              .groupBy("key")
-              .applyInPandasWithState(
-                  _update_first_seen,
-                  outputStructType=SEEN_SCHEMA,
-                  stateStructType=_SEEN_STATE,
-                  outputMode="update",
-                  timeoutConf=GroupStateTimeout.NoTimeout))
+    grouped = df.select(df[key_col].cast("string").alias("key")).groupBy("key")
+    if _resolve_engine(engine) == "transformWithState":
+        return grouped.transformWithStateInPandas(
+            _make_first_seen_processor()(),
+            outputStructType=SEEN_SCHEMA,
+            outputMode="Update",
+            timeMode="None")
+    return grouped.applyInPandasWithState(
+        _update_first_seen,
+        outputStructType=SEEN_SCHEMA,
+        stateStructType=_SEEN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -457,3 +457,78 @@ def test_jpeg_tiny_images_pad_and_crop():
         back = decode_jpeg(encode_jpeg(img))
         assert back.shape == shape
         assert abs(int(back.mean()) - 77) < 6     # flat field survives
+
+
+# -- progressive-JPEG dispatch (PIL-gated) ----------------------------------
+
+def _progressive_jpeg_stub() -> bytes:
+    """SOI + minimal SOF2 (progressive) segment: enough for the header
+    walk to classify the profile; not a full decodable file."""
+    import struct
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    return (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 2 + len(sof2))
+            + sof2 + b"\xff\xd9")
+
+
+def test_progressive_jpeg_raises_named_profile_without_pil():
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.jpeg import decode_jpeg
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present: dispatch path covered by the fake test")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="SOF marker 0xc2"):
+        decode_jpeg(_progressive_jpeg_stub())
+
+
+def test_progressive_jpeg_dispatches_to_pil_kernel(monkeypatch):
+    """The codec-registry seam: when Pillow IS importable, profiles the
+    stdlib decoder fences off decode through it with no caller change.
+    PIL is absent in this container, so prove the dispatch with a fake
+    module — the same plan shape a production deploy gets."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators import jpeg as jp
+
+    decoded = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+
+    class _FakeIm:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return decoded
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    fake_image = types.SimpleNamespace(
+        open=lambda fh: (_ for _ in ()).throw(AssertionError("not BytesIO"))
+        if not isinstance(fh, io.BytesIO) else _FakeIm())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    out = jp.decode_jpeg(_progressive_jpeg_stub())
+    assert out.shape == (8, 8, 3) and (out == decoded).all()
+
+    # explicit opt-out keeps the honest error even with PIL importable
+    import pytest
+    with pytest.raises(NotImplementedError):
+        jp.decode_jpeg(_progressive_jpeg_stub(), allow_pil=False)
+
+
+def test_baseline_jpeg_roundtrip_unaffected_by_dispatch():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.jpeg import (
+        decode_jpeg, decode_jpeg_baseline, encode_jpeg)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    payload = encode_jpeg(px)
+    a = decode_jpeg(payload)
+    b = decode_jpeg_baseline(payload)
+    assert (a == b).all()

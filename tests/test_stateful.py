@@ -86,3 +86,140 @@ def test_first_seen_dedup_ledger(spark, documents, tmp_path):
     assert {r["occurrences"] for r in rows2} == {2}
     assert not any(r["is_new"] for r in rows2)
     assert out2.select("key").distinct().count() == 100
+
+
+# -- transformWithState migration (capability-gated) ------------------------
+
+class _FakeValueState:
+    """Driver-side stand-in for the transformWithState ValueState handle
+    (the real one needs the protobuf state client this container lacks)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _batches(rng, n_batches, keys):
+    import pandas as pd
+    for _ in range(n_batches):
+        k = rng.choice(keys)
+        yield k, [pd.DataFrame({
+            "value": rng.normal(size=rng.integers(1, 6)).round(3)})]
+
+
+def test_processor_equivalent_to_legacy_running_totals():
+    """Both stateful APIs execute the same fold; drive the
+    StatefulProcessor with a fake handle and the legacy function with a
+    fake GroupState over identical batch sequences — outputs must be
+    row-identical at every step."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        _make_running_totals_processor, _update_running_totals)
+
+    proc = _make_running_totals_processor()()
+    proc.init(_FakeHandle())
+    legacy_states: dict = {}
+
+    rng = np.random.default_rng(11)
+    for key, pdfs in _batches(rng, 50, [1, 2, 3]):
+        st = legacy_states.setdefault(key, _FakeGroupState())
+        legacy = next(_update_running_totals((key,), pdfs, st))
+        # NOTE: one shared processor instance; per-key state lives in the
+        # handle keyed by name in the real runtime — emulate per-key by
+        # one processor per key
+        tws_proc = legacy_states.setdefault(("p", key), None)
+        if tws_proc is None:
+            tws_proc = _make_running_totals_processor()()
+            tws_proc.init(_FakeHandle())
+            legacy_states[("p", key)] = tws_proc
+        tws = next(tws_proc.handleInputRows((key,), pdfs, None))
+        assert legacy.equals(tws), (key, legacy, tws)
+
+
+def test_processor_equivalent_to_legacy_first_seen():
+    import numpy as np
+    import pandas as pd
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        _make_first_seen_processor, _update_first_seen)
+
+    rng = np.random.default_rng(5)
+    legacy_states: dict = {}
+    procs: dict = {}
+    for _ in range(60):
+        key = str(rng.choice(["a", "b", "c", "d"]))
+        pdfs = [pd.DataFrame({"key": [key] * int(rng.integers(1, 4))})]
+        st = legacy_states.setdefault(key, _FakeGroupState())
+        legacy = next(_update_first_seen((key,), pdfs, st))
+        p = procs.get(key)
+        if p is None:
+            p = _make_first_seen_processor()()
+            p.init(_FakeHandle())
+            procs[key] = p
+        tws = next(p.handleInputRows((key,), pdfs, None))
+        assert legacy.equals(tws)
+
+
+def test_engine_gate_and_fallback(spark, events, tmp_path):
+    import pytest
+    from s3_redshift_backup_tool_spark.streaming import stateful as st
+
+    # this container lacks protobuf -> auto must resolve to the legacy
+    # path and still run end-to-end (covered above); explicit bad name
+    # rejected; explicit transformWithState honored only when available
+    assert st._resolve_engine("applyInPandasWithState") == \
+        "applyInPandasWithState"
+    with pytest.raises(ValueError, match="unknown stateful engine"):
+        st._resolve_engine("nope")
+    if st.transform_with_state_available():
+        # full runtime present (e.g. a dev box with protobuf): the tws
+        # plan must build and execute to the same totals as legacy
+        src = str(tmp_path / "src")
+        ev = events.select("user_id", "ts", "value").limit(500)
+        ev.write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        out = _run_stream(
+            spark, src, schema,
+            lambda s: st.running_totals_per_user(
+                s, engine="transformWithState"),
+            "totals_tws")
+        latest = {(r["user_id"], r["n_events"])
+                  for r in out.groupBy("user_id")
+                  .agg(F.max("n_events").alias("n_events")).collect()}
+        want = {(r["user_id"], r["n"]) for r in
+                ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        assert latest == want
+    else:
+        assert st._resolve_engine("auto") == "applyInPandasWithState"
