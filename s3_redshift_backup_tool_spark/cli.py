@@ -451,6 +451,92 @@ def cmd_column_mapping(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_cdc(args: argparse.Namespace) -> int:
+    """CDC config validation (reference src/cli/v1_2_0_commands.py:37
+    ``cdc validate`` / :90 ``cdc strategies`` / :257 ``test-strategy``).
+    The reference prints a sample SQL string; here validation goes
+    further — the strategy is bound to the REAL source table, the
+    predicate is built, and the physical plan is checked for pushdown,
+    so a typo'd column or an unpushable cast fails HERE, not mid-sync."""
+    if args.action == "strategies":
+        ns = argparse.Namespace(strategy=None)
+        return cmd_info(ns)
+    # validate
+    if not args.table:
+        _emit({"error": "cdc validate requires -t"})
+        return 2
+    from .operators.cdc import CDCConfig, Watermark, apply_cdc
+    from .session import get_spark
+    from .sources.readers import read_table
+
+    cfg_kw = {}
+    if args.pipeline:
+        from .plans.pipeline import load_pipeline_yaml
+        pipe = load_pipeline_yaml(args.pipeline)
+        for t in pipe.tables:
+            if t.table_name == args.table:
+                cfg_kw = {"strategy": t.cdc_strategy,
+                          "timestamp_column": t.cdc_timestamp_column,
+                          "id_column": t.cdc_id_column,
+                          "custom_sql": t.custom_sql}
+                break
+        else:
+            _emit({"error": f"table {args.table!r} not in pipeline"})
+            return 2
+    if args.strategy:
+        cfg_kw["strategy"] = args.strategy
+    if args.ts_column:
+        cfg_kw["timestamp_column"] = args.ts_column
+    if args.id_column:
+        cfg_kw["id_column"] = args.id_column
+    try:
+        cfg = CDCConfig(**{k: v for k, v in cfg_kw.items() if v})
+    except ValueError as e:
+        _emit({"table": args.table, "valid": False, "error": str(e)})
+        return 1
+    spark = get_spark("cli_cdc", cpus=args.cpus)
+    src = read_table(spark, args.source_dir, args.table)
+    cols = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    missing = [c for c in (cfg.timestamp_column, cfg.id_column)
+               if c and c not in cols]
+    if missing:
+        _emit({"table": args.table, "valid": False,
+               "error": f"column(s) not in source schema: {missing}",
+               "available": sorted(cols)})
+        return 1
+    # epoch watermark: matches (nearly) everything, so the count is a
+    # meaningful sanity signal for any fixture era
+    wm = Watermark(last_timestamp="1970-01-01 00:00:00"
+                   if cfg.timestamp_column else None,
+                   last_id=0 if cfg.id_column else None)
+    try:
+        delta = apply_cdc(src, cfg, wm)
+    except Exception as e:
+        _emit({"table": args.table, "valid": False, "error": str(e)})
+        return 1
+    import re
+    jvm = spark._jvm
+    plan = delta._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    pushed = bool(re.search(r"PushedFilters: \[(?!\])", plan))
+    out = {"table": args.table, "valid": True,
+           "strategy": cfg.strategy,
+           "timestamp_column": cfg.timestamp_column,
+           "id_column": cfg.id_column,
+           "column_types": {c: cols[c] for c in
+                            (cfg.timestamp_column, cfg.id_column) if c},
+           # full_sync/custom_sql have no watermark predicate to push
+           "predicate_pushed_to_scan": bool(pushed)
+           if cfg.strategy in ("timestamp_only", "hybrid", "id_only")
+           else None}
+    if not args.dry_run:
+        out["rows_matching_test_watermark"] = delta.count()
+        out["test_watermark"] = {"last_timestamp": wm.last_timestamp,
+                                 "last_id": wm.last_id}
+    _emit(out)
+    return 0
+
+
 def cmd_info(args: argparse.Namespace) -> int:
     """Operator-facing capability listing (reference
     src/cli/main.py:1267 ``info``): CDC strategies with their config
@@ -674,6 +760,24 @@ def build_parser() -> argparse.ArgumentParser:
     ip.add_argument("--strategy", default=None,
                     help="show one strategy's requirements")
     ip.set_defaults(fn=cmd_info)
+
+    cd = sub.add_parser("cdc", help="validate a table's CDC config "
+                                    "against the real source schema")
+    cd.add_argument("action", choices=["validate", "strategies"])
+    cd.add_argument("-t", "--table", default=None)
+    cd.add_argument("-p", "--pipeline", default=None,
+                    help="pipeline YAML to pull the table config from")
+    cd.add_argument("--strategy", default=None)
+    cd.add_argument("--ts-column", default=None)
+    cd.add_argument("--id-column", default=None)
+    cd.add_argument("--source-dir", default=None,
+                    help="directory of <table>.parquet source files "
+                         "(required for validate)")
+    cd.add_argument("--dry-run", action="store_true",
+                    help="skip executing the test-watermark count")
+    cd.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    cd.set_defaults(fn=cmd_cdc)
     return p
 
 

@@ -355,14 +355,19 @@ def latest_record_per_user(spark, sf_dir):
                row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
         FROM orders) t
       WHERE rn BETWEEN 1001 AND 1100""",
-   "O1-O3 deterministic keyset pagination as row_number (cdc_strategy_engine.py:169-173)")
+   "O1-O3 deterministic keyset pagination as row_number "
+   "(cdc_strategy_engine.py:169-173) — ranks come from "
+   "assign_global_ids (range exchange + per-partition numbering), not "
+   "a global single-partition window, so the SAME page query runs over "
+   "any table size; the oracle's global row_number is the small-data "
+   "twin")
 def keyset_page_orders(spark, sf_dir):
-    from pyspark.sql import Window as W
-    w = W.orderBy("o_orderdate", "o_orderkey")
-    return (_t(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderdate",
-                    F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn").between(1001, 1100)))
+    from .operators.partitioning import assign_global_ids
+    ranked = assign_global_ids(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"], id_col="rn")
+    return (ranked.select("o_orderkey", "o_orderdate", "rn")
+                  .filter(F.col("rn").between(1001, 1100)))
 
 
 @q("topk_orders_by_price",

@@ -255,18 +255,31 @@ def rolling_hour_avg_value(spark, sf_dir):
              round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
       FROM customer""",
    "distribution analytics: ntile / cume_dist / percent_rank with a "
-   "deterministic tie-broken ordering. NOTE the single global window — "
-   "correct but serializing; at scale use the partitioned quantile "
-   "summary (price_percentiles) or bucket by a coarse key first")
+   "deterministic tie-broken ordering, WITHOUT the single global "
+   "window: the ordering includes the unique key, so all three are "
+   "closed forms of (global_rank, n) — ranks via "
+   "partitioning.assign_global_ids (range exchange + per-partition "
+   "numbering), n as a broadcast 1-row max. cume_dist = rn/n and "
+   "percent_rank = (rn-1)/(n-1) hold exactly BECAUSE the order is "
+   "total; with ties you would instead join back per-value min/max "
+   "ranks. Oracle twin is the global-window SQL form")
 def ntile_cumedist_customers(spark, sf_dir):
-    from pyspark.sql import Window
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"))
+    from .operators.partitioning import _idiv, assign_global_ids
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = assign_global_ids(cust, ["c_acctbal", "c_custkey"],
+                               id_col="__rn")
+    total = ranked.agg(F.max("__rn").alias("__n"))
+    rn, n, k = F.col("__rn"), F.col("__n"), F.lit(4)
+    base, rem = _idiv(n, k), n % k
+    cut = rem * (base + 1)
+    quartile = (F.when(rn <= cut, _idiv(rn - 1, base + 1) + 1)
+                 .otherwise(rem + _idiv(rn - cut - 1, base) + 1))
+    pr = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select("c_custkey",
+                    quartile.cast("int").alias("balance_quartile"),
+                    F.round(rn / n, 6).alias("cd"),
+                    F.round(pr, 6).alias("pr")))
 
 
 # ==========================================================================

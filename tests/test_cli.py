@@ -455,3 +455,40 @@ def test_info_verb(capsys):
                                            "cdc_id_column"]
     rc, res = _run(capsys, ["info", "--strategy", "nope"])
     assert rc == 2
+
+
+def test_cdc_validate_verb(capsys, sf_dir):
+    """cdc validate binds the strategy to the REAL source table: good
+    config reports pushdown + test-watermark match count; a typo'd
+    column fails with the available names listed (reference
+    v1_2_0_commands.py cdc validate, strengthened with schema+plan
+    checks the reference never ran)."""
+    rc, res = _run(capsys, ["cdc", "validate", "-t", "orders",
+                            "--strategy", "hybrid",
+                            "--ts-column", "o_orderdate",
+                            "--id-column", "o_orderkey",
+                            "--source-dir", sf_dir, "--cpus", "8"])
+    assert rc == 0 and res["valid"]
+    assert res["predicate_pushed_to_scan"] is True
+    assert res["rows_matching_test_watermark"] > 0
+    assert res["column_types"]["o_orderkey"].startswith("bigint")
+
+    rc, res = _run(capsys, ["cdc", "validate", "-t", "orders",
+                            "--strategy", "hybrid",
+                            "--ts-column", "o_orderdate",
+                            "--id-column", "no_such_col",
+                            "--source-dir", sf_dir, "--cpus", "8"])
+    assert rc == 1 and not res["valid"]
+    assert "no_such_col" in res["error"] and "o_orderkey" in res["available"]
+
+    # dry-run skips execution but still validates + checks pushdown
+    rc, res = _run(capsys, ["cdc", "validate", "-t", "events",
+                            "--strategy", "timestamp_only",
+                            "--ts-column", "ts",
+                            "--source-dir", sf_dir,
+                            "--dry-run", "--cpus", "8"])
+    assert rc == 0 and res["valid"]
+    assert "rows_matching_test_watermark" not in res
+
+    rc, res = _run(capsys, ["cdc", "strategies"])
+    assert rc == 0 and "hybrid" in res["strategies"]

@@ -408,3 +408,15 @@ def test_id_gap_audit_window_is_partitioned(spark, sf_dir):
     p = final_plan(out)
     assert "rangepartitioning(id" in p
     assert "partitionBy=[__pid]" in p or "__pid" in p
+
+
+def test_keyset_page_and_distribution_windows_are_partitioned(plan):
+    """Global row_number / ntile / cume_dist queries must run on the
+    distributed-rank path: every window in the executed plan is the
+    O(partitions)-row offsets window, never a data-wide global sort."""
+    for name in ("keyset_page_orders", "ntile_cumedist_customers"):
+        p = plan(name)
+        assert "ntile" not in p and "cume_dist" not in p
+        for line in p.splitlines():
+            if "windowspecdefinition" in line:
+                assert "__pid" in line, (name, line.strip()[:120])
