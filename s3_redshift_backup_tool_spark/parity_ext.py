@@ -3321,8 +3321,11 @@ def curation_attrition_documents(spark, sf_dir):
    "window the oracle writes naively. Exact for any skew; ties broken "
    "(count desc, gram asc) on both engines")
 def top_bigrams_per_source(spark, sf_dir):
+    from .operators.partitioning import fan_out
     from .operators.skew import grouped_topk_sharded
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: the word-bigram explode is the CPU hot spot; a
+    # single-file source would run it on one task
+    docs = fan_out(_t(spark, sf_dir, "documents").select("source", "text"))
     w = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
