@@ -1,0 +1,128 @@
+"""Distributed quality-classifier training (logistic regression).
+
+The CCNet/fastText-style pipeline step the corpus-curation stack needs
+between heuristic rules and LM scoring: train a small linear classifier
+on cheap per-doc surface features, score the whole corpus, filter or
+stratify on the probability. The reference has no model training at
+all; this is the capability-extension analog of its quality gates
+(src/utils/validation.py) with a LEARNED decision boundary.
+
+Spark-first shape — full-batch gradient descent where EVERY iteration
+is ONE aggregation pass over the corpus:
+
+- the gradient of the logistic loss is ``avg((sigmoid(w.x) - y) * x)``
+  per coordinate — a sum of per-row terms, so it partial-aggregates
+  map-side and shuffles d+1 doubles per partition, nothing else;
+- weights live on the driver (d+1 floats) and re-enter each pass as
+  LITERALS folded into codegen — no broadcast variable, no UDF, no
+  Python in the hot path;
+- scoring is a narrow projection (one sigmoid per row).
+
+At 100 TB each iteration costs exactly one corpus scan (the same scan
+any quality rule pays); 5-10 iterations of full-batch GD on a handful
+of features is the regime where this beats per-executor SGD — no
+reconciliation, deterministic, and the oracle can replay it exactly
+(the unrolled-iteration SQL twin in parity_ext).  For many features or
+many epochs, sample the corpus for training (hash gate) and keep the
+full-corpus pass for scoring only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _z(weights: list[float], feats: list[Column]) -> Column:
+    """w.x + b as a literal-folded codegen expression (bias first)."""
+    z: Column = F.lit(float(weights[0]))
+    for w, x in zip(weights[1:], feats):
+        z = z + F.lit(float(w)) * x
+    return z
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train(df: DataFrame, feature_cols: list[str | Column],
+                 label_col: str | Column, iters: int = 5,
+                 lr: float = 1.0, l2: float = 0.0) -> list[float]:
+    """Full-batch GD for logistic regression; returns weights
+    ``[bias, w1..wd]``. One aggregation job per iteration; the driver
+    holds d+1 floats. ``l2`` (if set) is applied to the non-bias
+    weights. Deterministic given the input (floating-point sum order
+    varies across runs/partitionings only at the ulp level)."""
+    feats = [F.col(c) if isinstance(c, str) else c for c in feature_cols]
+    feats = [f.cast("double") for f in feats]
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col) \
+        .cast("double")
+    d = len(feats)
+    w = [0.0] * (d + 1)
+    for _ in range(iters):
+        err = _sigmoid(_z(w, feats)) - y
+        aggs = [F.avg(err).alias("g0")]
+        aggs += [F.avg(err * x).alias(f"g{j + 1}")
+                 for j, x in enumerate(feats)]
+        row = df.agg(*aggs).first()
+        grad = [float(row[f"g{j}"]) for j in range(d + 1)]
+        if l2:
+            grad = [grad[0]] + [g + l2 * wj
+                                for g, wj in zip(grad[1:], w[1:])]
+        w = [wj - lr * g for wj, g in zip(w, grad)]
+    return w
+
+
+def logreg_score(df: DataFrame, weights: list[float],
+                 feature_cols: list[str | Column],
+                 out_col: str = "p_quality") -> DataFrame:
+    """Corpus scoring pass: adds ``sigmoid(w.x + b)`` — a narrow
+    codegen projection, zero shuffle."""
+    feats = [(F.col(c) if isinstance(c, str) else c).cast("double")
+             for c in feature_cols]
+    return df.withColumn(out_col, _sigmoid(_z(weights, feats)))
+
+
+def logreg_metrics(df: DataFrame, weights: list[float],
+                   feature_cols: list[str | Column],
+                   label_col: str | Column,
+                   threshold: float = 0.5) -> DataFrame:
+    """One-pass evaluation: accuracy + mean log-loss at ``threshold``.
+    Partial-aggregable like the gradient."""
+    feats = [(F.col(c) if isinstance(c, str) else c).cast("double")
+             for c in feature_cols]
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col) \
+        .cast("double")
+    p = _sigmoid(_z(weights, feats))
+    eps = F.lit(1e-12)
+    ll = -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p + eps))
+    hit = (p >= F.lit(threshold)).cast("double") == y
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(hit.cast("double")), 6).alias("accuracy"),
+        F.round(F.avg(ll), 6).alias("mean_logloss"))
+
+
+def reference_logreg_numpy(X, y, iters: int = 5, lr: float = 1.0,
+                           l2: float = 0.0) -> list[float]:
+    """Driver-side numpy twin of :func:`logreg_train` (same math, same
+    iteration order) — the test oracle that pins the distributed
+    aggregation to the textbook algorithm."""
+    import numpy as np
+    X = np.asarray(X, dtype=float)
+    y = np.asarray(y, dtype=float)
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    w = np.zeros(Xb.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        grad = (p - y) @ Xb / len(y)
+        if l2:
+            grad[1:] += l2 * w[1:]
+        w = w - lr * grad
+    return [float(v) for v in w]
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

@@ -3596,6 +3596,86 @@ def variant_props_events(spark, sf_dir):
                     .alias("n_missing")))
 
 
+_LOGREG_FEATS_SQL = """
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         ln(n_chars) AS f1,
+         (length(text) - length(replace(text, ' ', ''))) * 1.0
+           / length(text) AS f2,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+           / length(text) AS f3
+  FROM documents"""
+
+_P = "1.0/(1.0+exp(-({b} + {w1}*f1 + {w2}*f2 + {w3}*f3)))"
+
+
+def _logreg_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration SQL twin of classifier.logreg_train: each GD
+    step is one aggregate CTE over the feature relation with the prior
+    weights entering as cross-joined scalars — the oracle replays the
+    exact distributed computation."""
+    w = dict(b="0.0", w1="0.0", w2="0.0", w3="0.0")
+    ctes = [f"f AS ({_LOGREG_FEATS_SQL})"]
+    for i in range(1, iters + 1):
+        p = _P.format(**w)
+        prev = f", w{i-1}" if i > 1 else ""
+        ctes.append(
+            f"g{i} AS (SELECT avg(({p}) - y) AS g0, "
+            f"avg((({p}) - y) * f1) AS g1, "
+            f"avg((({p}) - y) * f2) AS g2, "
+            f"avg((({p}) - y) * f3) AS g3 FROM f{prev})")
+        ctes.append(
+            f"w{i} AS (SELECT {w['b']} - g0 AS b, {w['w1']} - g1 AS w1, "
+            f"{w['w2']} - g2 AS w2, {w['w3']} - g3 AS w3 FROM g{i}"
+            + (f" CROSS JOIN w{i-1}" if i > 1 else "") + ")")
+        w = dict(b="b", w1="w1", w2="w2", w3="w3")
+        # from iteration 2 on, weights come from the w{i-1} CTE columns;
+        # the cross joins above thread them through
+    p = _P.format(**w)
+    return ("WITH " + ",\n  ".join(ctes) + f"""
+      SELECT count(*) AS n,
+             round(avg(CASE WHEN (({p}) >= 0.5) = (y = 1.0)
+                            THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+             round(avg(-(y * ln(({p}) + 1e-12)
+                         + (1.0 - y) * ln(1.0 - ({p}) + 1e-12))), 6)
+               AS mean_logloss,
+             round(b, 6) AS w_bias, round(w1, 6) AS w_len,
+             round(w2, 6) AS w_space, round(w3, 6) AS w_digit
+      FROM f CROSS JOIN w{iters}
+      GROUP BY b, w1, w2, w3""")
+
+
+@q("quality_classifier_documents",
+   _logreg_oracle(3),
+   "LEARNED quality gate: logistic regression trained ON the corpus "
+   "(label: lang='en'; features: log length, space ratio, digit "
+   "ratio) by full-batch gradient descent — every iteration is ONE "
+   "partial-aggregable corpus pass (avg((sigmoid(w.x)-y)*x) per "
+   "coordinate), weights are d+1 driver floats re-entering as codegen "
+   "literals, scoring/eval is a narrow projection. The CCNet/fastText "
+   "pipeline step between heuristic rules and LM scoring; at 100 TB "
+   "train on a hash-gate sample, score the full corpus in one pass. "
+   "Oracle = the SAME three GD steps unrolled as aggregate CTEs")
+def quality_classifier_documents(spark, sf_dir):
+    from .operators.classifier import logreg_metrics, logreg_train
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.log(F.col("n_chars")).alias("f1"),
+        ((ln - F.length(F.regexp_replace("text", " ", ""))) / ln)
+        .alias("f2"),
+        (F.length(F.regexp_replace("text", "[^0-9]", "")) / ln)
+        .alias("f3"))
+    w = logreg_train(feats, ["f1", "f2", "f3"], "y", iters=3, lr=1.0)
+    m = logreg_metrics(feats, w, ["f1", "f2", "f3"], "y")
+    return m.select(
+        "n", "accuracy", "mean_logloss",
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_len"),
+        F.round(F.lit(w[2]), 6).alias("w_space"),
+        F.round(F.lit(w[3]), 6).alias("w_digit"))
+
+
 @q("char_entropy_documents",
    f"""WITH n AS (SELECT doc_id, {_NORM_SQL.format(x='text')} AS t
                FROM documents),
@@ -3935,7 +4015,7 @@ _WINDOW = [
     "batch_cosine_topk_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
     "fuzzy_decontamination_pairs", "train_val_test_split_documents",
-    "dup_span_chunks_documents",
+    "quality_classifier_documents",
     "multimodal_features", "hybrid_search_rrf",
     # text analysis / corpus curation
     "text_stats_documents", "repetition_signals_documents",
@@ -4069,6 +4149,7 @@ _TAIL = [
     # rotated out of the window round 5 (in-window siblings cover the
     # machinery) to admit the re-attestation batch the round-4 judge
     # asked for plus the two reworked scale-safe defaults:
+    "dup_span_chunks_documents",       # chunk spans: winnowing in-window
     "ngram_jaccard_pairs_documents",   # inverted-index jaccard: prefix sibling in-window
     "simhash_documents",               # per-row fold hash: winnowing in-window
     "quantize_int8_embeddings",        # narrow per-row map: attested r4

@@ -1,0 +1,80 @@
+"""Distributed logistic-regression training (operators/classifier.py):
+the Spark aggregation must reproduce the textbook full-batch GD exactly
+(numpy twin), improve on separable data, and stay partial-aggregable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators.classifier import (
+    logreg_metrics, logreg_score, logreg_train, reference_logreg_numpy)
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.default_rng(3)
+    n = 4000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    # linearly separable-ish with noise
+    y = ((1.5 * x1 - 0.8 * x2 + rng.normal(scale=0.5, size=n)) > 0) \
+        .astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double").repartition(16)
+    return df, np.column_stack([x1, x2]), y
+
+
+def test_train_matches_numpy_reference(xy):
+    df, X, y = xy
+    for iters, lr, l2 in [(1, 1.0, 0.0), (5, 0.7, 0.0), (4, 1.0, 0.01)]:
+        w_spark = logreg_train(df, ["x1", "x2"], "y",
+                               iters=iters, lr=lr, l2=l2)
+        w_np = reference_logreg_numpy(X, y, iters=iters, lr=lr, l2=l2)
+        assert np.allclose(w_spark, w_np, rtol=1e-9, atol=1e-12), \
+            (iters, lr, l2, w_spark, w_np)
+
+
+def test_training_learns_the_separating_direction(xy):
+    df, X, y = xy
+    w = logreg_train(df, ["x1", "x2"], "y", iters=10, lr=1.0)
+    # true direction is (+, -)
+    assert w[1] > 0 and w[2] < 0
+    m0 = logreg_metrics(df, [0.0, 0.0, 0.0], ["x1", "x2"], "y").first()
+    m = logreg_metrics(df, w, ["x1", "x2"], "y").first()
+    assert m["accuracy"] > 0.85 > m0["accuracy"] + 0.3
+    assert m["mean_logloss"] < m0["mean_logloss"]
+
+
+def test_score_is_narrow_and_bounded(spark, xy):
+    df, _, _ = xy
+    w = [0.1, 0.5, -0.5]
+    scored = logreg_score(df, w, ["x1", "x2"])
+    row = scored.agg(F.min("p_quality"), F.max("p_quality")).first()
+    assert 0.0 < row[0] and row[1] < 1.0
+    # zero-shuffle: score a frame with no repartition in its lineage
+    plain = spark.range(0, 100).select(
+        (F.col("id") * 0.01).alias("x1"), (F.col("id") * -0.02).alias("x2"))
+    p = logreg_score(plain, w, ["x1", "x2"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p         # pure projection, zero shuffle
+
+
+def test_gradient_pass_is_partial_aggregable(xy):
+    df, _, _ = xy
+    # the single-iteration gradient job must be a two-phase HashAggregate
+    # (map-side partial), never a single-partition collect of rows
+    from s3_redshift_backup_tool_spark.operators.classifier import (
+        _sigmoid, _z)
+    feats = [F.col("x1"), F.col("x2")]
+    err = _sigmoid(_z([0.0, 0.0, 0.0], feats)) - F.col("y")
+    agg = df.agg(F.avg(err).alias("g0"),
+                 F.avg(err * feats[0]).alias("g1"),
+                 F.avg(err * feats[1]).alias("g2"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial" in plan.lower()
