@@ -679,6 +679,116 @@ def dup_span_chunks(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= min_docs))
 
 
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 30,
+                     min_len: int = 60,
+                     max_doc_freq: int | None = None) -> DataFrame:
+    """MAXIMAL character spans duplicated across documents — the exact
+    substring-level dedup of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499), k-gram
+    anchored instead of suffix-array'd so it distributes:
+
+    1. every position emits the 64-bit hash of its k-gram (per-row
+       array math, hashes only — text never shuffles);
+    2. hashes seen in >= 2 distinct docs survive a groupBy + semi-join
+       (the same inverted-index shape as the Jaccard family);
+    3. per doc, surviving positions merge into maximal spans with the
+       classic islands trick: a new island starts where the gap to the
+       previous duplicated position exceeds k (overlapping/touching
+       k-grams chain), then min/max per island — the window is
+       PARTITIONED by doc, never global.
+
+    Returns (doc_id, span_start, span_end, span_len) for spans of at
+    least ``min_len`` chars (1-based, inclusive). Unlike
+    :func:`dup_span_chunks` (fixed chunk boundaries, reports hashes)
+    this recovers exact span EXTENTS, so a scrubber can cut precisely.
+    ``max_doc_freq`` caps hub k-grams (stop-boilerplate) like the
+    Jaccard ``max_doc_freq`` guard: hashes in more docs than the cap
+    are treated as noise, bounding step 3's fan-in under template spam.
+    Cost note: hashing is O(len·k) char work per doc (md5 per
+    position keeps the oracle replayable; a rolling hash halves the
+    constant when oracle parity is not needed)."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    base = fan_out(df.select(id_col, text_col)).filter(F.length(t) >= k)
+    idx = F.sequence(F.lit(1), F.length(t) - k + 1)
+    pos_h = F.transform(idx, lambda i: F.struct(
+        i.alias("pos"), md5_prefix_int(t.substr(i, F.lit(k))).alias("h")))
+    ex = (base.select(id_col, F.explode(pos_h).alias("s"))
+              .select(id_col, F.col("s.pos").alias("pos"),
+                      F.col("s.h").alias("h")))
+    counts = ex.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    dup = counts.filter(F.col("nd") >= 2)
+    if max_doc_freq is not None:
+        dup = dup.filter(F.col("nd") <= max_doc_freq)
+    hits = ex.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    island = F.sum(F.when(gap > k, 1).otherwise(0)).over(w)
+    return (hits.withColumn("__isl", island)
+                .groupBy(id_col, "__isl")
+                .agg(F.min("pos").alias("span_start"),
+                     (F.max("pos") + k - 1).alias("span_end"))
+                .withColumn("span_len",
+                            F.col("span_end") - F.col("span_start") + 1)
+                .filter(F.col("span_len") >= min_len)
+                .drop("__isl"))
+
+
+def scrub_duplicated_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 30,
+                           min_len: int = 60,
+                           max_doc_freq: int | None = None) -> DataFrame:
+    """End-to-end exact-substring scrub (the Lee et al. 2021 action):
+    find maximal cross-doc duplicated spans, keep ONE canonical
+    occurrence of each span content (the min doc id holding it), and
+    cut the span from every other document — document-level text
+    survives, redundancy goes.
+
+    Plan shape: :func:`duplicated_spans` (hash shuffles only) + one
+    join back to the text to hash span CONTENT, a per-content min
+    (canonical election, tiny relation), and a per-doc rebuild of the
+    kept text as a single codegen fold over that doc's sorted cut
+    list — no Python, no extra corpus shuffle beyond the spans join.
+    Docs with no duplicated span pass through untouched."""
+    spans = duplicated_spans(df, text_col, id_col, k, min_len,
+                             max_doc_freq)
+    t = F.col(text_col)
+    with_text = spans.join(df.select(id_col, text_col), id_col)
+    content = (with_text
+               .withColumn("__chash", md5_prefix_int(
+                   t.substr(F.col("span_start"),
+                            F.col("span_len"))))
+               .select(id_col, "span_start", "span_end", "__chash"))
+    canon = content.groupBy("__chash").agg(F.min(id_col).alias("__keep"))
+    cuts = (content.join(canon, "__chash")
+                   .filter(F.col(id_col) != F.col("__keep"))
+                   .groupBy(id_col)
+                   .agg(F.array_sort(F.collect_list(
+                       F.struct("span_start", "span_end"))).alias("__cuts")))
+    joined = df.join(cuts, id_col, "left")
+    # fold: walk the sorted cuts, appending the text BETWEEN cuts, then
+    # the tail after the last cut. acc = (next uncut position, kept text)
+    acc0 = F.struct(F.lit(1).cast("int").alias("pos"),
+                    F.lit("").alias("out"))
+    def _step(acc, c):
+        seg = F.col(text_col).substr(
+            acc["pos"], F.greatest(c["span_start"] - acc["pos"], F.lit(0)))
+        return F.struct(
+            F.greatest(c["span_end"] + 1, acc["pos"]).alias("pos"),
+            F.concat(acc["out"], seg).alias("out"))
+    folded = F.aggregate(
+        F.col("__cuts"), acc0, _step,
+        lambda acc: F.concat(
+            acc["out"],
+            F.col(text_col).substr(acc["pos"],
+                                   F.length(text_col) - acc["pos"] + 1)))
+    scrubbed = F.when(F.col("__cuts").isNull(), F.col(text_col)) \
+                .otherwise(folded)
+    return joined.withColumn(text_col, scrubbed).drop("__cuts")
+
+
 def remove_boilerplate_chunks(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id",
                               chunk_words: int = 16,

@@ -2057,6 +2057,107 @@ def quantize_int8_embeddings(spark, sf_dir):
         "q_l2sq")
 
 
+@q("duplicated_spans_documents",
+   f"""WITH base AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= 30),
+      ex AS (SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - 29)) AS pos
+             FROM base),
+      hsh AS (SELECT doc_id, pos,
+                     {_H.format(x="substring(text, pos, 30)")} AS h
+              FROM ex),
+      dup AS (SELECT h FROM hsh GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT doc_id, pos FROM hsh
+               WHERE h IN (SELECT h FROM dup)),
+      brk AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) > 30
+                          THEN 1 ELSE 0 END AS b
+              FROM hits),
+      isl AS (SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM brk)
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 29 AS span_end,
+             max(pos) + 29 - min(pos) + 1 AS span_len
+      FROM isl GROUP BY doc_id, g
+      HAVING max(pos) + 29 - min(pos) + 1 >= 60""",
+   "MAXIMAL cross-doc duplicated character spans (Lee et al. 2021 "
+   "exact substring dedup, k-gram-anchored so it distributes): "
+   "per-position 64-bit k-gram hashes (text never shuffles), "
+   "inverted-index semi-join keeps positions whose gram recurs across "
+   "docs, and the islands trick (gap > k starts a new span) merges "
+   "them into exact extents under a PER-DOC window — a scrubber can "
+   "cut precisely, where dup_span_chunks only names offending chunk "
+   "hashes")
+def duplicated_spans_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.duplicated_spans(docs, k=30, min_len=60)
+
+
+@q("scrub_exact_substrings_documents",
+   f"""WITH base AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= 30),
+      ex AS (SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - 29)) AS pos
+             FROM base),
+      hsh AS (SELECT doc_id, pos,
+                     {_H.format(x="substring(text, pos, 30)")} AS h
+              FROM ex),
+      dup AS (SELECT h FROM hsh GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT doc_id, pos FROM hsh
+               WHERE h IN (SELECT h FROM dup)),
+      brk AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) > 30
+                          THEN 1 ELSE 0 END AS b
+              FROM hits),
+      isl AS (SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM brk),
+      spans AS (SELECT doc_id, min(pos) AS span_start,
+                       max(pos) + 29 AS span_end
+                FROM isl GROUP BY doc_id, g
+                HAVING max(pos) + 29 - min(pos) + 1 >= 60),
+      content AS (SELECT s.doc_id, s.span_start, s.span_end,
+                         {_H.format(
+                             x="substring(d.text, s.span_start, "
+                               "s.span_end - s.span_start + 1)")} AS chash
+                  FROM spans s JOIN documents d USING (doc_id)),
+      canon AS (SELECT chash, min(doc_id) AS keep
+                FROM content GROUP BY chash),
+      cuts AS (SELECT c.doc_id, c.span_start, c.span_end
+               FROM content c JOIN canon USING (chash)
+               WHERE c.doc_id <> keep),
+      segs AS (SELECT doc_id, span_start, span_end,
+                      coalesce(lag(span_end) OVER
+                                 (PARTITION BY doc_id
+                                  ORDER BY span_start), 0) + 1
+                        AS seg_start
+               FROM cuts),
+      rebuilt AS (SELECT s.doc_id,
+                         string_agg(substring(d.text, s.seg_start,
+                                              s.span_start - s.seg_start),
+                                    '' ORDER BY s.span_start)
+                         || substring(d.text, max(s.span_end) + 1) AS text
+                  FROM segs s JOIN documents d USING (doc_id)
+                  GROUP BY s.doc_id, d.text)
+      SELECT d.doc_id, coalesce(r.text, d.text) AS text
+      FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+   "end-to-end exact-substring scrub (Lee et al. 2021 action): every "
+   "cross-doc duplicated span keeps ONE canonical occurrence (min doc "
+   "id per span CONTENT hash) and is cut everywhere else — text "
+   "rebuilt by a per-doc codegen fold over the sorted cut list; docs "
+   "without dups pass through byte-identical. Composes "
+   "duplicated_spans + canonical election + zero-Python reassembly")
+def scrub_exact_substrings_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.scrub_duplicated_spans(docs, k=30, min_len=60) \
+             .select("doc_id", "text")
+
+
 @q("dup_span_chunks_documents",
    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents
@@ -4150,6 +4251,8 @@ _TAIL = [
     # machinery) to admit the re-attestation batch the round-4 judge
     # asked for plus the two reworked scale-safe defaults:
     "dup_span_chunks_documents",       # chunk spans: winnowing in-window
+    "duplicated_spans_documents",      # maximal span extents: spans family
+    "scrub_exact_substrings_documents",# canonical-keep substring scrub
     "ngram_jaccard_pairs_documents",   # inverted-index jaccard: prefix sibling in-window
     "simhash_documents",               # per-row fold hash: winnowing in-window
     "quantize_int8_embeddings",        # narrow per-row map: attested r4

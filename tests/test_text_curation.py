@@ -209,3 +209,110 @@ def test_boilerplate_scrub_doc_fully_removed_still_present(spark):
                docs, chunk_words=4, max_docs=1).collect()}
     assert out["a"] == ("", 1) and out["b"] == ("", 1)
     assert out["c"] == ("short doc", 0)
+
+
+# -- maximal duplicated spans ------------------------------------------------
+
+def test_duplicated_spans_exact_extents(spark):
+    """Planted duplicate: two docs share one long run; the reported span
+    must cover exactly the shared run in each doc (k-gram chaining gives
+    max-extent recovery), and unique text must produce nothing."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    import random
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    uniq = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    shared = uniq(120)
+    a_prefix, b_prefix = uniq(50), uniq(200)
+    docs = spark.createDataFrame(
+        [(1, a_prefix + shared + uniq(40)),
+         (2, b_prefix + shared + uniq(10)),
+         (3, uniq(300))],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+           for r in duplicated_spans(docs, k=20, min_len=40).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared run starts at 51 (1-based), length 120
+    assert out[1] == (51, 170, 120)
+    assert out[2] == (201, 320, 120)
+
+
+def test_duplicated_spans_merges_chained_grams_once(spark):
+    """Two separate shared runs in one doc produce two islands, not one
+    merged span, when the gap between them exceeds k."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    import random
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    uniq = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    s1, s2 = uniq(80), uniq(90)
+    gap = uniq(100)
+    docs = spark.createDataFrame(
+        [(1, s1 + gap + s2),
+         (2, uniq(30) + s1 + uniq(60) + s2 + uniq(5))],
+        "doc_id long, text string")
+    rows = duplicated_spans(docs, k=20, min_len=40) \
+        .filter("doc_id = 1").orderBy("span_start").collect()
+    assert [(r["span_start"], r["span_end"]) for r in rows] == \
+        [(1, 80), (181, 270)]
+
+
+def test_duplicated_spans_max_doc_freq_caps_hubs(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    boiler = "x" * 100   # shared by ALL docs (hub)
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], "doc_id long, text string")
+    assert duplicated_spans(docs, k=20, min_len=40).count() == 6
+    capped = duplicated_spans(docs, k=20, min_len=40, max_doc_freq=3)
+    assert capped.count() == 0
+
+
+def test_scrub_duplicated_spans_keeps_one_canonical_copy(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        scrub_duplicated_spans,
+    )
+    import random
+    rng = random.Random(23)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    uniq = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    shared = uniq(100)
+    a, b, c = uniq(40), uniq(70), uniq(90)
+    docs = spark.createDataFrame(
+        [(1, a + shared),            # canonical (min id) — untouched
+         (2, b + shared + c),       # span cut, prefix+suffix survive
+         (3, uniq(150))],            # no dup — untouched
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in scrub_duplicated_spans(docs, k=20, min_len=40)
+           .collect()}
+    assert out[1] == a + shared
+    assert out[3] is not None and len(out[3]) == 150
+    assert shared not in out[2]
+    assert out[2] == b + c
+
+
+def test_scrub_duplicated_spans_multiple_cuts_in_one_doc(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        scrub_duplicated_spans,
+    )
+    import random
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    uniq = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    s1, s2 = uniq(80), uniq(80)
+    mid, tail = uniq(120), uniq(30)
+    docs = spark.createDataFrame(
+        [(1, s1), (2, s2),
+         (3, s1 + mid + s2 + tail)],   # loses both shared runs
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in scrub_duplicated_spans(docs, k=20, min_len=40)
+           .collect()}
+    assert out[1] == s1 and out[2] == s2
+    assert out[3] == mid + tail
