@@ -79,3 +79,23 @@ def test_distributed_ntile_no_data_side_single_partition(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(id" in plan     # data path: range exchange
     assert "ntile" not in plan                # never the global ntile
+
+
+def test_distributed_ntile_edge_sizes(spark):
+    """ntile semantics at the awkward sizes: n < k (buckets = row
+    ranks), n == k, k == 1, and every remainder class — all must match
+    Spark's own global ntile exactly."""
+    from s3_redshift_backup_tool_spark.operators.partitioning import (
+        distributed_ntile,
+    )
+    cases = [(1, 3), (2, 3), (3, 3), (4, 3), (5, 1), (7, 7), (8, 7),
+             (13, 5), (17, 4)]
+    for n_rows, k in cases:
+        df = spark.range(0, n_rows).repartition(4)
+        got = dict((r["id"], r["bucket"]) for r in
+                   distributed_ntile(df, ["id"], k,
+                                     num_partitions=3).collect())
+        want = dict((r["id"], r["bucket"]) for r in
+                    df.withColumn("bucket", F.ntile(k).over(
+                        Window.orderBy("id"))).collect())
+        assert got == want, (n_rows, k, got, want)

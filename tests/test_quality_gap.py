@@ -48,3 +48,27 @@ def test_gap_audit_duplicates_are_not_gaps(spark):
         [(1,), (2,), (2,), (3,), (7,)], "id long")
     rows = id_gap_audit(df, "id", num_partitions=4).collect()
     assert {(r["gap_start"], r["gap_end"]) for r in rows} == {(4, 6)}
+
+
+def test_gap_audit_random_hole_patterns_hypothesis(spark):
+    """Property: for ANY sorted id set, bucketed gap audit == the
+    closed-form gaps between consecutive ids (holes of any width, at
+    partition boundaries or spanning several)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.sets(st.integers(min_value=0, max_value=10_000),
+                   min_size=2, max_size=60))
+    def run(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "id long") \
+                  .repartition(5)
+        got = {(r["gap_start"], r["gap_end"], r["missing"])
+               for r in id_gap_audit(df, "id", num_partitions=7).collect()}
+        s = sorted(ids)
+        want = {(a + 1, b - 1, b - a - 1)
+                for a, b in zip(s, s[1:]) if b - a > 1}
+        assert got == want
+
+    run()
