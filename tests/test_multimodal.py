@@ -136,10 +136,10 @@ def test_real_decoders_ride_the_arrow_path(spark):
 def test_unknown_format_falls_back_to_registered_type(spark):
     from s3_redshift_backup_tool_spark.operators.multimodal import (
         DecoderRegistry, deterministic_fake)
-    # gif has no format-specific decoder -> media_type fallback (stub)
-    # (jpeg graduated to a real kernel in round 4 — operators/jpeg.py)
+    # webp has no format-specific decoder -> media_type fallback (stub)
+    # (jpeg graduated to a real kernel in round 4, gif in round 5)
     f = DecoderRegistry.decode("image", b"\x01\x02\x03",
-                               {"format": "gif"})
+                               {"format": "webp"})
     assert f == deterministic_fake(b"\x01\x02\x03", {})
 
 
@@ -532,3 +532,104 @@ def test_baseline_jpeg_roundtrip_unaffected_by_dispatch():
     a = decode_jpeg(payload)
     b = decode_jpeg_baseline(payload)
     assert (a == b).all()
+
+
+# -- GIF codec (operators/gif.py) -------------------------------------------
+
+def _rand_rgb(rng, h, w, levels=6):
+    import numpy as np
+    return (rng.integers(0, levels, (h, w, 1)).repeat(3, axis=2)
+            .astype(np.uint8) * 40)
+
+
+def test_gif_roundtrip_and_animation_compose():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        decode_gif, encode_gif, gif_frames)
+    rng = np.random.default_rng(2)
+    f1 = _rand_rgb(rng, 11, 19)
+    assert (decode_gif(encode_gif(f1)) == f1).all()
+    f2 = f1.copy(); f2[2:6, 3:9] = [200, 10, 10]
+    f3 = f1.copy(); f3[0:4, 0:4] = [10, 200, 10]
+    frames = gif_frames(encode_gif([f1, f2, f3]))
+    assert len(frames) == 3
+    assert (frames[1] == f2).all() and (frames[2] == f3).all()
+    # bounded decode: only k frames of work
+    assert len(gif_frames(encode_gif([f1, f2, f3]), max_frames=2)) == 2
+
+
+def test_gif_transparency_composits_over_previous_frame():
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        encode_gif, gif_frames)
+    rng = np.random.default_rng(3)
+    f1 = _rand_rgb(rng, 9, 9)
+    f2 = f1.copy(); f2[4:7, 1:5] = [120, 120, 0]
+    frames = gif_frames(encode_gif([f1, f2], transparent_last=True))
+    assert (frames[1] == f2).all()        # unchanged pixels came from f1
+
+
+def test_gif_interlaced_decodes():
+    """Hand-build an interlaced frame: rows stored in pass order must
+    come back in display order."""
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        decode_gif, encode_gif)
+    rng = np.random.default_rng(4)
+    img = _rand_rgb(rng, 16, 5)
+    payload = bytearray(encode_gif(img))
+    # rewrite the single image descriptor: set interlace flag and
+    # re-encode pixel rows in interlace pass order
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        _INTERLACE_PASSES, lzw_encode_trivial)
+    import struct
+    i = payload.index(0x2C, 13)           # image separator
+    fl, ft, w, h, fp = struct.unpack_from("<HHHHB", payload, i + 1)
+    assert (w, h) == (5, 16)
+    payload[i + 9] = fp | 0x40
+    # palette indexing copied from the encoder
+    colors = np.unique(img.reshape(-1, 3), axis=0)
+    lut = {tuple(c): j for j, c in enumerate(colors)}
+    order = [y for start, step in _INTERLACE_PASSES
+             for y in range(start, 16, step)]
+    idx = np.array([[lut[tuple(px)] for px in img[y]] for y in order],
+                   dtype=np.uint8)
+    min_code = payload[i + 10]
+    stream = lzw_encode_trivial(idx.tobytes(), min_code)
+    rebuilt = payload[:i + 11]
+    for j in range(0, len(stream), 255):
+        chunk = stream[j:j + 255]
+        rebuilt += bytes([len(chunk)]) + chunk
+    rebuilt += b"\x00\x3B"
+    assert (decode_gif(bytes(rebuilt)) == img).all()
+
+
+def test_gif_registry_and_spark_frame_sampling(spark):
+    import numpy as np
+    import pandas as pd
+    from s3_redshift_backup_tool_spark.operators.codecs import _rgb_feature
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        encode_gif, gif_frames)
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, extract_features, sample_gif_frames)
+    rng = np.random.default_rng(5)
+    payloads = []
+    for s in range(4):
+        f1 = _rand_rgb(rng, 8, 8)
+        f2 = f1.copy(); f2[1:4, 1:4] = [200, 0, 0]
+        payloads.append(encode_gif([f1, f2]))
+    pdf = pd.DataFrame({"media_id": range(4),
+                        "payload": payloads})
+    df = spark.createDataFrame(pdf)
+    media = attach_media(df, "payload", "media_id",
+                         media_type="image", fmt="gif")
+    feats = {r["media_id"]: r["feature"]
+             for r in extract_features(media).collect()}
+    want0 = _rgb_feature(gif_frames(payloads[0], 1)[0])
+    assert np.allclose(feats[0], want0, atol=1e-6)
+
+    frames = sample_gif_frames(media, max_frames=8).collect()
+    assert len(frames) == 8               # 4 gifs x 2 frames
+    by_key = {(r["media_id"], r["frame_idx"]): r["feature"] for r in frames}
+    want11 = _rgb_feature(gif_frames(payloads[1], 2)[1])
+    assert np.allclose(by_key[(1, 1)], want11, atol=1e-6)
