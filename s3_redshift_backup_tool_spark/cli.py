@@ -461,9 +461,82 @@ def cmd_cdc(args: argparse.Namespace) -> int:
     if args.action == "strategies":
         ns = argparse.Namespace(strategy=None)
         return cmd_info(ns)
+    if args.action == "examples":
+        # reference v1_2_0_commands.py:216 `cdc examples`: one worked
+        # example per strategy, ready to paste into a pipeline YAML
+        examples = {
+            "timestamp_only": {
+                "description": "single monotonic timestamp column",
+                "config": {"cdc_strategy": "timestamp_only",
+                           "cdc_timestamp_column": "updated_at"}},
+            "hybrid": {
+                "description": "timestamp + id keyset (tie-safe default)",
+                "config": {"cdc_strategy": "hybrid",
+                           "cdc_timestamp_column": "updated_at",
+                           "cdc_id_column": "id"}},
+            "id_only": {
+                "description": "append-only auto-increment tables",
+                "config": {"cdc_strategy": "id_only",
+                           "cdc_id_column": "id"}},
+            "full_sync": {
+                "description": "small tables, complete refresh",
+                "config": {"cdc_strategy": "full_sync",
+                           "full_sync_mode": "replace"}},
+            "custom_sql": {
+                "description": "user SELECT (validated against a "
+                               "keyword blocklist)",
+                "config": {"cdc_strategy": "custom_sql",
+                           "custom_sql": "SELECT * FROM t WHERE ..."}},
+        }
+        if args.output:
+            import yaml
+            with open(args.output, "w") as fh:
+                yaml.safe_dump(examples, fh, sort_keys=True)
+        _emit(examples)
+        return 0
+    if args.action == "migrate":
+        # reference cdc_configuration_manager.py:262: add explicit CDC
+        # config to tables that relied on the implicit updated_at default
+        import yaml
+        if not args.pipeline or not args.output:
+            _emit({"error": "cdc migrate requires -p <in.yml> and "
+                            "--output <out.yml>"})
+            return 2
+        try:
+            with open(args.pipeline) as fh:
+                cfg = yaml.safe_load(fh) or {}
+        except FileNotFoundError:
+            _emit({"error": f"input file not found: {args.pipeline}"})
+            return 1
+        if "pipeline" in cfg:
+            cfg["pipeline"]["version"] = "1.2.0"
+        migrated = []
+        cdc_keys = ("cdc_strategy", "cdc_timestamp_column",
+                    "cdc_id_column", "custom_sql")
+        for name, tc in (cfg.get("tables") or {}).items():
+            if tc is None:
+                tc = {}
+                cfg["tables"][name] = tc
+            # migrate ONLY tables with no CDC config at all: a table
+            # carrying e.g. cdc_timestamp_column/cdc_id_column already
+            # works via the loader's hybrid default — clobbering its
+            # column or strategy would change sync semantics
+            if not any(k in tc for k in cdc_keys):
+                tc["cdc_strategy"] = "timestamp_only"
+                tc.setdefault("cdc_timestamp_column", "updated_at")
+                migrated.append(name)
+        with open(args.output, "w") as fh:
+            yaml.safe_dump(cfg, fh, sort_keys=False)
+        _emit({"output": args.output,
+               "tables": sorted(cfg.get("tables") or {}),
+               "migrated_to_explicit_cdc": migrated})
+        return 0
     # validate
     if not args.table:
         _emit({"error": "cdc validate requires -t"})
+        return 2
+    if not args.source_dir:
+        _emit({"error": "cdc validate requires --source-dir"})
         return 2
     from .operators.cdc import CDCConfig, Watermark, apply_cdc
     from .session import get_spark
@@ -573,7 +646,7 @@ def cmd_info(args: argparse.Namespace) -> int:
         return 0
     families: dict[str, int] = {}
     for name in REGISTRY:
-        fam = name.rsplit("_", 1)[0].split("_")[0]
+        fam = name.split("_")[0]
         families[fam] = families.get(fam, 0) + 1
     _emit({"strategies": strategies,
            "table_config_keys": table_config_keys,
@@ -763,7 +836,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     cd = sub.add_parser("cdc", help="validate a table's CDC config "
                                     "against the real source schema")
-    cd.add_argument("action", choices=["validate", "strategies"])
+    cd.add_argument("action", choices=["validate", "strategies",
+                                       "examples", "migrate"])
+    cd.add_argument("-o", "--output", default=None,
+                    help="output YAML (examples/migrate)")
     cd.add_argument("-t", "--table", default=None)
     cd.add_argument("-p", "--pipeline", default=None,
                     help="pipeline YAML to pull the table config from")

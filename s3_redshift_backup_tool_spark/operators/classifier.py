@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 
 def _z(weights: list[float], feats: list[Column]) -> Column:
-    """w.x + b as a literal-folded codegen expression (bias first)."""
+    """w.x + b as a literal-folded codegen expression (bias first).
+    Lengths must agree exactly — a silent zip-truncation would score
+    the corpus on a partial dot product."""
+    if len(weights) != len(feats) + 1:
+        raise ValueError(
+            f"weights must be [bias, w1..wd]: got {len(weights)} weights "
+            f"for {len(feats)} features")
     z: Column = F.lit(float(weights[0]))
     for w, x in zip(weights[1:], feats):
         z = z + F.lit(float(w)) * x

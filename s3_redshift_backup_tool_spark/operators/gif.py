@@ -75,11 +75,9 @@ def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             continue
         if code == eoi:
             break
-        if prev is None:
+        if code in table:
             entry = table[code]
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
+        elif prev is not None and code == next_code:
             entry = prev + prev[:1]          # the KwKwK case
         else:
             raise ValueError(f"bad LZW code {code}")
@@ -175,6 +173,7 @@ def gif_frames(payload: bytes, max_frames: int | None = None
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
+    pending_d3 = False
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -188,14 +187,18 @@ def gif_frames(payload: bytes, max_frames: int | None = None
                 flags = blk[0]
                 disposal = (flags >> 2) & 7
                 transparent = blk[3] if flags & 1 else None
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore to previous)")
             else:                                       # comment/app/text
                 _, pos = _read_subblocks(payload, pos)
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block {b:#x}")
+        if pending_d3:
+            # the PREVIOUS frame asked for restore-to-previous and a
+            # later frame now needs to composite over it — only here is
+            # the unsupported method actually load-bearing (first/last
+            # frame and beyond-max_frames decodes stay fine)
+            raise NotImplementedError(
+                "GIF disposal method 3 (restore to previous)")
         fl, ft, fw, fh, fp = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         pal = gct
@@ -220,12 +223,16 @@ def gif_frames(payload: bytes, max_frames: int | None = None
         else:
             region[:] = rgb
         frames.append(canvas.copy())
-        if disposal == 2:
-            canvas[ft:ft + fh, fl:fl + fw] = bg[ft:ft + fh, fl:fl + fw]
-        transparent = None
-        disposal = 0
         if max_frames is not None and len(frames) >= max_frames:
             break
+        # disposal applies when COMPOSITING the next frame, so an
+        # unsupported method only matters if a later frame arrives
+        if disposal == 2:
+            canvas[ft:ft + fh, fl:fl + fw] = bg[ft:ft + fh, fl:fl + fw]
+        elif disposal == 3:
+            pending_d3 = True
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames
@@ -257,8 +264,11 @@ def encode_gif(frames: "np.ndarray | list[np.ndarray]",
     h, w, _ = frames[0].shape
     colors = np.unique(
         np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
-    if len(colors) > 255:
-        raise ValueError("fixture encoder supports <= 255 colors")
+    max_colors = 255 if transparent_last else 256
+    if len(colors) > max_colors:
+        raise ValueError(
+            f"fixture encoder supports <= {max_colors} colors "
+            f"({'one slot reserved for transparency' if transparent_last else '8-bit table'})")
     lut = {tuple(c): i for i, c in enumerate(colors)}
     n_pal = 1
     while (1 << n_pal) < max(len(colors) + (1 if transparent_last else 0),

@@ -248,6 +248,8 @@ def sample_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
     from .partitioning import fan_out
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from struct import error as struct_error
+
         from .codecs import _rgb_feature
         from .gif import gif_frames
         for pdf in batches:
@@ -255,8 +257,20 @@ def sample_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                for i, fr in enumerate(
-                        gif_frames(bytes(payload), max_frames)):
+                # one corrupt/non-GIF row must not abort the stage (a
+                # single bad payload in a 100 TB corpus would otherwise
+                # discard all completed work after task retries): emit
+                # a sentinel row (frame_idx -1, null feature) so the
+                # failure is countable downstream, and keep going
+                try:
+                    frames = gif_frames(bytes(payload), max_frames)
+                except (ValueError, NotImplementedError, IndexError,
+                        struct_error):
+                    ids.append(mid)
+                    idxs.append(-1)
+                    feats.append(None)
+                    continue
+                for i, fr in enumerate(frames):
                     ids.append(mid)
                     idxs.append(i)
                     feats.append(_rgb_feature(fr))

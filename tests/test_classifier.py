@@ -78,3 +78,11 @@ def test_gradient_pass_is_partial_aggregable(xy):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "partial_avg" in plan or "partial" in plan.lower()
+
+
+def test_mismatched_weights_rejected(spark, xy):
+    df, _, _ = xy
+    with pytest.raises(ValueError, match="3 weights for 1 features"):
+        logreg_score(df, [0.1, 0.5, -0.5], ["x1"])
+    with pytest.raises(ValueError, match="2 weights for 2 features"):
+        logreg_metrics(df, [0.1, 0.5], ["x1", "x2"], "y")

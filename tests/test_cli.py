@@ -492,3 +492,44 @@ def test_cdc_validate_verb(capsys, sf_dir):
 
     rc, res = _run(capsys, ["cdc", "strategies"])
     assert rc == 0 and "hybrid" in res["strategies"]
+
+
+def test_cdc_examples_and_migrate_verbs(capsys, tmp_path):
+    """cdc examples emits one worked config per strategy; cdc migrate
+    adds explicit timestamp_only CDC to tables relying on the implicit
+    updated_at default (reference cdc_configuration_manager.py:262) and
+    the migrated file loads through the normal pipeline loader."""
+    out_yaml = str(tmp_path / "examples.yml")
+    rc, res = _run(capsys, ["cdc", "examples", "-o", out_yaml])
+    assert rc == 0 and set(res) == {"timestamp_only", "hybrid", "id_only",
+                                    "full_sync", "custom_sql"}
+    import yaml
+    assert yaml.safe_load(open(out_yaml))["hybrid"]["config"][
+        "cdc_id_column"] == "id"
+
+    legacy = tmp_path / "legacy.yml"
+    legacy.write_text("""
+pipeline: {name: legacy, source: s, target: t}
+tables:
+  orders: {cdc_strategy: hybrid, cdc_timestamp_column: o_orderdate,
+           cdc_id_column: o_orderkey}
+  lineitem: {}
+""")
+    migrated = str(tmp_path / "migrated.yml")
+    rc, res = _run(capsys, ["cdc", "migrate", "-p", str(legacy),
+                            "--output", migrated])
+    assert rc == 0 and res["migrated_to_explicit_cdc"] == ["lineitem"]
+    cfg = yaml.safe_load(open(migrated))
+    assert cfg["pipeline"]["version"] == "1.2.0"
+    assert cfg["tables"]["lineitem"]["cdc_strategy"] == "timestamp_only"
+    assert cfg["tables"]["orders"]["cdc_strategy"] == "hybrid"  # untouched
+    from s3_redshift_backup_tool_spark.plans.pipeline import (
+        load_pipeline_yaml,
+    )
+    pipe = load_pipeline_yaml(migrated)
+    assert {t.table_name for t in pipe.tables} == {"orders", "lineitem"}
+
+    rc, res = _run(capsys, ["cdc", "migrate", "-p",
+                            str(tmp_path / "nope.yml"),
+                            "--output", migrated])
+    assert rc == 1 and "not found" in res["error"]

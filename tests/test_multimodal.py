@@ -633,3 +633,71 @@ def test_gif_registry_and_spark_frame_sampling(spark):
     by_key = {(r["media_id"], r["frame_idx"]): r["feature"] for r in frames}
     want11 = _rgb_feature(gif_frames(payloads[1], 2)[1])
     assert np.allclose(by_key[(1, 1)], want11, atol=1e-6)
+
+
+def test_gif_disposal3_only_fails_when_load_bearing():
+    """Disposal 3 on the LAST decoded frame (or beyond max_frames) is
+    harmless; it raises only when a later frame must composite."""
+    import struct
+    import numpy as np
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        decode_gif, encode_gif, gif_frames)
+    rng = np.random.default_rng(9)
+    f1, f2 = _rand_rgb(rng, 6, 6), _rand_rgb(rng, 6, 6)
+    payload = bytearray(encode_gif([f1, f2]))
+    # set disposal=3 in the FIRST graphic-control extension
+    i = payload.index(bytes([0x21, 0xF9, 4]))
+    payload[i + 3] |= (3 << 2)
+    # first-frame-only decodes fine; full decode hits the gap honestly
+    assert (decode_gif(bytes(payload)) == f1).all()
+    assert len(gif_frames(bytes(payload), max_frames=1)) == 1
+    with pytest.raises(NotImplementedError, match="disposal method 3"):
+        gif_frames(bytes(payload))
+
+
+def test_gif_corrupt_lzw_raises_value_error_not_keyerror():
+    import pytest
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.gif import lzw_decode
+    # first code after CLEAR out of range -> contract error, not KeyError
+    # width 3 (min 2): emit clear(100) then code 7 (>= next_code 6)
+    bits = [0, 0, 1, 1, 1, 1]           # clear=4 (100 LSB), then 7 (111)
+    data = bytes([sum(b << i for i, b in enumerate(bits))])
+    with pytest.raises(ValueError, match="bad LZW code"):
+        lzw_decode(data, 2, 4)
+
+
+def test_sample_gif_frames_survives_corrupt_rows(spark):
+    import numpy as np
+    import pandas as pd
+    from s3_redshift_backup_tool_spark.operators.gif import encode_gif
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, sample_gif_frames)
+    rng = np.random.default_rng(13)
+    good = encode_gif([_rand_rgb(rng, 6, 6), _rand_rgb(rng, 6, 6)])
+    pdf = pd.DataFrame({"media_id": [0, 1, 2],
+                        "payload": [good, b"NOT A GIF",
+                                    good[:20]]})   # truncated
+    media = attach_media(spark.createDataFrame(pdf), "payload",
+                         "media_id", media_type="image", fmt="gif")
+    rows = sample_gif_frames(media, max_frames=4).collect()
+    ok = [r for r in rows if r["frame_idx"] >= 0]
+    bad = [r for r in rows if r["frame_idx"] == -1]
+    assert len(ok) == 2 and {r["media_id"] for r in ok} == {0}
+    assert {r["media_id"] for r in bad} == {1, 2}
+    assert all(r["feature"] is None for r in bad)
+
+
+def test_gif_encoder_allows_256_colors_without_transparency():
+    import numpy as np
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        decode_gif, encode_gif)
+    # exactly 256 distinct colors in one 16x16 frame
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([vals, vals[::-1], vals.T], axis=-1)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) == 256
+    assert (decode_gif(encode_gif(img)) == img).all()
+    with pytest.raises(ValueError, match="255"):
+        encode_gif([img, img], transparent_last=True)
