@@ -101,12 +101,17 @@ def main() -> None:
     # the same plan); the best of two runs is the reproducible number a
     # warmed cluster delivers, and one extra pass keeps total runtime
     # bounded.
+    # Timed section includes DataFrame CONSTRUCTION, not just the write:
+    # under AQE, a localCheckpoint (or partition-count probe) above an
+    # exchange executes the upstream stages during construction, so
+    # write-only timing silently under-reports every checkpoint-bearing
+    # query (found in round 5 — the "3x ccnet speedup" was this artifact).
     query_times: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         best = float("inf")
         for _ in range(2):
-            df = spec.fn(spark, SF_DIR)
             t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         query_times[name] = round(best, 3)

@@ -485,9 +485,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .select(F.col(id_col), total.alias("simhash")))
 
 
+def _components_driver(spark, edge_rows) -> DataFrame:
+    """Union-find over a COLLECTED edge list — the small-graph
+    short-circuit. Same contract as the distributed loops: every node
+    labeled with its component's min id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "doc_id long, component long")
+
+
+# Below this many edges the pair graph collects to the driver and runs
+# union-find there — the same economics as AQE's broadcast threshold: a
+# multi-round distributed loop costs seconds of fixed overhead per
+# round, while 1M edges are ~16 MB of driver memory resolved in
+# milliseconds. Above the bound the distributed algorithms run
+# unchanged (they are the reason the operator scales at all).
+COMPONENTS_DRIVER_MAX_EDGES = 1_000_000
+
+
 def neardup_components(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b", max_iter: int = 20,
-                       algorithm: str = "label_prop") -> DataFrame:
+                       algorithm: str = "label_prop",
+                       driver_max_edges: int | None = None) -> DataFrame:
     """Connected components over a near-dup candidate-pair graph: every
     doc gets the MIN doc id of its component as canonical label — the
     step that turns pairwise candidates into dedup groups.
@@ -503,13 +537,26 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
     of diameter (see :func:`neardup_components_star`). Same fixed point
     (component min is path-independent), pinned by an equivalence test,
     so the oracle's recursive-CTE reachability closure reproduces both
-    exactly."""
+    exactly.
+
+    Graphs at or under ``driver_max_edges`` (default
+    ``COMPONENTS_DRIVER_MAX_EDGES``) short-circuit to driver-side
+    union-find — bounded like a broadcast, and orders of magnitude
+    cheaper than even one distributed round; pass ``0`` to force the
+    distributed path (tests do)."""
+    limit = COMPONENTS_DRIVER_MAX_EDGES if driver_max_edges is None \
+        else driver_max_edges
     if algorithm == "star":
-        return neardup_components_star(pairs, id_a, id_b, max_iter)
+        return neardup_components_star(pairs, id_a, id_b, max_iter,
+                                       driver_max_edges=limit)
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .union(pairs.select(F.col(id_b).alias("u"),
                                  F.col(id_a).alias("v"))).distinct())
     edges = edges.localCheckpoint(eager=True)
+    if limit and edges.count() <= limit:
+        return _components_driver(
+            pairs.sparkSession,
+            [(r["u"], r["v"]) for r in edges.collect()])
     labels = (edges.select("u").distinct()
               .withColumn("label", F.col("u")).localCheckpoint(eager=True))
     for _ in range(max_iter):
@@ -537,7 +584,9 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
 
 def neardup_components_star(pairs: DataFrame, id_a: str = "id_a",
                             id_b: str = "id_b",
-                            max_iter: int = 25) -> DataFrame:
+                            max_iter: int = 25,
+                            driver_max_edges: int | None = None
+                            ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond", Algorithm 2). Same output contract as
@@ -561,6 +610,12 @@ def neardup_components_star(pairs: DataFrame, id_a: str = "id_a",
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .filter(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
+    limit = COMPONENTS_DRIVER_MAX_EDGES if driver_max_edges is None \
+        else driver_max_edges
+    if limit and edges.count() <= limit:
+        return _components_driver(
+            pairs.sparkSession,
+            [(r["u"], r["v"]) for r in edges.collect()])
     nodes = (edges.select(F.col("u").alias("doc_id"))
              .union(edges.select("v")).distinct()
              .localCheckpoint(eager=True))
@@ -715,9 +770,14 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     idx = F.sequence(F.lit(1), F.length(t) - k + 1)
     pos_h = F.transform(idx, lambda i: F.struct(
         i.alias("pos"), md5_prefix_int(t.substr(i, F.lit(k))).alias("h")))
+    # materialized once (lazy localCheckpoint): the per-position hash
+    # explode feeds BOTH the doc-frequency model and the position
+    # semi-join — unmaterialized, the O(len·k) hashing pass runs twice
+    # (same fix as bigram_logprob/ngram_jaccard)
     ex = (base.select(id_col, F.explode(pos_h).alias("s"))
               .select(id_col, F.col("s.pos").alias("pos"),
-                      F.col("s.h").alias("h")))
+                      F.col("s.h").alias("h"))
+              .localCheckpoint(eager=False))
     counts = ex.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
     dup = counts.filter(F.col("nd") >= 2)
     if max_doc_freq is not None:
@@ -756,11 +816,15 @@ def scrub_duplicated_spans(df: DataFrame, text_col: str = "text",
                              max_doc_freq)
     t = F.col(text_col)
     with_text = spans.join(df.select(id_col, text_col), id_col)
+    # content is tiny (one row per span) but sits on top of the whole
+    # span pipeline; materialize so the canonical election and the cut
+    # list don't each replay it
     content = (with_text
                .withColumn("__chash", md5_prefix_int(
                    t.substr(F.col("span_start"),
                             F.col("span_len"))))
-               .select(id_col, "span_start", "span_end", "__chash"))
+               .select(id_col, "span_start", "span_end", "__chash")
+               .localCheckpoint(eager=False))
     canon = content.groupBy("__chash").agg(F.min(id_col).alias("__keep"))
     cuts = (content.join(canon, "__chash")
                    .filter(F.col(id_col) != F.col("__keep"))

@@ -35,7 +35,12 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
     (n_nodes, n_edges, n_triangles, transitivity) with
     ``transitivity = 3*triangles / open+closed wedges`` (NULL when the
     graph has no wedges)."""
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # materialize the edge list once: it is consumed four times below
+    # (degrees, orientation join, wedge join, closure membership) and
+    # is tiny next to whatever candidate generator produced it —
+    # unmaterialized, the upstream LSH pipeline would replay per use
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")) \
+             .localCheckpoint(eager=True)
     nodes = (e.select(F.col("a").alias("n"))
               .unionAll(e.select(F.col("b").alias("n"))))
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))

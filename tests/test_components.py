@@ -11,7 +11,7 @@ def test_components_on_known_graph(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         ["id_a", "id_b"])
     got = {(r["doc_id"], r["component"])
-           for r in neardup_components(pairs).collect()}
+           for r in neardup_components(pairs, driver_max_edges=0).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
@@ -21,7 +21,7 @@ def test_components_long_chain_converges(spark):
     # a 30-node path needs ~15 doubling-free rounds; must still converge
     pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
                                   ["id_a", "id_b"])
-    out = neardup_components(pairs, max_iter=40).collect()
+    out = neardup_components(pairs, max_iter=40, driver_max_edges=0).collect()
     assert all(r["component"] == 0 for r in out)
     assert len(out) == 31
 
@@ -33,7 +33,7 @@ def test_star_components_known_graph(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         ["id_a", "id_b"])
     got = {(r["doc_id"], r["component"])
-           for r in neardup_components_star(pairs).collect()}
+           for r in neardup_components_star(pairs, driver_max_edges=0).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
@@ -46,7 +46,7 @@ def test_star_components_long_chain_fast_rounds(spark):
         neardup_components_star)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(60)],
                                   ["id_a", "id_b"])
-    out = neardup_components_star(pairs, max_iter=12).collect()
+    out = neardup_components_star(pairs, max_iter=12, driver_max_edges=0).collect()
     assert len(out) == 61
     assert all(r["component"] == 0 for r in out)
 
@@ -67,9 +67,9 @@ def test_star_equals_label_prop_on_random_graphs(spark):
         edges = [(a, b) for a, b in edges if a != b]
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
         lp = {(r["doc_id"], r["component"])
-              for r in neardup_components(pairs, max_iter=40).collect()}
+              for r in neardup_components(pairs, max_iter=40, driver_max_edges=0).collect()}
         st = {(r["doc_id"], r["component"])
-              for r in neardup_components_star(pairs, max_iter=25).collect()}
+              for r in neardup_components_star(pairs, max_iter=25, driver_max_edges=0).collect()}
         assert st == lp, f"trial {trial}: star != label_prop"
 
 
@@ -78,5 +78,35 @@ def test_components_algorithm_kwarg_dispatches(spark):
         neardup_components)
     pairs = spark.createDataFrame([(5, 9), (9, 7)], ["id_a", "id_b"])
     got = {(r["doc_id"], r["component"])
-           for r in neardup_components(pairs, algorithm="star").collect()}
+           for r in neardup_components(pairs, algorithm="star", driver_max_edges=0).collect()}
     assert got == {(5, 5), (9, 5), (7, 5)}
+
+
+def test_driver_shortcut_equals_distributed(spark):
+    """Small graphs short-circuit to driver union-find; the result must
+    equal the distributed label propagation exactly (same min-label
+    contract, same schema)."""
+    import random
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        neardup_components,
+    )
+    rng = random.Random(31)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = neardup_components(pairs)            # defaults to the shortcut
+    slow = neardup_components(pairs, driver_max_edges=0)
+    assert fast.schema == slow.schema
+    assert {(r["doc_id"], r["component"]) for r in fast.collect()} == \
+        {(r["doc_id"], r["component"]) for r in slow.collect()}
+
+
+def test_driver_shortcut_also_gates_star(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        neardup_components_star,
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)],
+                                  "id_a long, id_b long")
+    got = {(r["doc_id"], r["component"])
+           for r in neardup_components_star(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
