@@ -485,13 +485,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .select(F.col(id_col), total.alias("simhash")))
 
 
-def _components_driver(spark, edge_rows) -> DataFrame:
-    """Union-find over a COLLECTED edge list — the small-graph
-    short-circuit. Same contract as the distributed loops: every node
-    labeled with its component's min id."""
-    parent: dict[int, int] = {}
+# Below this many UNDIRECTED edges the pair graph collects to the
+# driver and runs union-find there — the same economics as AQE's
+# broadcast threshold: a multi-round distributed loop costs seconds of
+# fixed overhead per round, while 200K edges resolve in milliseconds.
+# The bound is sized for the real Python footprint (collect()
+# materializes Row objects at ~100+ B each plus a parent dict of up to
+# 2x node entries — tens of MB transient at this default, NOT just the
+# 16 B/edge payload), so a graph at the threshold cannot OOM a modest
+# driver. Above the bound the distributed algorithms run unchanged
+# (they are the reason the operator scales at all).
+COMPONENTS_DRIVER_MAX_EDGES = 200_000
 
-    def find(x: int) -> int:
+
+def _maybe_driver_components(edges_one_dir: DataFrame,
+                             driver_max_edges: int | None
+                             ) -> DataFrame | None:
+    """Shared small-graph gate: when the SINGLE-DIRECTION edge relation
+    is at or under the limit, collect it and union-find driver-side;
+    None -> caller runs its distributed loop. Output schema mirrors the
+    input id type (string/int ids must round-trip unchanged — a
+    hard-coded long schema would make result types depend on graph
+    size)."""
+    limit = COMPONENTS_DRIVER_MAX_EDGES if driver_max_edges is None \
+        else driver_max_edges
+    if not limit or edges_one_dir.count() > limit:
+        return None
+    from pyspark.sql import types as T
+    dtype = edges_one_dir.schema[0].dataType
+    parent: dict = {}
+
+    def find(x):
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -499,23 +523,18 @@ def _components_driver(spark, edge_rows) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in edge_rows:
+    for u, v in edges_one_dir.collect():
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
-    out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "doc_id long, component long")
-
-
-# Below this many edges the pair graph collects to the driver and runs
-# union-find there — the same economics as AQE's broadcast threshold: a
-# multi-round distributed loop costs seconds of fixed overhead per
-# round, while 1M edges are ~16 MB of driver memory resolved in
-# milliseconds. Above the bound the distributed algorithms run
-# unchanged (they are the reason the operator scales at all).
-COMPONENTS_DRIVER_MAX_EDGES = 1_000_000
+    # nullable=True: the distributed loops' join/agg outputs carry
+    # nullable columns, and result schema must not depend on graph size
+    schema = T.StructType([T.StructField("doc_id", dtype, True),
+                           T.StructField("component", dtype, True)])
+    return edges_one_dir.sparkSession.createDataFrame(
+        [(n, find(n)) for n in parent], schema)
 
 
 def neardup_components(pairs: DataFrame, id_a: str = "id_a",
@@ -539,24 +558,23 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
     so the oracle's recursive-CTE reachability closure reproduces both
     exactly.
 
-    Graphs at or under ``driver_max_edges`` (default
-    ``COMPONENTS_DRIVER_MAX_EDGES``) short-circuit to driver-side
-    union-find — bounded like a broadcast, and orders of magnitude
-    cheaper than even one distributed round; pass ``0`` to force the
-    distributed path (tests do)."""
-    limit = COMPONENTS_DRIVER_MAX_EDGES if driver_max_edges is None \
-        else driver_max_edges
+    Graphs whose single-direction edge relation is at or under
+    ``driver_max_edges`` (default ``COMPONENTS_DRIVER_MAX_EDGES``)
+    short-circuit to driver-side union-find — bounded like a broadcast,
+    and orders of magnitude cheaper than even one distributed round;
+    pass ``0`` to force the distributed path (tests do)."""
     if algorithm == "star":
         return neardup_components_star(pairs, id_a, id_b, max_iter,
-                                       driver_max_edges=limit)
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .union(pairs.select(F.col(id_b).alias("u"),
-                                 F.col(id_a).alias("v"))).distinct())
-    edges = edges.localCheckpoint(eager=True)
-    if limit and edges.count() <= limit:
-        return _components_driver(
-            pairs.sparkSession,
-            [(r["u"], r["v"]) for r in edges.collect()])
+                                       driver_max_edges=driver_max_edges)
+    one_dir = (pairs.select(F.col(id_a).alias("u"),
+                            F.col(id_b).alias("v"))
+               .distinct().localCheckpoint(eager=True))
+    small = _maybe_driver_components(one_dir, driver_max_edges)
+    if small is not None:
+        return small
+    edges = (one_dir.union(one_dir.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+             .distinct().localCheckpoint(eager=True))
     labels = (edges.select("u").distinct()
               .withColumn("label", F.col("u")).localCheckpoint(eager=True))
     for _ in range(max_iter):
@@ -610,12 +628,9 @@ def neardup_components_star(pairs: DataFrame, id_a: str = "id_a",
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .filter(F.col("u") != F.col("v")).distinct()
              .localCheckpoint(eager=True))
-    limit = COMPONENTS_DRIVER_MAX_EDGES if driver_max_edges is None \
-        else driver_max_edges
-    if limit and edges.count() <= limit:
-        return _components_driver(
-            pairs.sparkSession,
-            [(r["u"], r["v"]) for r in edges.collect()])
+    small = _maybe_driver_components(edges, driver_max_edges)
+    if small is not None:
+        return small
     nodes = (edges.select(F.col("u").alias("doc_id"))
              .union(edges.select("v")).distinct()
              .localCheckpoint(eager=True))

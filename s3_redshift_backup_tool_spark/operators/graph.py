@@ -39,8 +39,10 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
     # (degrees, orientation join, wedge join, closure membership) and
     # is tiny next to whatever candidate generator produced it —
     # unmaterialized, the upstream LSH pipeline would replay per use
+    # (lazy: eager would execute the whole upstream pair generator at
+    # plan-construction time, which plan-inventory/explain never wants)
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")) \
-             .localCheckpoint(eager=True)
+             .localCheckpoint(eager=False)
     nodes = (e.select(F.col("a").alias("n"))
               .unionAll(e.select(F.col("b").alias("n"))))
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))

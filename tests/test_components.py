@@ -110,3 +110,43 @@ def test_driver_shortcut_also_gates_star(spark):
     got = {(r["doc_id"], r["component"])
            for r in neardup_components_star(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_driver_shortcut_preserves_id_type(spark):
+    """String and int ids must round-trip through the shortcut with the
+    input type (a hard-coded long schema would crash on strings and
+    silently widen ints depending on graph size)."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        neardup_components,
+    )
+    pairs_s = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string")
+    out = neardup_components(pairs_s)
+    assert dict(out.dtypes) == {"doc_id": "string", "component": "string"}
+    got = {(r["doc_id"], r["component"]) for r in out.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"),
+                   ("x", "x"), ("y", "x")}
+
+    pairs_i = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    assert dict(neardup_components(pairs_i).dtypes) == \
+        {"doc_id": "int", "component": "int"}
+
+
+def test_shortcut_threshold_counts_single_direction_edges(spark):
+    """Both algorithms gate on the SAME single-direction edge count, so
+    one driver_max_edges value means one thing."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        neardup_components, neardup_components_star,
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    # 10 undirected edges: limit 10 -> shortcut for BOTH (fast, same
+    # answer); limit 9 -> distributed for both
+    for limit in (10, 9):
+        a = {(r["doc_id"], r["component"]) for r in
+             neardup_components(pairs, driver_max_edges=limit).collect()}
+        b = {(r["doc_id"], r["component"]) for r in
+             neardup_components_star(pairs,
+                                     driver_max_edges=limit).collect()}
+        want = {(i, 0) for i in range(11)}
+        assert a == b == want, limit
