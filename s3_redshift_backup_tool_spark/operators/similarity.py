@@ -100,7 +100,14 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     n_planes buckets at Hamming distance 1 from the query's — recovers
     the recall lost when a near neighbor falls just across one
     hyperplane, at (n_planes+1)/2^n_planes of the data instead of
-    1/2^n_planes. Candidates stay an IN-list filter — still pushable."""
+    1/2^n_planes. ``probe_bits=2`` adds the C(n_planes, 2)
+    Hamming-2 buckets (a near neighbor crossing TWO planes — common
+    at higher dimensions where per-plane margins are thin); for
+    n_planes=8 the probed fraction is 37/256 ≈ 14% — still a pruned
+    scan, recall typically ~2x the Hamming-1 floor on isotropic data.
+    Candidates stay an IN-list filter — still pushable. For
+    recall beyond what one code can give, see
+    :func:`ann_topk_lsh_multitable`."""
     planes = srp_planes(len(query_vec), n_planes)
     qb = 0
     for i, plane in enumerate(planes):
@@ -109,6 +116,9 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     probes = {qb}
     if probe_bits >= 1:
         probes |= {qb ^ (1 << i) for i in range(n_planes)}
+    if probe_bits >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)}
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         srp_bucket(F.col(vec_col), planes).alias("bucket"))
@@ -116,6 +126,49 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     sim = F.round(cosine(F.col(vec_col),
                          F.array(*[F.lit(float(v)) for v in query_vec])), 6)
     return (cand.select(F.col(id_col), sim.alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))
+
+
+def ann_topk_lsh_multitable(df: DataFrame, query_vec: list[float],
+                            k: int = 10, n_tables: int = 4,
+                            n_planes: int = 8,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            probe_bits: int = 1) -> DataFrame:
+    """Multi-TABLE SRP-LSH: ``n_tables`` independent hyperplane sets,
+    candidates = union of each table's (multi-probed) bucket — the
+    classic recall amplifier: a true neighbor is missed only if EVERY
+    table separates it, so recall ≈ 1 - (1 - p)^L for per-table recall
+    p. Cost: L bucket codes per row (narrow per-row dot products,
+    computed in ONE scan — the filter is an OR of per-table IN-lists,
+    no union of L scans) and ~L× the candidate fraction; at 1B vectors
+    pick L and n_planes so candidates stay ≪ corpus
+    (L*(1+n+...)/2^n). The exact-rerank top-k is unchanged
+    (TakeOrderedAndProject)."""
+    dim = len(query_vec)
+    cond = None
+    proj = df
+    for t in range(n_tables):
+        planes = srp_planes(dim, n_planes, seed=SRP_SEED + 101 * (t + 1))
+        qb = 0
+        for i, plane in enumerate(planes):
+            if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
+                qb += 1 << i
+        probes = {qb}
+        if probe_bits >= 1:
+            probes |= {qb ^ (1 << i) for i in range(n_planes)}
+        if probe_bits >= 2:
+            probes |= {qb ^ (1 << i) ^ (1 << j)
+                       for i in range(n_planes)
+                       for j in range(i + 1, n_planes)}
+        col = f"__b{t}"
+        proj = proj.withColumn(col, srp_bucket(F.col(vec_col), planes))
+        hit = F.col(col).isin(sorted(probes))
+        cond = hit if cond is None else (cond | hit)
+    sim = F.round(cosine(F.col(vec_col),
+                         F.array(*[F.lit(float(v)) for v in query_vec])), 6)
+    return (proj.filter(cond)
+                .select(F.col(id_col), sim.alias("cos_sim"))
                 .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))
 
 

@@ -856,8 +856,10 @@ def cosine_topk_embeddings(spark, sf_dir):
     return sim.cosine_topk(emb, qvec, k=10)
 
 
-def _srp_bucket_sql(n_planes: int, dim: int = 64) -> str:
-    planes = sim.srp_planes(dim, n_planes)
+def _srp_bucket_sql(n_planes: int, dim: int = 64,
+                    seed: int | None = None) -> str:
+    planes = sim.srp_planes(dim, n_planes) if seed is None \
+        else sim.srp_planes(dim, n_planes, seed=seed)
     terms = []
     for i, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
@@ -908,6 +910,41 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return sim.ann_topk_lsh(emb, qvec, k=10, n_planes=4, probe_bits=1)
+
+
+def _multitable_lsh_oracle(n_tables: int = 4, n_planes: int = 8) -> str:
+    bcols = ", ".join(
+        f"{_srp_bucket_sql(n_planes, seed=sim.SRP_SEED + 101 * (t + 1))}"
+        f" AS b{t}" for t in range(n_tables))
+    qcols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    ham1 = " OR ".join(
+        f"((xor(e.b{t}, qb{t}) & (xor(e.b{t}, qb{t}) - 1)) = 0)"
+        for t in range(n_tables))
+    return f"""WITH b AS (SELECT vec_id, embedding, {bcols}
+                FROM embeddings),
+      q AS (SELECT embedding AS qv, {qcols} FROM b WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round({_DOT.format(a='e.embedding', b='qv')}
+                   / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM b e, q
+      WHERE {ham1}
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+
+
+@q("ann_lsh_multitable_topk",
+   _multitable_lsh_oracle(),
+   "multi-TABLE SRP-LSH ANN: 4 independent hyperplane sets, candidate "
+   "= Hamming<=1 hit in ANY table (recall ~ 1-(1-p)^4; measured 0.44 "
+   "at H1 / 0.81 at H2 vs 0.125 single-table on the isotropic "
+   "fixture), all 4 codes computed in ONE corpus pass with an OR "
+   "filter — never a union of per-table scans — then exact rerank")
+def ann_lsh_multitable_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ann_topk_lsh_multitable(emb, qvec, k=10, n_tables=4,
+                                       n_planes=8, probe_bits=1)
 
 
 _L2 = ("list_sum(list_transform(generate_series(1, len({a})), "
@@ -4147,6 +4184,7 @@ _TAIL = [
     "minhash_signatures_documents",  # signatures: lsh_pairs/neardup chain
     "embedding_norms",               # norm math: cosine_topk
     "ann_lsh_multiprobe_topk",       # SRP buckets: ann_lsh_topk
+    "ann_lsh_multitable_topk",       # recall amplifier: same machinery
     "customers_without_orders",      # anti-join: manifest/verify_counts
     "vocab_top20_documents",         # explode+agg+topk: topk/minhash paths
     "lang_id_documents",             # per-doc lang: lang_id_confusion
