@@ -241,6 +241,36 @@ def importance_sample(df: DataFrame, key_col: str, weight: Column,
         < F.floor(w * GATE).cast("long"))
 
 
+def temperature_keep_rates(df: DataFrame, group_col: str,
+                           temperature: float,
+                           target_rows: float) -> dict[str, float]:
+    """Per-group keep probabilities for TEMPERATURE-scaled mixture
+    sampling (the multilingual/NMT and pretraining-mixture standard:
+    sample group g with probability ∝ n_g^(1/T), so T=1 keeps natural
+    proportions and T→∞ flattens toward uniform across groups —
+    up-weighting tail domains without hand-tuned weights).
+
+    One tiny aggregation (group counts, k rows to the driver — same
+    class as a broadcast), then closed-form rates
+    ``min(1, target_rows * n_g^(1/T) / Z / n_g)``; feed the dict to
+    :func:`mixture_sample`, which realizes it as the deterministic
+    hash gate (zero shuffle, rerun-stable, nested). Rates cap at 1 —
+    a tail group too small for its temperature share contributes all
+    it has (the realized total then lands under ``target_rows``;
+    upsampling beyond 1.0 is a different operator)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(group_col).count().collect()}
+    if not counts:
+        return {}
+    probs = {g: float(counts[g]) ** (1.0 / temperature)
+             for g in sorted(counts)}
+    z = sum(probs[g] for g in sorted(probs))
+    return {g: min(1.0, target_rows * probs[g] / z / counts[g])
+            for g in sorted(probs)}
+
+
 def mixture_sample(df: DataFrame, key_col: str, group_col: str,
                    weights: dict[str, float], *, default: float = 0.0,
                    salt: str = "") -> DataFrame:

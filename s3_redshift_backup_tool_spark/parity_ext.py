@@ -2480,6 +2480,37 @@ def mixture_sample_by_source(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@q("temperature_mixture_by_source",
+   f"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      tot AS (SELECT sum(n) AS total FROM c),
+      p AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS pr FROM c),
+      z AS (SELECT sum(pr) AS z FROM p),
+      r AS (SELECT source, n,
+                   least(1.0, (total * 0.4) * pr / z / n) AS rate
+            FROM p CROSS JOIN z CROSS JOIN tot)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN r USING (source)
+      WHERE {_H.format(x="'tmix' || d.doc_id::VARCHAR")} % {1_000_000}
+            < CAST(floor(rate * {1_000_000}) AS BIGINT)""",
+   "TEMPERATURE-scaled mixture (T=2: sample source g ∝ sqrt(n_g) — "
+   "the multilingual/pretraining up-weighting of tail domains without "
+   "hand-tuned weights, target 40% of the corpus): rates are a "
+   "closed form of the k-row group counts (driver scalars, same float "
+   "expression shape as the oracle — the drift_psi device), realized "
+   "by the deterministic hash gate: zero shuffle, rerun-stable, "
+   "nested; rates cap at 1.0 so tiny domains contribute all they "
+   "have")
+def temperature_mixture_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    total = sum(r["count"] for r in
+                docs.groupBy("source").count().collect())
+    rates = smp.temperature_keep_rates(docs, "source", temperature=2.0,
+                                       target_rows=total * 0.4)
+    out = smp.mixture_sample(docs, "doc_id", "source", rates,
+                             default=0.0, salt="tmix")
+    return out.select("doc_id", "source")
+
+
 @q("scd2_history_events",
    """WITH chg AS (SELECT user_id, event_type, ts, event_id,
                         lag(event_type) OVER w AS prev
@@ -4234,6 +4265,7 @@ _TAIL = [
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
+    "temperature_mixture_by_source",   # T-scaled mixing: same gate machinery
     "fuzzy_pairs_customer",            # blocked edit-distance linkage
     "normalized_dedup_documents",      # normalize-then-dedup: exact_dedup kin
     "bigram_logprob_documents",        # char-LM quality proxy (CCNet-style)

@@ -197,3 +197,39 @@ def test_pack_manifests_boundaries_and_order(spark):
     # every doc appears in exactly one pack
     all_ids = [d for r in rows for d in r["member_ids"]]
     assert sorted(all_ids) == list(range(60))
+
+
+def test_temperature_keep_rates_properties(spark):
+    """T=1 reproduces natural proportions (uniform rate target/total);
+    higher T flattens toward uniform across groups (tail group rate
+    rises, head falls); rates cap at 1."""
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        mixture_sample, temperature_keep_rates)
+    rows = [(i, "big") for i in range(900)] + \
+           [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    r1 = temperature_keep_rates(df, "grp", temperature=1.0,
+                                target_rows=500)
+    assert abs(r1["big"] - 0.5) < 1e-9 and abs(r1["small"] - 0.5) < 1e-9
+
+    r4 = temperature_keep_rates(df, "grp", temperature=4.0,
+                                target_rows=500)
+    assert r4["small"] > r1["small"] and r4["big"] < r1["big"]
+
+    # tiny group saturates at 1.0 under strong flattening + big target
+    rinf = temperature_keep_rates(df, "grp", temperature=100.0,
+                                  target_rows=900)
+    assert rinf["small"] == 1.0
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_keep_rates(df, "grp", temperature=0, target_rows=10)
+
+    # end-to-end: realized sizes track the rates (hash gate is exact
+    # in expectation; 900/100 rows give a loose band)
+    kept = mixture_sample(df, "doc_id", "grp", r4, salt="t").groupBy(
+        "grp").count().collect()
+    got = {r["grp"]: r["count"] for r in kept}
+    assert abs(got["big"] - 900 * r4["big"]) < 90
+    assert abs(got["small"] - 100 * r4["small"]) < 30
