@@ -173,6 +173,27 @@ def _update_first_seen(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     yield out
 
 
+def _make_first_seen_ttl(ttl_ms: int):
+    """TTL-evicting variant: every update re-arms a processing-time
+    timeout; a key quiet for ``ttl_ms`` is removed from the state store
+    (it would report is_new=True if it ever returns — the standard
+    bounded-memory dedup contract: exact within the TTL horizon)."""
+
+    def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # eviction callback: no input rows for this key, just drop
+            state.remove()
+            return
+        is_new = not state.exists
+        (count,) = state.get if state.exists else (0,)
+        out = _fold_seen(count, is_new, pdfs, key[0])
+        state.update((int(out["occurrences"][0]),))
+        state.setTimeoutDuration(ttl_ms)
+        yield out
+
+    return _update
+
+
 def _make_first_seen_processor():
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
@@ -197,11 +218,33 @@ def _make_first_seen_processor():
 
 
 def streaming_first_seen(df: DataFrame, key_col: str,
-                         engine: str = "auto") -> DataFrame:
+                         engine: str = "auto",
+                         ttl_minutes: float | None = None) -> DataFrame:
     """Streaming exact dedup ledger: per key, when it was first seen and
     how many times since — the stateful form of exact_dedup for infinite
-    streams (state = one small row per distinct key)."""
+    streams (state = one small row per distinct key).
+
+    ``ttl_minutes`` bounds state on infinite streams: a key quiet that
+    long is evicted (processing-time timeout) and would report
+    is_new=True on return — exact dedup within the TTL horizon, the
+    100 TB-stream default (unbounded NoTimeout state is only safe when
+    the key universe is known-bounded). TTL currently implies the
+    applyInPandasWithState engine (the transformWithState twin would
+    use timers; wire it when that runtime is present).
+
+    Operational caveat (tested): with ProcessingTimeTimeout the
+    trigger loop stays alive to fire future evictions, so even an
+    ``availableNow`` run never self-terminates and
+    ``processAllAvailable()`` blocks — TTL streams are for continuous
+    triggers; batch-style drains should poll the sink and stop()."""
     grouped = df.select(df[key_col].cast("string").alias("key")).groupBy("key")
+    if ttl_minutes is not None:
+        return grouped.applyInPandasWithState(
+            _make_first_seen_ttl(int(ttl_minutes * 60_000)),
+            outputStructType=SEEN_SCHEMA,
+            stateStructType=_SEEN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
     if _resolve_engine(engine) == "transformWithState":
         return grouped.transformWithStateInPandas(
             _make_first_seen_processor()(),
