@@ -243,7 +243,8 @@ def importance_sample(df: DataFrame, key_col: str, weight: Column,
 
 def temperature_keep_rates(df: DataFrame, group_col: str,
                            temperature: float,
-                           target_rows: float) -> dict[str, float]:
+                           target_rows: float,
+                           counts: dict | None = None) -> dict:
     """Per-group keep probabilities for TEMPERATURE-scaled mixture
     sampling (the multilingual/NMT and pretraining-mixture standard:
     sample group g with probability ∝ n_g^(1/T), so T=1 keeps natural
@@ -251,24 +252,42 @@ def temperature_keep_rates(df: DataFrame, group_col: str,
     up-weighting tail domains without hand-tuned weights).
 
     One tiny aggregation (group counts, k rows to the driver — same
-    class as a broadcast), then closed-form rates
+    class as a broadcast; pass ``counts`` to reuse an aggregation the
+    caller already ran), then closed-form rates
     ``min(1, target_rows * n_g^(1/T) / Z / n_g)``; feed the dict to
     :func:`mixture_sample`, which realizes it as the deterministic
     hash gate (zero shuffle, rerun-stable, nested). Rates cap at 1 —
     a tail group too small for its temperature share contributes all
     it has (the realized total then lands under ``target_rows``;
-    upsampling beyond 1.0 is a different operator)."""
+    upsampling beyond 1.0 is a different operator). NULL group keys
+    are dropped (a NULL domain gets no temperature share — give it a
+    real label upstream if it should). Extreme temperatures that
+    overflow ``n^(1/T)`` in linear space fall back to log-space
+    normalization — same ratios, finite arithmetic (only the linear
+    form matches an oracle that mirrors ``pow(n, 1/T)`` literally)."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    counts = {r[0]: r[1] for r in
-              df.groupBy(group_col).count().collect()}
+    if counts is None:
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(group_col).count().collect()}
+    counts = {g: n for g, n in counts.items() if g is not None}
     if not counts:
         return {}
-    probs = {g: float(counts[g]) ** (1.0 / temperature)
-             for g in sorted(counts)}
-    z = sum(probs[g] for g in sorted(probs))
+    groups = sorted(counts)
+    try:
+        probs = {g: float(counts[g]) ** (1.0 / temperature)
+                 for g in groups}
+        z = sum(probs[g] for g in groups)
+        if z == float("inf"):
+            raise OverflowError
+    except OverflowError:
+        import math
+        logs = {g: math.log(counts[g]) / temperature for g in groups}
+        m = max(logs.values())
+        probs = {g: math.exp(logs[g] - m) for g in groups}
+        z = sum(probs[g] for g in groups)
     return {g: min(1.0, target_rows * probs[g] / z / counts[g])
-            for g in sorted(probs)}
+            for g in groups}
 
 
 def mixture_sample(df: DataFrame, key_col: str, group_col: str,

@@ -89,6 +89,25 @@ def srp_buckets(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
                      srp_bucket(F.col(vec_col), planes).alias("bucket"))
 
 
+def _query_probes(query_vec: list[float], planes: list[list[float]],
+                  probe_bits: int) -> set[int]:
+    """The query's bucket plus its Hamming-<=probe_bits neighborhood —
+    shared by single- and multi-table LSH so the sign convention and
+    probe expansion can never desynchronize between them."""
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
+            qb += 1 << i
+    n = len(planes)
+    probes = {qb}
+    if probe_bits >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n)}
+    if probe_bits >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n) for j in range(i + 1, n)}
+    return probes
+
+
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = 8, vec_col: str = "embedding",
                  id_col: str = "vec_id", probe_bits: int = 0) -> DataFrame:
@@ -109,16 +128,7 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     recall beyond what one code can give, see
     :func:`ann_topk_lsh_multitable`."""
     planes = srp_planes(len(query_vec), n_planes)
-    qb = 0
-    for i, plane in enumerate(planes):
-        if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
-            qb += 1 << i
-    probes = {qb}
-    if probe_bits >= 1:
-        probes |= {qb ^ (1 << i) for i in range(n_planes)}
-    if probe_bits >= 2:
-        probes |= {qb ^ (1 << i) ^ (1 << j)
-                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+    probes = _query_probes(query_vec, planes, probe_bits)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         srp_bucket(F.col(vec_col), planes).alias("bucket"))
@@ -150,17 +160,7 @@ def ann_topk_lsh_multitable(df: DataFrame, query_vec: list[float],
     proj = df
     for t in range(n_tables):
         planes = srp_planes(dim, n_planes, seed=SRP_SEED + 101 * (t + 1))
-        qb = 0
-        for i, plane in enumerate(planes):
-            if sum(q * p for q, p in zip(query_vec, plane)) >= 0:
-                qb += 1 << i
-        probes = {qb}
-        if probe_bits >= 1:
-            probes |= {qb ^ (1 << i) for i in range(n_planes)}
-        if probe_bits >= 2:
-            probes |= {qb ^ (1 << i) ^ (1 << j)
-                       for i in range(n_planes)
-                       for j in range(i + 1, n_planes)}
+        probes = _query_probes(query_vec, planes, probe_bits)
         col = f"__b{t}"
         proj = proj.withColumn(col, srp_bucket(F.col(vec_col), planes))
         hit = F.col(col).isin(sorted(probes))

@@ -857,9 +857,8 @@ def cosine_topk_embeddings(spark, sf_dir):
 
 
 def _srp_bucket_sql(n_planes: int, dim: int = 64,
-                    seed: int | None = None) -> str:
-    planes = sim.srp_planes(dim, n_planes) if seed is None \
-        else sim.srp_planes(dim, n_planes, seed=seed)
+                    seed: int = sim.SRP_SEED) -> str:
+    planes = sim.srp_planes(dim, n_planes, seed=seed)
     terms = []
     for i, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
@@ -2502,10 +2501,11 @@ def mixture_sample_by_source(spark, sf_dir):
    "have")
 def temperature_mixture_by_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    total = sum(r["count"] for r in
-                docs.groupBy("source").count().collect())
-    rates = smp.temperature_keep_rates(docs, "source", temperature=2.0,
-                                       target_rows=total * 0.4)
+    counts = {r["source"]: r["count"] for r in
+              docs.groupBy("source").count().collect()}
+    rates = smp.temperature_keep_rates(
+        docs, "source", temperature=2.0,
+        target_rows=sum(counts.values()) * 0.4, counts=counts)
     out = smp.mixture_sample(docs, "doc_id", "source", rates,
                              default=0.0, salt="tmix")
     return out.select("doc_id", "source")

@@ -238,14 +238,25 @@ def streaming_first_seen(df: DataFrame, key_col: str,
     ``processAllAvailable()`` blocks — TTL streams are for continuous
     triggers; batch-style drains should poll the sink and stop()."""
     grouped = df.select(df[key_col].cast("string").alias("key")).groupBy("key")
+    resolved = _resolve_engine(engine)
     if ttl_minutes is not None:
+        if ttl_minutes <= 0:
+            raise ValueError(
+                f"ttl_minutes must be > 0, got {ttl_minutes} (a "
+                "worker-side setTimeoutDuration(0) would only fail "
+                "after the stream is already running)")
+        if engine == "transformWithState":
+            raise NotImplementedError(
+                "TTL via transformWithState timers is not wired yet; "
+                "use engine='auto'/'applyInPandasWithState' with "
+                "ttl_minutes")
         return grouped.applyInPandasWithState(
             _make_first_seen_ttl(int(ttl_minutes * 60_000)),
             outputStructType=SEEN_SCHEMA,
             stateStructType=_SEEN_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
-    if _resolve_engine(engine) == "transformWithState":
+    if resolved == "transformWithState":
         return grouped.transformWithStateInPandas(
             _make_first_seen_processor()(),
             outputStructType=SEEN_SCHEMA,

@@ -233,3 +233,21 @@ def test_temperature_keep_rates_properties(spark):
     got = {r["grp"]: r["count"] for r in kept}
     assert abs(got["big"] - 900 * r4["big"]) < 90
     assert abs(got["small"] - 100 * r4["small"]) < 30
+
+
+def test_temperature_rates_null_groups_and_overflow(spark):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        temperature_keep_rates)
+    rows = [(i, "a") for i in range(50)] + [(50 + i, None)
+                                            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    r = temperature_keep_rates(df, "grp", temperature=1.0,
+                               target_rows=25)
+    assert set(r) == {"a"}           # NULL domain dropped, no TypeError
+
+    # extreme temperature: linear space overflows, log-space fallback
+    # keeps the ratios (equal-count groups -> equal rates)
+    counts = {"x": 10**7, "y": 10**7}
+    r2 = temperature_keep_rates(df, "grp", temperature=0.02,
+                                target_rows=1000, counts=counts)
+    assert abs(r2["x"] - r2["y"]) < 1e-12 and 0 < r2["x"] < 1

@@ -296,3 +296,18 @@ def test_first_seen_ttl_runs_end_to_end(spark, documents, tmp_path):
         q.stop()
     rows = spark.sql("SELECT * FROM ttl_seen").collect()
     assert len(rows) == 200 and all(r["is_new"] for r in rows)
+
+
+def test_ttl_argument_validation(spark, documents):
+    import pytest
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        streaming_first_seen)
+    stream = documents.select("doc_id")   # batch df is fine for plan-time
+    with pytest.raises(ValueError, match="ttl_minutes must be > 0"):
+        streaming_first_seen(stream, "doc_id", ttl_minutes=0)
+    with pytest.raises(ValueError, match="unknown stateful engine"):
+        streaming_first_seen(stream, "doc_id", engine="bogus",
+                             ttl_minutes=60)
+    with pytest.raises(NotImplementedError, match="timers"):
+        streaming_first_seen(stream, "doc_id",
+                             engine="transformWithState", ttl_minutes=60)
