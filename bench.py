@@ -106,15 +106,38 @@ def main() -> None:
     # exchange executes the upstream stages during construction, so
     # write-only timing silently under-reports every checkpoint-bearing
     # query (found in round 5 — the "3x ccnet speedup" was this artifact).
+    def time_query(spec) -> float:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     query_times: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        query_times[name] = round(best, 3)
+        query_times[name] = round(min(time_query(spec), time_query(spec)), 3)
+
+    # Outlier re-time: best-of-2 inside a ~100s sweep does not survive a
+    # multi-second GC pause (round 5 shipped a 14.9s artifact for a query
+    # that runs 2.1s isolated — 7x overstated in the round's artifact of
+    # record). Any query whose best-of-2 exceeds 3x its cost in the prior
+    # round's full history (or, with no history, 3x this sweep's median
+    # and >5s) gets ONE isolated re-time after a GC, and the artifact
+    # records the better number plus which queries were re-timed.
+    prior_q = _prior_round_queries()
+    med = sorted(query_times.values())[len(query_times) // 2]
+    retimed: dict[str, float] = {}
+    for name, best in list(query_times.items()):
+        prior = prior_q.get(name)
+        suspicious = ((prior is not None and best > 3 * prior
+                       and best - prior > 1.0)
+                      or (prior is None and best > 5.0 and best > 3 * med))
+        if suspicious:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            iso = time_query(REGISTRY[name])
+            if iso < best:
+                retimed[name] = round(best, 3)
+                query_times[name] = round(iso, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -128,9 +151,29 @@ def main() -> None:
         "rows_per_sec": round(n_rows / headline_sec),
         "baseline_rows_per_sec": 233_000,
         "total_query_sec": round(sum(query_times.values()), 3),
+        "retimed_outliers": retimed,   # name -> in-sweep time it replaced
     }
     _persist_full_history(result)
     print(json.dumps(result))
+
+
+def _prior_round_queries() -> dict[str, float]:
+    """Per-query times from the most recent bench_full_r*.json — the
+    trailing cost baseline for outlier detection."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(repo, "bench_full_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)\.json$", f).group(1)))
+    if not files:
+        return {}
+    try:
+        with open(files[-1]) as fh:
+            return dict(json.load(fh).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
 
 
 def _persist_full_history(result: dict) -> None:

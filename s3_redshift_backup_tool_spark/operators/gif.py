@@ -30,6 +30,11 @@ import numpy as np
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
+# Hard cap on canvas/frame pixel counts from untrusted headers: 64M
+# pixels = 192 MB RGB canvas, far above any real GIF, far below an
+# executor-killing allocation.
+MAX_PIXELS = 1 << 26
+
 
 # -- LZW -------------------------------------------------------------------
 
@@ -160,6 +165,13 @@ def gif_frames(payload: bytes, max_frames: int | None = None
     if payload[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF payload")
     w, h, packed, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
+    # untrusted header dims drive np.zeros and the LZW output size — a
+    # hostile 65535x65535 header would be a ~12.9 GB allocation whose
+    # MemoryError aborts the whole stage; cap BEFORE allocating so bad
+    # rows fail with the ValueError the sentinel-row path catches
+    if w * h > MAX_PIXELS or w == 0 or h == 0:
+        raise ValueError(f"GIF canvas {w}x{h} outside sane bounds "
+                         f"(max {MAX_PIXELS} pixels)")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -201,6 +213,9 @@ def gif_frames(payload: bytes, max_frames: int | None = None
                 "GIF disposal method 3 (restore to previous)")
         fl, ft, fw, fh, fp = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        if fw * fh > MAX_PIXELS or fw == 0 or fh == 0:
+            raise ValueError(f"GIF frame {fw}x{fh} outside sane bounds "
+                             f"(max {MAX_PIXELS} pixels)")
         pal = gct
         if fp & 0x80:
             n = 2 << (fp & 7)

@@ -265,7 +265,7 @@ def sample_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
                 try:
                     frames = gif_frames(bytes(payload), max_frames)
                 except (ValueError, NotImplementedError, IndexError,
-                        struct_error):
+                        struct_error, MemoryError):
                     ids.append(mid)
                     idxs.append(-1)
                     feats.append(None)

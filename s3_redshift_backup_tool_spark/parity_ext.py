@@ -2480,7 +2480,8 @@ def mixture_sample_by_source(spark, sf_dir):
 
 
 @q("temperature_mixture_by_source",
-   f"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+   f"""WITH c AS (SELECT source, count(*) AS n FROM documents
+                  WHERE source IS NOT NULL GROUP BY 1),
       tot AS (SELECT sum(n) AS total FROM c),
       p AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS pr FROM c),
       z AS (SELECT sum(pr) AS z FROM p),
@@ -2501,8 +2502,13 @@ def mixture_sample_by_source(spark, sf_dir):
    "have")
 def temperature_mixture_by_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    # NULL sources get no temperature share (documented drop-NULL
+    # semantics) — exclude them from BOTH the counts and the target
+    # total so the oracle's WHERE source IS NOT NULL counts CTE pins
+    # the same rates even when the corpus contains NULL domains
     counts = {r["source"]: r["count"] for r in
-              docs.groupBy("source").count().collect()}
+              docs.groupBy("source").count().collect()
+              if r["source"] is not None}
     rates = smp.temperature_keep_rates(
         docs, "source", temperature=2.0,
         target_rows=sum(counts.values()) * 0.4, counts=counts)

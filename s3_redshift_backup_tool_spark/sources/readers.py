@@ -165,7 +165,7 @@ def read_json_lines(spark: SparkSession, path: str, schema,
 
 def read_with_quarantine(spark: SparkSession, path: str, schema,
                          quarantine_path: str, fmt: str = "json",
-                         checkpoint_clean: bool = True,
+                         checkpoint_clean: bool = False,
                          **options) -> tuple[DataFrame, int]:
     """The middle road between FAILFAST (one bad row kills a 100 TB
     load) and silent PERMISSIVE (bad rows become nulls nobody sees):
@@ -203,14 +203,19 @@ def read_with_quarantine(spark: SparkSession, path: str, schema,
         bad.write.mode("append").parquet(quarantine_path)
     clean = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
     if checkpoint_clean:
-        # Deterministic cache lifetime: materialize the clean slice to
-        # executor-local checkpoint blocks (freed with the DataFrame),
-        # then drop the source cache NOW — a long-lived driver looping
-        # over many inputs no longer accumulates pinned partitions
-        # until storage evicts or OOMs. Callers that would rather keep
-        # the lazy pinned-cache behavior (e.g. they write `clean` to a
-        # sink immediately and the double-materialization is not worth
-        # it) pass checkpoint_clean=False and own the unpersist.
+        # Opt-in deterministic cache lifetime: materialize the clean
+        # slice to executor-local checkpoint blocks (freed with the
+        # DataFrame), then drop the source cache NOW — a long-lived
+        # driver looping over many inputs no longer accumulates pinned
+        # partitions until storage evicts or OOMs. Two caveats make
+        # this opt-in, not the default: (1) the clean slice is
+        # materialized twice (the corrupt-count cache pass plus the
+        # eager checkpoint copy) before the caller's own action, and
+        # (2) localCheckpoint blocks are NON-RELIABLE — losing an
+        # executor after the unpersist makes the returned DataFrame
+        # unrecomputable, a failure mode the pinned-cache path does
+        # not have. Default (False): caller gets the lazily-cached
+        # clean slice and owns the unpersist.
         clean = clean.localCheckpoint(eager=True)
         raw.unpersist()
     return clean, n_bad

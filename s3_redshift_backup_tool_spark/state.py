@@ -95,16 +95,24 @@ class LocalJsonBackend:
         return os.path.exists(self._path(key))
 
     def put_if_absent(self, key: str, doc: dict) -> bool:
-        """Atomic create-if-missing (O_CREAT|O_EXCL) — the exists-then-put
-        race two concurrent drivers would otherwise win together. Returns
-        False when the key already exists."""
+        """Atomic create-if-missing. Returns False when the key exists.
+
+        The payload must be *atomically visible*: write the JSON to a
+        private temp file first, then ``os.link`` it to the final name.
+        link() fails with EEXIST when the key is held, and whenever the
+        file is visible it is complete — a concurrent loser reading the
+        holder document can never observe an empty/partial file (the
+        O_CREAT|O_EXCL-then-write variant had exactly that window)."""
         p = self._path(key)
+        tmp = f"{p}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=2, default=str)
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, p)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            json.dump(doc, f, indent=2, default=str)
+        finally:
+            os.unlink(tmp)
         return True
 
 

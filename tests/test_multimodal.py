@@ -558,6 +558,37 @@ def test_gif_roundtrip_and_animation_compose():
     assert len(gif_frames(encode_gif([f1, f2, f3]), max_frames=2)) == 2
 
 
+def test_gif_hostile_dimensions_rejected_before_allocation():
+    """A corrupt/hostile header declaring e.g. 65535x65535 must raise
+    ValueError (caught by the sentinel-row path) BEFORE np.zeros would
+    attempt a ~12.9 GB canvas and OOM the stage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from s3_redshift_backup_tool_spark.operators.gif import (
+        MAX_PIXELS, encode_gif, gif_frames)
+    rng = np.random.default_rng(5)
+    payload = bytearray(encode_gif(_rand_rgb(rng, 4, 4)))
+    # hostile logical-screen dims
+    struct.pack_into("<HH", payload, 6, 65535, 65535)
+    with pytest.raises(ValueError, match="outside sane bounds"):
+        gif_frames(bytes(payload))
+    # hostile FRAME dims (canvas sane, frame rectangle huge)
+    payload = bytearray(encode_gif(_rand_rgb(rng, 4, 4)))
+    i = payload.index(0x2C, 13)
+    struct.pack_into("<HH", payload, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="outside sane bounds"):
+        gif_frames(bytes(payload))
+    # zero-sized canvas is equally invalid
+    payload = bytearray(encode_gif(_rand_rgb(rng, 4, 4)))
+    struct.pack_into("<HH", payload, 6, 0, 0)
+    with pytest.raises(ValueError, match="outside sane bounds"):
+        gif_frames(bytes(payload))
+    assert 65535 * 65535 > MAX_PIXELS  # the attack the cap must stop
+
+
 def test_gif_transparency_composits_over_previous_frame():
     import numpy as np
     from s3_redshift_backup_tool_spark.operators.gif import (

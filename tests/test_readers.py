@@ -122,11 +122,13 @@ def test_read_with_quarantine_clean_input_writes_nothing(spark, tmp_path):
 
 
 def test_read_with_quarantine_releases_source_cache(spark, tmp_path):
-    """Default path must not pin the source cache for the life of the
-    returned DataFrame: a long-lived driver looping over many inputs
-    would accumulate cached partitions until storage OOMs. After the
-    call, no RDD from this read stays in the cache manager, and the
-    clean slice is still fully usable (checkpoint-backed)."""
+    """checkpoint_clean=True must not pin the source cache for the life
+    of the returned DataFrame: a long-lived driver looping over many
+    inputs would accumulate cached partitions until storage OOMs. After
+    the call, no RDD from this read stays in the cache manager, and the
+    clean slice is still fully usable (checkpoint-backed). The DEFAULT
+    (False) keeps the lazily-cached slice — localCheckpoint blocks are
+    non-reliable, so surviving executor loss stays the default."""
     from pyspark.sql import types as T
     from s3_redshift_backup_tool_spark.sources.readers import (
         read_with_quarantine,
@@ -146,19 +148,19 @@ def test_read_with_quarantine_releases_source_cache(spark, tmp_path):
         src = tmp_path / f"in{i}.jsonl"
         src.write_text(f'{{"id": {i}, "v": "a"}}\nNOT JSON\n')
         clean, n_bad = read_with_quarantine(
-            spark, str(src), schema, str(tmp_path / f"q{i}"))
+            spark, str(src), schema, str(tmp_path / f"q{i}"),
+            checkpoint_clean=True)
         assert n_bad == 1
         cleans.append(clean)
     assert sql_cache_empty(), "quarantine reads leaked SQL cache entries"
     # checkpoint-backed clean slices still readable after unpersist
     assert [r["id"] for c in cleans for r in c.collect()] == [0, 1, 2]
 
-    # opt-out keeps the legacy pinned-cache behavior
+    # default keeps the recomputable pinned-cache behavior
     src = tmp_path / "in_pin.jsonl"
     src.write_text('{"id": 9, "v": "z"}\nNOT JSON\n')
     clean, _ = read_with_quarantine(
-        spark, str(src), schema, str(tmp_path / "q_pin"),
-        checkpoint_clean=False)
+        spark, str(src), schema, str(tmp_path / "q_pin"))
     assert not sql_cache_empty()
     assert clean.count() == 1
     spark.catalog.clearCache()

@@ -251,3 +251,30 @@ def test_temperature_rates_null_groups_and_overflow(spark):
     r2 = temperature_keep_rates(df, "grp", temperature=0.02,
                                 target_rows=1000, counts=counts)
     assert abs(r2["x"] - r2["y"]) < 1e-12 and 0 < r2["x"] < 1
+
+
+def test_temperature_mixture_parity_holds_with_null_sources(spark, tmp_path):
+    """The registry entry and its DuckDB oracle must agree even when the
+    corpus contains NULL sources (the driver fixture has none, so only
+    this test pins the documented drop-NULL semantics end to end)."""
+    import duckdb
+
+    import s3_redshift_backup_tool_spark.parity_ext  # noqa: F401
+    from s3_redshift_backup_tool_spark.parity import REGISTRY
+
+    rows = ([(i, "web", f"text {i}") for i in range(400)]
+            + [(400 + i, "books", f"text {i}") for i in range(80)]
+            + [(480 + i, None, f"text {i}") for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = str(tmp_path / "sf_null")
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    spec = REGISTRY["temperature_mixture_by_source"]
+    sdf = spec.fn(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    odf = con.execute(spec.oracle).fetchdf()
+    con.close()
+    assert sorted(sdf["doc_id"]) == sorted(odf["doc_id"])
+    assert sdf["source"].notna().all()   # NULL domain gets no share

@@ -96,26 +96,34 @@ def test_lock_exclusion(store):
     store.acquire_lock(SRC, TBL, TGT)  # re-acquirable after release
 
 
+@pytest.mark.filterwarnings("error::pytest.PytestUnhandledThreadExceptionWarning")
 def test_lock_acquire_is_atomic(store):
     """Concurrent acquirers race through put_if_absent; exactly one wins
-    (the exists-then-put pattern would let several through)."""
+    and EVERY loser gets the contractual LockHeldError — never a
+    JSONDecodeError from observing a partially-written lock payload
+    (tmp + os.link makes the payload atomically visible)."""
     import threading
 
     results: list[str | None] = []
+    errors: list[BaseException] = []
 
     def _try():
         try:
             results.append(store.acquire_lock(SRC, "race_tbl", TGT))
         except LockHeldError:
             results.append(None)
+        except BaseException as e:  # noqa: BLE001 — the assertion target
+            errors.append(e)
 
     threads = [threading.Thread(target=_try) for _ in range(8)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    assert errors == [], f"losers must raise LockHeldError, got {errors!r}"
     winners = [r for r in results if r is not None]
     assert len(winners) == 1
+    assert len(results) == 8  # every loser reported via LockHeldError
 
 
 def test_summary_and_file_stats(store):
