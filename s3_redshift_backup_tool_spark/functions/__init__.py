@@ -43,6 +43,7 @@ from ..operators.text import (
     scrub_pii,
     stopword_ratio,
     token_count_bpe,
+    token_count_regex,
     token_count_ws,
     tokens,
 )
@@ -54,5 +55,6 @@ __all__ = [
     "fingerprint", "l2_norm", "l2_sq", "lang_id", "md5_prefix_int",
     "normalize_timestamp_string", "pii_counts", "punct_ratio",
     "quality_score", "scrub_pii", "srp_bucket", "stopword_ratio",
-    "timestamp_to_epoch", "token_count_bpe", "token_count_ws", "tokens",
+    "timestamp_to_epoch", "token_count_bpe", "token_count_regex",
+    "token_count_ws", "tokens",
 ]

@@ -339,6 +339,24 @@ def semantic_dedup_pairs(df: DataFrame,
                              max(len(centroids), 1), vec_col, id_col)
 
 
+def semantic_dedup_pairs_indexed(spark, df: DataFrame, index_dir: str,
+                                 threshold: float = 0.95,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id") -> DataFrame:
+    """PRODUCTION SemDeDup path: centroids come from the persisted IVF
+    index (``save_ivf_index``) — a k-row parquet read — so the quantizer
+    costs ZERO passes over the corpus. The in-query-trained
+    :func:`semantic_dedup_pairs` stays as the oracle twin and the
+    one-shot convenience; at 100 TB you train once (kmeans_centroids on
+    a hash-gate sample), persist, and every dedup run scores against the
+    frozen quantizer — re-train only when ``ivf_index_add``'s drift
+    signal says the centroids stopped fitting. The corpus DataFrame is
+    not touched until the returned pairs plan executes (pinned by
+    tests/test_similarity.py: a poisoned corpus passes construction)."""
+    cents = load_ivf_index(spark, index_dir)
+    return semantic_dedup_pairs(df, cents, threshold, vec_col, id_col)
+
+
 def semantic_dedup(df: DataFrame,
                    centroids: list[tuple[int, list[float]]],
                    threshold: float = 0.95, vec_col: str = "embedding",

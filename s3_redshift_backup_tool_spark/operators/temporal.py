@@ -170,6 +170,7 @@ def interval_overlap_join(
     right_start: str,
     right_end: str,
     bucket_s: int = 3600,
+    suffix_collisions: str | None = None,
 ) -> DataFrame:
     """Inner interval-x-interval overlap join: pairs rows whose CLOSED
     intervals ``[l.start, l.end]`` and ``[r.start, r.end]`` intersect
@@ -191,17 +192,39 @@ def interval_overlap_join(
 
     The output carries every left column plus every non-key right
     column, selected BY NAME — so the two inputs must not share any
-    non-key column name (rename before calling, e.g. when
-    self-joining a relation). Collisions are rejected up front with
-    the offending names rather than surfacing as an ambiguous-
-    reference error deep in the final select."""
+    non-key column name. By default collisions are rejected up front
+    with the offending names rather than surfacing as an ambiguous-
+    reference error deep in the final select; pass
+    ``suffix_collisions="_r"`` (pandas ``_x``/``_y`` style, opt-in) to
+    auto-rename the RIGHT side's colliding columns instead — the
+    self-join case then needs no manual pre-renaming."""
     keys = [on] if isinstance(on, str) else list(on)
     clash = sorted((set(left.columns) & set(right.columns)) - set(keys))
+    if clash and suffix_collisions is not None:
+        if not suffix_collisions:
+            raise ValueError("suffix_collisions must be a non-empty suffix")
+        rename = {c: c + suffix_collisions for c in clash}
+        new_right = [rename.get(c, c) for c in right.columns]
+        still = sorted((set(new_right) & set(left.columns)) - set(keys))
+        if len(set(new_right)) != len(new_right):
+            still = sorted(set(still)
+                           | {c for c in new_right if new_right.count(c) > 1})
+        if still:
+            raise ValueError(
+                f"interval_overlap_join: suffixed names {still} still "
+                f"collide; pick a different suffix_collisions")
+        if right_start in rename:
+            right_start = rename[right_start]
+        if right_end in rename:
+            right_end = rename[right_end]
+        right = right.withColumnsRenamed(rename)
+        clash = []
     if clash:
         raise ValueError(
             f"interval_overlap_join: non-key column names collide "
             f"between left and right: {clash}; rename one side "
-            f"(e.g. right.withColumnsRenamed) before joining")
+            f"(e.g. right.withColumnsRenamed) before joining, or pass "
+            f"suffix_collisions='_r' to auto-suffix the right side")
     bucket_us = bucket_s * 1_000_000
 
     def _cover(df: DataFrame, s: str, e: str) -> DataFrame:

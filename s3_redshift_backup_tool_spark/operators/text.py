@@ -44,9 +44,27 @@ def token_count_ws(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
-def token_count_bpe(col: Column) -> Column:
-    """Regex-based BPE-ish token count."""
+def token_count_regex(col: Column) -> Column:
+    """Regex token count (word/number/symbol pieces via ``TOKEN_REGEX``).
+
+    This is NOT byte-pair encoding — it's the cheap JVM-side
+    approximation Gopher-style length rules run on (formerly misnamed
+    ``token_count_bpe``). For counts under a TRAINED tokenizer use
+    :func:`token_count_bpe`, which applies learned merges."""
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def token_count_bpe(df, merges: list[tuple[str, str]],
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """HONEST BPE token counts: apply TRAINED merges
+    (``bpe.train_bpe_merges``) to every document and return
+    (id, n_tokens) — the number a tokenizer-aware length threshold
+    should gate on. DataFrame-in/DataFrame-out (the merge loop is
+    per-word iterative, so this rides the Arrow-batched
+    ``bpe.segment_words`` kernel, not a JVM Column expression)."""
+    from .bpe import segment_words
+    return (segment_words(df, merges, text_col=text_col, id_col=id_col)
+            .select(id_col, "n_tokens"))
 
 
 def stopword_ratio(col: Column) -> Column:
@@ -126,7 +144,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
         id_col,
         F.length(c).cast("long").alias("n_chars"),
         token_count_ws(c).alias("n_tokens"),
-        token_count_bpe(c).alias("n_tokens_bpe"),
+        token_count_regex(c).alias("n_tokens_regex"),
         avg_token_len(c).alias("avg_token_len"),
         stopword_ratio(c).alias("stopword_ratio"),
         punct_ratio(c).alias("punct_ratio"),

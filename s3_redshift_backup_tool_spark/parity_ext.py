@@ -352,7 +352,7 @@ _STOP_SQL = "['" + "', '".join(tx.STOPWORDS) + "']"
    f"""SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '{tx.TOKEN_REGEX}')) AS BIGINT) AS n_tokens_bpe,
+             CAST(len(regexp_extract_all(text, '{tx.TOKEN_REGEX}')) AS BIGINT) AS n_tokens_regex,
              round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                    / len(string_split(text, ' ')), 6) AS avg_token_len,
              round(CAST(len(list_filter(string_split(text, ' '),
@@ -3385,6 +3385,220 @@ def excess_shipped_suppliers(spark, sf_dir):
                .select("s_suppkey", "s_name", "n_name"))
 
 
+# --------------------------------------------------------------------------
+# GENUINE TPC-H Q2 / Q11 / Q16 / Q20 over a DERIVED partsupp. The driver
+# fixtures ship no partsupp table, so both engines derive the same one
+# deterministically: the distinct (l_partkey, l_suppkey) pairs observed in
+# lineitem, with ps_availqty (1..9999) and ps_supplycost (1.00..1000.00)
+# synthesized from the portable md5-prefix hash of the pair — bit-identical
+# on Spark and DuckDB, so the four queries below run the REAL TPC-H logic
+# (availqty thresholds, supplycost minima, stock-value totals), not the
+# lineitem-proxy approximations kept above for their plan shapes.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST(CAST('0x' || substr(md5('psa_' || CAST(ps_partkey AS VARCHAR)
+              || '_' || CAST(ps_suppkey AS VARCHAR)), 1, 15) AS BIGINT)
+              % 9999 + 1 AS INT) AS ps_availqty,
+         CAST(CAST('0x' || substr(md5('psc_' || CAST(ps_partkey AS VARCHAR)
+              || '_' || CAST(ps_suppkey AS VARCHAR)), 1, 15) AS BIGINT)
+              % 99901 + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem))"""
+
+
+def _partsupp_df(spark, sf_dir):
+    """Spark twin of ``_PARTSUPP_SQL``: one distinct-pair aggregation over
+    lineitem (map-side combine; the pair space is |part|x|supp| bounded,
+    ~80x smaller than the fact), then two narrow hash columns. At 100 TB
+    a real deployment would persist this once (it is partsupp) rather
+    than re-derive per query — the derivation itself is one shuffle of
+    8-byte pairs, safe at any scale."""
+    from .operators.text import md5_prefix_int
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.select(F.col("l_partkey").alias("ps_partkey"),
+                    F.col("l_suppkey").alias("ps_suppkey")).distinct())
+    key = F.concat_ws("_", F.col("ps_partkey").cast("string"),
+                      F.col("ps_suppkey").cast("string"))
+    return (ps.withColumn("ps_availqty",
+                          (md5_prefix_int(key, salt="psa_") % 9999 + 1)
+                          .cast("int"))
+              .withColumn("ps_supplycost",
+                          (md5_prefix_int(key, salt="psc_") % 99901 + 100)
+                          .cast("double") / 100.0))
+
+
+@q("tpch_q2",
+   f"""WITH {_PARTSUPP_SQL}
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+             ps_supplycost
+      FROM part, supplier, partsupp, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size <= 15 AND p_type LIKE '%ARD'
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2, supplier s2, nation n2, region r2
+          WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+      LIMIT 100""",
+   "TPC-H Q2, genuine (minimum-cost supplier): the correlated scalar-min "
+   "over EUROPE partsupp is decorrelated into a window minimum over the "
+   "SAME eligible relation the outer query consumes — one partsupp "
+   "derivation, one lineitem scan, and the min adds no exchange because "
+   "it runs on the ps_partkey partitioning the join already needs. "
+   "nation/region broadcast; part filter applied before its join; the "
+   "ORDER BY ... LIMIT is TakeOrderedAndProject (no global sort). "
+   "s_suppkey added to the output so the LIMIT boundary is a total order "
+   "on both engines")
+def tpch_q2(spark, sf_dir):
+    from pyspark.sql.window import Window
+    ps = _partsupp_df(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    europe = (ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+                .join(F.broadcast(nation),
+                      sup.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                      nation.n_regionkey == region.r_regionkey))
+    w = Window.partitionBy("ps_partkey")
+    best = (europe.withColumn("__min", F.min("ps_supplycost").over(w))
+                  .filter(F.col("ps_supplycost") == F.col("__min")))
+    pf = part.filter((F.col("p_size") <= 15)
+                     & F.col("p_type").like("%ARD"))
+    return (best.join(pf, best.ps_partkey == pf.p_partkey)
+                .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
+                         "p_partkey", "s_suppkey")
+                .limit(100)
+                .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                        "p_name", "s_suppkey", "ps_supplycost"))
+
+
+@q("tpch_q11",
+   f"""WITH {_PARTSUPP_SQL},
+      pv AS (SELECT ps_partkey,
+                    sum(CAST(ps_supplycost * ps_availqty
+                             AS DECIMAL(18,2))) AS v
+             FROM partsupp, supplier, nation
+             WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+               AND n_name = 'NATION_7'
+             GROUP BY ps_partkey)
+      SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+      FROM pv
+      WHERE CAST(v AS DOUBLE) >
+            (SELECT CAST(sum(v) AS DOUBLE) FROM pv) * 0.001""",
+   "TPC-H Q11, genuine (important stock): per-part stock value "
+   "ps_supplycost*ps_availqty for one nation's suppliers, kept when above "
+   "a fraction of the national total. The correlated HAVING is "
+   "decorrelated into a 1-row aggregate broadcast back over pv, and pv is "
+   "computed ONCE (localCheckpoint) for both the threshold and the "
+   "filter. DECIMAL(18,2) partials (the product has exactly 2 decimals) "
+   "make the sums order-invariant, so the threshold comparison is "
+   "engine-exact")
+def tpch_q11(spark, sf_dir):
+    ps = _partsupp_df(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,2)")
+    pv = (ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+                  sup.s_nationkey == nation.n_nationkey)
+            .groupBy("ps_partkey").agg(F.sum(val).alias("v")))
+    pv = pv.localCheckpoint(eager=False)  # reuse: threshold + filter
+    thresh = pv.agg((F.sum("v").cast("double") * 0.001).alias("__t"))
+    return (pv.join(F.broadcast(thresh))
+              .filter(F.col("v").cast("double") > F.col("__t"))
+              .select("ps_partkey", F.col("v").cast("double").alias("value")))
+
+
+@q("tpch_q16",
+   f"""WITH {_PARTSUPP_SQL}
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT ps_suppkey) AS supplier_cnt
+      FROM partsupp JOIN part ON p_partkey = ps_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type NOT IN ('PROMO', 'ECONOMY')
+        AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size""",
+   "TPC-H Q16, genuine over derived partsupp (parts/suppliers "
+   "relationship counts; the complaints-supplier NOT IN proxied by "
+   "negative balances — the fixture has no s_comment). The NOT IN is a "
+   "broadcast left_anti; countDistinct deduplicates map-side so the "
+   "shuffle carries (attrs, suppkey) pairs. Counts differ from the "
+   "lineitem-proxy sibling because partsupp relates EVERY observed pair "
+   "once, not per shipment")
+def tpch_q16(spark, sf_dir):
+    ps = _partsupp_df(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    bad = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter((F.col("p_brand") != "Brand#1")
+                     & ~F.col("p_type").isin("PROMO", "ECONOMY")
+                     & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    return (ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey,
+                    "left_anti")
+              .join(pf, ps.ps_partkey == pf.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt")))
+
+
+@q("tpch_q20",
+   f"""WITH {_PARTSUPP_SQL},
+      shipped AS (SELECT l_partkey, l_suppkey,
+                         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01'
+                  GROUP BY 1, 2)
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 3
+        AND s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE ps_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+            AND CAST(ps_availqty AS DOUBLE) > 0.5 * CAST(qty AS DOUBLE))""",
+   "TPC-H Q20, genuine (potential part promotion): suppliers whose "
+   "availqty exceeds half the quantity they shipped of filtered parts in "
+   "the bounded year. The correlated scalar sum is decorrelated into a "
+   "grouped aggregate joined back on (partkey, suppkey) — an inner join, "
+   "because a pair with no shipments makes the correlated comparison "
+   "NULL (excluded) in the genuine form too. Part-key filter semi-joins "
+   "into partsupp via broadcast; the final IN is a left_semi so supplier "
+   "rows never duplicate. DECIMAL sums keep the threshold engine-exact")
+def tpch_q20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _partsupp_df(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pk = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                         & (F.col("l_shipdate") < "1997-01-01"))
+                 .groupBy("l_partkey", "l_suppkey")
+                 .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                       .alias("qty")))
+    picked = (ps.join(F.broadcast(pk), ps.ps_partkey == pk.p_partkey,
+                      "left_semi")
+                .join(shipped, (ps.ps_partkey == shipped.l_partkey)
+                      & (ps.ps_suppkey == shipped.l_suppkey))
+                .filter(F.col("ps_availqty").cast("double")
+                        > 0.5 * F.col("qty").cast("double"))
+                .select("ps_suppkey"))
+    return (sup.join(picked, sup.s_suppkey == picked.ps_suppkey, "left_semi")
+               .join(F.broadcast(nation.filter(F.col("n_regionkey") == 3)),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", "s_name", "n_name"))
+
+
 @q("benford_audit_orders",
    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
                                         AS BIGINT) AS VARCHAR),
@@ -4185,21 +4399,22 @@ _WINDOW = [
     "quality_metrics_lineitem",
     # LLM-data-pipeline: dedup / similarity / sampling / multimodal
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
-    "neardup_clusters_documents", "jaccard_prefix_pairs_documents",
+    "neardup_clusters_documents",
+    "scrub_exact_substrings_documents", "duplicated_spans_documents",
     "cms_heavy_hitters_documents",
     "batch_cosine_topk_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
-    "fuzzy_decontamination_pairs", "train_val_test_split_documents",
+    "ann_lsh_multitable_topk", "train_val_test_split_documents",
     "quality_classifier_documents",
-    "multimodal_features", "hybrid_search_rrf",
+    "multimodal_features", "temperature_mixture_by_source",
     # text analysis / corpus curation
     "text_stats_documents", "repetition_signals_documents",
-    "ccnet_buckets_by_source", "stratified_sample_by_source",
+    "ntile_cumedist_customers",
     "pii_scrub_customer", "id_gap_audit_orders",
     # windows / top-k / temporal joins / streaming
     "latest_record_per_user", "overlapping_purchase_intervals_events",
     "topk_orders_by_price", "asof_click_attribution",
-    "scd2_history_events", "tumbling_daily_events",
+    "keyset_page_orders", "tumbling_daily_events",
     "session_windows_events",
     # analytics joins + aggregation shapes
     "pricing_summary_lineitem", "revenue_by_nation",
@@ -4207,12 +4422,24 @@ _WINDOW = [
     "supplier_revenue_by_nation",
     "bm25_search_documents", "cube_status_priority_orders",
     "price_percentiles_orders", "approx_distinct_users_check",
-    "winnowing_dup_fingerprints_documents",
+    "tpch_q2",
 ]
 
 _TAIL = [
+    # rotated out of the window round 6 (driver-hashed green in r5; each
+    # has an in-window machinery sibling) to admit the never-hashed
+    # round-5 families, the distributed-rank pair, and tpch_q2:
+    "jaccard_prefix_pairs_documents",  # PPJoin prefixes: minhash/spans in-window
+    "fuzzy_decontamination_pairs",     # bipartite LSH: minhash_lsh in-window
+    "hybrid_search_rrf",               # RRF fuse: bm25_search in-window
+    "ccnet_buckets_by_source",         # distributed ntile: ntile_cumedist in-window
+    "stratified_sample_by_source",     # hash gates: train_val_test + temperature in-window
+    "scd2_history_events",             # lag/lead windows: latest_record in-window
+    "winnowing_dup_fingerprints_documents",  # k-gram fingerprints: spans in-window
+    # genuine TPC-H over derived partsupp (tpch_q2 carries the family
+    # in-window; these three share its partsupp derivation machinery)
+    "tpch_q11", "tpch_q16", "tpch_q20",
     # each has an in-window sibling exercising the same operator code path
-    "keyset_page_orders",            # windows+limit: latest_record/topk
     "part_type_revenue_share",       # fact-dim join: supplier_revenue
     "revenue_rollup_flag_status",    # grouping sets: cube_status_priority
     "sliding_2h1h_events",           # event-time windows: tumbling/session
@@ -4221,7 +4448,6 @@ _TAIL = [
     "minhash_signatures_documents",  # signatures: lsh_pairs/neardup chain
     "embedding_norms",               # norm math: cosine_topk
     "ann_lsh_multiprobe_topk",       # SRP buckets: ann_lsh_topk
-    "ann_lsh_multitable_topk",       # recall amplifier: same machinery
     "customers_without_orders",      # anti-join: manifest/verify_counts
     "vocab_top20_documents",         # explode+agg+topk: topk/minhash paths
     "lang_id_documents",             # per-doc lang: lang_id_confusion
@@ -4249,7 +4475,6 @@ _TAIL = [
     "neardup_dedup_keep_canonical",  # CC + left_anti: clusters family
     "neardup_cluster_size_histogram",# CC + double agg: clusters family
     "rolling_hour_avg_value",        # time-RANGE frame: event_gap family
-    "ntile_cumedist_customers",      # distribution windows: event_gap family
     "pivot_status_by_priority",      # pivot/crosstab: cube/rollup family
     "intersect_click_purchase_users",# INTERSECT: manifest set-op family
     "label_centroids_embeddings",    # applyInPandas grouped-map Arrow path
@@ -4271,7 +4496,6 @@ _TAIL = [
     "approx_percentile_check_lineitem",# quantile sketch accuracy gate
     "hll_union_distinct_users",        # mergeable HLL sketch rollup
     "mixture_sample_by_source",        # domain mixing: importance_sample kin
-    "temperature_mixture_by_source",   # T-scaled mixing: same gate machinery
     "fuzzy_pairs_customer",            # blocked edit-distance linkage
     "normalized_dedup_documents",      # normalize-then-dedup: exact_dedup kin
     "bigram_logprob_documents",        # char-LM quality proxy (CCNet-style)
@@ -4327,8 +4551,6 @@ _TAIL = [
     # machinery) to admit the re-attestation batch the round-4 judge
     # asked for plus the two reworked scale-safe defaults:
     "dup_span_chunks_documents",       # chunk spans: winnowing in-window
-    "duplicated_spans_documents",      # maximal span extents: spans family
-    "scrub_exact_substrings_documents",# canonical-keep substring scrub
     "ngram_jaccard_pairs_documents",   # inverted-index jaccard: prefix sibling in-window
     "simhash_documents",               # per-row fold hash: winnowing in-window
     "quantize_int8_embeddings",        # narrow per-row map: attested r4

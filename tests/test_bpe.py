@@ -90,3 +90,26 @@ def test_segment_with_no_merges_is_char_level(spark):
     r = segment_words(df, []).first()
     # "ab"->a,b,EOW (3) + "c"->c,EOW (2)
     assert r["n_tokens"] == 5 and r["n_words"] == 2
+
+
+def test_token_count_bpe_matches_segment_words(spark):
+    """text.token_count_bpe applies TRAINED merges — its counts must be
+    exactly segment_words' n_tokens (the regex counter is a different,
+    honestly-named function now)."""
+    from s3_redshift_backup_tool_spark.operators.text import (
+        token_count_bpe, token_count_regex)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest new")],
+        "doc_id long, text string")
+    merges = train_bpe_merges(df, num_merges=10)
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in token_count_bpe(df, merges).collect()}
+    want = {r["doc_id"]: r["n_tokens"]
+            for r in segment_words(df, merges).collect()}
+    assert got == want and len(got) == 2
+    # and the regex counter is a genuinely different number here
+    rx = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", token_count_regex(F.col("text")).alias("n")).collect()}
+    assert rx[1] == 3  # whole words, no subword splits

@@ -84,3 +84,44 @@ def test_ivf_index_add_appends_without_rewrite(spark, embeddings, tmp_path):
     want = [(r["vec_id"], r["cos_sim"]) for r in
             ann_topk_ivf(embeddings, q, cents, k=5, nprobe=2).collect()]
     assert got == want
+
+
+def test_semantic_dedup_indexed_skips_centroid_training(spark, embeddings,
+                                                        tmp_path):
+    """Production SemDeDup: with index_dir supplied the quantizer is a
+    k-row parquet read — ZERO jobs touch the corpus while the pairs plan
+    is constructed (a poisoned corpus passes construction; the trained
+    path raises immediately), and the result is identical to the
+    in-query-trained path given the same centroids."""
+    import pytest
+
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        ivf_centroids, save_ivf_index, semantic_dedup_pairs,
+        semantic_dedup_pairs_indexed)
+
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    idx = str(tmp_path / "ivf_cent")
+    save_ivf_index(spark, cents, idx)
+
+    # a corpus whose every scan raises: any centroid derivation against
+    # it would fail during construction
+    def _boom(_batches):
+        raise RuntimeError("corpus scanned during construction")
+        yield  # pragma: no cover
+
+    poisoned = embeddings.mapInPandas(
+        _boom, schema="vec_id long, embedding array<float>")
+    pairs_plan = semantic_dedup_pairs_indexed(
+        spark, poisoned, idx, threshold=0.3)   # constructs without a job
+    assert pairs_plan.columns == ["id_a", "id_b", "cos_sim"]
+    with pytest.raises(Exception, match="corpus scanned"):
+        # trained path: ivf_centroids collects FROM the corpus -> raises
+        semantic_dedup_pairs(
+            poisoned, ivf_centroids(poisoned, 8), threshold=0.3)
+
+    # equivalence vs the trained path on the real corpus
+    got = sorted(tuple(r) for r in semantic_dedup_pairs_indexed(
+        spark, embeddings, idx, threshold=0.3).collect())
+    want = sorted(tuple(r) for r in semantic_dedup_pairs(
+        embeddings, cents, threshold=0.3).collect())
+    assert got == want and len(got) > 0

@@ -311,3 +311,55 @@ def test_ttl_argument_validation(spark, documents):
     with pytest.raises(NotImplementedError, match="timers"):
         streaming_first_seen(stream, "doc_id",
                              engine="transformWithState", ttl_minutes=60)
+
+
+def test_first_seen_ttl_evicts_and_readmits_quiet_key(spark, tmp_path):
+    """Continuous-trigger soak for the eviction semantics the docstring
+    promises: a key quiet past the TTL horizon is evicted (its timeout
+    fires in a no-data micro-batch) and REPORTS is_new=True when it
+    returns — the bounded-memory dedup contract, observed end to end
+    rather than via the unit-level GroupState fake."""
+    import time
+
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        streaming_first_seen)
+
+    src = str(tmp_path / "ttl_soak_src")
+    first = spark.createDataFrame([("X",)], "doc_id string")
+    first.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_first_seen(stream, "doc_id", ttl_minutes=0.02)  # 1.2 s
+         .writeStream.format("memory").queryName("ttl_soak")
+         .outputMode("update")
+         .trigger(processingTime="500 milliseconds").start())
+
+    def rows_for_x():
+        return spark.sql(
+            "SELECT is_new, occurrences FROM ttl_soak").collect()
+
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows_for_x()) < 1:
+            time.sleep(0.5)
+        got = rows_for_x()
+        assert len(got) == 1 and bool(got[0]["is_new"])
+
+        # stay quiet past the TTL so the processing-time timer fires
+        # (no-data micro-batches keep running under the continuous
+        # trigger and deliver the eviction callback)
+        time.sleep(4.0)
+
+        first.write.mode("append").parquet(src)   # the key returns
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows_for_x()) < 2:
+            time.sleep(0.5)
+        got = rows_for_x()
+    finally:
+        q.stop()
+
+    assert len(got) == 2, f"expected re-admission row, got {got}"
+    # evicted in between -> the return is first-seen again with a
+    # RESET count (not 2), pinning that state was truly removed
+    assert all(bool(r["is_new"]) for r in got)
+    assert [int(r["occurrences"]) for r in got] == [1, 1]

@@ -177,6 +177,49 @@ def test_interval_overlap_join_rejects_colliding_column_names(spark):
                               right_start="s", right_end="e")
 
 
+def test_interval_overlap_join_auto_suffix_self_join(spark):
+    """Opt-in suffix_collisions: a self-join needs no manual renames —
+    right-side colliding columns come back suffixed (pandas _x/_y
+    style), overlap semantics unchanged, and a suffix that STILL
+    collides is rejected with a clear error."""
+    import datetime as dt
+
+    import pytest
+
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    df = spark.createDataFrame(
+        [("k", "A", ts(0), ts(2)),
+         ("k", "B", ts(1), ts(3)),      # overlaps A
+         ("k", "C", ts(5), ts(6))],     # disjoint
+        "g string, id string, s timestamp, e timestamp")
+    out = interval_overlap_join(
+        df, df, on="g", left_start="s", left_end="e",
+        right_start="s", right_end="e", suffix_collisions="_r")
+    assert out.columns == ["g", "id", "s", "e", "id_r", "s_r", "e_r"]
+    pairs = {(r["id"], r["id_r"]) for r in out.collect()}
+    # full self-overlap set: every interval overlaps itself + A<->B
+    assert pairs == {("A", "A"), ("B", "B"), ("C", "C"),
+                     ("A", "B"), ("B", "A")}
+
+    # a suffix that still collides must be rejected, not silently wrong
+    df2 = df.withColumn("id_r", df["id"])
+    with pytest.raises(ValueError, match="still"):
+        interval_overlap_join(
+            df2, df2, on="g", left_start="s", left_end="e",
+            right_start="s", right_end="e", suffix_collisions="_r")
+    with pytest.raises(ValueError, match="non-empty"):
+        interval_overlap_join(
+            df, df, on="g", left_start="s", left_end="e",
+            right_start="s", right_end="e", suffix_collisions="")
+
+
 def test_interpolate_linear_blend_and_edges(spark):
     from s3_redshift_backup_tool_spark.operators.temporal import (
         interpolate_linear,
