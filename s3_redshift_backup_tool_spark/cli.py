@@ -661,9 +661,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="s3_redshift_backup_tool_spark")
     sub = p.add_subparsers(dest="command", required=True)
 
-    sp = sub.add_parser("sync", help="run a pipeline's incremental sync "
-                                     "(or, without -p, an ad-hoc one-table "
-                                     "sync from flags)")
+    # `backup` is the reference's name for the same verb
+    # (src/cli/main.py:512 ad-hoc backup): alias, not a separate path
+    sp = sub.add_parser("sync", aliases=["backup"],
+                        help="run a pipeline's incremental sync "
+                             "(or, without -p, an ad-hoc one-table "
+                             "sync from flags); alias: backup")
     sp.add_argument("-p", "--pipeline", default=None, help="pipeline YAML; "
                     "omit for ad-hoc mode")
     sp.add_argument("-t", "--table", action="append",

@@ -229,6 +229,42 @@ def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return _pairs_from_banded(banded, id_col, max_bucket_size)
 
 
+def source_overlap_matrix(df: DataFrame, group_col: str = "source",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """Cross-source contamination matrix: estimated shingle-set Jaccard
+    between every PAIR of corpus sources — the curation dashboard that
+    answers "how much does domain A's content leak into domain B"
+    before any doc-level dedup runs (high overlap => run bipartite
+    decontamination between those two sources specifically).
+
+    MinHash unions compose: the per-source signature is the per-
+    hash-function MIN over its docs' signature rows (min over a union
+    of shingle sets = min over per-doc minima), so no shingle set is
+    ever materialized per source. Scale shape: doc signatures are the
+    zero-shuffle per-row pipeline; one (id) join tags them with the
+    source (at 100 TB thread the group column through the signature
+    projection instead); the per-source groupBy carries
+    |sources| x num_hashes rows; the pairwise comparison runs on that
+    tiny relation — O(|sources|^2) only on the GROUP count, never on
+    docs. Estimator: fraction of agreeing signature positions
+    (Broder'97), resolution 1/num_hashes."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    src = df.select(F.col(id_col), F.col(group_col))
+    ss = (sig.join(src, id_col)
+             .groupBy(group_col, "hash_idx")
+             .agg(F.min("min_hash").alias("m")))
+    a = ss.select(F.col(group_col).alias("source_a"),
+                  "hash_idx", F.col("m").alias("__ma"))
+    b = ss.select(F.col(group_col).alias("source_b"),
+                  "hash_idx", F.col("m").alias("__mb"))
+    return (a.join(b, "hash_idx")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.round(F.avg(F.when(F.col("__ma") == F.col("__mb"), 1.0)
+                                 .otherwise(0.0)), 6).alias("est_jaccard")))
+
+
 def _banded_from_array(arr: DataFrame, id_col: str, num_hashes: int,
                        bands: int) -> DataFrame:
     """(id, sig) -> (id, band, band_hash), band index exploded (NOT an

@@ -627,6 +627,28 @@ def minhash_signatures_documents(spark, sf_dir):
                                  n=3, num_hashes=16)
 
 
+@q("source_overlap_matrix_documents",
+   f"""WITH {_MINHASH_CTE},
+      ss AS (SELECT d.source, s.hash_idx, min(s.min_hash) AS m
+             FROM sig s JOIN documents d USING (doc_id)
+             GROUP BY d.source, s.hash_idx)
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(avg(CASE WHEN a.m = b.m THEN 1.0 ELSE 0.0 END), 6)
+               AS est_jaccard
+      FROM ss a JOIN ss b
+        ON a.hash_idx = b.hash_idx AND a.source < b.source
+      GROUP BY a.source, b.source""",
+   "cross-source contamination matrix: per-source MinHash union "
+   "signature (min over docs' minima — MinHash composes over set "
+   "union, so no per-source shingle set is materialized), then "
+   "pairwise agreement-fraction Jaccard estimates on the "
+   "|sources| x 16 relation; the 'which domains leak into each "
+   "other' dashboard that targets bipartite decontamination runs")
+def source_overlap_matrix_documents(spark, sf_dir):
+    return dd.source_overlap_matrix(_t(spark, sf_dir, "documents"),
+                                    n=3, num_hashes=16)
+
+
 @q("minhash_lsh_pairs_documents",
    f"""WITH {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -4446,6 +4468,7 @@ _TAIL = [
     "above_avg_idle_customers",      # anti-join: customers_without_orders
     "small_qty_part_revenue",        # pre-agg+rejoin: large_volume_orders
     "minhash_signatures_documents",  # signatures: lsh_pairs/neardup chain
+    "source_overlap_matrix_documents",  # per-source sig union: minhash kin
     "embedding_norms",               # norm math: cosine_topk
     "ann_lsh_multiprobe_topk",       # SRP buckets: ann_lsh_topk
     "customers_without_orders",      # anti-join: manifest/verify_counts

@@ -194,6 +194,44 @@ def _make_first_seen_ttl(ttl_ms: int):
     return _update
 
 
+def _make_first_seen_ttl_processor(ttl_ms: int):
+    """transformWithState twin of ``_make_first_seen_ttl``: every update
+    re-arms a processing-time TIMER ``ttl_ms`` ahead (delete-then-
+    register — transformWithState timers don't auto-replace the way
+    ``setTimeoutDuration`` does); when the timer fires the key's state
+    is cleared, so a returning key reports first-seen again with a
+    reset count — the same bounded-memory contract, exact within the
+    TTL horizon."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class FirstSeenTtlProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("seen", _SEEN_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            is_new = not self._state.exists()
+            (count,) = self._state.get() if self._state.exists() else (0,)
+            out = _fold_seen(count, is_new, rows, key[0])
+            self._state.update((int(out["occurrences"][0]),))
+            for t in self._handle.listTimers():   # re-arm, don't stack
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + ttl_ms)
+            yield out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # eviction: drop the ledger entry; nothing emitted
+            self._state.clear()
+            return iter([])
+
+        def close(self) -> None:
+            pass
+
+    return FirstSeenTtlProcessor
+
+
 def _make_first_seen_processor():
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
@@ -225,12 +263,12 @@ def streaming_first_seen(df: DataFrame, key_col: str,
     streams (state = one small row per distinct key).
 
     ``ttl_minutes`` bounds state on infinite streams: a key quiet that
-    long is evicted (processing-time timeout) and would report
-    is_new=True on return — exact dedup within the TTL horizon, the
-    100 TB-stream default (unbounded NoTimeout state is only safe when
-    the key universe is known-bounded). TTL currently implies the
-    applyInPandasWithState engine (the transformWithState twin would
-    use timers; wire it when that runtime is present).
+    long is evicted (processing-time timeout on the
+    applyInPandasWithState engine; a processing-time TIMER on the
+    transformWithState engine) and would report is_new=True on return —
+    exact dedup within the TTL horizon, the 100 TB-stream default
+    (unbounded NoTimeout state is only safe when the key universe is
+    known-bounded).
 
     Operational caveat (tested): with ProcessingTimeTimeout the
     trigger loop stays alive to fire future evictions, so even an
@@ -245,11 +283,13 @@ def streaming_first_seen(df: DataFrame, key_col: str,
                 f"ttl_minutes must be > 0, got {ttl_minutes} (a "
                 "worker-side setTimeoutDuration(0) would only fail "
                 "after the stream is already running)")
-        if engine == "transformWithState":
-            raise NotImplementedError(
-                "TTL via transformWithState timers is not wired yet; "
-                "use engine='auto'/'applyInPandasWithState' with "
-                "ttl_minutes")
+        if resolved == "transformWithState":
+            return grouped.transformWithStateInPandas(
+                _make_first_seen_ttl_processor(
+                    int(ttl_minutes * 60_000))(),
+                outputStructType=SEEN_SCHEMA,
+                outputMode="Update",
+                timeMode="ProcessingTime")
         return grouped.applyInPandasWithState(
             _make_first_seen_ttl(int(ttl_minutes * 60_000)),
             outputStructType=SEEN_SCHEMA,

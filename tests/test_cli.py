@@ -131,6 +131,16 @@ def test_adhoc_sync_without_pipeline_yaml(capsys, tmp_path, sf_dir):
                              "--work-dir", work])
     assert rc3 == 2 and "error" in err
 
+    # `backup` is the reference's verb for the same operation — alias,
+    # identical semantics (still idempotent against the same watermark)
+    rc4, out4 = _run(capsys, ["backup", "-t", "orders",
+                              "--strategy", "hybrid",
+                              "--ts-column", "o_orderdate",
+                              "--id-column", "o_orderkey",
+                              "--source-dir", sf_dir, "--work-dir", work,
+                              "--cpus", "8"])
+    assert rc4 == 0 and out4["orders"]["rows_extracted"] == 0
+
 
 def test_compact_verb(capsys, pipeline_yml, tmp_path, sf_dir):
     work = str(tmp_path / "work")

@@ -106,6 +106,9 @@ class _FakeValueState:
     def update(self, v):
         self._v = tuple(v)
 
+    def clear(self):
+        self._v = None
+
 
 class _FakeHandle:
     def __init__(self):
@@ -308,9 +311,65 @@ def test_ttl_argument_validation(spark, documents):
     with pytest.raises(ValueError, match="unknown stateful engine"):
         streaming_first_seen(stream, "doc_id", engine="bogus",
                              ttl_minutes=60)
-    with pytest.raises(NotImplementedError, match="timers"):
-        streaming_first_seen(stream, "doc_id",
-                             engine="transformWithState", ttl_minutes=60)
+    # TTL + explicit transformWithState now builds the timer-based plan
+    # (execution needs the protobuf state client; the processor's timer
+    # lifecycle is pinned by test_first_seen_ttl_processor_timers)
+    out = streaming_first_seen(stream, "doc_id",
+                               engine="transformWithState", ttl_minutes=60)
+    assert out.columns == ["key", "is_new", "occurrences"]
+
+
+def test_first_seen_ttl_processor_timers():
+    """transformWithState TTL twin, driven class-level (the real runtime
+    needs protobuf): updates re-arm ONE processing-time timer (delete +
+    register, never stacking); expiry clears the ledger entry silently;
+    a returning key is first-seen again with a reset count — the same
+    contract the applyInPandasWithState soak observes end to end."""
+    import pandas as pd
+
+    from s3_redshift_backup_tool_spark.streaming.stateful import (
+        _make_first_seen_ttl_processor)
+
+    class _FakeTimerHandle(_FakeHandle):
+        def __init__(self):
+            super().__init__()
+            self.timers: list[int] = []
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, ts):
+            self.timers.remove(ts)
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    class _TV:
+        def __init__(self, now_ms):
+            self._n = now_ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._n
+
+    p = _make_first_seen_ttl_processor(60_000)()
+    h = _FakeTimerHandle()
+    p.init(h)
+
+    out1 = next(p.handleInputRows(
+        ("k",), [pd.DataFrame({"key": ["k", "k"]})], _TV(1_000)))
+    assert bool(out1["is_new"][0]) and int(out1["occurrences"][0]) == 2
+    assert h.timers == [61_000]
+
+    out2 = next(p.handleInputRows(
+        ("k",), [pd.DataFrame({"key": ["k"]})], _TV(5_000)))
+    assert not bool(out2["is_new"][0]) and int(out2["occurrences"][0]) == 3
+    assert h.timers == [65_000]          # re-armed, not stacked
+
+    # expiry: state dropped, nothing emitted
+    assert list(p.handleExpiredTimer(("k",), _TV(65_001), None)) == []
+    out3 = next(p.handleInputRows(
+        ("k",), [pd.DataFrame({"key": ["k"]})], _TV(70_000)))
+    assert bool(out3["is_new"][0]) and int(out3["occurrences"][0]) == 1
 
 
 def test_first_seen_ttl_evicts_and_readmits_quiet_key(spark, tmp_path):

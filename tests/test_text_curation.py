@@ -316,3 +316,25 @@ def test_scrub_duplicated_spans_multiple_cuts_in_one_doc(spark):
            .collect()}
     assert out[1] == s1 and out[2] == s2
     assert out[3] == mid + tail
+
+
+def test_source_overlap_matrix_semantics(spark):
+    """Contamination matrix sanity: a source sharing most text with
+    another estimates high Jaccard; a disjoint-vocabulary source
+    estimates ~0; output is one row per unordered source pair."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        source_overlap_matrix)
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = ([(i, "a", shared + f" tail{i}") for i in range(5)]
+            + [(10 + i, "b", shared + f" other{i}") for i in range(5)]
+            + [(20 + i, "c", "uno dos tres cuatro cinco seis siete "
+                f"ocho nueve diez x{i}") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["est_jaccard"]
+           for r in source_overlap_matrix(df).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # true shingle Jaccard here is ~0.29 (8 shared interior 3-grams; the
+    # per-doc tails dilute the union) — the estimate must land near it
+    assert 0.1 < got[("a", "b")] < 0.6
+    assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
