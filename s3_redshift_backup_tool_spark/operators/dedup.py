@@ -336,6 +336,104 @@ def lsh_bipartite_pairs(left: DataFrame, right: DataFrame,
     return out
 
 
+def save_lsh_index(df: DataFrame, path: str, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3,
+                   num_hashes: int = 16, bands: int = 8,
+                   max_bucket_size: int | None = None) -> None:
+    """Persist the corpus's banded MinHash signatures as a DEDUP INDEX:
+    (id, band_hash) rows partitioned by ``band``, sorted by
+    ``band_hash`` within each file so parquet row-group min/max stats
+    prune bucket probes. This is the MinHash twin of the persisted IVF
+    index (similarity.py save_ivf_index): build once from the corpus,
+    then every incremental batch dedups against it via
+    :func:`lsh_index_pairs` WITHOUT rescanning corpus text — the
+    reference's incremental-sync contract (simple_watermark_manager.py
+    v2.0 scan-only-the-delta) applied to near-dup detection.
+
+    ``max_bucket_size`` drops degenerate stop-buckets at BUILD time
+    (one groupBy here), so every later incremental query inherits the
+    guard for free instead of re-counting bucket widths per batch.
+    Scale shape: the index is O(docs x bands) rows of ~40 bytes —
+    ~3 orders smaller than the text it summarizes; the build is the
+    zero-shuffle signature pipeline plus one repartition-by-band."""
+    arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
+    banded = _banded_from_array(arr, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        wide = (banded.groupBy("band", "band_hash").count()
+                .filter(F.col("count") > max_bucket_size)
+                .select("band", "band_hash"))
+        banded = banded.join(wide, ["band", "band_hash"], "left_anti")
+    (banded.repartition("band")
+           .sortWithinPartitions("band_hash")
+           .write.mode("overwrite").partitionBy("band").parquet(path))
+
+
+def lsh_index_add(spark, new_df: DataFrame, path: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, num_hashes: int = 16,
+                  bands: int = 8) -> None:
+    """Append a new batch's banded signatures to a persisted LSH index
+    (same parameters as at build — signatures from different
+    (n, num_hashes) families are not comparable). No read-modify-write:
+    parquet append into the band partitions, so concurrent queries keep
+    seeing a consistent (slightly stale) index. Stop-bucket hygiene
+    degrades as appends accumulate; rebuild with
+    :func:`save_lsh_index` on the usual compaction cadence."""
+    arr = minhash_signature_array(new_df, text_col, id_col, n, num_hashes)
+    banded = _banded_from_array(arr, id_col, num_hashes, bands)
+    (banded.repartition("band")
+           .sortWithinPartitions("band_hash")
+           .write.mode("append").partitionBy("band").parquet(path))
+
+
+def lsh_index_pairs(spark, new_df: DataFrame, path: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 3, num_hashes: int = 16, bands: int = 8,
+                    include_intra: bool = True,
+                    broadcast_batch: bool = True) -> DataFrame:
+    """Near-dup candidate pairs for an INCREMENTAL batch against a
+    persisted LSH index: batch docs band-hash equi-join the index's
+    (id, band, band_hash) rows — corpus text is never rescanned, only
+    the ~40-byte/row index is. With ``broadcast_batch`` (the CDC-batch
+    regime: batch << corpus) the batch's banded rows broadcast, so the
+    index side never shuffles — the probe is a map-side hash join over
+    index partitions. Set False when the batch is corpus-sized and let
+    AQE pick the strategy.
+
+    ``include_intra`` adds batch-internal pairs (same bucket machinery
+    as :func:`lsh_pairs`), so index-probe + intra together equal the
+    full-corpus pair set restricted to pairs touching the batch:
+    exactly the delta a from-scratch rerun would add. Docs re-synced
+    into a batch while already indexed self-pair-filter on id
+    equality. Output: (id_a, id_b), id_a < id_b, distinct."""
+    arr = minhash_signature_array(new_df, text_col, id_col, n, num_hashes)
+    banded = _banded_from_array(arr, id_col, num_hashes, bands)
+    banded = banded.localCheckpoint(eager=False)   # feeds probe + intra
+    cross = _index_cross_pairs(spark, banded, path, id_col,
+                               broadcast_batch)
+    if include_intra:
+        cross = cross.unionByName(
+            _pairs_from_banded(banded, id_col)).distinct()
+    return cross
+
+
+def _index_cross_pairs(spark, banded: DataFrame, path: str, id_col: str,
+                       broadcast_batch: bool = True) -> DataFrame:
+    """Banded batch rows vs persisted index -> (id_a, id_b) distinct.
+    Explicit schema on the index read (identical to the batch's banded
+    frame, partition column included): a fully-stop-bucketed or
+    not-yet-appended index is a legal empty dataset with no footers to
+    infer from."""
+    idx = spark.read.schema(banded.schema).parquet(path)
+    probe = F.broadcast(banded) if broadcast_batch else banded
+    return (idx.withColumnRenamed(id_col, "__idx_id")
+               .join(probe, ["band", "band_hash"])
+               .filter(F.col("__idx_id") != F.col(id_col))
+               .select(F.least("__idx_id", id_col).alias("id_a"),
+                       F.greatest("__idx_id", id_col).alias("id_b"))
+               .distinct())
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,

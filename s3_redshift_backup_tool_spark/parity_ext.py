@@ -649,6 +649,35 @@ def source_overlap_matrix_documents(spark, sf_dir):
                                     n=3, num_hashes=16)
 
 
+@q("incremental_neardup_pairs_documents",
+   f"""WITH {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
+   "incremental near-dup: even-doc_id corpus persisted as a banded "
+   "MinHash INDEX (save_lsh_index), odd-doc_id batch probed against it "
+   "(lsh_index_pairs: batch bands broadcast, index never shuffles, "
+   "corpus text never rescanned) + intra-batch bucket pairs; equals "
+   "the from-scratch pair set restricted to batch-touching pairs — "
+   "the oracle states exactly that restriction")
+def incremental_neardup_pairs_documents(spark, sf_dir):
+    import tempfile
+    docs = _t(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="lsh_idx_")
+    dd.save_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), idx_dir,
+                      n=3, num_hashes=16, bands=8)
+    return dd.lsh_index_pairs(spark, docs.filter(F.col("doc_id") % 2 == 1),
+                              idx_dir, n=3, num_hashes=16, bands=8)
+
+
 @q("minhash_lsh_pairs_documents",
    f"""WITH {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -4469,6 +4498,7 @@ _TAIL = [
     "small_qty_part_revenue",        # pre-agg+rejoin: large_volume_orders
     "minhash_signatures_documents",  # signatures: lsh_pairs/neardup chain
     "source_overlap_matrix_documents",  # per-source sig union: minhash kin
+    "incremental_neardup_pairs_documents",  # persisted LSH index probe
     "embedding_norms",               # norm math: cosine_topk
     "ann_lsh_multiprobe_topk",       # SRP buckets: ann_lsh_topk
     "customers_without_orders",      # anti-join: manifest/verify_counts

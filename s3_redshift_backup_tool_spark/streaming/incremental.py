@@ -385,3 +385,69 @@ def streaming_scd2_maintenance(
           .trigger(availableNow=True)
           .start()
           .awaitTermination())
+
+
+def streaming_neardup_curate(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> None:
+    """Streaming NEAR-dup corpus intake: each availableNow micro-batch
+    probes the persisted LSH index (operators/dedup.py save_lsh_index)
+    for near-dups against everything already admitted, drops batch docs
+    that collide with the corpus (corpus-wins canonical rule: the
+    streaming path never retro-deletes shipped rows) and, within the
+    batch, keeps the lowest id per colliding pair; survivors append to
+    the corpus AND their signatures to the index — so batch k+1 dedups
+    against batch k without any corpus rescan. streaming_curate's
+    digest ledger is the EXACT twin; this is the fuzzy one.
+
+    Scale shape per micro-batch: signature pipeline over the batch only
+    (zero shuffle), banded rows broadcast against the index scan, index
+    append is O(batch x bands) rows. foreachBatch replay after a crash
+    is probe-safe: a replayed doc finding its own already-appended
+    signature is removed by the id-equality filter, and duplicated
+    banded rows only duplicate candidates, which the pair-side distinct
+    absorbs; the corpus append is the one at-least-once seam (same
+    contract as streaming_sketch_maintenance, documented there)."""
+    import os as _os
+
+    from ..operators import dedup as dd
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint()        # reused 3x below
+        arr = dd.minhash_signature_array(batch_df, text_col, id_col,
+                                         n, num_hashes)
+        banded = dd._banded_from_array(arr, id_col, num_hashes, bands) \
+                   .localCheckpoint()
+        intra = dd._pairs_from_banded(banded, id_col)
+        drop = intra.select(F.col("id_b").alias(id_col))
+        if _os.path.exists(index_path):
+            cross = dd._index_cross_pairs(spark, banded, index_path,
+                                          id_col)
+            hit = (cross.select(F.col("id_a").alias(id_col))
+                        .unionByName(cross.select(
+                            F.col("id_b").alias(id_col))))
+            drop = drop.unionByName(hit)
+        keep = batch_df.join(drop.distinct(), id_col, "left_anti") \
+                       .localCheckpoint()
+        keep.write.mode("append").parquet(out_path)
+        dd.lsh_index_add(spark, keep, index_path, text_col, id_col,
+                         n, num_hashes, bands)
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_fold)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())

@@ -1,0 +1,88 @@
+"""Persisted LSH dedup index: build -> incremental probe -> append.
+
+The contract under test: index-probe + intra-batch pairs equal the
+from-scratch lsh_pairs() result restricted to pairs touching the batch
+— i.e. incremental dedup finds exactly the delta a full rerun would
+add, without rescanning corpus text.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators.dedup import (
+    lsh_index_add, lsh_index_pairs, lsh_pairs, save_lsh_index)
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_incremental_equals_restricted_full(spark, documents, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    save_lsh_index(corpus, idx, n=3, num_hashes=16, bands=8)
+    got = _pairs(lsh_index_pairs(spark, batch, idx,
+                                 n=3, num_hashes=16, bands=8))
+    full = _pairs(lsh_pairs(documents, n=3, num_hashes=16, bands=8))
+    want = {(a, b) for a, b in full if a % 2 == 1 or b % 2 == 1}
+    assert got == want and len(want) > 0
+
+
+def test_index_side_never_shuffles(spark, documents, tmp_path):
+    """The CDC-batch regime plan pin: batch bands broadcast, so the
+    index scan feeds a BroadcastHashJoin directly — no Exchange between
+    the index FileScan and the join."""
+    idx = str(tmp_path / "idx")
+    save_lsh_index(documents.limit(200), idx)
+    plan = (lsh_index_pairs(spark, documents.limit(20), idx)
+            ._jdf.queryExecution().executedPlan().toString())
+    probe_join = [seg for seg in plan.split("BroadcastHashJoin")
+                  if "Batched: true" in seg and "idx" in seg]
+    assert "BroadcastHashJoin" in plan
+    # the index FileScan appears under the broadcast join with no
+    # shuffle Exchange between them
+    scan_side = plan[plan.index("BroadcastHashJoin"):]
+    assert probe_join or "Exchange hashpartitioning" not in \
+        scan_side[:scan_side.index("Scan parquet") + 40]
+
+
+def test_append_then_probe_sees_both_generations(spark, tmp_path):
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about maritime law")]
+    gen2 = [(3, "the quick brown fox jumps over the lazy dog tonight")]
+    batch = [(4, "the quick brown fox jumps over the lazy dog tomorrow"),
+             (5, "unrelated text on astronomy and telescopes")]
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    save_lsh_index(mk(rows), idx)
+    lsh_index_add(spark, mk(gen2), idx)
+    got = _pairs(lsh_index_pairs(spark, mk(batch), idx))
+    assert (1, 4) in got and (3, 4) in got        # both generations hit
+    assert not any(5 in p for p in got)
+
+
+def test_resynced_doc_does_not_self_pair(spark, tmp_path):
+    rows = [(1, "some document text that is long enough to shingle")]
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    save_lsh_index(mk(rows), idx)
+    got = _pairs(lsh_index_pairs(spark, mk(rows), idx))
+    assert got == set()
+
+
+def test_build_time_bucket_guard(spark, tmp_path):
+    # 6 identical docs = one stop-bucket of width 6 in every band;
+    # capped at build, the index carries nothing, so a probing dup
+    # finds no pairs (recall-lower-bound contract, like lsh_pairs)
+    rows = [(i, "boilerplate template page exactly the same text")
+            for i in range(6)]
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    save_lsh_index(mk(rows), idx, max_bucket_size=5)
+    probe = mk([(99, "boilerplate template page exactly the same text")])
+    assert _pairs(lsh_index_pairs(spark, probe, idx)) == set()
+    # uncapped control: the probe pairs with all six
+    idx2 = str(tmp_path / "idx2")
+    save_lsh_index(mk(rows), idx2)
+    assert len(_pairs(lsh_index_pairs(spark, probe, idx2))) == 6

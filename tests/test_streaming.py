@@ -431,3 +431,45 @@ def test_stream_static_dimension_enrichment(spark, tmp_path):
     got = {r["tier"]: r["total"] for r in
            spark.sql("SELECT * FROM enriched").collect()}
     assert got == {"gold": 17.0, "basic": 5.0, None: 99.0}
+
+
+def test_streaming_neardup_curate_across_batches(spark, tmp_path):
+    """Fuzzy twin of streaming_curate: NEAR-dups (edited copies, not
+    byte-identical) are dropped across availableNow runs via the
+    persisted LSH index; survivors' signatures append so batch 2
+    dedups against batch 1 without a corpus rescan."""
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_neardup_curate)
+
+    src = str(tmp_path / "crawl")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "lsh_index")
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge on a quiet spring morning in the valley")
+
+    b1 = spark.createDataFrame(
+        [(1, base + " today"),
+         (2, base + " tonight"),                # near-dup of 1, higher id
+         (3, "completely different maritime law content with unique "
+             "vocabulary about admiralty courts and salvage rights")],
+        "doc_id long, text string")
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_neardup_curate(spark, src, schema, out, ckpt, idx)
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 3}                      # intra near-dup 2 dropped
+
+    b2 = spark.createDataFrame(
+        [(4, base + " tomorrow"),               # near-dup of corpus doc 1
+         (5, "fresh astronomy text about telescopes nebulae and the "
+             "parallax measurement of nearby stellar distances")],
+        "doc_id long, text string")
+    b2.write.mode("append").parquet(src)
+    streaming_neardup_curate(spark, src, schema, out, ckpt, idx)
+    final = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert final == {1, 3, 5}                   # 4 caught by index probe
+    # index holds signatures for exactly the admitted docs
+    idx_ids = {r["doc_id"]
+               for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert idx_ids == {1, 3, 5}
