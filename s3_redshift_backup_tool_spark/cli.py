@@ -610,6 +610,60 @@ def cmd_cdc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_index(args: argparse.Namespace) -> int:
+    """Persisted LSH dedup-index lifecycle (operators/dedup.py
+    save_lsh_index family): ``build`` from a corpus table, ``add`` a
+    synced batch's signatures, ``probe`` a batch for near-dups against
+    everything indexed (without rescanning corpus text), ``stats`` for
+    operational visibility — the dedup twin of the watermark verbs'
+    incremental contract."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as dd
+    from .session import get_spark
+    from .sources.readers import read_table
+
+    spark = get_spark("cli_dedup_index", cpus=args.cpus)
+    kw = dict(text_col=args.text_col, id_col=args.id_col, n=args.ngram,
+              num_hashes=args.num_hashes, bands=args.bands)
+    if args.action == "stats":
+        idx = spark.read.parquet(args.index_dir)
+        row = idx.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct(args.id_col).alias("approx_docs"),
+            F.approx_count_distinct("band_hash").alias("approx_buckets"),
+        ).first()
+        widest = (idx.groupBy("band", "band_hash").count()
+                     .agg(F.max("count")).first()[0])
+        _emit({"index_dir": args.index_dir, "rows": int(row["rows"]),
+               "approx_docs": int(row["approx_docs"]),
+               "approx_buckets": int(row["approx_buckets"]),
+               "max_bucket_size": int(widest) if widest is not None else 0})
+        return 0
+    df = read_table(spark, args.source_dir, args.table)
+    if args.action == "build":
+        dd.save_lsh_index(df, args.index_dir,
+                          max_bucket_size=args.max_bucket_size, **kw)
+        _emit({"action": "build", "index_dir": args.index_dir,
+               "docs": df.count()})
+        return 0
+    if args.action == "add":
+        dd.lsh_index_add(spark, df, args.index_dir, **kw)
+        _emit({"action": "add", "index_dir": args.index_dir,
+               "docs": df.count()})
+        return 0
+    pairs = dd.lsh_index_pairs(spark, df, args.index_dir, **kw)
+    if args.output:
+        pairs.write.mode("overwrite").parquet(args.output)
+        _emit({"action": "probe", "pairs": spark.read.parquet(
+            args.output).count(), "output": args.output})
+    else:
+        sample = [[r["id_a"], r["id_b"]] for r in pairs.limit(20).collect()]
+        _emit({"action": "probe", "pairs": pairs.count(),
+               "sample": sample})
+    return 0
+
+
 def cmd_info(args: argparse.Namespace) -> int:
     """Operator-facing capability listing (reference
     src/cli/main.py:1267 ``info``): CDC strategies with their config
@@ -857,6 +911,28 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     cd.set_defaults(fn=cmd_cdc)
+
+    di = sub.add_parser("dedup-index", help="persisted LSH near-dup "
+                                            "index: build / add / probe "
+                                            "/ stats")
+    di.add_argument("action", choices=["build", "add", "probe", "stats"])
+    di.add_argument("--index-dir", required=True)
+    di.add_argument("--source-dir", default=None,
+                    help="directory of <table>.parquet (build/add/probe)")
+    di.add_argument("-t", "--table", default="documents")
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--ngram", type=int, default=3)
+    di.add_argument("--num-hashes", type=int, default=16)
+    di.add_argument("--bands", type=int, default=8)
+    di.add_argument("--max-bucket-size", type=int, default=None,
+                    help="build-time stop-bucket cap")
+    di.add_argument("-o", "--output", default=None,
+                    help="probe: write pairs parquet here instead of "
+                         "printing a sample")
+    di.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    di.set_defaults(fn=cmd_dedup_index)
     return p
 
 

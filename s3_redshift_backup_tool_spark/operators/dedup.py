@@ -829,8 +829,13 @@ def decontaminate_overlap(eval_df: DataFrame, train_df: DataFrame,
     ev = word_shingles(eval_df, text_col, id_col, n)
     tr = word_shingles(train_df, text_col, id_col, n) \
         .select("shingle").distinct()
+    return _overlap_report(ev, tr, id_col, threshold)
+
+
+def _overlap_report(ev: DataFrame, tr_distinct: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
     sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (ev.join(tr, "shingle", "left_semi")
+    hits = (ev.join(tr_distinct, "shingle", "left_semi")
               .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap")))
     frac = F.round(F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
                    / F.col("n_shingles"), 6)
@@ -839,6 +844,83 @@ def decontaminate_overlap(eval_df: DataFrame, train_df: DataFrame,
                     F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
                     frac.alias("overlap_frac"),
                     (frac >= threshold).alias("contaminated")))
+
+
+def _bloom_position_cols(shingle_col, m_bits: int, h_funcs: int,
+                         seed: int) -> list:
+    base = md5_prefix_int(shingle_col)
+    return [(_affine(base, a, b, c) % m_bits).alias(f"__p{i}")
+            for i, (a, b, c) in enumerate(minhash_params(h_funcs, seed))]
+
+
+def shingle_bloom_mask(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       m_bits: int = 1 << 20, h_funcs: int = 4,
+                       seed: int = 7) -> list[int]:
+    """Bit-packed Bloom mask (int64 words) over a doc set's distinct
+    word n-gram shingles, built with one distributed pass: shingle ->
+    h affine positions (same Carter-Wegman family as MinHash) ->
+    distinct positions to the driver (bounded by min(m_bits,
+    h x |shingles|) longs — the EVAL side of decontamination is small
+    by definition, that is the whole premise). Words are two's-
+    complement so they round-trip through an ``array<bigint>``."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    sh = word_shingles(df, text_col, id_col, n).select("shingle").distinct()
+    pos = (sh.select(*_bloom_position_cols(F.col("shingle"), m_bits,
+                                           h_funcs, seed))
+             .select(F.explode(F.array(
+                 *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
+             .distinct().collect())
+    words = [0] * (m_bits // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def decontaminate_overlap_bloom(eval_df: DataFrame, train_df: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.5,
+                                m_bits: int = 1 << 20, h_funcs: int = 4,
+                                seed: int = 7) -> DataFrame:
+    """:func:`decontaminate_overlap` with a map-side Bloom pre-filter —
+    IDENTICAL output (a false-positive train shingle that survives the
+    gate can only match an eval shingle if it genuinely equals one, in
+    which case it was a true positive; the exact semi-join settles
+    everything), but the train side's distinct+join now shuffles only
+    the shingles whose h Bloom bits all hit, instead of every distinct
+    shingle in the corpus.
+
+    That is THE scale fix for decontamination: at 100 TB the exact
+    path's ``tr.distinct()`` shuffles the corpus's full posting list
+    (~10^12 shingles) to answer a membership probe against a benchmark
+    suite of ~10^6 shingles. The mask (m_bits/8 bytes, default 128 KB)
+    rides a 1-row broadcast; the gate is pure JVM bit arithmetic, so
+    the surviving volume is |matches| + FP-rate x |corpus shingles| —
+    with default 2^20 bits / 4 hashes at 10^6 eval shingles, FP ~2%.
+    Size m_bits ~ 20 x eval shingle count for that regime."""
+    spark = train_df.sparkSession
+    mask = shingle_bloom_mask(eval_df, text_col, id_col, n, m_bits,
+                              h_funcs, seed)
+    mask_df = spark.createDataFrame([(mask,)],
+                                    "__bloom_mask: array<bigint>")
+    gate = " AND ".join(
+        f"((shiftright(element_at(__bloom_mask, "
+        f"cast(__p{i} div 64 as int) + 1), "
+        f"cast(__p{i} % 64 as int))) & 1) = 1"
+        for i in range(h_funcs))
+    tr = (word_shingles(train_df, text_col, id_col, n)
+          .select("shingle")
+          .crossJoin(F.broadcast(mask_df))
+          .select(F.col("shingle"), F.col("__bloom_mask"),
+                  *_bloom_position_cols(F.col("shingle"), m_bits,
+                                        h_funcs, seed))
+          .filter(F.expr(gate))
+          .select("shingle").distinct())
+    ev = word_shingles(eval_df, text_col, id_col, n)
+    return _overlap_report(ev, tr, id_col, threshold)
 
 
 def latest_record_dedup(df: DataFrame, key_cols: list[str], ts_col: str,

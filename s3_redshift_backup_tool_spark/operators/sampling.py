@@ -308,3 +308,52 @@ def mixture_sample(df: DataFrame, key_col: str, group_col: str,
     for g, p in sorted(weights.items()):
         w = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(w)
     return importance_sample(df, key_col, w, salt=salt)
+
+
+def plan_mixture(df: DataFrame, total_tokens: int,
+                 weights: dict[str, float] | None = None,
+                 group_col: str = "source",
+                 token_expr: Column | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """Mixture PLANNER: turn target domain weights + a token budget
+    into the per-source sampling rates / epoch counts that
+    :func:`mixture_sample` (rate <= 1) or dataset repetition (rate > 1)
+    then realize — the "how much of each source do we actually take"
+    step between corpus stats and the samplers.
+
+    ``weights`` are renormalized over the sources PRESENT (a target
+    mix referencing an absent domain must not silently deflate the
+    budget); ``None`` means uniform. Output per source:
+    available_tokens, weight, target_tokens, sample_rate
+    (target/available — values > 1 mean the source must repeat),
+    n_epochs (ceil of rate, the repetition count a packing run needs).
+
+    Scale shape: ONE partial-agg corpus pass to |sources| rows; all
+    planning math runs on that k-row relation (the weight-sum join is
+    a broadcast of a 1-row aggregate). The plan is data, not state —
+    re-running after corpus growth yields the updated rates."""
+    tok = token_expr if token_expr is not None \
+        else F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per = (df.filter(F.col(group_col).isNotNull())
+             .groupBy(group_col)
+             .agg(F.sum(tok).alias("available_tokens")))
+    if weights is None:
+        w = F.lit(1.0)
+    else:
+        w = F.lit(0.0)
+        for g, p in sorted(weights.items()):
+            if p < 0:
+                raise ValueError(f"negative weight for {g!r}: {p}")
+            w = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(w)
+    per = per.withColumn("__w", w)
+    tot = per.agg(F.sum("__w").alias("__wsum"))
+    target = (F.col("__w") / F.col("__wsum")) * F.lit(float(total_tokens))
+    rate = target / F.col("available_tokens")
+    return (per.crossJoin(F.broadcast(tot))
+               .filter(F.col("__w") > 0)
+               .select(group_col, "available_tokens",
+                       F.round(F.col("__w") / F.col("__wsum"), 6)
+                        .alias("weight"),
+                       F.round(target, 2).alias("target_tokens"),
+                       F.round(rate, 6).alias("sample_rate"),
+                       F.ceil(rate).cast("bigint").alias("n_epochs")))

@@ -518,3 +518,301 @@ def ann_topk_indexed(spark, data_path: str, index_path: str,
                          F.array(*[F.lit(float(v)) for v in query_vec])), 6)
     return (data.select(F.col(id_col), sim.alias("cos_sim"))
                 .orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k))
+
+
+# -- Product Quantization (Jégou'11 PQ/ADC) ---------------------------------
+#
+# The memory rung of the ANN ladder: a d-dim float vector (d*4 bytes)
+# compresses to m code bytes (here 8), so a 100 TB embedding corpus's
+# search structure fits in ~0.8% of its raw size — the difference
+# between "index lives in executor memory" and "index pages from disk".
+# Codes are computed once (pq_encode, zero shuffle) and scanned with
+# table-lookup distances (pq_adc_topk); no float vector rides the scan.
+
+def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: entry j of subspace s is the s-th
+    subvector of the vector with id j — the oracle-reproducible
+    quantizer, same convention as :func:`ivf_centroids` (fixed literals
+    on both engines). :func:`pq_codebooks_kmeans` is the quality
+    upgrade with the same output shape, so everything downstream
+    (encode, ADC, the persisted layout) is quantizer-agnostic.
+    Returns ``codebooks[s][j] = list[d/m floats]``."""
+    rows = (df.filter(F.col(id_col) < k)
+              .select(id_col, vec_col).orderBy(id_col).collect())
+    d = len(rows[0][1])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    return [[[float(v) for v in r[1][s * sub:(s + 1) * sub]]
+             for r in rows] for s in range(m)]
+
+
+def _pq_code_expr(codebooks: list[list[list[float]]], s: int,
+                  vec_col):
+    """argmin_j l2(subvec_s, codebook[s][j]) as a pure JVM expression:
+    array_min over (dist, j) structs — lexicographic min gives lowest j
+    on distance ties, matching the oracle's ORDER BY dist, j.
+    ``vec_col`` may be a column name or a computed Column (the residual
+    path passes ``vec - assigned_centroid``)."""
+    sub = len(codebooks[s][0])
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    subv = F.slice(vec, s * sub + 1, sub)
+    entries = F.array(*[
+        F.struct(
+            l2_sq(subv, F.array(*[F.lit(v) for v in codebooks[s][j]]))
+            .alias("dist"),
+            F.lit(j).alias("j"))
+        for j in range(len(codebooks[s]))])
+    return F.array_min(entries)["j"]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(id, vec) -> (id, codes: array<int> of length m). Zero shuffle:
+    per-row argmin against codebook literals baked into the plan (the
+    same codegen-literal pattern as ivf_assign). At 100 TB this is the
+    one full-corpus pass PQ ever takes; everything after runs on
+    m-byte codes."""
+    codes = F.array(*[_pq_code_expr(codebooks, s, vec_col)
+                      for s in range(len(codebooks))])
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_codebooks_kmeans(df: DataFrame, m: int = 8, k: int = 16,
+                        iters: int = 5, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Per-subspace Lloyd refinement of the deterministic init. ALL m
+    subspaces update in ONE distributed pass per iteration — the rows
+    explode to (s, assigned_j, dim, value) and a single groupBy carries
+    m*k*(d/m) = d*k aggregation states (4096 doubles here), never
+    vectors; only that tiny relation reaches the driver. Empty cells
+    keep their previous entry (same contract as kmeans_centroids)."""
+    cbs = pq_codebooks(df, m, k, vec_col, id_col)
+    sub = len(cbs[0][0])
+    for _ in range(iters):
+        entries = F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     _pq_code_expr(cbs, s, vec_col).alias("j"),
+                     F.slice(F.col(vec_col), s * sub + 1, sub).alias("v"))
+            for s in range(m)])
+        means = (df.select(F.explode(entries).alias("e"))
+                   .select("e.s", "e.j", F.posexplode("e.v")
+                           .alias("d", "val"))
+                   .groupBy("s", "j", "d")
+                   .agg(F.avg("val").alias("mu"))
+                   .collect())
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new.setdefault((int(r["s"]), int(r["j"])), {})[int(r["d"])] = \
+                float(r["mu"])
+        cbs = [[([new[(s, j)][t] for t in range(sub)]
+                 if (s, j) in new else cbs[s][j])
+                for j in range(k)] for s in range(m)]
+    return cbs
+
+
+def pq_adc_topk(codes_df: DataFrame, query_vec: list[float],
+                codebooks: list[list[list[float]]], k: int = 10,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    m x k lookup table DRIVER-side (tiny, exact float sums left to
+    right), approx dist = sum_s lut[s][code_s] — per row just m array
+    lookups and adds, no vector math in the scan; top-k is
+    TakeOrderedAndProject. Output: (id, approx_dist), ascending."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = [[sum((float(query_vec[s * sub + t]) - codebooks[s][j][t]) ** 2
+                for t in range(sub))
+            for j in range(len(codebooks[s]))] for s in range(m)]
+    terms = [F.element_at(
+        F.array(*[F.lit(float(v)) for v in lut[s]]),
+        F.element_at("codes", s + 1).cast("int") + 1)
+        for s in range(m)]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    return (codes_df.select(F.col(id_col),
+                            F.round(dist, 6).alias("approx_dist"))
+                    .orderBy("approx_dist", id_col).limit(k))
+
+
+def pq_quantization_error(df: DataFrame,
+                          codebooks: list[list[list[float]]],
+                          vec_col: str = "embedding") -> float:
+    """Mean squared reconstruction error of the PQ quantizer over the
+    corpus — sum_s l2(subvec_s, codebook[s][argmin]) averaged over
+    rows. The per-subspace Lloyd objective, so it is non-increasing
+    under :func:`pq_codebooks_kmeans`; production uses it as the
+    retrain drift signal (mirror of ivf_inertia / ivf_index_add)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    terms = []
+    for s in range(m):
+        subv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        entries = F.array(*[
+            F.struct(
+                l2_sq(subv, F.array(*[F.lit(v) for v in codebooks[s][j]]))
+                .alias("dist"),
+                F.lit(j).alias("j"))
+            for j in range(len(codebooks[s]))])
+        terms.append(F.array_min(entries)["dist"])
+    err = terms[0]
+    for t in terms[1:]:
+        err = err + t
+    return float(df.agg(F.avg(err)).collect()[0][0])
+
+
+def pq_adc_rerank_topk(codes_df: DataFrame, vectors_df: DataFrame,
+                       query_vec: list[float],
+                       codebooks: list[list[list[float]]], k: int = 10,
+                       shortlist: int = 50, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """The production PQ search shape: ADC over codes produces a
+    ``shortlist`` (cheap, code-bytes-only scan), then ONLY those rows'
+    float vectors are fetched for exact L2 rerank — measured on the
+    isotropic fixture this lifts recall@10 from 0.35 (ADC alone) to
+    0.70/0.74 (det/trained codebooks) at shortlist=50
+    (tests/test_ann_recall.py). The rerank side is a broadcast semi-
+    join of ``shortlist`` ids against the vector table: at 100 TB the
+    full-precision vectors are touched for 50 rows, not the corpus.
+    Output: (id, l2_dist), ascending exact distance."""
+    sl = pq_adc_topk(codes_df, query_vec, codebooks, k=shortlist,
+                     id_col=id_col)
+    dist = l2_sq(F.col(vec_col),
+                 F.array(*[F.lit(float(v)) for v in query_vec]))
+    return (vectors_df.join(F.broadcast(sl.select(id_col)), id_col)
+                      .select(F.col(id_col),
+                              F.round(dist, 6).alias("l2_dist"))
+                      .orderBy("l2_dist", id_col).limit(k))
+
+
+# -- IVF-PQ (coarse quantizer + PQ over RESIDUALS, Jégou'11 §IV) ------------
+
+def _centroid_lookup_expr(centroids: list[tuple[int, list[float]]]):
+    """array-of-arrays literal indexed by centroid_id (ids are the
+    contiguous 0..k-1 of the first-k deterministic quantizer)."""
+    ordered = [vec for _, vec in sorted(centroids)]
+    return F.array(*[F.array(*[F.lit(float(v)) for v in vec])
+                     for vec in ordered])
+
+
+def _residual_expr(vec_col: str, centroids):
+    cent = F.element_at(_centroid_lookup_expr(centroids),
+                        F.col("centroid_id").cast("int") + 1)
+    return F.zip_with(F.col(vec_col), cent,
+                      lambda a, b: a.cast("double") - b)
+
+
+def pq_residual_codebooks(df: DataFrame,
+                          centroids: list[tuple[int, list[float]]],
+                          m: int = 8, k: int = 16,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Deterministic RESIDUAL codebooks: entry j of subspace s is the
+    s-th subvector of (vector j - its assigned coarse centroid).
+    Residuals are what IVF-PQ actually quantizes — they are centered
+    near zero inside every inverted list, so k code entries cover them
+    far better than they cover raw vectors. Same first-k convention as
+    :func:`pq_codebooks`; swap in per-subspace Lloyd on residuals for
+    the production upgrade (pq_codebooks_kmeans works unchanged on a
+    pre-computed residual column)."""
+    rows = (df.filter(F.col(id_col) < k)
+              .select(id_col, vec_col).orderBy(id_col).collect())
+    d = len(rows[0][1])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    cents = {cid: vec for cid, vec in centroids}
+
+    def _residual(v):
+        best = min(cents.items(),
+                   key=lambda cv: (sum((float(x) - float(y)) ** 2
+                                       for x, y in zip(v, cv[1])), cv[0]))
+        return [float(x) - float(y) for x, y in zip(v, best[1])]
+
+    res = [_residual(r[1]) for r in rows]
+    return [[rv[s * sub:(s + 1) * sub] for rv in res] for s in range(m)]
+
+
+def ivfpq_encode(df: DataFrame,
+                 centroids: list[tuple[int, list[float]]],
+                 codebooks: list[list[list[float]]],
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """(id, vec) -> (id, centroid_id, codes): coarse assignment plus PQ
+    codes of the RESIDUAL, in one zero-shuffle pass (both quantizers
+    are plan literals). This is the persisted search structure: written
+    ``partitionBy(centroid_id)`` it gives list-pruned scans over 8-byte
+    codes — the layout save_ivf_index already uses, with codes instead
+    of float vectors inside."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    res = _residual_expr(vec_col, centroids)
+    codes = F.array(*[_pq_code_expr(codebooks, s, res)
+                      for s in range(len(codebooks))])
+    return assigned.select(F.col(id_col), "centroid_id",
+                           codes.alias("codes"))
+
+
+def ann_topk_ivfpq(encoded: DataFrame, query_vec: list[float],
+                   centroids: list[tuple[int, list[float]]],
+                   codebooks: list[list[list[float]]],
+                   vectors_df: DataFrame | None = None, k: int = 10,
+                   nprobe: int = 2, shortlist: int = 50,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` nearest inverted lists, ADC
+    over residual codes with a PER-LIST lookup table (the query's
+    residual differs per probed centroid), optional exact rerank when
+    ``vectors_df`` is given. The scan reads codes from nprobe/k_coarse
+    of the data (partition pruning when ``encoded`` is written
+    partitionBy(centroid_id)) and touches float vectors for
+    ``shortlist`` rows only — the FAISS IVFPQ architecture as a
+    DataFrame plan. Output: (id, approx_dist) or (id, l2_dist) when
+    reranking, ascending."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents = sorted(centroids)
+
+    def _qdist(vec):
+        return sum((float(a) - float(b)) ** 2
+                   for a, b in zip(query_vec, vec))
+
+    probes = [cid for cid, vec in
+              sorted(cents, key=lambda cv: (_qdist(cv[1]), cv[0]))[:nprobe]]
+    luts = {}
+    for cid in probes:
+        cvec = dict(cents)[cid]
+        qres = [float(a) - float(b) for a, b in zip(query_vec, cvec)]
+        luts[cid] = [[sum((qres[s * sub + t] - codebooks[s][j][t]) ** 2
+                          for t in range(sub))
+                      for j in range(len(codebooks[s]))]
+                     for s in range(m)]
+
+    def _list_dist(cid):
+        terms = [F.element_at(
+            F.array(*[F.lit(float(v)) for v in luts[cid][s]]),
+            F.element_at("codes", s + 1).cast("int") + 1)
+            for s in range(m)]
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        return d
+
+    dist = F.when(F.col("centroid_id") == probes[0], _list_dist(probes[0]))
+    for cid in probes[1:]:
+        dist = dist.when(F.col("centroid_id") == cid, _list_dist(cid))
+    sl = (encoded.filter(F.col("centroid_id").isin(probes))
+                 .select(F.col(id_col),
+                         F.round(dist, 6).alias("approx_dist"))
+                 .orderBy("approx_dist", id_col).limit(shortlist))
+    if vectors_df is None:
+        return sl.limit(k)
+    exact = l2_sq(F.col(vec_col),
+                  F.array(*[F.lit(float(v)) for v in query_vec]))
+    return (vectors_df.join(F.broadcast(sl.select(id_col)), id_col)
+                      .select(F.col(id_col),
+                              F.round(exact, 6).alias("l2_dist"))
+                      .orderBy("l2_dist", id_col).limit(k))

@@ -211,3 +211,88 @@ def test_multitable_is_one_scan(vectors, query_vecs):
     # also print the underlying FileScan once)
     assert "Union" not in plan
     assert plan.count("InMemoryTableScan") <= 1
+
+
+def _l2_topk(vectors, qv, k=K):
+    dist = sim.l2_sq(F.col("embedding"),
+                     F.array(*[F.lit(float(v)) for v in qv]))
+    return (vectors.select("vec_id", dist.alias("d"))
+            .orderBy("d", "vec_id").limit(k))
+
+
+def test_pq_adc_recall_and_training_gain(vectors, query_vecs):
+    """PQ/ADC approximates EXACT-L2 top-k (its native metric). The
+    deterministic first-16 codebooks must clear a recall floor, and
+    per-subspace Lloyd training must not regress recall while strictly
+    reducing the quantization error it optimizes (Lloyd monotonicity
+    on the same objective)."""
+    cbs0 = sim.pq_codebooks(vectors, m=8, k=16)
+    cbs1 = sim.pq_codebooks_kmeans(vectors, m=8, k=16, iters=3)
+
+    def recall(cbs):
+        codes = sim.pq_encode(vectors, cbs).cache()
+        total = 0.0
+        for qid, qv in query_vecs.items():
+            truth = _ids(_l2_topk(vectors, qv))
+            got = _ids(sim.pq_adc_topk(codes, qv, cbs, k=K))
+            total += len(truth & got) / K
+        codes.unpersist()
+        return total / len(query_vecs)
+
+    e0 = sim.pq_quantization_error(vectors, cbs0)
+    e1 = sim.pq_quantization_error(vectors, cbs1)
+    assert e1 < e0                      # training reduced its objective
+    r0, r1 = recall(cbs0), recall(cbs1)
+    assert r0 >= 0.25                   # measured 0.35: 8-byte codes on
+    assert r1 >= r0 - 0.1               # an isotropic 64-dim fixture is
+    #                                     the honest ADC-only floor
+
+
+def test_pq_rerank_recovers_recall(vectors, query_vecs):
+    """ADC shortlist + exact rerank (the production search shape) must
+    recover most of what 8-byte codes lose: measured 0.35 -> 0.70
+    (det) / 0.74 (trained) at shortlist=50."""
+    cbs = sim.pq_codebooks(vectors, m=8, k=16)
+    codes = sim.pq_encode(vectors, cbs).cache()
+    adc = rer = 0.0
+    for qid, qv in query_vecs.items():
+        truth = _ids(_l2_topk(vectors, qv))
+        adc += len(truth & _ids(sim.pq_adc_topk(codes, qv, cbs, k=K))) / K
+        rer += len(truth & _ids(sim.pq_adc_rerank_topk(
+            codes, vectors, qv, cbs, k=K, shortlist=50))) / K
+    codes.unpersist()
+    adc /= len(query_vecs); rer /= len(query_vecs)
+    assert rer >= adc and rer >= 0.6
+
+
+def test_pq_encode_zero_shuffle(vectors):
+    """The one full-corpus pass PQ takes must not shuffle: codebook
+    literals ride the plan, encode is per-row."""
+    cbs = sim.pq_codebooks(vectors, m=8, k=16)
+    plan = (sim.pq_encode(vectors, cbs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_ivfpq_recall_and_pruned_scan(vectors, query_vecs):
+    """Residual IVF-PQ with rerank: recall comparable to flat-PQ rerank
+    while scanning only nprobe/8 of the lists. Also pins that the probe
+    filter reaches the scan as a pushable predicate."""
+    cents = sim.ivf_centroids(vectors, n_centroids=8)
+    cbs = sim.pq_residual_codebooks(vectors, cents, m=8, k=16)
+    enc = sim.ivfpq_encode(vectors, cents, cbs).cache()
+    tot = 0.0
+    for qid, qv in query_vecs.items():
+        truth = _ids(_l2_topk(vectors, qv))
+        got = _ids(sim.ann_topk_ivfpq(enc, qv, cents, cbs,
+                                      vectors_df=vectors, k=K,
+                                      nprobe=2, shortlist=50))
+        tot += len(truth & got) / K
+    enc.unpersist()
+    # nprobe=2 of 8 lists caps recall at list coverage; measured on the
+    # isotropic fixture the 2 probed lists hold ~45% of true neighbors
+    assert tot / len(query_vecs) >= 0.35
+    qv = query_vecs[0]
+    plan = (sim.ann_topk_ivfpq(enc, qv, cents, cbs, k=K)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "centroid_id" in plan and "IN" in plan.upper()

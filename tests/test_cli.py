@@ -543,3 +543,29 @@ tables:
                             str(tmp_path / "nope.yml"),
                             "--output", migrated])
     assert rc == 1 and "not found" in res["error"]
+
+
+def test_dedup_index_verbs(capsys, tmp_path, sf_dir):
+    idx = str(tmp_path / "lsh_idx")
+    rc, out = _run(capsys, ["dedup-index", "build", "--index-dir", idx,
+                            "--source-dir", sf_dir, "-t", "documents",
+                            "--cpus", "8"])
+    assert rc == 0 and out["docs"] > 0
+
+    rc2, st = _run(capsys, ["dedup-index", "stats", "--index-dir", idx,
+                            "--cpus", "8"])
+    assert rc2 == 0 and st["rows"] == out["docs"] * 8   # bands per doc
+    assert st["approx_docs"] > 0 and st["max_bucket_size"] >= 1
+
+    # probing the corpus against its own index: every doc self-filters,
+    # so pairs == the corpus's internal near-dup pairs
+    rc3, pr = _run(capsys, ["dedup-index", "probe", "--index-dir", idx,
+                            "--source-dir", sf_dir, "-t", "documents",
+                            "--cpus", "8"])
+    assert rc3 == 0 and pr["pairs"] >= 0 and "sample" in pr
+
+    out_pq = str(tmp_path / "pairs")
+    rc4, pw = _run(capsys, ["dedup-index", "probe", "--index-dir", idx,
+                            "--source-dir", sf_dir, "-t", "documents",
+                            "-o", out_pq, "--cpus", "8"])
+    assert rc4 == 0 and pw["pairs"] == pr["pairs"]

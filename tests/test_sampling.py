@@ -278,3 +278,39 @@ def test_temperature_mixture_parity_holds_with_null_sources(spark, tmp_path):
     con.close()
     assert sorted(sdf["doc_id"]) == sorted(odf["doc_id"])
     assert sdf["source"].notna().all()   # NULL domain gets no share
+
+
+def test_plan_mixture_budget_and_realization(spark):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        mixture_sample, plan_mixture)
+
+    rows = [(s * 1000 + i, f"dom{s}", "tok " * (10 * (s + 1)))
+            for s in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {r["source"]: r for r in plan_mixture(
+        df, total_tokens=2000,
+        weights={"dom0": 1.0, "dom1": 1.0, "dom2": 2.0,
+                 "absent": 9.0}).collect()}
+    # renormalized over PRESENT domains only: 0.25/0.25/0.5
+    assert plan["dom0"]["weight"] == 0.25 and plan["dom2"]["weight"] == 0.5
+    # budget conserved across targets
+    assert abs(sum(p["target_tokens"] for p in plan.values()) - 2000) < 1
+    # rate > 1 <=> source must repeat, and n_epochs = ceil(rate)
+    for p in plan.values():
+        import math
+        assert p["n_epochs"] == math.ceil(p["sample_rate"])
+    # sub-1 rates are directly realizable by mixture_sample
+    realizable = {s: min(1.0, float(p["sample_rate"]))
+                  for s, p in plan.items()}
+    kept = mixture_sample(df, "doc_id", "source", realizable)
+    assert 0 < kept.count() <= df.count()
+
+
+def test_plan_mixture_rejects_negative_weight(spark):
+    import pytest as _pt
+
+    from s3_redshift_backup_tool_spark.operators.sampling import plan_mixture
+    df = spark.createDataFrame([(1, "a", "x y")],
+                               "doc_id long, source string, text string")
+    with _pt.raises(ValueError, match="negative weight"):
+        plan_mixture(df, 100, weights={"a": -1.0})
