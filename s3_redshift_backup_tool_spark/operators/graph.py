@@ -77,3 +77,66 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
           round(trans, 6) if trans is not None else None)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint, "
         "transitivity double")
+
+
+def pagerank(pairs: DataFrame, iters: int = 3, damping: float = 0.85,
+             id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """PageRank over an undirected pair relation, fixed ``iters`` power
+    iterations — the centrality signal web-corpus curation uses for
+    URL/host quality (CommonCrawl-style), here runnable directly on the
+    dup graph so :func:`pagerank_canonical` can keep each cluster's
+    most CENTRAL member instead of its lowest id.
+
+    Scale shape: each iteration is one E-row join (contributions flow
+    along edges) plus one groupBy(node) — shuffle O(E), the textbook
+    distributed PageRank; ranks are localCheckpoint'd per iteration so
+    the plan stays flat instead of nesting ``iters`` deep. Fixed
+    iteration count (not convergence polling) keeps the job graph
+    static and the oracle exactly expressible. Output: (node, rank),
+    sum(rank) == 1 within float error."""
+    e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+              .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                        F.col(id_a).alias("dst")))
+              .distinct()
+              .localCheckpoint(eager=False))
+    nodes = e.select(F.col("src").alias("node")).distinct() \
+             .localCheckpoint(eager=False)
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "node", "left")
+                      .select("node",
+                              (F.lit(base) + F.lit(damping)
+                               * F.coalesce(F.col("s"), F.lit(0.0)))
+                              .alias("rank"))
+                      .localCheckpoint(eager=False))
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def pagerank_canonical(pairs: DataFrame, iters: int = 3,
+                       damping: float = 0.85, id_a: str = "id_a",
+                       id_b: str = "id_b") -> DataFrame:
+    """Per dup-cluster canonical selection by CENTRALITY: the kept doc
+    is the component member with the highest PageRank (tie -> lowest
+    id) — the member most connected to the rest of its cluster, i.e.
+    the best exemplar, where min-id keep (dedup_keep_canonical) is
+    arbitrary. Output: (component, canonical_id, rank)."""
+    from .dedup import neardup_components
+
+    comp = neardup_components(pairs, id_a, id_b)       # (doc_id, component)
+    pr = pagerank(pairs, iters, damping, id_a, id_b)
+    joined = comp.join(pr, comp[comp.columns[0]] == pr["node"]) \
+                 .select("component", F.col("node").alias("canonical_id"),
+                         "rank")
+    from pyspark.sql import Window
+    w = Window.partitionBy("component").orderBy(
+        F.desc("rank"), F.col("canonical_id"))
+    return (joined.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))

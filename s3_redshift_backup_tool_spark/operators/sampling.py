@@ -357,3 +357,23 @@ def plan_mixture(df: DataFrame, total_tokens: int,
                        F.round(target, 2).alias("target_tokens"),
                        F.round(rate, 6).alias("sample_rate"),
                        F.ceil(rate).cast("bigint").alias("n_epochs")))
+
+
+def epoch_shuffle_ranks(df: DataFrame, seed: int, id_col: str = "doc_id",
+                        rank_col: str = "shuffle_rank") -> DataFrame:
+    """Deterministic between-epoch corpus shuffle: each row gets a
+    dense rank in seeded pseudo-random order (hash(seed:id), id) — the
+    "reshuffle the dataset every epoch" step, reproducible across
+    reruns and engines and changeable per epoch by bumping ``seed``.
+
+    Built on assign_global_ids, so the order is realized as ONE range
+    exchange + per-partition numbering + a tiny offset prefix sum —
+    never a single-partition row_number. Writing the corpus
+    repartitionByRange(rank_col) then gives shard files in shuffled
+    order for sequential training reads."""
+    from .partitioning import assign_global_ids
+
+    gate = md5_prefix_int(F.col(id_col).cast("string"),
+                          salt=f"epoch{seed}:")
+    return assign_global_ids(df.select(id_col), [gate, F.col(id_col)],
+                             id_col=rank_col)

@@ -649,6 +649,51 @@ def source_overlap_matrix_documents(spark, sf_dir):
                                     n=3, num_hashes=16)
 
 
+_PR_ITER = """r{K} AS (
+        SELECT nodes.node,
+               0.15 / nn.n
+               + 0.85 * coalesce(sum(r{P}.rank / deg.deg), 0) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN edges ON edges.dst = nodes.node
+        LEFT JOIN r{P} ON r{P}.node = edges.src
+        LEFT JOIN deg ON deg.src = edges.src
+        GROUP BY nodes.node, nn.n)"""
+
+
+@q("pagerank_dup_graph_documents",
+   f"""WITH {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+      {_PR_ITER.format(K=1, P=0)},
+      {_PR_ITER.format(K=2, P=1)},
+      {_PR_ITER.format(K=3, P=2)}
+      SELECT node, round(round(rank, 9), 6) AS rank FROM r3""",
+   "PageRank (3 fixed power iterations, damping 0.85) over the "
+   "MinHash-LSH dup graph — the web-corpus centrality signal, run on "
+   "dup clusters so canonical-keep can pick the most CENTRAL member; "
+   "each iteration is one O(E) edge join + groupBy(node), ranks "
+   "checkpointed per iteration to keep the plan flat")
+def pagerank_dup_graph_documents(spark, sf_dir):
+    from .operators.graph import pagerank
+    prs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
+                       n=3, num_hashes=16, bands=8)
+    return pagerank(prs, iters=3, damping=0.85) \
+        .select("node", F.round("rank", 6).alias("rank"))
+
+
 @q("incremental_neardup_pairs_documents",
    f"""WITH {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -1694,6 +1739,22 @@ def decontamination_eval_overlap(spark, sf_dir):
     train = smp.sample_by_hash(docs, "doc_id", 0.8)
     evald = docs.join(train.select("doc_id"), "doc_id", "left_anti")
     return dd.decontaminate_overlap(evald, train, threshold=0.5)
+
+
+@q("epoch_shuffle_ranks_documents",
+   f"""SELECT doc_id,
+             row_number() OVER (
+                 ORDER BY {_H.format(x="'epoch7:' || doc_id::VARCHAR")},
+                          doc_id) AS shuffle_rank
+      FROM documents""",
+   "deterministic between-epoch corpus shuffle: dense rank in seeded "
+   "pseudo-random hash order, realized distributed (range exchange + "
+   "per-partition numbering + tiny offset prefix sum — "
+   "assign_global_ids, never a single-partition window); bump the "
+   "seed to reshuffle, write repartitionByRange(rank) for shard files "
+   "in shuffled order")
+def epoch_shuffle_ranks_documents(spark, sf_dir):
+    return smp.epoch_shuffle_ranks(_t(spark, sf_dir, "documents"), seed=7)
 
 
 @q("mixture_plan_by_source",
@@ -4725,6 +4786,8 @@ _TAIL = [
     "decontamination_eval_overlap",  # shingle semi-join: ngram_jaccard
     "bloom_decontamination_documents",  # bloom-gated twin of the above
     "mixture_plan_by_source",        # planner: mixture/temperature kin
+    "pagerank_dup_graph_documents",  # centrality: triangle/components kin
+    "epoch_shuffle_ranks_documents", # seeded rank: global-ids kin
     "pack_sequences_documents",      # bucketed window cumsum: stratified
     "frame_sample_documents",        # mapInPandas explode: multimodal_features
     "salted_join_order_priority",    # join+agg: revenue_by_nation family

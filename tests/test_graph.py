@@ -40,3 +40,23 @@ def test_triangle_matches_naive_on_random_graph(spark):
                 if (a, b) in eset and (b, c) in eset and (a, c) in eset)
     r = _stats(spark, edges)
     assert r["n_triangles"] == naive
+
+
+def test_pagerank_star_graph_center_wins(spark):
+    from s3_redshift_backup_tool_spark.operators.graph import (
+        pagerank, pagerank_canonical)
+
+    # star: 0 at the center of 1..5, plus a detached pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)],
+        "id_a long, id_b long")
+    pr = {r["node"]: r["rank"] for r in pagerank(pairs, iters=3).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6          # mass conserved
+    assert pr[0] == max(pr.values())                   # center most central
+    assert all(pr[0] > pr[i] for i in range(1, 6))
+    assert abs(pr[10] - pr[11]) < 1e-12                # symmetric pair ties
+    canon = {r["component"]: r["canonical_id"]
+             for r in pagerank_canonical(pairs, iters=3).collect()}
+    assert canon[0] == 0                               # center kept
+    assert canon[10] in (10, 11)                       # tie -> lowest id
+    assert canon[10] == 10

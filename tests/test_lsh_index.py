@@ -7,6 +7,10 @@ add, without rescanning corpus text.
 """
 from __future__ import annotations
 
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from s3_redshift_backup_tool_spark.operators.dedup import (
@@ -86,3 +90,27 @@ def test_build_time_bucket_guard(spark, tmp_path):
     idx2 = str(tmp_path / "idx2")
     save_lsh_index(mk(rows), idx2)
     assert len(_pairs(lsh_index_pairs(spark, probe, idx2))) == 6
+
+
+_doc = st.lists(st.sampled_from("red green blue cyan teal gold".split()),
+                min_size=5, max_size=9).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc, min_size=4, max_size=14))
+def test_incremental_contract_holds_on_random_corpora(spark, texts):
+    """Property: for ANY corpus and ANY even/odd split, index-probe +
+    intra-batch pairs == lsh_pairs(full) restricted to batch-touching
+    pairs. The tiny vocabulary forces heavy near-dup collisions, the
+    adversarial regime for bucket bookkeeping."""
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    idx = tempfile.mkdtemp(prefix="lsh_prop_")
+    save_lsh_index(df.filter(F.col("doc_id") % 2 == 0), idx,
+                   n=2, num_hashes=8, bands=4)
+    got = _pairs(lsh_index_pairs(
+        spark, df.filter(F.col("doc_id") % 2 == 1), idx,
+        n=2, num_hashes=8, bands=4))
+    full = _pairs(lsh_pairs(df, n=2, num_hashes=8, bands=4))
+    assert got == {(a, b) for a, b in full if a % 2 == 1 or b % 2 == 1}

@@ -314,3 +314,22 @@ def test_plan_mixture_rejects_negative_weight(spark):
                                "doc_id long, source string, text string")
     with _pt.raises(ValueError, match="negative weight"):
         plan_mixture(df, 100, weights={"a": -1.0})
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark, documents):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        epoch_shuffle_ranks)
+
+    n = documents.count()
+    e7a = {r["doc_id"]: r["shuffle_rank"]
+           for r in epoch_shuffle_ranks(documents, seed=7).collect()}
+    e7b = {r["doc_id"]: r["shuffle_rank"]
+           for r in epoch_shuffle_ranks(documents, seed=7).collect()}
+    e8 = {r["doc_id"]: r["shuffle_rank"]
+          for r in epoch_shuffle_ranks(documents, seed=8).collect()}
+    assert sorted(e7a.values()) == list(range(1, n + 1))  # dense permutation
+    assert e7a == e7b                                     # rerun-stable
+    assert e8 != e7a                                      # seed reshuffles
+    # and it is not the identity order
+    assert any(e7a[d] != rank for rank, d in
+               enumerate(sorted(e7a), start=1))
