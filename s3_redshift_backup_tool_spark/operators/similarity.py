@@ -549,23 +549,51 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
              for r in rows] for s in range(m)]
 
 
-def _pq_code_expr(codebooks: list[list[list[float]]], s: int,
-                  vec_col):
-    """argmin_j l2(subvec_s, codebook[s][j]) as a pure JVM expression:
-    array_min over (dist, j) structs — lexicographic min gives lowest j
-    on distance ties, matching the oracle's ORDER BY dist, j.
-    ``vec_col`` may be a column name or a computed Column (the residual
-    path passes ``vec - assigned_centroid``)."""
-    sub = len(codebooks[s][0])
+def _cb_literal(codebooks: list[list[list[float]]]):
+    """m x k x (d/m) codebook as ONE nested literal array."""
+    return F.array(*[F.array(*[F.array(*[F.lit(float(t)) for t in entry])
+                               for entry in row]) for row in codebooks])
+
+
+def _pq_min_structs(codebooks: list[list[list[float]]], vec_col):
+    """Per-subspace argmin as an array of (dist, j) structs via NESTED
+    higher-order functions over a single codebook literal — O(1)
+    structural expression nodes instead of m*k unrolled l2_sq trees.
+    The unrolled form computed the same math but took ~5 s of pure
+    plan CONSTRUCTION per query (a py4j round-trip per codebook entry
+    plus a Catalyst tree the analyzer re-walks); this builds in
+    milliseconds and evaluates identically: aggregate/zip_with
+    left-to-right double sums, array_min's lexicographic (dist, j)
+    giving lowest j on ties — matching the oracle's ORDER BY dist, j.
+    ``vec_col`` may be a name or a computed Column (the residual path
+    passes ``vec - assigned_centroid``)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    cb = _cb_literal(codebooks)
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    subv = F.slice(vec, s * sub + 1, sub)
-    entries = F.array(*[
-        F.struct(
-            l2_sq(subv, F.array(*[F.lit(v) for v in codebooks[s][j]]))
-            .alias("dist"),
-            F.lit(j).alias("j"))
-        for j in range(len(codebooks[s]))])
-    return F.array_min(entries)["j"]
+
+    def _dist(s, j):
+        entry = F.element_at(F.element_at(cb, (s + 1).cast("int")),
+                             (j + 1).cast("int"))
+        subv = F.slice(vec, s * sub + 1, F.lit(sub))
+        diffs = F.zip_with(subv, entry,
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(_dist(s, j).alias("dist"),
+                               j.cast("int").alias("j")))))
+
+
+def _pq_codes_expr(codebooks: list[list[list[float]]], vec_col):
+    """array<int> of length m: the PQ code word."""
+    return F.transform(_pq_min_structs(codebooks, vec_col),
+                       lambda e: e["j"])
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
@@ -576,9 +604,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     same codegen-literal pattern as ivf_assign). At 100 TB this is the
     one full-corpus pass PQ ever takes; everything after runs on
     m-byte codes."""
-    codes = F.array(*[_pq_code_expr(codebooks, s, vec_col)
-                      for s in range(len(codebooks))])
-    return df.select(F.col(id_col), codes.alias("codes"))
+    return df.select(F.col(id_col),
+                     _pq_codes_expr(codebooks, vec_col).alias("codes"))
 
 
 def pq_codebooks_kmeans(df: DataFrame, m: int = 8, k: int = 16,
@@ -593,11 +620,14 @@ def pq_codebooks_kmeans(df: DataFrame, m: int = 8, k: int = 16,
     cbs = pq_codebooks(df, m, k, vec_col, id_col)
     sub = len(cbs[0][0])
     for _ in range(iters):
-        entries = F.array(*[
-            F.struct(F.lit(s).alias("s"),
-                     _pq_code_expr(cbs, s, vec_col).alias("j"),
-                     F.slice(F.col(vec_col), s * sub + 1, sub).alias("v"))
-            for s in range(m)])
+        codes = _pq_codes_expr(cbs, vec_col)
+        entries = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.element_at(codes, (s + 1).cast("int")).alias("j"),
+                F.slice(F.col(vec_col), s * sub + 1, F.lit(sub))
+                 .alias("v")))
         means = (df.select(F.explode(entries).alias("e"))
                    .select("e.s", "e.j", F.posexplode("e.v")
                            .alias("d", "val"))
@@ -627,10 +657,10 @@ def pq_adc_topk(codes_df: DataFrame, query_vec: list[float],
     lut = [[sum((float(query_vec[s * sub + t]) - codebooks[s][j][t]) ** 2
                 for t in range(sub))
             for j in range(len(codebooks[s]))] for s in range(m)]
-    terms = [F.element_at(
-        F.array(*[F.lit(float(v)) for v in lut[s]]),
-        F.element_at("codes", s + 1).cast("int") + 1)
-        for s in range(m)]
+    lut_lit = F.lit([[float(v) for v in row] for row in lut])
+    terms = [F.element_at(F.element_at(lut_lit, s + 1),
+                          F.element_at("codes", s + 1).cast("int") + 1)
+             for s in range(m)]
     dist = terms[0]
     for t in terms[1:]:
         dist = dist + t
@@ -647,21 +677,8 @@ def pq_quantization_error(df: DataFrame,
     rows. The per-subspace Lloyd objective, so it is non-increasing
     under :func:`pq_codebooks_kmeans`; production uses it as the
     retrain drift signal (mirror of ivf_inertia / ivf_index_add)."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    terms = []
-    for s in range(m):
-        subv = F.slice(F.col(vec_col), s * sub + 1, sub)
-        entries = F.array(*[
-            F.struct(
-                l2_sq(subv, F.array(*[F.lit(v) for v in codebooks[s][j]]))
-                .alias("dist"),
-                F.lit(j).alias("j"))
-            for j in range(len(codebooks[s]))])
-        terms.append(F.array_min(entries)["dist"])
-    err = terms[0]
-    for t in terms[1:]:
-        err = err + t
+    err = F.aggregate(_pq_min_structs(codebooks, vec_col), F.lit(0.0),
+                      lambda acc, e: acc + e["dist"])
     return float(df.agg(F.avg(err)).collect()[0][0])
 
 
@@ -693,10 +710,9 @@ def pq_adc_rerank_topk(codes_df: DataFrame, vectors_df: DataFrame,
 
 def _centroid_lookup_expr(centroids: list[tuple[int, list[float]]]):
     """array-of-arrays literal indexed by centroid_id (ids are the
-    contiguous 0..k-1 of the first-k deterministic quantizer)."""
-    ordered = [vec for _, vec in sorted(centroids)]
-    return F.array(*[F.array(*[F.lit(float(v)) for v in vec])
-                     for vec in ordered])
+    contiguous 0..k-1 of the first-k deterministic quantizer). One
+    nested F.lit — a single py4j call, not k*d."""
+    return F.lit([[float(v) for v in vec] for _, vec in sorted(centroids)])
 
 
 def _residual_expr(vec_col: str, centroids):
@@ -750,10 +766,8 @@ def ivfpq_encode(df: DataFrame,
     of float vectors inside."""
     assigned = ivf_assign(df, centroids, vec_col)
     res = _residual_expr(vec_col, centroids)
-    codes = F.array(*[_pq_code_expr(codebooks, s, res)
-                      for s in range(len(codebooks))])
     return assigned.select(F.col(id_col), "centroid_id",
-                           codes.alias("codes"))
+                           _pq_codes_expr(codebooks, res).alias("codes"))
 
 
 def ann_topk_ivfpq(encoded: DataFrame, query_vec: list[float],
@@ -792,10 +806,10 @@ def ann_topk_ivfpq(encoded: DataFrame, query_vec: list[float],
                      for s in range(m)]
 
     def _list_dist(cid):
-        terms = [F.element_at(
-            F.array(*[F.lit(float(v)) for v in luts[cid][s]]),
-            F.element_at("codes", s + 1).cast("int") + 1)
-            for s in range(m)]
+        lut_lit = F.lit([[float(v) for v in row] for row in luts[cid]])
+        terms = [F.element_at(F.element_at(lut_lit, s + 1),
+                              F.element_at("codes", s + 1).cast("int") + 1)
+                 for s in range(m)]
         d = terms[0]
         for t in terms[1:]:
             d = d + t
