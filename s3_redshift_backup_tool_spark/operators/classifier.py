@@ -111,6 +111,51 @@ def logreg_metrics(df: DataFrame, weights: list[float],
         F.round(F.avg(ll), 6).alias("mean_logloss"))
 
 
+def logreg_pr_curve(df: DataFrame, weights: list[float],
+                    feature_cols: list[str | Column],
+                    label_col: str | Column,
+                    thresholds: tuple[float, ...] = (
+                        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                    ) -> DataFrame:
+    """Decision-threshold calibration sweep: precision / recall / F1
+    (plus the raw confusion counts) at each candidate threshold, in ONE
+    corpus pass — the step that turns a trained quality classifier into
+    a production keep/drop gate (you pick the threshold off this curve,
+    e.g. 'highest recall at precision >= 0.9').
+
+    Scale shape: the per-row score is the same literal-folded sigmoid
+    as scoring; each row explodes against the |T|-element threshold
+    literal and the confusion counts partial-aggregate map-side, so the
+    shuffle carries |T| x partitions count tuples — independent of
+    corpus size. Precision/recall guard their zero denominators to
+    NULL (ANSI-safe), F1 inherits NULL from either."""
+    feats = [(F.col(c) if isinstance(c, str) else c).cast("double")
+             for c in feature_cols]
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col) \
+        .cast("double")
+    p = _sigmoid(_z(weights, feats))
+    ex = (df.select(y.alias("__y"), p.alias("__p"))
+            .select("__y", "__p",
+                    F.explode(F.lit([float(t) for t in thresholds]))
+                     .alias("threshold")))
+    pos = F.col("__p") >= F.col("threshold")
+    truth = F.col("__y") == 1.0
+    cnt = ex.groupBy("threshold").agg(
+        F.count(F.when(pos & truth, 1)).alias("tp"),
+        F.count(F.when(pos & ~truth, 1)).alias("fp"),
+        F.count(F.when(~pos & truth, 1)).alias("fn"),
+        F.count(F.when(~pos & ~truth, 1)).alias("tn"))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec))
+    return cnt.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+
+
 def reference_logreg_numpy(X, y, iters: int = 5, lr: float = 1.0,
                            l2: float = 0.0) -> list[float]:
     """Driver-side numpy twin of :func:`logreg_train` (same math, same

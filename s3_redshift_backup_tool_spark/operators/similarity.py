@@ -228,13 +228,28 @@ def ivf_inertia(df: DataFrame, centroids: list[tuple[int, list[float]]],
     """Sum of squared distances to each row's assigned centroid — the
     k-means objective, for quantizer quality comparison."""
     assigned = ivf_assign(df, centroids, vec_col)
-    entries = F.array(*[
-        F.struct(F.lit(int(cid)).cast("long").alias("cid"),
-                 l2_sq(F.col(vec_col),
-                       F.array(*[F.lit(float(v)) for v in vec])).alias("dist"))
-        for cid, vec in centroids])
+    entries = _centroid_dist_structs(centroids, vec_col)
     d = F.filter(entries, lambda e: e["cid"] == F.col("centroid_id"))[0]["dist"]
     return float(assigned.agg(F.sum(d)).collect()[0][0])
+
+
+def _centroid_dist_structs(centroids: list[tuple[int, list[float]]],
+                           vec_col) -> Column:
+    """array<struct<dist, cid>> over all centroids via nested HOFs over
+    two aligned single-call literals — O(1) expression nodes and O(1)
+    py4j round-trips instead of k unrolled l2_sq trees (k*d F.lit calls
+    cost seconds of pure plan construction; same fix as the PQ codebook
+    literal). Struct order (dist, cid) keeps array_min's lexicographic
+    compare = lowest cid on distance ties."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cids = F.lit([int(c) for c, _ in centroids])
+    vecs = F.lit([[float(x) for x in v] for _, v in centroids])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            l2_sq(vec, F.element_at(vecs, (i + 1).cast("int"))).alias("dist"),
+            F.element_at(cids, (i + 1).cast("int"))
+             .cast("long").alias("cid")))
 
 
 def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
@@ -244,12 +259,7 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
     (dist, cid) structs — ZERO shuffle, deterministic (dist, cid)
     tie-break. At 1B vectors this is a narrow map stage; only the
     (optional) repartition by centroid_id for index layout shuffles."""
-    entries = F.array(*[
-        F.struct(
-            l2_sq(F.col(vec_col),
-                  F.array(*[F.lit(float(v)) for v in vec])).alias("dist"),
-            F.lit(int(cid)).cast("long").alias("cid"))
-        for cid, vec in centroids])
+    entries = _centroid_dist_structs(centroids, vec_col)
     return df.withColumn("centroid_id", F.array_min(entries)["cid"])
 
 
@@ -352,7 +362,7 @@ def semantic_dedup_pairs_indexed(spark, df: DataFrame, index_dir: str,
     frozen quantizer — re-train only when ``ivf_index_add``'s drift
     signal says the centroids stopped fitting. The corpus DataFrame is
     not touched until the returned pairs plan executes (pinned by
-    tests/test_similarity.py: a poisoned corpus passes construction)."""
+    tests/test_ivf_pruning.py: a poisoned corpus passes construction)."""
     cents = load_ivf_index(spark, index_dir)
     return semantic_dedup_pairs(df, cents, threshold, vec_col, id_col)
 
@@ -373,6 +383,54 @@ def semantic_dedup(df: DataFrame,
     drop = comp.filter(F.col("component") != F.col("doc_id")) \
                .select(F.col("doc_id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def knn_graph_within_clusters(df: DataFrame,
+                              centroids: list[tuple[int, list[float]]],
+                              k: int = 5, vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """Directed k-nearest-neighbor graph WITHIN IVF clusters — the
+    SemDeDup-family structure behind NN-descent seeding, graph-based
+    dedup audits, and label propagation: for every vector, its ``k``
+    most-cosine-similar neighbors among vectors sharing its coarse
+    cell (ties broken by neighbor id, ranks dense from 1).
+
+    Scale shape: one shuffle (groupBy centroid_id) collects each
+    cluster once; neighbor selection is per-row higher-order-function
+    math — per item, candidates are sorted by (sim desc, id) as a
+    struct array and sliced to k, so NO second shuffle and no window
+    over the quadratic pair set ever materializes. Compute is
+    sum(|cluster|^2 log|cluster|) cosines — bound it exactly like
+    SemDeDup, by raising n_centroids so cluster populations stay
+    small; singleton clusters yield no rows (they have no in-cell
+    neighbors), same as the SQL twin's self-join.
+
+    Output: (src, dst, nn_rank, cos_sim), cos_sim rounded to 6 for
+    oracle portability."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    buckets = (assigned.groupBy("centroid_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v")))).alias("items"))
+               .filter(F.size("items") > 1)
+               .repartition(max(len(centroids), 1), F.col("centroid_id")))
+    # per item: neighbors sorted lexicographically on (-round(sim,6),
+    # dst) — negating AFTER the round keeps the reported value exact
+    per_src = F.transform(
+        F.col("items"),
+        lambda x: F.struct(
+            x["id"].alias("src"),
+            F.slice(F.array_sort(F.transform(
+                F.filter(F.col("items"), lambda y: y["id"] != x["id"]),
+                lambda y: F.struct(
+                    (-F.round(cosine(x["v"], y["v"]), 6)).alias("negsim"),
+                    y["id"].alias("dst")))), 1, k).alias("nn")))
+    return (buckets.select(F.explode(per_src).alias("s"))
+            .select(F.col("s.src").alias("src"),
+                    F.posexplode("s.nn").alias("pos", "n"))
+            .select("src", F.col("n.dst").alias("dst"),
+                    (F.col("pos") + 1).alias("nn_rank"),
+                    (-F.col("n.negsim")).alias("cos_sim")))
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
@@ -475,13 +533,9 @@ def ivf_index_add(spark, new_df: DataFrame, index_path: str,
     cents = load_ivf_index(spark, index_path)
     assigned = ivf_assign(new_df, cents).select(
         id_col, vec_col, "centroid_id")
-    entries = F.array(*[
-        F.struct(F.lit(int(cid)).cast("long").alias("cid"),
-                 l2_sq(F.col(vec_col),
-                       F.array(*[F.lit(float(v)) for v in vec])).alias("d"))
-        for cid, vec in cents])
+    entries = _centroid_dist_structs(cents, vec_col)
     own_d = F.filter(
-        entries, lambda e: e["cid"] == F.col("centroid_id"))[0]["d"]
+        entries, lambda e: e["cid"] == F.col("centroid_id"))[0]["dist"]
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(own_d).alias("msd"),

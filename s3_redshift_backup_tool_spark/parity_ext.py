@@ -1288,6 +1288,40 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
     return sim.semantic_dedup_pairs(emb, cents, threshold=0.3)
 
 
+@q("knn_graph_embeddings",
+   f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+      d AS (SELECT e.vec_id, e.embedding, c.cid,
+                   {_L2.format(a='e.embedding', b='c.cv')} AS dist
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d),
+      assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+      pairs AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+             round({_DOT.format(a='x.embedding', b='y.embedding')}
+                   / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                      * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+               AS cos_sim
+            FROM assign x JOIN assign y
+              ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+      r AS (SELECT src, dst, cos_sim,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst) AS nn_rank
+            FROM pairs)
+      SELECT src, dst, nn_rank, cos_sim FROM r WHERE nn_rank <= 5""",
+   "Directed k-NN graph within IVF cells (NN-descent seed / dedup "
+   "audit): one groupBy shuffle collects each cell once, then per-item "
+   "sort-and-slice top-k as pure array math — the quadratic pair set "
+   "never hits an exchange or a window; raise n_centroids to bound "
+   "per-cell populations at corpus scale")
+def knn_graph_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    return sim.knn_graph_within_clusters(emb, cents, k=5)
+
+
 # ==========================================================================
 # Deterministic sampling / dataset splits
 # ==========================================================================
@@ -4321,11 +4355,11 @@ _LOGREG_FEATS_SQL = """
 _P = "1.0/(1.0+exp(-({b} + {w1}*f1 + {w2}*f2 + {w3}*f3)))"
 
 
-def _logreg_oracle(iters: int = 3) -> str:
-    """Unrolled-iteration SQL twin of classifier.logreg_train: each GD
-    step is one aggregate CTE over the feature relation with the prior
-    weights entering as cross-joined scalars — the oracle replays the
-    exact distributed computation."""
+def _logreg_weight_ctes(iters: int) -> tuple[list[str], str]:
+    """Shared CTE builder for the logreg oracles: the feature relation
+    plus ``iters`` unrolled GD steps (each an aggregate CTE with the
+    prior weights cross-joined in). Returns (ctes, p_expr) where
+    ``p_expr`` reads the final weights from CTE ``w{iters}``."""
     w = dict(b="0.0", w1="0.0", w2="0.0", w3="0.0")
     ctes = [f"f AS ({_LOGREG_FEATS_SQL})"]
     for i in range(1, iters + 1):
@@ -4343,7 +4377,15 @@ def _logreg_oracle(iters: int = 3) -> str:
         w = dict(b="b", w1="w1", w2="w2", w3="w3")
         # from iteration 2 on, weights come from the w{i-1} CTE columns;
         # the cross joins above thread them through
-    p = _P.format(**w)
+    return ctes, _P.format(**w)
+
+
+def _logreg_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration SQL twin of classifier.logreg_train: each GD
+    step is one aggregate CTE over the feature relation with the prior
+    weights entering as cross-joined scalars — the oracle replays the
+    exact distributed computation."""
+    ctes, p = _logreg_weight_ctes(iters)
     return ("WITH " + ",\n  ".join(ctes) + f"""
       SELECT count(*) AS n,
              round(avg(CASE WHEN (({p}) >= 0.5) = (y = 1.0)
@@ -4355,6 +4397,39 @@ def _logreg_oracle(iters: int = 3) -> str:
              round(w2, 6) AS w_space, round(w3, 6) AS w_digit
       FROM f CROSS JOIN w{iters}
       GROUP BY b, w1, w2, w3""")
+
+
+def _logreg_pr_oracle(iters: int = 3,
+                      thresholds: tuple[float, ...] = (
+                          0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                      ) -> str:
+    """Threshold-sweep twin: same unrolled training CTEs, final select
+    cross-joins the threshold list and groups the confusion counts per
+    threshold (count FILTER -> BIGINT, matching Spark's count(when))."""
+    ctes, p = _logreg_weight_ctes(iters)
+    tlist = ", ".join(repr(float(t)) for t in thresholds)
+    return ("WITH " + ",\n  ".join(ctes) + f""",
+      t AS (SELECT unnest([{tlist}]) AS threshold),
+      c AS (SELECT threshold,
+                   count(*) FILTER (({p}) >= threshold AND y = 1.0)
+                     AS tp,
+                   count(*) FILTER (({p}) >= threshold AND y <> 1.0)
+                     AS fp,
+                   count(*) FILTER (({p}) < threshold AND y = 1.0)
+                     AS fn,
+                   count(*) FILTER (({p}) < threshold AND y <> 1.0)
+                     AS tn
+            FROM f CROSS JOIN w{iters} CROSS JOIN t
+            GROUP BY threshold)
+      SELECT threshold, tp, fp, fn, tn,
+             round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+             round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+             round(2.0 * (tp * 1.0 / nullif(tp + fp, 0))
+                       * (tp * 1.0 / nullif(tp + fn, 0))
+                   / nullif((tp * 1.0 / nullif(tp + fp, 0))
+                            + (tp * 1.0 / nullif(tp + fn, 0)), 0), 6)
+               AS f1
+      FROM c""")
 
 
 @q("quality_classifier_documents",
@@ -4370,15 +4445,7 @@ def _logreg_oracle(iters: int = 3) -> str:
    "Oracle = the SAME three GD steps unrolled as aggregate CTEs")
 def quality_classifier_documents(spark, sf_dir):
     from .operators.classifier import logreg_metrics, logreg_train
-    docs = _t(spark, sf_dir, "documents")
-    ln = F.length("text")
-    feats = docs.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.log(F.col("n_chars")).alias("f1"),
-        ((ln - F.length(F.regexp_replace("text", " ", ""))) / ln)
-        .alias("f2"),
-        (F.length(F.regexp_replace("text", "[^0-9]", "")) / ln)
-        .alias("f3"))
+    feats = _logreg_feats(_t(spark, sf_dir, "documents"))
     w = logreg_train(feats, ["f1", "f2", "f3"], "y", iters=3, lr=1.0)
     m = logreg_metrics(feats, w, ["f1", "f2", "f3"], "y")
     return m.select(
@@ -4387,6 +4454,35 @@ def quality_classifier_documents(spark, sf_dir):
         F.round(F.lit(w[1]), 6).alias("w_len"),
         F.round(F.lit(w[2]), 6).alias("w_space"),
         F.round(F.lit(w[3]), 6).alias("w_digit"))
+
+
+def _logreg_feats(docs):
+    """Spark twin of _LOGREG_FEATS_SQL (label + 3 surface features)."""
+    ln = F.length("text")
+    return docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.log(F.col("n_chars")).alias("f1"),
+        ((ln - F.length(F.regexp_replace("text", " ", ""))) / ln)
+        .alias("f2"),
+        (F.length(F.regexp_replace("text", "[^0-9]", "")) / ln)
+        .alias("f3"))
+
+
+@q("classifier_pr_curve_documents",
+   _logreg_pr_oracle(3),
+   "Decision-threshold calibration for the learned quality gate: "
+   "precision/recall/F1 + confusion counts at 9 thresholds in ONE "
+   "corpus pass — per-row sigmoid (codegen literals) explodes against "
+   "the 9-element threshold literal and the counts partial-aggregate "
+   "map-side, so the shuffle carries |T| x partitions tuples "
+   "regardless of corpus size. This curve is how a production "
+   "pipeline picks its keep/drop threshold (e.g. max recall at "
+   "precision >= 0.9); zero denominators surface as NULL, not 0/0")
+def classifier_pr_curve_documents(spark, sf_dir):
+    from .operators.classifier import logreg_pr_curve, logreg_train
+    feats = _logreg_feats(_t(spark, sf_dir, "documents"))
+    w = logreg_train(feats, ["f1", "f2", "f3"], "y", iters=3, lr=1.0)
+    return logreg_pr_curve(feats, w, ["f1", "f2", "f3"], "y")
 
 
 @q("char_entropy_documents",
@@ -4890,6 +4986,9 @@ _TAIL = [
     "embedding_neardup_pairs",         # SRP buckets: ann_lsh_topk in-window
     "boilerplate_scrub_documents",     # C4 scrub: text_stats+repetition in-window
     "range_clicks_before_purchase",    # range join: asof+interval in-window
+    # round-6 additions (window candidates for the r7 rotation):
+    "knn_graph_embeddings",            # per-cell sort-and-slice k-NN graph
+    "classifier_pr_curve_documents",   # threshold calibration sweep
 ]
 
 

@@ -296,3 +296,50 @@ def test_ivfpq_recall_and_pruned_scan(vectors, query_vecs):
     plan = (sim.ann_topk_ivfpq(enc, qv, cents, cbs, k=K)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "centroid_id" in plan and "IN" in plan.upper()
+
+
+def test_knn_graph_within_clusters_matches_bruteforce(spark, vectors):
+    """knn_graph_within_clusters must equal the numpy within-cell
+    brute force exactly: per src, the k most-similar in-cell neighbors
+    ordered by (round(cos,6) desc, dst), ranks dense from 1; no edge
+    crosses cells; and the plan contains NO Window operator — the
+    top-k is per-row array math after the single groupBy shuffle."""
+    import numpy as np
+
+    k = 4
+    cents = sim.ivf_centroids(vectors, n_centroids=8)
+    got = sim.knn_graph_within_clusters(vectors, cents, k=k)
+    rows = {(int(r["src"]), int(r["nn_rank"])): (int(r["dst"]),
+                                                 float(r["cos_sim"]))
+            for r in got.collect()}
+
+    data = {int(r["vec_id"]): np.array(r["embedding"], dtype=float)
+            for r in vectors.collect()}
+    carr = {cid: np.array(v, dtype=float) for cid, v in cents}
+    cell: dict[int, list[int]] = {}
+    for vid, v in data.items():
+        best = min(carr, key=lambda c: (float(np.sum((v - carr[c]) ** 2)), c))
+        cell.setdefault(best, []).append(vid)
+
+    expected = {}
+    for members in cell.values():
+        for src in members:
+            cand = []
+            for dst in members:
+                if dst == src:
+                    continue
+                a, b = data[src], data[dst]
+                cos = round(float(a @ b)
+                            / (float(np.sqrt(a @ a)) * float(np.sqrt(b @ b))),
+                            6)
+                cand.append((-cos, dst))
+            for rank, (negcos, dst) in enumerate(sorted(cand)[:k], start=1):
+                expected[(src, rank)] = (dst, -negcos)
+    assert set(rows) == set(expected)
+    for key, (dst, cos) in expected.items():
+        gdst, gcos = rows[key]
+        assert gdst == dst and abs(gcos - cos) < 1e-9, (key, rows[key],
+                                                        (dst, cos))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

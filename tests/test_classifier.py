@@ -86,3 +86,49 @@ def test_mismatched_weights_rejected(spark, xy):
         logreg_score(df, [0.1, 0.5, -0.5], ["x1"])
     with pytest.raises(ValueError, match="2 weights for 2 features"):
         logreg_metrics(df, [0.1, 0.5], ["x1", "x2"], "y")
+
+
+def test_pr_curve_matches_numpy_confusion(xy):
+    """logreg_pr_curve must reproduce the numpy confusion matrix and
+    the guarded precision/recall/F1 at every threshold, including the
+    degenerate ends: threshold > max(p) gives an empty positive set ->
+    precision/F1 NULL (never 0/0), threshold 0.0 predicts everything
+    positive -> recall 1."""
+    from s3_redshift_backup_tool_spark.operators.classifier import (
+        logreg_pr_curve)
+
+    df, X, y = xy
+    w = logreg_train(df, ["x1", "x2"], "y", iters=3, lr=1.0)
+    ths = (0.0, 0.25, 0.5, 0.75, 1.01)
+    got = {float(r["threshold"]): r
+           for r in logreg_pr_curve(df, w, ["x1", "x2"], "y",
+                                    thresholds=ths).collect()}
+    assert set(got) == set(ths)
+
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    p = 1.0 / (1.0 + np.exp(-(Xb @ np.array(w))))
+    for t in ths:
+        pos = p >= t
+        tp = int(np.sum(pos & (y == 1.0)))
+        fp = int(np.sum(pos & (y != 1.0)))
+        fn = int(np.sum(~pos & (y == 1.0)))
+        tn = int(np.sum(~pos & (y != 1.0)))
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), t
+        exp_prec = tp / (tp + fp) if tp + fp else None
+        exp_rec = tp / (tp + fn) if tp + fn else None
+        if exp_prec is None:
+            assert r["precision"] is None
+        else:
+            assert abs(r["precision"] - round(exp_prec, 6)) < 1e-9
+        if exp_rec is None:
+            assert r["recall"] is None
+        else:
+            assert abs(r["recall"] - round(exp_rec, 6)) < 1e-9
+        if not exp_prec or not exp_rec:
+            assert r["f1"] is None
+        else:
+            exp_f1 = 2 * exp_prec * exp_rec / (exp_prec + exp_rec)
+            assert abs(r["f1"] - round(exp_f1, 6)) < 1e-6
+    assert got[0.0]["recall"] == 1.0
+    assert got[1.01]["tp"] == 0 and got[1.01]["precision"] is None
