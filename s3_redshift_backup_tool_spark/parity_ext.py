@@ -4316,6 +4316,49 @@ def interpolate_value_events(spark, sf_dir):
                       F.round("value_filled", 6).alias("value_filled"))
 
 
+def _zorder_oracle() -> str:
+    """Staged-CTE twin of partitioning.zorder_keys: min-max quantize
+    both dims to 16 bits with IDENTICAL double parenthesization, then
+    the magic-mask spread chain one CTE per step (staging avoids the
+    2^steps textual blowup of inlining), z = qx | (qy << 1)."""
+    steps = [(16, 281470681808895), (8, 71777214294589695),
+             (4, 1085102592571150095), (2, 3689348814741910323),
+             (1, 6148914691236517205)]
+    quant = ("CASE WHEN {mx}::DOUBLE = {mn}::DOUBLE THEN 0 "
+             "ELSE CAST(least(floor((({v}::DOUBLE - {mn}::DOUBLE) "
+             "/ ({mx}::DOUBLE - {mn}::DOUBLE)) * 65536.0), 65535.0) "
+             "AS BIGINT) END")
+    ctes = ["s AS (SELECT min(user_id) AS mnx, max(user_id) AS mxx, "
+            "min(value) AS mny, max(value) AS mxy FROM events)",
+            "q0 AS (SELECT event_id, "
+            + quant.format(v="user_id", mn="mnx", mx="mxx") + " AS qx, "
+            + quant.format(v="value", mn="mny", mx="mxy") + " AS qy "
+            "FROM events CROSS JOIN s)"]
+    for i, (sh, mask) in enumerate(steps, start=1):
+        ctes.append(
+            f"q{i} AS (SELECT event_id, "
+            f"(qx | (qx << {sh})) & {mask} AS qx, "
+            f"(qy | (qy << {sh})) & {mask} AS qy FROM q{i-1})")
+    return ("WITH " + ",\n  ".join(ctes)
+            + f" SELECT event_id, qx | (qy << 1) AS zkey FROM q{len(steps)}")
+
+
+@q("zorder_keys_events",
+   _zorder_oracle(),
+   "Z-order (Morton) layout keys over (user_id, value): min-max "
+   "quantize each dim to 16 bits (stats ride a broadcast 1-row "
+   "aggregate, no driver collect), magic-mask bit interleave as pure "
+   "codegen arithmetic. Written repartitionByRange(zkey)+sortWithin, "
+   "every file covers a small (x,y) rectangle so conjunctive box "
+   "predicates skip most files on footer stats — multi-dimensional "
+   "data skipping at 100 TB, where a single-column sort prunes only "
+   "one predicate (pruning win pinned by tests/test_zorder.py)")
+def zorder_keys_events(spark, sf_dir):
+    from .operators.partitioning import zorder_keys
+    ev = _t(spark, sf_dir, "events")
+    return zorder_keys(ev, "user_id", "value").select("event_id", "zkey")
+
+
 @q("variant_props_events",
    """SELECT event_type,
              count(*) AS n_events,
@@ -4989,6 +5032,7 @@ _TAIL = [
     # round-6 additions (window candidates for the r7 rotation):
     "knn_graph_embeddings",            # per-cell sort-and-slice k-NN graph
     "classifier_pr_curve_documents",   # threshold calibration sweep
+    "zorder_keys_events",              # Morton keys for 2-D data skipping
 ]
 
 
