@@ -867,15 +867,23 @@ def shingle_bloom_mask(df: DataFrame, text_col: str = "text",
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     sh = word_shingles(df, text_col, id_col, n).select("shingle").distinct()
-    pos = (sh.select(*_bloom_position_cols(F.col("shingle"), m_bits,
-                                           h_funcs, seed))
-             .select(F.explode(F.array(
-                 *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
-             .distinct().collect())
+    # fold positions into 64-bit words DISTRIBUTED (bit_or partial-
+    # aggregates map-side), so the driver receives <= m_bits/64 word
+    # rows — not one row per distinct position (h x |eval shingles|,
+    # which at a large eval suite is millions of rows into a Python
+    # bit-set loop)
+    packed = (sh.select(*_bloom_position_cols(F.col("shingle"), m_bits,
+                                              h_funcs, seed))
+                .select(F.explode(F.array(
+                    *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
+                .select(F.shiftright("p", 6).alias("w"),
+                        F.expr("shiftleft(cast(1 as bigint), "
+                               "cast(p % 64 as int))").alias("bit"))
+                .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
+                .collect())
     words = [0] * (m_bits // 64)
-    for r in pos:
-        p = int(r["p"])
-        words[p >> 6] |= 1 << (p & 63)
+    for r in packed:
+        words[int(r["w"])] = int(r["word"]) & ((1 << 64) - 1)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 

@@ -293,11 +293,19 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
     per-key collected (id, vec) lists rather than a keyed self-join —
     the aliased self-join defeats Spark's exchange reuse and would
     compute the upstream projection twice; one groupBy computes it once.
-    Each id lives in exactly one group, so no distinct is needed."""
-    buckets = (keyed.groupBy(key_col)
+    Each id lives in exactly one group, so no distinct is needed.
+
+    The L2 norm rides the item struct, computed ONCE per row before
+    collection (cosine = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — same
+    float ops, same order, so factoring the sqrt out per row is
+    bit-identical) — the quadratic inner loop then evaluates one
+    aggregate per pair instead of three."""
+    buckets = (keyed.withColumn("__nrm", l2_norm(F.col(vec_col)))
+               .groupBy(key_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
-                            F.col(vec_col).alias("v")))).alias("items"))
+                            F.col(vec_col).alias("v"),
+                            F.col("__nrm").alias("n")))).alias("items"))
                .filter(F.size("items") > 1)
                # one partition per group: the collected rows are tiny
                # (AQE would coalesce them onto one task) but each hides
@@ -308,7 +316,9 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
         lambda x, i: F.transform(
             F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
             lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
-                               F.round(cosine(x["v"], y["v"]), 6).alias("cos_sim")))))
+                               F.round(dot(x["v"], y["v"])
+                                       / (x["n"] * y["n"]), 6)
+                               .alias("cos_sim")))))
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b", "p.cos_sim")
             .filter(F.col("cos_sim") >= threshold))
@@ -408,14 +418,18 @@ def knn_graph_within_clusters(df: DataFrame,
     Output: (src, dst, nn_rank, cos_sim), cos_sim rounded to 6 for
     oracle portability."""
     assigned = ivf_assign(df, centroids, vec_col)
-    buckets = (assigned.groupBy("centroid_id")
+    buckets = (assigned.withColumn("__nrm", l2_norm(F.col(vec_col)))
+               .groupBy("centroid_id")
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
-                            F.col(vec_col).alias("v")))).alias("items"))
+                            F.col(vec_col).alias("v"),
+                            F.col("__nrm").alias("n")))).alias("items"))
                .filter(F.size("items") > 1)
                .repartition(max(len(centroids), 1), F.col("centroid_id")))
     # per item: neighbors sorted lexicographically on (-round(sim,6),
-    # dst) — negating AFTER the round keeps the reported value exact
+    # dst) — negating AFTER the round keeps the reported value exact;
+    # norms are per-row precomputed (bit-identical factoring, see
+    # _pairs_within_key) so each pair costs one aggregate, not three
     per_src = F.transform(
         F.col("items"),
         lambda x: F.struct(
@@ -423,7 +437,8 @@ def knn_graph_within_clusters(df: DataFrame,
             F.slice(F.array_sort(F.transform(
                 F.filter(F.col("items"), lambda y: y["id"] != x["id"]),
                 lambda y: F.struct(
-                    (-F.round(cosine(x["v"], y["v"]), 6)).alias("negsim"),
+                    (-F.round(dot(x["v"], y["v"]) / (x["n"] * y["n"]), 6))
+                    .alias("negsim"),
                     y["id"].alias("dst")))), 1, k).alias("nn")))
     return (buckets.select(F.explode(per_src).alias("s"))
             .select(F.col("s.src").alias("src"),

@@ -1290,7 +1290,7 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
 
 @q("knn_graph_embeddings",
    f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
-                 FROM embeddings WHERE vec_id < 8),
+                 FROM embeddings WHERE vec_id < 32),
       d AS (SELECT e.vec_id, e.embedding, c.cid,
                    {_L2.format(a='e.embedding', b='c.cv')} AS dist
             FROM embeddings e CROSS JOIN c),
@@ -1314,11 +1314,12 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
    "Directed k-NN graph within IVF cells (NN-descent seed / dedup "
    "audit): one groupBy shuffle collects each cell once, then per-item "
    "sort-and-slice top-k as pure array math — the quadratic pair set "
-   "never hits an exchange or a window; raise n_centroids to bound "
-   "per-cell populations at corpus scale")
+   "never hits an exchange or a window. Cell count IS the cost/"
+   "parallelism dial (compute ~ n x |cell| log|cell| cosines, one task "
+   "per cell): 32 cells here, ~sqrt(corpus/target_cell) at scale")
 def knn_graph_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.ivf_centroids(emb, n_centroids=8)
+    cents = sim.ivf_centroids(emb, n_centroids=32)
     return sim.knn_graph_within_clusters(emb, cents, k=5)
 
 
