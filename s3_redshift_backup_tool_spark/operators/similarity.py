@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SRP_SEED = 42
 
@@ -418,14 +419,38 @@ def knn_graph_within_clusters(df: DataFrame,
     Output: (src, dst, nn_rank, cos_sim), cos_sim rounded to 6 for
     oracle portability."""
     assigned = ivf_assign(df, centroids, vec_col)
-    buckets = (assigned.withColumn("__nrm", l2_norm(F.col(vec_col)))
-               .groupBy("centroid_id")
+    return _knn_within_key(assigned, "centroid_id",
+                           max(len(centroids), 1), k, vec_col, id_col)
+
+
+def knn_random_seed(df: DataFrame, n_buckets: int = 32, k: int = 5,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    ) -> DataFrame:
+    """k-NN WITHIN RANDOM hash buckets — the classic NN-Descent random
+    initialization, as a graph: bucket membership is the portable
+    md5 hash of the id, so the edges are geometry-blind and, crucially,
+    CROSS geometric cell boundaries. A cell-partitioned seed is closed
+    under neighbor-of-neighbor expansion (every path stays inside its
+    cell — refinement provably cannot recover a cross-cell neighbor);
+    union this with the cell seed and the expansion escapes. Same cost
+    machinery and output schema as :func:`knn_graph_within_clusters`."""
+    from .text import md5_prefix_int
+
+    keyed = df.withColumn(
+        "__bkt", md5_prefix_int(F.col(id_col).cast("string")) % n_buckets)
+    return _knn_within_key(keyed, "__bkt", n_buckets, k, vec_col, id_col)
+
+
+def _knn_within_key(keyed: DataFrame, key_col: str, n_parts: int,
+                    k: int, vec_col: str, id_col: str) -> DataFrame:
+    buckets = (keyed.withColumn("__nrm", l2_norm(F.col(vec_col)))
+               .groupBy(key_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
                             F.col(vec_col).alias("v"),
                             F.col("__nrm").alias("n")))).alias("items"))
                .filter(F.size("items") > 1)
-               .repartition(max(len(centroids), 1), F.col("centroid_id")))
+               .repartition(n_parts, F.col(key_col)))
     # per item: neighbors sorted lexicographically on (-round(sim,6),
     # dst) — negating AFTER the round keeps the reported value exact;
     # norms are per-row precomputed (bit-identical factoring, see
@@ -446,6 +471,78 @@ def knn_graph_within_clusters(df: DataFrame,
             .select("src", F.col("n.dst").alias("dst"),
                     (F.col("pos") + 1).alias("nn_rank"),
                     (-F.col("n.negsim")).alias("cos_sim")))
+
+
+def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """One NN-Descent refinement round (Dong et al. 2011): expand each
+    node's candidates with its neighbors' neighbors — in BOTH edge
+    directions, the algorithm's core insight (a neighbor of my
+    neighbor is probably my neighbor) — score the new candidates, keep
+    the top ``k`` of old ∪ new. Fixed rounds keep the job graph static
+    and the computation exactly replayable (the oracle unrolls the
+    same round); 1-2 rounds already lift the within-cell seed graph's
+    recall sharply (measured in tests/test_ann_recall.py).
+
+    Scale shape per round: the expansion is an E ⋈ E self-join on the
+    k-regular edge list — O(n·k²) candidate rows, never the corpus
+    squared; scoring joins the (id, vec) table twice (shuffle by src,
+    then by dst — vectors ride only the candidate set); selection is
+    one row_number window partitioned by src (n keys, distributed).
+    Output: (src, dst, nn_rank, cos_sim), same schema as
+    :func:`knn_graph_within_clusters` so rounds compose."""
+    g = graph.select("src", "dst")
+    und = g.unionByName(g.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    expanded = (und.alias("a")
+                .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .unionByName(g)
+                .distinct())
+    sv = vectors.select(F.col(id_col).alias("src"),
+                        F.col(vec_col).alias("__sv"),
+                        l2_norm(F.col(vec_col)).alias("__sn"))
+    dv = vectors.select(F.col(id_col).alias("dst"),
+                        F.col(vec_col).alias("__dv"),
+                        l2_norm(F.col(vec_col)).alias("__dn"))
+    scored = (expanded.join(sv, "src").join(dv, "dst")
+              .select("src", "dst",
+                      F.round(dot(F.col("__sv"), F.col("__dv"))
+                              / (F.col("__sn") * F.col("__dn")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
+    return (scored.withColumn("nn_rank", F.row_number().over(w))
+                  .filter(F.col("nn_rank") <= k))
+
+
+def nn_descent(vectors: DataFrame,
+               centroids: list[tuple[int, list[float]]], k: int = 5,
+               rounds: int = 1, random_buckets: int = 32,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Global approximate k-NN graph: mixed seed + ``rounds``
+    NN-Descent refinements. The seed UNIONS the within-cell graph
+    (geometric quality: each node's true in-cell top-k) with the
+    random-hash-bucket graph (connectivity: cross-cell reach — without
+    it the expansion is provably confined to cells, see
+    :func:`knn_random_seed`); every round then re-scores
+    old ∪ neighbors-of-neighbors and keeps the top k. Checkpointed per
+    round so the lineage stays flat."""
+    cell = knn_graph_within_clusters(vectors, centroids, k, vec_col,
+                                     id_col).select("src", "dst")
+    rnd = knn_random_seed(vectors, random_buckets, k, vec_col,
+                          id_col).select("src", "dst")
+    # checkpoint the seed: the round references its input graph five
+    # times (und twice, the expansion union, the re-score) — without a
+    # cut the two quadratic seed kernels would replay per reference
+    g = cell.unionByName(rnd).distinct().localCheckpoint(eager=False)
+    for _ in range(rounds):
+        g = nn_descent_round(g, vectors, k, vec_col, id_col) \
+            .localCheckpoint(eager=False)
+    return g
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",

@@ -1288,8 +1288,9 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
     return sim.semantic_dedup_pairs(emb, cents, threshold=0.3)
 
 
-@q("knn_graph_embeddings",
-   f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+# within-cell k-NN seed graph (first-32 quantizer, k=5): shared CTE
+# chain for the knn-graph and NN-Descent oracles
+_KNN_SEED_CTES = f"""c AS (SELECT vec_id AS cid, embedding AS cv
                  FROM embeddings WHERE vec_id < 32),
       d AS (SELECT e.vec_id, e.embedding, c.cid,
                    {_L2.format(a='e.embedding', b='c.cv')} AS dist
@@ -1309,8 +1310,13 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
       r AS (SELECT src, dst, cos_sim,
                    row_number() OVER (PARTITION BY src
                                       ORDER BY cos_sim DESC, dst) AS nn_rank
-            FROM pairs)
-      SELECT src, dst, nn_rank, cos_sim FROM r WHERE nn_rank <= 5""",
+            FROM pairs),
+      seed AS (SELECT src, dst, nn_rank, cos_sim FROM r
+               WHERE nn_rank <= 5)"""
+
+
+@q("knn_graph_embeddings",
+   f"WITH {_KNN_SEED_CTES} SELECT src, dst, nn_rank, cos_sim FROM seed",
    "Directed k-NN graph within IVF cells (NN-descent seed / dedup "
    "audit): one groupBy shuffle collects each cell once, then per-item "
    "sort-and-slice top-k as pure array math — the quadratic pair set "
@@ -1321,6 +1327,60 @@ def knn_graph_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, n_centroids=32)
     return sim.knn_graph_within_clusters(emb, cents, k=5)
+
+
+@q("nn_descent_graph_embeddings",
+   f"""WITH {_KNN_SEED_CTES},
+      rb AS (SELECT vec_id, embedding,
+                    {_H.format(x='vec_id::VARCHAR')} % 64 AS bkt
+             FROM embeddings),
+      rpairs AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+             round({_DOT.format(a='x.embedding', b='y.embedding')}
+                   / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                      * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+               AS cos_sim
+            FROM rb x JOIN rb y
+              ON x.bkt = y.bkt AND x.vec_id <> y.vec_id),
+      rrank AS (SELECT src, dst, cos_sim,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos_sim DESC, dst)
+                         AS nn_rank
+                FROM rpairs),
+      seed0 AS (SELECT src, dst FROM seed
+                UNION SELECT src, dst FROM rrank WHERE nn_rank <= 5),
+      und AS (SELECT src, dst FROM seed0
+              UNION SELECT dst, src FROM seed0),
+      exp AS (SELECT ua.src AS src, ub.dst AS dst
+              FROM und ua JOIN und ub ON ua.dst = ub.src
+              WHERE ua.src <> ub.dst
+              UNION SELECT src, dst FROM seed0),
+      sc AS (SELECT e.src, e.dst,
+             round({_DOT.format(a='x.embedding', b='y.embedding')}
+                   / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                      * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+               AS cos_sim
+             FROM exp e JOIN embeddings x ON x.vec_id = e.src
+                        JOIN embeddings y ON y.vec_id = e.dst),
+      rr AS (SELECT src, dst, cos_sim,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY cos_sim DESC, dst)
+                      AS nn_rank
+             FROM sc)
+      SELECT src, dst, nn_rank, cos_sim FROM rr WHERE nn_rank <= 5""",
+   "NN-Descent (Dong'11), one refinement round over the MIXED seed: "
+   "within-cell knn (geometric quality) UNION random-hash-bucket knn "
+   "(connectivity — a cell-partitioned seed is CLOSED under neighbor-"
+   "of-neighbor expansion, so without random edges refinement can "
+   "never recover a cross-cell neighbor). Candidates = neighbors-of-"
+   "neighbors in both directions (E x E self-join on the k-regular "
+   "edge list, O(n k^2) rows — never corpus^2), scored by joining the "
+   "vector table twice, kept by a src-partitioned rank; recall ladder "
+   "measured in tests/test_ann_recall.py")
+def nn_descent_graph_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=32)
+    return sim.nn_descent(emb, cents, k=5, rounds=1,
+                          random_buckets=64)
 
 
 # ==========================================================================
@@ -5034,6 +5094,7 @@ _TAIL = [
     "knn_graph_embeddings",            # per-cell sort-and-slice k-NN graph
     "classifier_pr_curve_documents",   # threshold calibration sweep
     "zorder_keys_events",              # Morton keys for 2-D data skipping
+    "nn_descent_graph_embeddings",     # cross-cell k-NN refinement round
 ]
 
 

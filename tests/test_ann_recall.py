@@ -343,3 +343,54 @@ def test_knn_graph_within_clusters_matches_bruteforce(spark, vectors):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_nn_descent_recall_ladder(vectors):
+    """NN-Descent rounds over the MIXED seed (within-cell knn UNION
+    random-bucket knn) must climb toward the exact global k-NN graph
+    (numpy brute force). Also pins the design constraint that forced
+    the mixed seed: the cell-only seed is CLOSED under neighbor-of-
+    neighbor expansion, so a round over it changes nothing."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    k = 5
+    data = {int(r["vec_id"]): np.array(r["embedding"], dtype=float)
+            for r in vectors.collect()}
+    ids = sorted(data)
+    M = np.stack([data[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -np.inf)
+    arr = np.array(ids)
+    exact = {ids[i]: set(arr[np.argsort(-S[i])[:k]].tolist())
+             for i in range(len(ids))}
+
+    def recall(g) -> float:
+        got: dict[int, set] = {}
+        for r in g.collect():
+            got.setdefault(int(r["src"]), set()).add(int(r["dst"]))
+        return sum(len(got.get(i, set()) & exact[i])
+                   for i in ids) / (k * len(ids))
+
+    cents = sim.ivf_centroids(vectors, n_centroids=16)
+
+    # cell-only seed: expansion provably confined to cells -> no-op
+    cell = sim.knn_graph_within_clusters(vectors, cents, k=k) \
+              .localCheckpoint()
+    cell_refined = sim.nn_descent_round(cell, vectors, k=k)
+    assert cell_refined.select("src", "dst") \
+        .exceptAll(cell.select("src", "dst")).count() == 0
+
+    rnd = sim.knn_random_seed(vectors, n_buckets=16, k=k)
+    seed = (cell.select("src", "dst")
+                .unionByName(rnd.select("src", "dst")).distinct()
+                .localCheckpoint())
+    g1 = sim.nn_descent_round(seed, vectors, k=k).localCheckpoint()
+    g2 = sim.nn_descent_round(g1, vectors, k=k)
+    r0, r1, r2 = recall(cell), recall(g1), recall(g2)
+    print(f"nn-descent recall ladder: cell-seed={r0:.3f} "
+          f"round1={r1:.3f} round2={r2:.3f}")
+    assert r1 > r0
+    assert r2 >= r1
