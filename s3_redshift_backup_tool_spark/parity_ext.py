@@ -4925,21 +4925,20 @@ _WINDOW = [
     "exact_dedup_documents", "minhash_lsh_pairs_documents",
     "neardup_clusters_documents",
     "scrub_exact_substrings_documents", "duplicated_spans_documents",
-    "cms_heavy_hitters_documents",
-    "batch_cosine_topk_embeddings",
+    "knn_graph_embeddings", "nn_descent_graph_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
     "ann_lsh_multitable_topk", "train_val_test_split_documents",
-    "quality_classifier_documents",
+    "quality_classifier_documents", "classifier_pr_curve_documents",
     "multimodal_features", "temperature_mixture_by_source",
     # text analysis / corpus curation
-    "text_stats_documents", "repetition_signals_documents",
+    "text_stats_documents",
     "ntile_cumedist_customers",
     "pii_scrub_customer", "id_gap_audit_orders",
-    # windows / top-k / temporal joins / streaming
+    # windows / top-k / temporal joins / streaming / layout
     "latest_record_per_user", "overlapping_purchase_intervals_events",
     "topk_orders_by_price", "asof_click_attribution",
     "keyset_page_orders", "tumbling_daily_events",
-    "session_windows_events",
+    "zorder_keys_events",
     # analytics joins + aggregation shapes
     "pricing_summary_lineitem", "revenue_by_nation",
     "order_priority_exists", "shipping_priority_top10",
@@ -4950,6 +4949,13 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    # rotated out of the window round 6 second batch (driver-hashed
+    # green in r5; in-window siblings named) to admit the four NEW
+    # round-6 families (knn graph, NN-Descent, PR-curve, Z-order):
+    "cms_heavy_hitters_documents",     # mergeable sketches: approx_distinct in-window
+    "batch_cosine_topk_embeddings",    # TakeOrdered top-k: ann_lsh/ann_ivf in-window
+    "repetition_signals_documents",    # per-row text folds: text_stats in-window
+    "session_windows_events",          # event-time sessions: tumbling in-window
     # rotated out of the window round 6 (driver-hashed green in r5; each
     # has an in-window machinery sibling) to admit the never-hashed
     # round-5 families, the distributed-rank pair, and tpch_q2:
@@ -5090,11 +5096,6 @@ _TAIL = [
     "embedding_neardup_pairs",         # SRP buckets: ann_lsh_topk in-window
     "boilerplate_scrub_documents",     # C4 scrub: text_stats+repetition in-window
     "range_clicks_before_purchase",    # range join: asof+interval in-window
-    # round-6 additions (window candidates for the r7 rotation):
-    "knn_graph_embeddings",            # per-cell sort-and-slice k-NN graph
-    "classifier_pr_curve_documents",   # threshold calibration sweep
-    "zorder_keys_events",              # Morton keys for 2-D data skipping
-    "nn_descent_graph_embeddings",     # cross-cell k-NN refinement round
 ]
 
 
