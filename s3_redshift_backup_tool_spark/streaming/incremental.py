@@ -451,3 +451,48 @@ def streaming_neardup_curate(
           .trigger(availableNow=True)
           .start()
           .awaitTermination())
+
+
+def streaming_ann_intake(
+    spark: SparkSession,
+    schema: T.StructType,
+    source_glob: str,
+    checkpoint_path: str,
+    index_path: str,
+    data_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[dict]:
+    """Streaming VECTOR intake into the persisted IVF index: each
+    availableNow micro-batch is assigned with the FROZEN coarse
+    quantizer and partition-appended into the centroid_id layout
+    (operators/similarity.py ivf_index_add) — inverted lists grow in
+    place, nothing re-clusters, searches see new vectors as soon as
+    the batch lands. Returns the per-batch drift signals (mean squared
+    distance of added vectors to their assigned centroid): a sustained
+    rise across batches is the re-train trigger, the streaming twin of
+    checking drift on each bulk add.
+
+    Scale shape per micro-batch: assignment is the zero-shuffle
+    literal-centroid argmin over batch rows only; the append touches
+    only the ``centroid_id=`` directories the batch hits. foreachBatch
+    replay after a crash can re-append a batch (at-least-once seam,
+    same contract as streaming_neardup_intake's corpus append);
+    compaction or an id-dedup read view absorbs it downstream."""
+    from ..operators import similarity as sim
+
+    stats: list[dict] = []
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats.append(sim.ivf_index_add(spark, batch_df, index_path,
+                                       data_path, vec_col, id_col))
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_fold)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())
+    return stats

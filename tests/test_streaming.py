@@ -473,3 +473,51 @@ def test_streaming_neardup_curate_across_batches(spark, tmp_path):
     idx_ids = {r["doc_id"]
                for r in spark.read.parquet(idx).select("doc_id").collect()}
     assert idx_ids == {1, 3, 5}
+
+
+def test_streaming_ann_intake_grows_ivf_index(spark, tmp_path, sf_dir):
+    """Streaming vectors land in the centroid_id-partitioned IVF
+    layout with the FROZEN quantizer: assignments match the batch
+    path exactly, per-batch drift signals come back, batch 2 appends
+    without rewriting batch 1's lists, and the persisted-layout search
+    sees everything streamed so far."""
+    from s3_redshift_backup_tool_spark.operators import similarity as sim
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_ann_intake)
+
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    idx = str(tmp_path / "ivf_index")
+    data = str(tmp_path / "ivf_data")
+    src = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    sim.save_ivf_index(spark, cents, idx)
+
+    b1 = emb.filter("vec_id < 200")
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s1 = streaming_ann_intake(spark, schema, src, ckpt, idx, data)
+    assert len(s1) == 1 and s1[0]["n_added"] == 200
+    assert s1[0]["mean_sq_dist"] > 0
+
+    emb.filter("vec_id >= 200").write.mode("append").parquet(src)
+    s2 = streaming_ann_intake(spark, schema, src, ckpt, idx, data)
+    assert sum(s["n_added"] for s in s2) == emb.count() - 200
+
+    stored = spark.read.parquet(data)
+    assert stored.count() == emb.count()
+    # frozen-quantizer assignments identical to the batch path
+    batch = sim.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    assert stored.select("vec_id", "centroid_id") \
+        .exceptAll(batch).count() == 0
+
+    # persisted-layout search over the streamed corpus == inline search
+    qv = [float(v) for v in
+          emb.filter("vec_id = 3").first()["embedding"]]
+    got = [int(r["vec_id"]) for r in
+           sim.ann_topk_indexed(spark, data, idx, qv, k=5).collect()]
+    want = [int(r["vec_id"]) for r in
+            sim.ann_topk_ivf(emb, qv, cents, k=5).collect()]
+    assert got == want
