@@ -142,66 +142,3 @@ def distributed_ntile(df: DataFrame, order_cols: list[str | Column],
     return (out.withColumn(bucket_col, bucket.cast("int"))
                .drop("__rn", "__n"))
 
-
-# -- Z-order (Morton) layout keys -------------------------------------------
-#
-# Multi-dimensional data-skipping: a single sort column prunes files on
-# one predicate only; interleaving the bits of TWO quantized dimensions
-# gives a key whose contiguous ranges are small rectangles in (x, y)
-# space, so files written in zkey order carry tight min/max footer
-# stats on BOTH columns and a conjunctive box predicate skips most of
-# them (the Delta/Iceberg OPTIMIZE ZORDER technique, from scratch).
-
-_SPREAD_STEPS: list[tuple[int, int]] = [
-    (16, 0x0000FFFF0000FFFF),
-    (8, 0x00FF00FF00FF00FF),
-    (4, 0x0F0F0F0F0F0F0F0F),
-    (2, 0x3333333333333333),
-    (1, 0x5555555555555555),
-]
-
-
-def _spread_bits(c: Column) -> Column:
-    """Spread a 32-bit non-negative int's bits into the even positions
-    of a 64-bit word (magic-mask doubling, pure JVM bit arithmetic)."""
-    for sh, mask in _SPREAD_STEPS:
-        c = (c.bitwiseOR(F.shiftleft(c, sh))).bitwiseAND(F.lit(mask))
-    return c
-
-
-def bit_interleave(x: Column, y: Column) -> Column:
-    """Morton interleave of two pre-quantized non-negative ints
-    (< 2^31): x occupies even bits, y odd bits."""
-    return _spread_bits(x.cast("bigint")).bitwiseOR(
-        F.shiftleft(_spread_bits(y.cast("bigint")), 1))
-
-
-def quantize_minmax(v: Column, mn: Column, mx: Column,
-                    bits: int = 16) -> Column:
-    """Min-max quantization to [0, 2^bits): identical-parenthesization
-    double math so an external SQL engine reproduces it bit-for-bit;
-    a constant column (mx == mn) maps to 0."""
-    buckets = float(1 << bits)
-    q = F.floor(((v.cast("double") - mn.cast("double"))
-                 / (mx.cast("double") - mn.cast("double"))) * F.lit(buckets))
-    q = F.least(q, F.lit((1 << bits) - 1)).cast("bigint")
-    return F.when(mx.cast("double") == mn.cast("double"),
-                  F.lit(0).cast("bigint")).otherwise(q)
-
-
-def zorder_keys(df: DataFrame, x_col: str, y_col: str,
-                bits: int = 16, out_col: str = "zkey") -> DataFrame:
-    """Append the Z-order key over two columns, min-max quantized to
-    ``bits`` bits each. The dimension stats ride a broadcast 1-row
-    aggregate (no driver collect, one extra scan of the two columns);
-    the interleave itself is a narrow codegen projection. Write with
-    ``repartitionByRange(out_col).sortWithinPartitions(out_col)`` so
-    every file covers a small (x, y) rectangle; the layout win is
-    pinned by tests/test_zorder.py's footer-stats pruning harness."""
-    stats = df.agg(F.min(x_col).alias("__mnx"), F.max(x_col).alias("__mxx"),
-                   F.min(y_col).alias("__mny"), F.max(y_col).alias("__mxy"))
-    qx = quantize_minmax(F.col(x_col), F.col("__mnx"), F.col("__mxx"), bits)
-    qy = quantize_minmax(F.col(y_col), F.col("__mny"), F.col("__mxy"), bits)
-    return (df.crossJoin(F.broadcast(stats))
-              .withColumn(out_col, bit_interleave(qx, qy))
-              .drop("__mnx", "__mxx", "__mny", "__mxy"))

@@ -4415,7 +4415,7 @@ def _zorder_oracle() -> str:
    "data skipping at 100 TB, where a single-column sort prunes only "
    "one predicate (pruning win pinned by tests/test_zorder.py)")
 def zorder_keys_events(spark, sf_dir):
-    from .operators.partitioning import zorder_keys
+    from .operators.layout import zorder_keys
     ev = _t(spark, sf_dir, "events")
     return zorder_keys(ev, "user_id", "value").select("event_id", "zkey")
 

@@ -1,4 +1,4 @@
-"""Z-order layout (operators/partitioning.py): the Morton key must be
+"""Z-order layout (operators/layout.py, 2-column fast path): the Morton key must be
 the textbook bit interleave, and — the actual point — files written in
 zkey order must let a conjunctive box predicate skip most of them on
 parquet footer stats, where a single-column layout cannot."""
@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from s3_redshift_backup_tool_spark.operators.partitioning import (
+from s3_redshift_backup_tool_spark.operators.layout import (
     bit_interleave, quantize_minmax, zorder_keys)
 
 
