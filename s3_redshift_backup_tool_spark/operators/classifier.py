@@ -81,6 +81,21 @@ def logreg_train(df: DataFrame, feature_cols: list[str | Column],
     return w
 
 
+def surface_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the standard cheap surface features (f1 = log length,
+    f2 = space ratio, f3 = digit ratio) — the default feature set for
+    the quality classifier when no task-specific features are given.
+    Pure codegen projections; empty text yields NULL features (log of
+    0 / division by 0), which a downstream score comparison drops —
+    the conventional fate of empty docs in a quality gate."""
+    ln = F.length(text_col)
+    return df.withColumns({
+        "f1": F.log(ln.cast("double")),
+        "f2": ((ln - F.length(F.regexp_replace(text_col, " ", ""))) / ln),
+        "f3": (F.length(F.regexp_replace(text_col, "[^0-9]", "")) / ln),
+    })
+
+
 def logreg_score(df: DataFrame, weights: list[float],
                  feature_cols: list[str | Column],
                  out_col: str = "p_quality") -> DataFrame:

