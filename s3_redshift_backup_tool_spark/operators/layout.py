@@ -170,3 +170,59 @@ def zorder_keys(df: DataFrame, x_col: str, y_col: str,
     return (df.crossJoin(F.broadcast(stats))
               .withColumn(out_col, bit_interleave(qx, qy))
               .drop("__mnx", "__mxx", "__mny", "__mxy"))
+
+
+def hilbert_from_quantized(df: DataFrame, qx_col: str, qy_col: str,
+                           bits: int = 16,
+                           out_col: str = "hkey") -> DataFrame:
+    """Hilbert index of two already-quantized coords in [0, 2^bits)
+    (the classic per-bit fold: quadrant digit + conditional
+    flip-and-swap rotation). Hilbert beats Morton on locality —
+    consecutive keys are ALWAYS adjacent cells, no quadrant jumps —
+    at the cost of per-bit data-dependent branching.
+
+    Implementation note: the rotation makes each step's (x, y) depend
+    conditionally on the previous step's BOTH coords, so the fold is
+    staged through named columns (withColumns per bit) — a nested
+    single-expression form would duplicate subtrees ~3^bits times.
+    16 narrow codegen steps, zero shuffle, drops its scratch columns."""
+    hx, hy, hd = "__hx", "__hy", "__hd"
+    df = df.withColumns({hx: F.col(qx_col).cast("bigint"),
+                         hy: F.col(qy_col).cast("bigint"),
+                         hd: F.lit(0).cast("bigint")})
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = F.shiftright(F.col(hx), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(hy), i).bitwiseAND(F.lit(1))
+        quad = (F.when((rx == 0) & (ry == 0), 0)
+                 .when(rx == 0, 1)
+                 .when(ry == 0, 3)
+                 .otherwise(2))          # (3*rx) XOR ry, branch-free of xor
+        df = df.withColumns({
+            hd: F.col(hd) + F.lit(s).cast("bigint") * F.lit(s) * quad,
+            hx: F.when(ry == 1, F.col(hx))
+                 .when(rx == 1, F.lit(s - 1) - F.col(hy))
+                 .otherwise(F.col(hy)),
+            hy: F.when(ry == 1, F.col(hy))
+                 .when(rx == 1, F.lit(s - 1) - F.col(hx))
+                 .otherwise(F.col(hx)),
+        })
+    return df.withColumn(out_col, F.col(hd)).drop(hx, hy, hd)
+
+
+def hilbert_keys(df: DataFrame, x_col: str, y_col: str,
+                 bits: int = 16, out_col: str = "hkey") -> DataFrame:
+    """Append the Hilbert layout key over two columns — the
+    :func:`zorder_keys` sibling with strictly better locality
+    (consecutive key ranges are connected regions, so file boundaries
+    cut fewer rectangles). Same in-plan broadcast stats, same
+    external-SQL-reproducible quantizer; write exactly like zorder_keys
+    (repartitionByRange + sortWithinPartitions on the key)."""
+    stats = df.agg(F.min(x_col).alias("__mnx"), F.max(x_col).alias("__mxx"),
+                   F.min(y_col).alias("__mny"), F.max(y_col).alias("__mxy"))
+    qx = quantize_minmax(F.col(x_col), F.col("__mnx"), F.col("__mxx"), bits)
+    qy = quantize_minmax(F.col(y_col), F.col("__mny"), F.col("__mxy"), bits)
+    staged = (df.crossJoin(F.broadcast(stats))
+                .withColumns({"__qx": qx, "__qy": qy}))
+    return (hilbert_from_quantized(staged, "__qx", "__qy", bits, out_col)
+            .drop("__qx", "__qy", "__mnx", "__mxx", "__mny", "__mxy"))

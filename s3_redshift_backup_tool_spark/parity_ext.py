@@ -4377,24 +4377,29 @@ def interpolate_value_events(spark, sf_dir):
                       F.round("value_filled", 6).alias("value_filled"))
 
 
+_QUANT2D = ("CASE WHEN {mx}::DOUBLE = {mn}::DOUBLE THEN 0 "
+            "ELSE CAST(least(floor((({v}::DOUBLE - {mn}::DOUBLE) "
+            "/ ({mx}::DOUBLE - {mn}::DOUBLE)) * 65536.0), 65535.0) "
+            "AS BIGINT) END")
+
+_QUANT2D_CTES = (
+    "s AS (SELECT min(user_id) AS mnx, max(user_id) AS mxx, "
+    "min(value) AS mny, max(value) AS mxy FROM events),\n  "
+    "q0 AS (SELECT event_id, "
+    + _QUANT2D.format(v="user_id", mn="mnx", mx="mxx") + " AS qx, "
+    + _QUANT2D.format(v="value", mn="mny", mx="mxy") + " AS qy "
+    "FROM events CROSS JOIN s)")
+
+
 def _zorder_oracle() -> str:
-    """Staged-CTE twin of partitioning.zorder_keys: min-max quantize
-    both dims to 16 bits with IDENTICAL double parenthesization, then
-    the magic-mask spread chain one CTE per step (staging avoids the
+    """Staged-CTE twin of layout.zorder_keys: min-max quantize both
+    dims to 16 bits with IDENTICAL double parenthesization, then the
+    magic-mask spread chain one CTE per step (staging avoids the
     2^steps textual blowup of inlining), z = qx | (qy << 1)."""
     steps = [(16, 281470681808895), (8, 71777214294589695),
              (4, 1085102592571150095), (2, 3689348814741910323),
              (1, 6148914691236517205)]
-    quant = ("CASE WHEN {mx}::DOUBLE = {mn}::DOUBLE THEN 0 "
-             "ELSE CAST(least(floor((({v}::DOUBLE - {mn}::DOUBLE) "
-             "/ ({mx}::DOUBLE - {mn}::DOUBLE)) * 65536.0), 65535.0) "
-             "AS BIGINT) END")
-    ctes = ["s AS (SELECT min(user_id) AS mnx, max(user_id) AS mxx, "
-            "min(value) AS mny, max(value) AS mxy FROM events)",
-            "q0 AS (SELECT event_id, "
-            + quant.format(v="user_id", mn="mnx", mx="mxx") + " AS qx, "
-            + quant.format(v="value", mn="mny", mx="mxy") + " AS qy "
-            "FROM events CROSS JOIN s)"]
+    ctes = [_QUANT2D_CTES]
     for i, (sh, mask) in enumerate(steps, start=1):
         ctes.append(
             f"q{i} AS (SELECT event_id, "
@@ -4402,6 +4407,41 @@ def _zorder_oracle() -> str:
             f"(qy | (qy << {sh})) & {mask} AS qy FROM q{i-1})")
     return ("WITH " + ",\n  ".join(ctes)
             + f" SELECT event_id, qx | (qy << 1) AS zkey FROM q{len(steps)}")
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    """Staged-CTE twin of layout.hilbert_keys: same quantizer, then the
+    per-bit quadrant-digit + flip-and-swap fold, TWO CTEs per bit
+    (rx/ry extraction, then the rotation reading both OLD coords) —
+    exactly the staging the Spark side uses and for the same reason."""
+    ctes = [_QUANT2D_CTES.replace("AS qx", "AS hx").replace("AS qy",
+                                                            "AS hy")
+            .replace("q0 AS", "h0 AS")
+            + ""]
+    ctes[0] = ctes[0].replace(
+        "FROM events CROSS JOIN s)",
+        "FROM events CROSS JOIN s)")
+    # h0 lacks hd; add it via a wrapper CTE
+    ctes.append("g0 AS (SELECT event_id, hx, hy, CAST(0 AS BIGINT) AS hd "
+                "FROM h0)")
+    j = 0
+    for i in reversed(range(bits)):
+        s = 1 << i
+        j += 1
+        ctes.append(
+            f"r{j} AS (SELECT event_id, hx, hy, hd, "
+            f"(hx >> {i}) & 1 AS rx, (hy >> {i}) & 1 AS ry FROM g{j-1})")
+        quad = ("CASE WHEN rx = 0 AND ry = 0 THEN 0 "
+                "WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END")
+        ctes.append(
+            f"g{j} AS (SELECT event_id, "
+            f"CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN {s-1} - hy "
+            f"ELSE hy END AS hx, "
+            f"CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN {s-1} - hx "
+            f"ELSE hx END AS hy, "
+            f"hd + {s}::BIGINT * {s} * ({quad}) AS hd FROM r{j})")
+    return ("WITH " + ",\n  ".join(ctes)
+            + f" SELECT event_id, hd AS hkey FROM g{j}")
 
 
 @q("zorder_keys_events",
@@ -4418,6 +4458,22 @@ def zorder_keys_events(spark, sf_dir):
     from .operators.layout import zorder_keys
     ev = _t(spark, sf_dir, "events")
     return zorder_keys(ev, "user_id", "value").select("event_id", "zkey")
+
+
+@q("hilbert_keys_events",
+   _hilbert_oracle(),
+   "Hilbert layout keys over (user_id, value) — the zorder_keys "
+   "sibling with strictly better locality (consecutive key ranges are "
+   "CONNECTED regions, no quadrant jumps, so file boundaries cut "
+   "fewer rectangles). Per-bit quadrant digit + conditional flip-and-"
+   "swap rotation, staged through named columns (16 narrow codegen "
+   "steps, zero shuffle; a single nested expression would duplicate "
+   "subtrees ~3^bits times); quantizer stats ride the same broadcast "
+   "1-row aggregate")
+def hilbert_keys_events(spark, sf_dir):
+    from .operators.layout import hilbert_keys
+    ev = _t(spark, sf_dir, "events")
+    return hilbert_keys(ev, "user_id", "value").select("event_id", "hkey")
 
 
 @q("variant_props_events",
@@ -5096,6 +5152,8 @@ _TAIL = [
     "embedding_neardup_pairs",         # SRP buckets: ann_lsh_topk in-window
     "boilerplate_scrub_documents",     # C4 scrub: text_stats+repetition in-window
     "range_clicks_before_purchase",    # range join: asof+interval in-window
+    # round-6 late addition (window candidate for the r7 rotation):
+    "hilbert_keys_events",             # Hilbert layout keys: zorder in-window
 ]
 
 

@@ -102,3 +102,69 @@ def test_zorder_layout_prunes_box_queries(spark, events, tmp_path):
     # spans ~the full range of both -> nothing prunes
     assert id_hit >= n_files - 2
     assert z_hit * 2 <= id_hit, (z_hit, id_hit)
+
+
+def _hilbert_py(bits: int, x: int, y: int) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_reference_is_a_true_curve():
+    """Guard the reference itself: at bits=4 the 256 cells are visited
+    exactly once each and consecutive indices are ALWAYS adjacent
+    cells (the property Morton lacks)."""
+    inv = {}
+    for x in range(16):
+        for y in range(16):
+            inv[_hilbert_py(4, x, y)] = (x, y)
+    assert sorted(inv) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_from_quantized_matches_reference(spark):
+    from s3_redshift_backup_tool_spark.operators.layout import (
+        hilbert_from_quantized)
+
+    import random
+    rng = random.Random(11)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+           for _ in range(200)] + [(0, 0), (65535, 65535), (0, 65535)]
+    df = spark.createDataFrame(pts, "qx long, qy long")
+    got = hilbert_from_quantized(df, "qx", "qy", bits=16).collect()
+    for r in got:
+        assert int(r["hkey"]) == _hilbert_py(16, int(r["qx"]),
+                                             int(r["qy"])), \
+            (r["qx"], r["qy"])
+
+
+def test_hilbert_layout_prunes_like_zorder(spark, events, tmp_path):
+    """Hilbert must deliver the same class of multi-dim pruning as
+    Morton on the box-query harness (both far better than the
+    single-column layout measured above)."""
+    from s3_redshift_backup_tool_spark.operators.layout import hilbert_keys
+
+    n_files = 16
+    h = hilbert_keys(events, "user_id", "value")
+    (h.repartitionByRange(n_files, "hkey").sortWithinPartitions("hkey")
+      .write.mode("overwrite").parquet(str(tmp_path / "byh")))
+    lo, hi = events.agg(F.min("user_id"), F.max("user_id")).first()
+    vlo, vhi = events.agg(F.min("value"), F.max("value")).first()
+    x_lo, x_hi = lo + (hi - lo) * 0.4, lo + (hi - lo) * 0.65
+    y_lo, y_hi = vlo + (vhi - vlo) * 0.4, vlo + (vhi - vlo) * 0.65
+    h_hit, h_tot = _files_overlapping_box(str(tmp_path / "byh"),
+                                          x_lo, x_hi, y_lo, y_hi)
+    assert h_tot == n_files
+    assert h_hit * 2 <= n_files, h_hit
