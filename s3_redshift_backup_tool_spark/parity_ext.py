@@ -4460,6 +4460,51 @@ def zorder_keys_events(spark, sf_dir):
     return zorder_keys(ev, "user_id", "value").select("event_id", "zkey")
 
 
+def _zorder3_oracle(bits: int = 16) -> str:
+    """Twin of layout.zorder_key's general k-column form for
+    (user_id, value, event_id): the driver-probe stats become SQL
+    aggregates (same double math, same parenthesization:
+    least(cast(floor(((v-mn)/span)*(2^bits-1)) as bigint), 2^bits-1)
+    with span = mx-mn or 1.0), then the per-bit interleave as a flat
+    48-term OR chain — each term references its quantized column once,
+    so no CTE staging is needed."""
+    hi = (1 << bits) - 1
+    cols = ["user_id", "value", "event_id"]
+    k = len(cols)
+    quant = ("CAST(floor((((coalesce({v}::DOUBLE, mn{i}) - mn{i})"
+             " / (CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i}"
+             " ELSE 1.0 END)) * {hi}.0)) AS BIGINT)")
+    qs = ", ".join(
+        f"least({quant.format(v=c, i=i, hi=hi)}, {hi}) AS q{i}"
+        for i, c in enumerate(cols))
+    stats = ", ".join(
+        f"min({c}::DOUBLE) AS mn{i}, max({c}::DOUBLE) AS mx{i}"
+        for i, c in enumerate(cols))
+    terms = " | ".join(
+        f"(((q{i} >> {j}) & 1) << {j * k + i})"
+        for i in range(k) for j in range(bits))
+    return (f"WITH s AS (SELECT {stats} FROM events), "
+            f"q AS (SELECT event_id, {qs} FROM events CROSS JOIN s) "
+            f"SELECT event_id, {terms} AS zkey3 FROM q")
+
+
+@q("zorder3_keys_events",
+   _zorder3_oracle(),
+   "General k-column Z-order path (layout.zorder_key / "
+   "interleave_bits) over THREE dims (user_id, value, event_id), "
+   "16 bits each in a 48-bit key — the form OPTIMIZE ZORDER takes "
+   "when a table is filtered on more than two columns; per-bit "
+   "unrolled interleave stays one codegen projection, stats are the "
+   "documented driver-scalar probe (same cost class as the CDC "
+   "ceiling probe)")
+def zorder3_keys_events(spark, sf_dir):
+    from .operators.layout import zorder_key
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     zorder_key(ev, ["user_id", "value", "event_id"],
+                                bits=16).alias("zkey3"))
+
+
 @q("hilbert_keys_events",
    _hilbert_oracle(),
    "Hilbert layout keys over (user_id, value) — the zorder_keys "
@@ -5154,6 +5199,7 @@ _TAIL = [
     "range_clicks_before_purchase",    # range join: asof+interval in-window
     # round-6 late addition (window candidate for the r7 rotation):
     "hilbert_keys_events",             # Hilbert layout keys: zorder in-window
+    "zorder3_keys_events",             # general k-col interleave path
 ]
 
 
