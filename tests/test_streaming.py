@@ -521,3 +521,42 @@ def test_streaming_ann_intake_grows_ivf_index(spark, tmp_path, sf_dir):
     want = [int(r["vec_id"]) for r in
             sim.ann_topk_ivf(emb, qv, cents, k=5).collect()]
     assert got == want
+
+
+def test_streaming_ann_intake_replay_seam(spark, tmp_path, sf_dir):
+    """Pin the documented at-least-once contract: replaying a batch
+    (fresh checkpoint over the same source) re-appends its vectors,
+    and the standard latest-per-id read view recovers exactly the
+    logical corpus — the downstream-dedup story the docstring
+    promises."""
+    from pyspark.sql import functions as F
+
+    from s3_redshift_backup_tool_spark.operators import similarity as sim
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        latest_record_dedup)
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_ann_intake)
+
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").filter("vec_id < 100")
+    cents = sim.ivf_centroids(emb, n_centroids=4)
+    idx = str(tmp_path / "idx")
+    data = str(tmp_path / "data")
+    src = str(tmp_path / "src")
+    sim.save_ivf_index(spark, cents, idx)
+    emb.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    streaming_ann_intake(spark, schema, src, str(tmp_path / "ck1"),
+                         idx, data)
+    # crash-replay: a FRESH checkpoint replays the whole source
+    streaming_ann_intake(spark, schema, src, str(tmp_path / "ck2"),
+                         idx, data)
+    stored = spark.read.parquet(data)
+    assert stored.count() == 200          # duplicated — at-least-once
+    logical = latest_record_dedup(
+        stored.withColumn("__ts", F.lit(0)), ["vec_id"], "__ts")
+    assert logical.count() == 100
+    assert logical.select("vec_id").exceptAll(
+        emb.select("vec_id")).count() == 0
