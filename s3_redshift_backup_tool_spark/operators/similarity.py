@@ -473,6 +473,64 @@ def _knn_within_key(keyed: DataFrame, key_col: str, n_parts: int,
                     (-F.col("n.negsim")).alias("cos_sim")))
 
 
+def knn_graph_within_clusters_arrow(df: DataFrame,
+                                    centroids: list[tuple[int, list[float]]],
+                                    k: int = 5,
+                                    vec_col: str = "embedding",
+                                    id_col: str = "vec_id") -> DataFrame:
+    """Arrow-vectorized twin of :func:`knn_graph_within_clusters` —
+    the PRODUCTION kernel: per-cell cosine top-k as one numpy
+    matmul + argpartition inside ``applyInPandas``, instead of the
+    interpreted per-element higher-order functions (HOFs do not enter
+    whole-stage codegen; the BLAS matmul is ~100x the throughput on
+    wide cells). Same shuffle shape (one groupBy on centroid_id),
+    same output schema and (sim desc, dst) tie-break.
+
+    The HOF form stays the ORACLE-pinned registry twin: summation
+    order (pairwise-SIMD vs left-to-right) and rounding mode (numpy
+    half-even vs Spark HALF_UP) can differ in the last printed digit,
+    so this kernel is pinned against the same numpy reference as the
+    HOF form (tests/test_ann_recall.py) rather than against DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        "centroid_id")
+
+    def _bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64"),
+                                 "nn_rank": pd.Series([], dtype="int32"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        M = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        src, dst, rank, sim = [], [], [], []
+        for i in range(n):
+            # top-kk by (sim desc, id asc): full lexsort keeps boundary
+            # ties exact (argpartition's cut is arbitrary among equals)
+            cand = np.lexsort((ids, -S[i]))[:kk]
+            src.extend([ids[i]] * kk)
+            dst.extend(ids[cand])
+            rank.extend(range(1, kk + 1))
+            sim.extend(S[i][cand])
+        return pd.DataFrame({"src": np.array(src, dtype="int64"),
+                             "dst": np.array(dst, dtype="int64"),
+                             "nn_rank": np.array(rank, dtype="int32"),
+                             "cos_sim": np.array(sim, dtype="float64")})
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        _bucket_knn,
+        "src long, dst long, nn_rank int, cos_sim double")
+
+
 def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:

@@ -394,3 +394,51 @@ def test_nn_descent_recall_ladder(vectors):
           f"round1={r1:.3f} round2={r2:.3f}")
     assert r1 > r0
     assert r2 >= r1
+
+
+def test_knn_graph_arrow_kernel_matches_reference(spark, vectors):
+    """The Arrow production kernel must equal a numpy reference that
+    replays its exact arithmetic ((M @ M.T)/outer(norms), np.round 6,
+    lexsort tie-break), and agree with the oracle-pinned HOF kernel
+    on >= 99% of edges (the remainder is last-ulp summation-order
+    rounding, the documented delta)."""
+    import numpy as np
+
+    k = 4
+    cents = sim.ivf_centroids(vectors, n_centroids=8)
+    got = {(int(r["src"]), int(r["nn_rank"])): (int(r["dst"]),
+                                                float(r["cos_sim"]))
+           for r in sim.knn_graph_within_clusters_arrow(
+               vectors, cents, k=k).collect()}
+
+    data = {int(r["vec_id"]): np.array(r["embedding"], dtype=float)
+            for r in vectors.collect()}
+    carr = {cid: np.array(v, dtype=float) for cid, v in cents}
+    cell: dict[int, list[int]] = {}
+    for vid, v in data.items():
+        best = min(carr, key=lambda c: (float(np.sum((v - carr[c]) ** 2)), c))
+        cell.setdefault(best, []).append(vid)
+
+    expected = {}
+    for members in cell.values():
+        if len(members) < 2:
+            continue
+        ids = np.array(sorted(members))
+        M = np.stack([data[i] for i in ids]).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, len(ids) - 1)
+        for i in range(len(ids)):
+            cand = np.lexsort((ids, -S[i]))[:kk]
+            for rank, j in enumerate(cand, start=1):
+                expected[(int(ids[i]), rank)] = (int(ids[j]),
+                                                 float(S[i][j]))
+    assert got == expected
+
+    hof = {(int(r["src"]), int(r["nn_rank"])): int(r["dst"])
+           for r in sim.knn_graph_within_clusters(
+               vectors, cents, k=k).collect()}
+    agree = sum(1 for key, (dst, _) in got.items()
+                if hof.get(key) == dst)
+    assert agree / len(got) >= 0.99, agree / len(got)
