@@ -425,7 +425,7 @@ def knn_graph_within_clusters(df: DataFrame,
 
 def knn_random_seed(df: DataFrame, n_buckets: int = 32, k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    ) -> DataFrame:
+                    kernel: str = "hof") -> DataFrame:
     """k-NN WITHIN RANDOM hash buckets — the classic NN-Descent random
     initialization, as a graph: bucket membership is the portable
     md5 hash of the id, so the edges are geometry-blind and, crucially,
@@ -433,11 +433,15 @@ def knn_random_seed(df: DataFrame, n_buckets: int = 32, k: int = 5,
     under neighbor-of-neighbor expansion (every path stays inside its
     cell — refinement provably cannot recover a cross-cell neighbor);
     union this with the cell seed and the expansion escapes. Same cost
-    machinery and output schema as :func:`knn_graph_within_clusters`."""
+    machinery and output schema as :func:`knn_graph_within_clusters`;
+    ``kernel="arrow"`` selects the vectorized production kernel
+    (numpy matmul per bucket, see knn_graph_within_clusters_arrow)."""
     from .text import md5_prefix_int
 
     keyed = df.withColumn(
         "__bkt", md5_prefix_int(F.col(id_col).cast("string")) % n_buckets)
+    if kernel == "arrow":
+        return _knn_within_key_arrow(keyed, "__bkt", k, vec_col, id_col)
     return _knn_within_key(keyed, "__bkt", n_buckets, k, vec_col, id_col)
 
 
@@ -491,12 +495,18 @@ def knn_graph_within_clusters_arrow(df: DataFrame,
     half-even vs Spark HALF_UP) can differ in the last printed digit,
     so this kernel is pinned against the same numpy reference as the
     HOF form (tests/test_ann_recall.py) rather than against DuckDB."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    return _knn_within_key_arrow(assigned, "centroid_id", k, vec_col,
+                                 id_col)
+
+
+def _knn_within_key_arrow(keyed: DataFrame, key_col: str, k: int,
+                          vec_col: str, id_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    assigned = ivf_assign(df, centroids, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        "centroid_id")
+    assigned = keyed.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v"), key_col)
 
     def _bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -526,7 +536,7 @@ def knn_graph_within_clusters_arrow(df: DataFrame,
                              "nn_rank": np.array(rank, dtype="int32"),
                              "cos_sim": np.array(sim, dtype="float64")})
 
-    return assigned.groupBy("centroid_id").applyInPandas(
+    return assigned.groupBy(key_col).applyInPandas(
         _bucket_knn,
         "src long, dst long, nn_rank int, cos_sim double")
 
@@ -580,7 +590,7 @@ def nn_descent(vectors: DataFrame,
                centroids: list[tuple[int, list[float]]], k: int = 5,
                rounds: int = 1, random_buckets: int = 32,
                vec_col: str = "embedding",
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id", kernel: str = "hof") -> DataFrame:
     """Global approximate k-NN graph: mixed seed + ``rounds``
     NN-Descent refinements. The seed UNIONS the within-cell graph
     (geometric quality: each node's true in-cell top-k) with the
@@ -588,11 +598,16 @@ def nn_descent(vectors: DataFrame,
     it the expansion is provably confined to cells, see
     :func:`knn_random_seed`); every round then re-scores
     old ∪ neighbors-of-neighbors and keeps the top k. Checkpointed per
-    round so the lineage stays flat."""
-    cell = knn_graph_within_clusters(vectors, centroids, k, vec_col,
-                                     id_col).select("src", "dst")
+    round so the lineage stays flat. ``kernel="arrow"`` runs both
+    quadratic seed kernels vectorized (the production path — seed
+    edge placement tolerates the last-digit rounding deltas; the
+    re-scoring rounds are identical either way)."""
+    cell_fn = (knn_graph_within_clusters_arrow if kernel == "arrow"
+               else knn_graph_within_clusters)
+    cell = cell_fn(vectors, centroids, k, vec_col, id_col) \
+        .select("src", "dst")
     rnd = knn_random_seed(vectors, random_buckets, k, vec_col,
-                          id_col).select("src", "dst")
+                          id_col, kernel=kernel).select("src", "dst")
     # checkpoint the seed: the round references its input graph five
     # times (und twice, the expansion union, the re-score) — without a
     # cut the two quadratic seed kernels would replay per reference

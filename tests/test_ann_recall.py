@@ -442,3 +442,36 @@ def test_knn_graph_arrow_kernel_matches_reference(spark, vectors):
     agree = sum(1 for key, (dst, _) in got.items()
                 if hof.get(key) == dst)
     assert agree / len(got) >= 0.99, agree / len(got)
+
+
+def test_nn_descent_arrow_kernel_path(vectors):
+    """The all-Arrow seed path must produce a graph of the same
+    quality class as the HOF path: identical schema/contract, recall
+    within 0.05 of the HOF-seeded result after one round."""
+    import numpy as np
+
+    k = 5
+    data = {int(r["vec_id"]): np.array(r["embedding"], dtype=float)
+            for r in vectors.collect()}
+    ids = sorted(data)
+    M = np.stack([data[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -np.inf)
+    arr = np.array(ids)
+    exact = {ids[i]: set(arr[np.argsort(-S[i])[:k]].tolist())
+             for i in range(len(ids))}
+
+    def recall(g) -> float:
+        got: dict[int, set] = {}
+        for r in g.collect():
+            got.setdefault(int(r["src"]), set()).add(int(r["dst"]))
+        return sum(len(got.get(i, set()) & exact[i])
+                   for i in ids) / (k * len(ids))
+
+    cents = sim.ivf_centroids(vectors, n_centroids=16)
+    r_hof = recall(sim.nn_descent(vectors, cents, k=k, rounds=1,
+                                  random_buckets=16))
+    r_arrow = recall(sim.nn_descent(vectors, cents, k=k, rounds=1,
+                                    random_buckets=16, kernel="arrow"))
+    assert abs(r_arrow - r_hof) <= 0.05, (r_arrow, r_hof)
