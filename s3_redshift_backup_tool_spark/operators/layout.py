@@ -18,7 +18,7 @@ are clustered too. Everything stays JVM-side codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -226,3 +226,54 @@ def hilbert_keys(df: DataFrame, x_col: str, y_col: str,
                 .withColumns({"__qx": qx, "__qy": qy}))
     return (hilbert_from_quantized(staged, "__qx", "__qy", bits, out_col)
             .drop("__qx", "__qy", "__mnx", "__mxx", "__mny", "__mxy"))
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planning
+# --------------------------------------------------------------------------
+
+def compaction_plan(files: DataFrame, part_cols: list[str],
+                    size_col: str = "size_bytes",
+                    file_col: str = "file_id",
+                    target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Assign files to rewrite bins of ~``target_bytes`` each, per table
+    partition — the planning half of an OPTIMIZE/compact job.
+
+    The reference leaves whatever file sizes its chunked uploads produce
+    (src/core/s3_manager.py partitioned staging); at 100 TB the resulting
+    small-file population is what kills scan throughput (one task + one
+    S3 GET per tiny file). This planner is pure metadata work: input is
+    one row per FILE (path/id, partition values, byte size) — billions of
+    data rows collapse to ~millions of file rows, so the window below is
+    over a bounded relation per table partition.
+
+    Strategy: next-fit-decreasing by prefix sum — sort a partition's
+    files by (size desc, id), cumulative-sum the sizes, bin =
+    floor(exclusive_prefix / target). One pass, deterministic,
+    SQL-expressible (it IS the oracle), each bin lands within one file of
+    the target. Output: one row per (partition, bin) with file count and
+    total bytes; a rewrite job then maps each bin to one output file.
+    """
+    w = (Window.partitionBy(*part_cols)
+               .orderBy(F.desc(size_col), F.col(file_col)))
+    prev = F.sum(size_col).over(w) - F.col(size_col)
+    binned = files.withColumn(
+        "bin_id", F.floor(prev / F.lit(float(target_bytes))).cast("int"))
+    return (binned.groupBy(*part_cols, "bin_id")
+                  .agg(F.count(F.lit(1)).alias("n_files"),
+                       F.sum(size_col).cast("bigint").alias("bin_bytes")))
+
+
+def files_df_from_dir(spark, path: str, suffix: str = ".parquet") -> DataFrame:
+    """Driver-side directory listing -> (file_id, size_bytes) relation for
+    :func:`compaction_plan`. Listing is O(n_files) metadata work (on a
+    real deployment this comes from the table catalog / FS listing API,
+    not a walk); local-FS helper for tests and the CLI."""
+    import os
+    rows = []
+    for root, _dirs, names in os.walk(path):
+        for n in sorted(names):
+            if n.endswith(suffix):
+                p = os.path.join(root, n)
+                rows.append((os.path.relpath(p, path), os.path.getsize(p)))
+    return spark.createDataFrame(rows, "file_id string, size_bytes bigint")

@@ -1069,3 +1069,69 @@ def ann_topk_ivfpq(encoded: DataFrame, query_vec: list[float],
                       .select(F.col(id_col),
                               F.round(exact, 6).alias("l2_dist"))
                       .orderBy("l2_dist", id_col).limit(k))
+
+
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance: diverse top-k over a bounded shortlist
+# --------------------------------------------------------------------------
+
+def mmr_topk(df: DataFrame, query_vec: list[float], k: int = 5,
+             lam: float = 0.7, shortlist_n: int = 32,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sim_dp: int = 9, out_dp: int = 6) -> DataFrame:
+    """Diverse top-k via Maximal Marginal Relevance (Carbonell & Goldstein
+    '98): greedily pick argmax of ``lam*rel(d) - (1-lam)*max_{s in S}
+    sim(d, s)`` — relevance traded against redundancy with the already-
+    selected set S.
+
+    Two-phase scale shape, same as every production MMR: the CLUSTER does
+    the heavy part (exact cosine shortlist via TakeOrderedAndProject —
+    per-partition heaps, k-row driver merge, no global sort even on 10^11
+    vectors), then the inherently-sequential greedy loop runs on the
+    driver over the ``shortlist_n``-row shortlist — bounded work on a
+    bounded relation, the same pattern as the k-means centroid collects.
+
+    Determinism: relevance and pairwise similarities are rounded to
+    ``sim_dp`` BEFORE every comparison, so selection order is stable
+    across numpy/JVM/DuckDB ulp differences; ties break to the lower id.
+    The emitted score is the MMR objective at selection time, rounded to
+    ``out_dp``.
+    """
+    import numpy as np
+
+    lit_q = F.array(*[F.lit(float(v)) for v in query_vec])
+    rel_c = F.round(cosine(F.col(vec_col), lit_q), sim_dp)
+    short = (df.select(F.col(id_col), F.col(vec_col), rel_c.alias("rel"))
+               .orderBy(F.desc("rel"), F.col(id_col))
+               .limit(shortlist_n))
+    rows = short.collect()  # bounded: shortlist_n rows
+
+    ids = [r[id_col] for r in rows]
+    rel = {r[id_col]: float(r["rel"]) for r in rows}
+    vecs = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in rows}
+    norms = {i: float(np.linalg.norm(v)) for i, v in vecs.items()}
+
+    def pairsim(a: int, b: int) -> float:
+        return round(float(np.dot(vecs[a], vecs[b])) / (norms[a] * norms[b]),
+                     sim_dp)
+
+    pen_w = 1.0 - lam
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    remaining = list(ids)
+    for rank in range(1, min(k, len(ids)) + 1):
+        best_id, best_score = None, None
+        for i in remaining:
+            pen = max((pairsim(i, s) for s in chosen), default=0.0)
+            score = lam * rel[i] - pen_w * pen
+            if best_score is None or score > best_score or (
+                    score == best_score and i < best_id):
+                best_id, best_score = i, score
+        selected.append((rank, best_id, round(best_score, out_dp)))
+        chosen.append(best_id)
+        remaining.remove(best_id)
+
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        selected, schema=f"mmr_rank int, {id_col} {id_type}, mmr_score double")

@@ -406,3 +406,68 @@ def scrub_pii(col: Column) -> Column:
     for kind in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (the one text op that genuinely needs Python:
+# Spark has no NFC/NFKC builtin)
+# --------------------------------------------------------------------------
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text", form: str = "NFC",
+                   lower: bool = True, strip_accents: bool = False,
+                   collapse_ws: bool = True) -> DataFrame:
+    """Canonical Unicode normalization: ``form`` (NFC/NFKC/NFD/NFKD) via
+    ``unicodedata``, optional accent stripping (NFD -> drop combining
+    marks -> renormalize), lowercasing, whitespace collapse.
+
+    The normalization itself is the module's ONE Arrow-batched Python
+    seam (vectorized pandas UDF — Spark has no normalizer builtin; a
+    JVM expression would need a custom catalyst rule). Everything around
+    it stays codegen'd: lowercase, the ``\\s+`` collapse and trim are
+    JVM ``lower``/``regexp_replace``/``trim``, applied AFTER the seam so
+    the Python batch does exactly one pass of pure normalization.
+    Per-row, no shuffle: at 100 TB this is scan-speed minus one Arrow
+    hop. Inside the batch, pure-ASCII rows short-circuit via
+    ``str.isascii()`` (C-speed; normalization forms are identity on
+    ASCII), so on typical web corpora the Python work is bounded by the
+    non-ASCII minority. (A ``when(ascii, col).otherwise(udf)`` plan
+    would NOT skip the seam — Spark extracts UDFs into an
+    ArrowEvalPython node evaluated for every row — hence the in-batch
+    gate.)
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def _norm_fn(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            if x.isascii():
+                return x
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = "".join(ch for ch in unicodedata.normalize("NFD", y)
+                            if not unicodedata.combining(ch))
+                y = unicodedata.normalize(form, y)
+            return y
+        return s.map(one)
+
+    # module-wide `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's signature inference rejects — attach the
+    # real classes instead of annotating the def.
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    out = df.withColumn(out_col, _norm(F.col(text_col)))
+    if lower:
+        out = out.withColumn(out_col, F.lower(F.col(out_col)))
+    if collapse_ws:
+        out = out.withColumn(
+            out_col, F.trim(F.regexp_replace(F.col(out_col), r"\s+", " ")))
+    return out

@@ -5006,6 +5006,247 @@ def stable_global_ids_orders(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 7: incremental aggregate maintenance, record linkage, MMR diverse
+# top-k, compaction planning, Unicode normalization
+# ==========================================================================
+
+_AGG_WM = "1998-01-01 00:00:00"
+
+# Shared finalize derivations (must mirror operators/incremental_agg.py
+# finalize_agg exactly: decimal-exact sum/ssq cast to double, then the
+# identical IEEE expression in both engines, rounded 6dp).
+_S_DEC = "CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)"
+_SSQ_DEC = ("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * "
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) "
+            "AS DOUBLE)")
+_N_D = "CAST(count(o_totalprice) AS DOUBLE)"
+_STD_SQL = (f"CASE WHEN count(o_totalprice) > 1 THEN "
+            f"round(sqrt(greatest(({_SSQ_DEC} - {_S_DEC} * {_S_DEC} / {_N_D})"
+            f" / ({_N_D} - 1.0), 0.0)), 6) END")
+
+
+@q("incremental_agg_orders",
+   f"""SELECT o_orderstatus, o_orderpriority,
+              count(o_totalprice) AS o_totalprice_count,
+              {_S_DEC} AS o_totalprice_sum,
+              round({_S_DEC} / {_N_D}, 6) AS o_totalprice_avg,
+              CAST(min(o_totalprice) AS DOUBLE) AS o_totalprice_min,
+              CAST(max(o_totalprice) AS DOUBLE) AS o_totalprice_max,
+              {_STD_SQL} AS o_totalprice_stddev
+       FROM orders GROUP BY 1, 2""",
+   "incremental materialized-aggregate maintenance: the oracle recomputes "
+   "the grouped aggregate from scratch; the Spark side maintains it as a "
+   "mergeable state — state(rows < watermark) ⊕ state(delta rows ≥ "
+   "watermark) — and finalizes. The ⊕-monoid carries decimal-exact "
+   "sum/sumsq so merge order and partitioning cannot drift a ulp; at "
+   "100 TB each nightly merge joins |keys| state rows against the delta's "
+   "keys instead of rescanning the fact table (the reference re-counts "
+   "whole tables per run: src/core/s3_manager.py verify pass)")
+def incremental_agg_orders(spark, sf_dir):
+    from .operators.incremental_agg import (agg_state, finalize_agg,
+                                            merge_agg_states)
+    keys = ["o_orderstatus", "o_orderpriority"]
+    orders = _t(spark, sf_dir, "orders")
+    wm = F.lit(_AGG_WM).cast("timestamp")
+    stored = agg_state(orders.where(F.col("o_orderdate") < wm),
+                       keys, ["o_totalprice"])
+    delta = agg_state(orders.where(F.col("o_orderdate") >= wm),
+                      keys, ["o_totalprice"])
+    merged = merge_agg_states(keys, ["o_totalprice"], stored, delta)
+    return finalize_agg(merged, keys, ["o_totalprice"])
+
+
+@q("retract_agg_orders",
+   f"""SELECT o_orderstatus, o_orderpriority,
+              count(o_totalprice) AS o_totalprice_count,
+              {_S_DEC} AS o_totalprice_sum,
+              round({_S_DEC} / {_N_D}, 6) AS o_totalprice_avg,
+              {_STD_SQL} AS o_totalprice_stddev
+       FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1, 2""",
+   "CDC delete retraction on a maintained aggregate: state(all) ⊖ "
+   "state(deleted batch) == recompute over survivors for the retractable "
+   "measures (count/sum/sumsq ⇒ avg/stddev). min/max are honestly "
+   "non-retractable (NULLed, not stale) and excluded here; groups whose "
+   "count hits zero are dropped. The ⊖ join touches |keys| rows — the "
+   "whole point vs a 100 TB re-aggregation after every delete batch")
+def retract_agg_orders(spark, sf_dir):
+    from .operators.incremental_agg import (agg_state, finalize_agg,
+                                            retract_agg_states)
+    keys = ["o_orderstatus", "o_orderpriority"]
+    orders = _t(spark, sf_dir, "orders")
+    stored = agg_state(orders, keys, ["o_totalprice"])
+    deleted = agg_state(orders.where(F.col("o_orderkey") % 7 == 0),
+                        keys, ["o_totalprice"])
+    left = retract_agg_states(keys, ["o_totalprice"], stored, deleted)
+    fin = finalize_agg(left, keys, ["o_totalprice"])
+    return fin.select(*keys, "o_totalprice_count", "o_totalprice_sum",
+                      "o_totalprice_avg", "o_totalprice_stddev")
+
+
+@q("er_best_match_customer",
+   """WITH dirty AS (
+        SELECT c_custkey AS d_key,
+               CASE WHEN c_custkey % 3 = 0
+                      THEN substr(c_name, 1, 9) || substr(c_name, 11)
+                    WHEN c_custkey % 3 = 1
+                      THEN substr(c_name, 1, 12) || 'X' || substr(c_name, 14)
+                    ELSE c_name END AS d_name,
+               c_nationkey, c_mktsegment
+        FROM customer),
+      cand AS (
+        SELECT d.d_key, c.c_custkey,
+               round(1.0 - levenshtein(d.d_name, c.c_name)
+                     / greatest(length(d.d_name), length(c.c_name)), 6) AS sim
+        FROM dirty d JOIN customer c USING (c_nationkey, c_mktsegment)),
+      best AS (
+        SELECT d_key, c_custkey AS match_key, sim,
+               row_number() OVER (PARTITION BY d_key
+                                  ORDER BY sim DESC, c_custkey) AS rn
+        FROM cand WHERE sim >= 0.9)
+      SELECT d_key, match_key, sim FROM best WHERE rn = 1""",
+   "record linkage: a deterministically-corrupted twin of customer "
+   "(char dropped / char substituted by key residue — OCR-noise stand-in) "
+   "is linked back to the clean dimension by blocking on the untouched "
+   "attributes (nation × segment: sum-of-block-squares, never all-pairs) "
+   "+ JVM codegen Levenshtein + best-match window per dirty key. The "
+   "fixture's near-collision names (ids one digit apart) make this a "
+   "deliberately hard tie case — the (sim desc, key asc) policy is what "
+   "the oracle pins. No Python in the hot path; no CartesianProduct")
+def er_best_match_customer(spark, sf_dir):
+    from .operators.entity_resolution import link_records
+    cust = _t(spark, sf_dir, "customer")
+    key, name = F.col("c_custkey"), F.col("c_name")
+    d_name = (F.when(key % 3 == 0,
+                     F.concat(F.substring(name, 1, 9),
+                              F.substring(name, 11, 100)))
+               .when(key % 3 == 1,
+                     F.concat(F.substring(name, 1, 12), F.lit("X"),
+                              F.substring(name, 14, 100)))
+               .otherwise(name))
+    dirty = cust.select(key.alias("d_key"), d_name.alias("d_name"),
+                        "c_nationkey", "c_mktsegment")
+    out = link_records(dirty, cust,
+                       ["c_nationkey", "c_mktsegment"],
+                       "d_key", "c_custkey", "d_name", "c_name",
+                       threshold=0.9)
+    return out.select("d_key", F.col("c_custkey").alias("match_key"), "sim")
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7, shortlist_n: int = 32) -> str:
+    """Unrolled greedy MMR in SQL: step i picks argmax of
+    lam*rel - (1-lam)*max(sim to s1..s{i-1}) over the shortlist minus the
+    already-picked ids — the exact loop mmr_topk runs on the driver, with
+    identical rounding (sims to 9dp before comparison, score to 6dp)."""
+    steps = [f"""s1 AS (SELECT vec_id, v, {lam} * rel AS score
+                 FROM short ORDER BY score DESC, vec_id LIMIT 1)"""]
+    for i in range(2, k + 1):
+        sims = ", ".join(
+            f"round(list_cosine_similarity(s.v, (SELECT v FROM s{j})), 9)"
+            for j in range(1, i))
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        steps.append(
+            f"""s{i} AS (SELECT s.vec_id, s.v,
+                    {lam} * s.rel - (1.0 - {lam}) * greatest({sims}) AS score
+                 FROM short s WHERE s.vec_id NOT IN ({picked})
+                 ORDER BY score DESC, vec_id LIMIT 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, vec_id, round(score, 6) AS mmr_score "
+        f"FROM s{i}" for i in range(1, k + 1))
+    return f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings WHERE vec_id = 0),
+      base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      round(list_cosine_similarity(
+                          CAST(embedding AS DOUBLE[]),
+                          (SELECT v FROM q)), 9) AS rel
+               FROM embeddings WHERE vec_id <> 0),
+      short AS (SELECT * FROM base ORDER BY rel DESC, vec_id
+                LIMIT {shortlist_n}),
+      {', '.join(steps)}
+      {finals}"""
+
+
+@q("mmr_topk_embeddings", _mmr_oracle(),
+   "Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein '98): "
+   "relevance traded against redundancy with the picked set. The cluster "
+   "does the only unbounded work (exact-cosine shortlist = "
+   "TakeOrderedAndProject, per-partition heaps, no global sort at 10^11 "
+   "vectors); the inherently-sequential greedy runs on the driver over "
+   "the 32-row shortlist — bounded-relation driver work, same pattern as "
+   "the k-means centroid collects. Oracle is the greedy unrolled in SQL "
+   "with identical 9dp-before-compare rounding")
+def mmr_topk_embeddings(spark, sf_dir):
+    from .operators.similarity import mmr_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return mmr_topk(emb.where(F.col("vec_id") != 0),
+                    [float(x) for x in qv],
+                    k=5, lam=0.7, shortlist_n=32)
+
+
+@q("compaction_plan_orders",
+   """WITH files AS (
+        SELECT CAST(month(o_orderdate) AS INT) AS part_month,
+               o_orderkey % 40 AS file_id,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS size_bytes
+        FROM orders GROUP BY 1, 2),
+      binned AS (
+        SELECT part_month, size_bytes,
+               CAST(floor((sum(size_bytes) OVER (
+                     PARTITION BY part_month
+                     ORDER BY size_bytes DESC, file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - size_bytes) / 10000000.0) AS INT) AS bin_id
+        FROM files)
+      SELECT part_month, bin_id, count(*) AS n_files,
+             CAST(sum(size_bytes) AS BIGINT) AS bin_bytes
+      FROM binned GROUP BY 1, 2""",
+   "small-file compaction planning (the OPTIMIZE half the reference "
+   "lacks — its chunked uploads leave whatever file sizes fall out, "
+   "src/core/s3_manager.py): next-fit-decreasing by prefix sum assigns "
+   "files to ~target-byte rewrite bins per table partition. Pure "
+   "metadata work — the window runs over one row per FILE (a 100 TB "
+   "table is ~10^6 file rows), partitioned by table partition. The file "
+   "relation here is synthesized from orders so the oracle can derive "
+   "the identical input; files_df_from_dir feeds real listings")
+def compaction_plan_orders(spark, sf_dir):
+    from .operators.layout import compaction_plan
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    files = (orders.groupBy(F.month("o_orderdate").alias("part_month"),
+                            (F.col("o_orderkey") % 40).alias("file_id"))
+                   .agg(F.floor(F.sum(dec)).cast("bigint")
+                         .alias("size_bytes")))
+    return compaction_plan(files, ["part_month"],
+                           target_bytes=10_000_000)
+
+
+@q("normalize_text_documents",
+   r"""SELECT doc_id,
+              trim(regexp_replace(lower(nfc_normalize(text)),
+                                  '\s+', ' ', 'g')) AS norm_text,
+              CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                              '\s+', ' ', 'g')))
+                   AS INT) AS norm_len
+       FROM documents""",
+   "canonical Unicode normalization (NFC + lowercase + whitespace "
+   "collapse): the ONE text op that needs a Python seam — Spark has no "
+   "normalizer builtin — Arrow-batched pandas UDF with an in-batch "
+   "str.isascii() short-circuit (forms are identity on ASCII), so on web "
+   "corpora only the non-ASCII minority pays Python; lower/collapse/trim "
+   "stay JVM codegen. Per-row, zero shuffle. Oracle: DuckDB "
+   "nfc_normalize over the same pipeline")
+def normalize_text_documents(spark, sf_dir):
+    from .operators.text import normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    out = normalize_text(docs, "text", "norm_text", form="NFC",
+                         lower=True, collapse_ws=True)
+    return out.select("doc_id", "norm_text",
+                      F.length("norm_text").alias("norm_len"))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
 # must appear early; redundant variants whose code paths are fully covered
@@ -5200,6 +5441,13 @@ _TAIL = [
     # round-6 late addition (window candidate for the r7 rotation):
     "hilbert_keys_events",             # Hilbert layout keys: zorder in-window
     "zorder3_keys_events",             # general k-col interleave path
+    # round-7 families (rotated into the window below this round):
+    "incremental_agg_orders",          # ⊕-monoid agg maintenance
+    "retract_agg_orders",              # ⊖ delete retraction
+    "er_best_match_customer",          # blocking + levenshtein linkage
+    "mmr_topk_embeddings",             # diverse top-k (MMR)
+    "compaction_plan_orders",          # small-file bin packing
+    "normalize_text_documents",        # NFC seam + JVM lower/collapse
 ]
 
 

@@ -219,3 +219,11 @@ def read_with_quarantine(spark: SparkSession, path: str, schema,
         clean = clean.localCheckpoint(eager=True)
         raw.unpersist()
     return clean, n_bad
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built-in vectorized reader; predicate pushdown and
+    column pruning work exactly as for parquet). Completes the
+    lake-format surface next to parquet/CSV/JSONL — warehouses fed by
+    Hive-era pipelines still hand over ORC."""
+    return spark.read.orc(path)

@@ -107,3 +107,14 @@ def load_jdbc_upsert(spark: SparkSession, df: DataFrame, url: str,
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) "
         f"VALUES ({insert_vals})",
         f"DROP TABLE {stage}")
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink, mirroring the parquet staging writer's layout options
+    (plans/sync.py): same partition-directory scheme, so a downstream
+    Hive-era consumer can point at the staging root unchanged."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
