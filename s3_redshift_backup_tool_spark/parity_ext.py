@@ -5258,31 +5258,35 @@ _WINDOW = [
     # CDC core + probes + alignment + manifest/verify/quality (SURVEY §2)
     "cdc_hybrid_lineitem_ties", "cdc_timestamp_only_events",
     "cdc_id_only_ceiling_events", "cdc_full_sync_region",
-    "cdc_custom_sql_orders", "cdc_time_window_events",
-    "watermark_extract_orders", "density_stats_events",
-    "align_orders_to_target", "cast_suite_lineitem",
+    "cdc_custom_sql_orders",
+    "cast_suite_lineitem",
     "sanitize_scrub_customer", "manifest_anti_join", "verify_counts",
     "quality_metrics_lineitem",
+    # incremental aggregate maintenance (round-7 family)
+    "incremental_agg_orders", "retract_agg_orders",
     # LLM-data-pipeline: dedup / similarity / sampling / multimodal
-    "exact_dedup_documents", "minhash_lsh_pairs_documents",
+    "exact_dedup_documents",
     "neardup_clusters_documents",
     "scrub_exact_substrings_documents", "duplicated_spans_documents",
     "knn_graph_embeddings", "nn_descent_graph_embeddings",
     "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
-    "ann_lsh_multitable_topk", "train_val_test_split_documents",
+    "ann_lsh_multitable_topk", "mmr_topk_embeddings",
+    "train_val_test_split_documents",
     "quality_classifier_documents", "classifier_pr_curve_documents",
     "multimodal_features", "temperature_mixture_by_source",
-    # text analysis / corpus curation
-    "text_stats_documents",
+    # text analysis / corpus curation / linkage
+    "text_stats_documents", "normalize_text_documents",
+    "er_best_match_customer",
     "ntile_cumedist_customers",
     "pii_scrub_customer", "id_gap_audit_orders",
     # windows / top-k / temporal joins / streaming / layout
-    "latest_record_per_user", "overlapping_purchase_intervals_events",
-    "topk_orders_by_price", "asof_click_attribution",
+    "overlapping_purchase_intervals_events",
+    "asof_click_attribution",
     "keyset_page_orders", "tumbling_daily_events",
-    "zorder_keys_events",
+    "zorder_keys_events", "hilbert_keys_events", "zorder3_keys_events",
+    "compaction_plan_orders",
     # analytics joins + aggregation shapes
-    "pricing_summary_lineitem", "revenue_by_nation",
+    "pricing_summary_lineitem",
     "order_priority_exists", "shipping_priority_top10",
     "supplier_revenue_by_nation",
     "bm25_search_documents", "cube_status_priority_orders",
@@ -5438,16 +5442,20 @@ _TAIL = [
     "embedding_neardup_pairs",         # SRP buckets: ann_lsh_topk in-window
     "boilerplate_scrub_documents",     # C4 scrub: text_stats+repetition in-window
     "range_clicks_before_purchase",    # range join: asof+interval in-window
-    # round-6 late addition (window candidate for the r7 rotation):
-    "hilbert_keys_events",             # Hilbert layout keys: zorder in-window
-    "zorder3_keys_events",             # general k-col interleave path
-    # round-7 families (rotated into the window below this round):
-    "incremental_agg_orders",          # ⊕-monoid agg maintenance
-    "retract_agg_orders",              # ⊖ delete retraction
-    "er_best_match_customer",          # blocking + levenshtein linkage
-    "mmr_topk_embeddings",             # diverse top-k (MMR)
-    "compaction_plan_orders",          # small-file bin packing
-    "normalize_text_documents",        # NFC seam + JVM lower/collapse
+    # rotated out of the window round 7 (machinery siblings in-window:
+    # five cdc_* scans cover predicates/probes/cursors; cast_suite covers
+    # operators/align.py; neardup_clusters runs minhash+LSH internally;
+    # shipping_priority/price_percentiles cover TakeOrdered+limit;
+    # ntile/keyset cover window-function paths; supplier_revenue/tpch_q2
+    # cover multi-join aggregation) to admit the round-7 families:
+    "cdc_time_window_events",
+    "watermark_extract_orders",
+    "density_stats_events",
+    "align_orders_to_target",
+    "topk_orders_by_price",
+    "latest_record_per_user",
+    "revenue_by_nation",
+    "minhash_lsh_pairs_documents",
 ]
 
 
