@@ -50,10 +50,21 @@ def block_candidates(dirty: DataFrame, clean: DataFrame,
     return dirty.join(c, block_cols)
 
 
-def lev_similarity(a, b):
-    """Normalized Levenshtein similarity in [0,1], JVM-side."""
+def lev_similarity(a, b, max_dist: int | None = None):
+    """Normalized Levenshtein similarity in [0,1], JVM-side.
+
+    With ``max_dist``, Spark's banded Levenshtein early-exits at
+    O(max_dist * n) per pair instead of O(n^2) — the right call when a
+    downstream threshold discards distant pairs anyway. Pairs beyond the
+    band come back NULL (Spark returns -1 there; -1 would otherwise
+    score ABOVE 1.0 through the ``1 - d/len`` formula)."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    return 1.0 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    if max_dist is None:
+        d = F.levenshtein(a, b)
+    else:
+        d = F.levenshtein(a, b, max_dist)
+        d = F.when(d >= 0, d)
+    return 1.0 - d / F.greatest(F.length(a), F.length(b))
 
 
 def best_match(pairs: DataFrame, dirty_key: str, clean_key: str,
@@ -77,13 +88,24 @@ def link_records(dirty: DataFrame, clean: DataFrame,
                  dirty_name: str, clean_name: str,
                  threshold: float = 0.9,
                  max_block_size: int | None = None,
-                 round_dp: int = 6) -> DataFrame:
+                 round_dp: int = 6,
+                 max_name_len: int | None = None) -> DataFrame:
     """End-to-end linkage: block -> score -> best match.
 
     Output: (dirty_key, clean_key, sim) — one row per dirty record that
-    found a match at or above ``threshold``."""
+    found a match at or above ``threshold``.
+
+    When ``max_name_len`` is given, the Levenshtein call is banded at
+    ``floor((1 - threshold) * max_name_len)``: sim >= threshold implies
+    distance <= that bound for every pair, so the band provably keeps
+    all qualifying pairs while the early-exit skips the O(n^2) DP for
+    the (vast) distant majority."""
     cand = block_candidates(dirty, clean, block_cols, max_block_size)
+    max_dist = None
+    if max_name_len is not None and threshold > 0:
+        max_dist = int((1.0 - threshold) * max_name_len)
     scored = cand.select(
         F.col(dirty_key), F.col(clean_key),
-        F.round(lev_similarity(dirty_name, clean_name), round_dp).alias("sim"))
+        F.round(lev_similarity(dirty_name, clean_name, max_dist),
+                round_dp).alias("sim"))
     return best_match(scored, dirty_key, clean_key, "sim", threshold)

@@ -5128,7 +5128,7 @@ def er_best_match_customer(spark, sf_dir):
     out = link_records(dirty, cust,
                        ["c_nationkey", "c_mktsegment"],
                        "d_key", "c_custkey", "d_name", "c_name",
-                       threshold=0.9)
+                       threshold=0.9, max_name_len=18)
     return out.select("d_key", F.col("c_custkey").alias("match_key"), "sim")
 
 

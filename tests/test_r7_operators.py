@@ -120,6 +120,21 @@ def test_linkage_perturbed_mostly_correct(spark, sf_dir):
     assert correct / cust.count() > 0.8
 
 
+def test_banded_levenshtein_equals_unbanded(spark, sf_dir):
+    cust = _rt(spark, sf_dir, "customer")
+    key, name = F.col("c_custkey"), F.col("c_name")
+    d_name = F.when(key % 2 == 0,
+                    F.concat(F.substring(name, 1, 9), F.substring(name, 11, 100))
+                    ).otherwise(name)
+    dirty = cust.select(key.alias("d_key"), d_name.alias("d_name"),
+                        "c_nationkey", "c_mktsegment")
+    args = (dirty, cust, ["c_nationkey", "c_mktsegment"],
+            "d_key", "c_custkey", "d_name", "c_name")
+    full = link_records(*args, threshold=0.9)
+    banded = link_records(*args, threshold=0.9, max_name_len=18)
+    assert _rows(full) == _rows(banded)
+
+
 def test_block_size_guard_drops_hot_blocks(spark):
     clean = spark.createDataFrame(
         [(i, "blk" if i < 8 else "cold", f"n{i}") for i in range(10)],
