@@ -251,3 +251,46 @@ def id_gap_audit(df: DataFrame, id_col: str,
     return gaps.select((F.col("prev") + 1).alias("gap_start"),
                        (F.col("id") - 1).alias("gap_end"),
                        (F.col("id") - F.col("prev") - 1).alias("missing"))
+
+
+def robust_outlier_stats(df: DataFrame, group_col: str, value_col: str,
+                         n_sigmas: float = 3.0,
+                         round_dp: int = 6) -> DataFrame:
+    """Median/MAD robust outlier screen per group: flags values whose
+    absolute deviation from the group median exceeds ``n_sigmas`` robust
+    sigmas (MAD * 1.4826, the normal-consistency constant). Mean/stddev
+    gates (the reference's validation thresholds are all mean-based,
+    src/utils/validation.py) move with the outliers they hunt; the
+    median pair does not.
+
+    Exact interpolated percentiles (type-7, matching quantile_cont) via
+    two grouped passes — median, then median absolute deviation — each a
+    co-partitioned groupBy + broadcast-size join back. Scale note: EXACT
+    per-group percentile holds per-group value multisets in the
+    aggregation state; at 100 TB swap the two `percentile` calls for
+    `approx_percentile` (same plan shape, mergeable KLL-style state) —
+    this operator pins the exact twin the approximation is judged
+    against (approx_percentile_check_lineitem does exactly that
+    comparison in-registry)."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med"))
+    dev = (df.join(med, group_col)
+             .withColumn("__dev", F.abs(F.col(value_col) - F.col("__med"))))
+    mad = dev.groupBy(group_col).agg(
+        F.max("__med").alias("med"),  # constant per group
+        F.percentile("__dev", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"))
+    flag = (dev.join(mad.select(group_col, "mad"), group_col)
+               .where(F.col("__dev") > F.lit(n_sigmas) * F.lit(1.4826)
+                      * F.col("mad"))
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("n_outliers")))
+    return (mad.join(flag, group_col, "left_outer")
+               .select(group_col,
+                       F.round("med", round_dp).alias("med"),
+                       F.round("mad", round_dp).alias("mad"),
+                       F.col("n"),
+                       F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+                       F.round(F.coalesce("n_outliers", F.lit(0))
+                               * F.lit(1.0) / F.col("n"), round_dp)
+                        .alias("outlier_rate")))

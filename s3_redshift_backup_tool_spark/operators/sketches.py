@@ -21,7 +21,7 @@ every bucket, hence every estimate, exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import MERSENNE61, minhash_params
@@ -99,3 +99,71 @@ def cms_estimate(sketch: DataFrame, terms: list[str],
               .fillna(0, ["c"])
               .groupBy("term")
               .agg(F.min("c").alias("cms_count")))
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# --------------------------------------------------------------------------
+
+#: hash space for md5_prefix_int (60 bits)
+KMV_SPACE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, group_cols: list[str], elem_col: str,
+               k: int = 16, salt: str = "") -> DataFrame:
+    """Per-group KMV sketch (Bar-Yossef et al. '02): the k smallest
+    portable hashes of the distinct elements. Mergeable (union hashes,
+    keep k smallest) and SQL-expressible, unlike HLL registers.
+
+    Two-stage prune keeps the top-k selection distributed: the first
+    rank runs per (group, input-partition) — each window partition is
+    bounded by one shuffle partition's share — and only survivors (at
+    most partitions*k rows per group) meet the final per-group rank. A
+    single per-group window over ALL distinct hashes would serialize a
+    hot group's 10^9 distinct values onto one core at 100 TB.
+
+    Output: (group_cols..., kmv_hash, kmv_rank) with kmv_rank 1..k.
+    """
+    h = md5_prefix_int(F.col(elem_col), salt)
+    dist = df.select(*group_cols, h.alias("kmv_hash")).distinct()
+    pre = Window.partitionBy(*group_cols, "__p").orderBy("kmv_hash")
+    fin = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (dist
+            .withColumn("__p", F.spark_partition_id())
+            .withColumn("__r", F.row_number().over(pre))
+            .where(F.col("__r") <= k)
+            .drop("__p", "__r")
+            .withColumn("kmv_rank", F.row_number().over(fin))
+            .where(F.col("kmv_rank") <= k))
+
+
+def kmv_merge(k: int, group_cols: list[str], *sketches: DataFrame) -> DataFrame:
+    """⊕-combine sketches: union, dedup (the same element may appear in
+    several slices), keep the k smallest per group. merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) exactly — KMV's claim to fame."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    u = sketches[0].select(*group_cols, "kmv_hash")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*group_cols, "kmv_hash"))
+    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (u.distinct()
+             .withColumn("kmv_rank", F.row_number().over(w))
+             .where(F.col("kmv_rank") <= k))
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int,
+                 round_dp: int = 6) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: when the sketch is
+    unsaturated (< k hashes) the count is exact; otherwise
+    (k-1) / (h_k / 2^60) — the classic unbiased estimator from the kth
+    minimum's position in the hash space."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("kmv_size"),
+        F.max("kmv_hash").alias("kth_hash"))
+    est = F.when(
+        F.col("kmv_size") < k, F.col("kmv_size").cast("double")
+    ).otherwise((F.lit(float(k - 1)))
+                / (F.col("kth_hash").cast("double") / F.lit(KMV_SPACE)))
+    return agg.select(*group_cols, "kmv_size", "kth_hash",
+                      F.round(est, round_dp).alias("kmv_est"))

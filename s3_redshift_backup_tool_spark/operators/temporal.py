@@ -302,3 +302,53 @@ def range_join_bucketed(
         + [c for c in right.columns if c not in keys]
     )
     return joined.select(*out_cols)
+
+
+# --------------------------------------------------------------------------
+# Ordered-funnel conversion analysis
+# --------------------------------------------------------------------------
+
+def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, steps: list[str]) -> list[DataFrame]:
+    """Per-user earliest STRICTLY-ORDERED completion time of each funnel
+    step: step i counts only events after the user's step-(i-1) time.
+
+    Each stage is filter -> groupBy(user) -> min(ts), joined to the
+    previous stage on the user key — after the first stage every join
+    and aggregation is co-partitioned on hash(user), so the funnel costs
+    one user-key shuffle plus per-stage map work no matter how many
+    steps. Returns one DataFrame per step: (user_col, t_i)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, ev_type in enumerate(steps):
+        cur = df.where(F.col(type_col) == ev_type)
+        if prev is not None:
+            cur = (cur.join(prev, user_col)
+                      .where(F.col(ts_col) > F.col(f"t{i - 1}")))
+        stage = cur.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
+        out.append(stage)
+        prev = stage
+    return out
+
+
+def funnel_conversions(df: DataFrame, user_col: str, ts_col: str,
+                       type_col: str, steps: list[str],
+                       round_dp: int = 6) -> DataFrame:
+    """One-row funnel summary: users completing each step (in order)
+    plus step-to-step conversion rates. The per-step relations collapse
+    to 1-row counts before the final crossJoin — broadcast-class, the
+    same bounded-crossJoin idiom as the corpus-stats queries."""
+    stages = funnel_steps(df, user_col, ts_col, type_col, steps)
+    counts = [s.agg(F.count(F.lit(1)).alias(f"users_{name}"))
+              for s, name in zip(stages, steps)]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)
+    sel = [F.col(f"users_{n}") for n in steps]
+    for a, b in zip(steps, steps[1:]):
+        sel.append(F.round(F.col(f"users_{b}") * F.lit(1.0)
+                           / F.col(f"users_{a}"), round_dp)
+                    .alias(f"conv_{a}_{b}"))
+    return row.select(*sel)

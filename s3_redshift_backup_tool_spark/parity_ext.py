@@ -5246,6 +5246,94 @@ def normalize_text_documents(spark, sf_dir):
                       F.length("norm_text").alias("norm_len"))
 
 
+@q("kmv_distinct_by_source",
+   """WITH hashes AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS kmv_hash
+        FROM documents),
+      ranked AS (
+        SELECT source, kmv_hash,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY kmv_hash) AS r
+        FROM hashes),
+      sk AS (SELECT source, kmv_hash FROM ranked WHERE r <= 16)
+      SELECT source, count(*) AS kmv_size, max(kmv_hash) AS kth_hash,
+             round(CASE WHEN count(*) < 16
+                        THEN CAST(count(*) AS DOUBLE)
+                        ELSE 15.0 / (CAST(max(kmv_hash) AS DOUBLE)
+                                     / 1152921504606846976.0)
+                   END, 6) AS kmv_est
+      FROM sk GROUP BY source""",
+   "KMV distinct-count sketch (Bar-Yossef '02): k smallest portable "
+   "hashes per group; estimate (k-1)/(h_k/2^60), exact when unsaturated. "
+   "The mergeable, SQL-expressible sibling of HLL (which in-registry "
+   "approx_distinct_users_check covers via Spark's native sketch): "
+   "merge(sketch(A), sketch(B)) == sketch(A∪B) bit-exactly, so per-shard "
+   "sketches union without rescans. Two-stage rank keeps a hot group's "
+   "distinct stream off a single core (per-input-partition prune first)")
+def kmv_distinct_by_source(spark, sf_dir):
+    from .operators.sketches import kmv_estimate, kmv_sketch
+    docs = _t(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, ["source"], "text", k=16)
+    return kmv_estimate(sk, ["source"], k=16)
+
+
+@q("funnel_conversion_events",
+   """WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t1
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY 1)
+      SELECT (SELECT count(*) FROM s1) AS users_view,
+             (SELECT count(*) FROM s2) AS users_click,
+             (SELECT count(*) FROM s3) AS users_purchase,
+             round((SELECT count(*) FROM s2) * 1.0
+                   / (SELECT count(*) FROM s1), 6) AS conv_view_click,
+             round((SELECT count(*) FROM s3) * 1.0
+                   / (SELECT count(*) FROM s2), 6) AS conv_click_purchase""",
+   "strictly-ordered funnel conversion (view -> click -> purchase): step "
+   "i counts only events AFTER the user's step-(i-1) time, the semantics "
+   "sequence-match engines sell. Each stage is filter -> min-per-user "
+   "joined to the previous stage on the user key: one user-key shuffle "
+   "total (later joins/aggs are co-partitioned), per-step map work, "
+   "1-row crossJoins for the summary — holds at any user cardinality")
+def funnel_conversion_events(spark, sf_dir):
+    from .operators.temporal import funnel_conversions
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversions(ev, "user_id", "ts", "event_type",
+                              ["view", "click", "purchase"])
+
+
+@q("robust_outliers_events",
+   """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                   FROM events GROUP BY 1),
+      dev AS (SELECT e.event_type, abs(e.value - med.m) AS d, med.m
+              FROM events e JOIN med USING (event_type)),
+      mad AS (SELECT event_type, max(m) AS med,
+                     quantile_cont(d, 0.5) AS mad, count(*) AS n
+              FROM dev GROUP BY 1),
+      flag AS (SELECT dev.event_type, count(*) AS n_outliers
+               FROM dev JOIN mad USING (event_type)
+               WHERE dev.d > 3.0 * 1.4826 * mad.mad GROUP BY 1)
+      SELECT m.event_type, round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+             m.n, coalesce(f.n_outliers, 0) AS n_outliers,
+             round(coalesce(f.n_outliers, 0) * 1.0 / m.n, 6) AS outlier_rate
+      FROM mad m LEFT JOIN flag f USING (event_type)""",
+   "median/MAD robust outlier screen per group: mean/stddev gates (the "
+   "reference's validation thresholds, src/utils/validation.py) move "
+   "with the outliers they hunt; the median pair does not. Exact type-7 "
+   "percentiles in two co-partitioned grouped passes; at 100 TB swap "
+   "percentile -> approx_percentile (same plan shape, mergeable state) — "
+   "this pins the exact twin the approximation is judged against")
+def robust_outliers_events(spark, sf_dir):
+    from .operators.quality import robust_outlier_stats
+    ev = _t(spark, sf_dir, "events")
+    return robust_outlier_stats(ev, "event_type", "value")
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -5456,6 +5544,10 @@ _TAIL = [
     "latest_record_per_user",
     "revenue_by_nation",
     "minhash_lsh_pairs_documents",
+    # round-7 second batch (window candidates for the r8 rotation):
+    "kmv_distinct_by_source",          # mergeable distinct sketch
+    "funnel_conversion_events",        # ordered sequence funnel
+    "robust_outliers_events",          # median/MAD outlier screen
 ]
 
 

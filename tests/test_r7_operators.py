@@ -280,3 +280,93 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     # partition pruning works: one status directory only
     one = back.where(F.col("st") == "O")
     assert one.count() == orders.where(F.col("o_orderstatus") == "O").count()
+
+
+# ------------------------------------------------------------------- KMV
+
+def test_kmv_merge_of_slices_equals_full(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.sketches import (
+        kmv_merge, kmv_sketch)
+    docs = _rt(spark, sf_dir, "documents")
+    full = kmv_sketch(docs, ["source"], "text", k=8)
+    a = kmv_sketch(docs.where(F.col("doc_id") % 2 == 0), ["source"], "text", k=8)
+    b = kmv_sketch(docs.where(F.col("doc_id") % 2 == 1), ["source"], "text", k=8)
+    merged = kmv_merge(8, ["source"], a, b)
+    assert _rows(full.select("source", "kmv_hash", "kmv_rank")) == \
+        _rows(merged.select("source", "kmv_hash", "kmv_rank"))
+
+
+def test_kmv_estimate_close_on_known_cardinality(spark):
+    rows = [("g", f"elem-{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, e string")
+    from s3_redshift_backup_tool_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch)
+    est = kmv_estimate(kmv_sketch(df, ["g"], "e", k=64), ["g"], k=64)
+    val = est.collect()[0]["kmv_est"]
+    assert 600 < val < 1700  # k=64 rel-error ~1/sqrt(62) ≈ 13%, 3-sigma band
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    df = spark.createDataFrame([("g", f"e{i}") for i in range(5)],
+                               "g string, e string")
+    from s3_redshift_backup_tool_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch)
+    est = kmv_estimate(kmv_sketch(df, ["g"], "e", k=16), ["g"], k=16)
+    assert est.collect()[0]["kmv_est"] == 5.0
+
+
+# ----------------------------------------------------------------- funnel
+
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, s)
+    rows = [  # user 1 completes in order; user 2 clicks BEFORE viewing
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        (2, t(5), "click"), (2, t(6), "view"),
+        (3, t(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        funnel_conversions)
+    out = funnel_conversions(df, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"]).collect()[0]
+    assert out["users_view"] == 3       # users 1, 2, 3
+    assert out["users_click"] == 1      # only user 1 clicked after viewing
+    assert out["users_purchase"] == 1
+    assert abs(out["conv_view_click"] - 1 / 3) < 1e-6
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, t0, "view"), (1, t0, "click")],
+                               "user_id int, ts timestamp, event_type string")
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        funnel_conversions)
+    out = funnel_conversions(df, "user_id", "ts", "event_type",
+                             ["view", "click"]).collect()[0]
+    assert out["users_view"] == 1 and out["users_click"] == 0
+
+
+# --------------------------------------------------------------- outliers
+
+def test_robust_outliers_flags_spike(spark):
+    rows = [("g", float(v)) for v in [10, 12, 9, 11, 8, 10, 13, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        robust_outlier_stats)
+    out = robust_outlier_stats(df, "g", "v").collect()[0]
+    assert out["med"] == 10.5
+    assert out["mad"] == 1.5
+    assert out["n_outliers"] == 1       # only the 1000 spike
+    assert out["n"] == 8
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    rows = [("g", 5.0)] * 6 + [("g", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        robust_outlier_stats)
+    out = robust_outlier_stats(df, "g", "v").collect()[0]
+    # MAD is 0: every deviation > 0 is an outlier, deterministically
+    assert out["mad"] == 0.0 and out["n_outliers"] == 1
