@@ -19,9 +19,9 @@ warehouse. This module maintains the aggregate INCREMENTALLY instead:
 
 Algebra: states form a commutative monoid under ⊕, so
 ``finalize(state(A) ⊕ state(B)) == finalize(state(A ∪ B))`` exactly —
-sums are carried as DECIMAL(30,4)/(38,6) so the equality is bit-exact
-regardless of partitioning or merge order (double sums would drift in the
-last ulp). At 100 TB: each delta batch touches only its own keys; the
+sums are carried as DECIMAL(38, sum_scale) (squares at scale 6) so the
+equality is bit-exact regardless of partitioning or merge order (double
+sums would drift in the last ulp). At 100 TB: each delta batch touches only its own keys; the
 merge is a join on the (much smaller) key space, never a fact-table scan.
 
 Scale note: merge shuffles |keys| rows, not |rows|. State width is five
@@ -35,10 +35,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Decimal widths: sum of 15-digit inputs over 10^12 rows fits (30,4);
-# sum of squares needs twice the integer digits -> (38,6).
-_SUM_T = "decimal(30,4)"
+# Decimal widths. Default sum scale 4 suits money-grade data (sum of
+# 15-digit inputs over 10^12 rows fits well inside 38-4 integer digits);
+# raise ``sum_scale`` for full-precision doubles (e.g. 12 -> per-row
+# rounding 5e-13). The ssq scale is pinned at 6 because Spark's
+# precision-loss rule forces decimal products to scale >= 6 anyway; the
+# per-row rounding is deterministic, so merge order still cannot drift
+# at ANY scale — scale only affects fidelity to the raw-double
+# aggregate, never the ⊕-monoid laws.
+_DEFAULT_SUM_SCALE = 4
 _SSQ_T = "decimal(38,6)"
+
+
+def _sum_t(scale: int = _DEFAULT_SUM_SCALE) -> str:
+    return f"decimal(38,{scale})"
 
 
 def _cols(measure: str) -> list[str]:
@@ -46,19 +56,21 @@ def _cols(measure: str) -> list[str]:
             f"{measure}__max", f"{measure}__ssq"]
 
 
-def agg_state(df: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
+def agg_state(df: DataFrame, keys: list[str], measures: list[str],
+              sum_scale: int = _DEFAULT_SUM_SCALE) -> DataFrame:
     """One partial-aggregable pass -> per-key mergeable state.
 
     For each measure column m emits ``m__n, m__sum, m__min, m__max,
     m__ssq`` (decimal-exact sum / sum-of-squares, so downstream merges
     commute bit-exactly)."""
     aggs = []
+    st = _sum_t(sum_scale)
     for m in measures:
         c = F.col(m)
-        d = c.cast(_SUM_T)
+        d = c.cast(st)
         aggs += [
             F.count(c).alias(f"{m}__n"),
-            F.sum(d).cast(_SUM_T).alias(f"{m}__sum"),
+            F.sum(d).cast(st).alias(f"{m}__sum"),
             F.min(c).alias(f"{m}__min"),
             F.max(c).alias(f"{m}__max"),
             F.sum((d * d).cast(_SSQ_T)).cast(_SSQ_T).alias(f"{m}__ssq"),
@@ -67,7 +79,8 @@ def agg_state(df: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
 
 
 def merge_agg_states(keys: list[str], measures: list[str],
-                     *states: DataFrame) -> DataFrame:
+                     *states: DataFrame,
+                     sum_scale: int = _DEFAULT_SUM_SCALE) -> DataFrame:
     """⊕-combine states: full-outer join on keys, coalesce-add measures.
 
     Associative and commutative: chain deltas in any order. For repeated
@@ -88,13 +101,13 @@ def merge_agg_states(keys: list[str], measures: list[str],
         for m in measures:
             av = {s: F.col(f"{m}__{s}") for s in ("n", "sum", "min", "max", "ssq")}
             bv = {s: F.col(f"__b_{m}__{s}") for s in ("n", "sum", "min", "max", "ssq")}
-            zero = F.lit(0).cast(_SUM_T)
+            zero = F.lit(0).cast(_sum_t(sum_scale))
             zssq = F.lit(0).cast(_SSQ_T)
             sel += [
                 (F.coalesce(av["n"], F.lit(0)) + F.coalesce(bv["n"], F.lit(0))
                  ).alias(f"{m}__n"),
                 (F.coalesce(av["sum"], zero) + F.coalesce(bv["sum"], zero)
-                 ).cast(_SUM_T).alias(f"{m}__sum"),
+                 ).cast(_sum_t(sum_scale)).alias(f"{m}__sum"),
                 F.least(av["min"], bv["min"]).alias(f"{m}__min"),
                 F.greatest(av["max"], bv["max"]).alias(f"{m}__max"),
                 (F.coalesce(av["ssq"], zssq) + F.coalesce(bv["ssq"], zssq)
@@ -105,7 +118,8 @@ def merge_agg_states(keys: list[str], measures: list[str],
 
 
 def retract_agg_states(keys: list[str], measures: list[str],
-                       stored: DataFrame, deleted: DataFrame) -> DataFrame:
+                       stored: DataFrame, deleted: DataFrame,
+                       sum_scale: int = _DEFAULT_SUM_SCALE) -> DataFrame:
     """⊖-subtract a deletion batch's state from the stored state.
 
     Only count/sum/ssq (and thus avg/stddev) are retractable; min/max
@@ -119,13 +133,13 @@ def retract_agg_states(keys: list[str], measures: list[str],
     j = stored.join(b, cond, "left_outer")
     sel = [F.col(k).alias(k) for k in keys]
     for m in measures:
-        zero = F.lit(0).cast(_SUM_T)
+        zero = F.lit(0).cast(_sum_t(sum_scale))
         zssq = F.lit(0).cast(_SSQ_T)
         bn = F.col(f"__b_{m}__n")
         sel += [
             (F.col(f"{m}__n") - F.coalesce(bn, F.lit(0))).alias(f"{m}__n"),
             (F.col(f"{m}__sum") - F.coalesce(F.col(f"__b_{m}__sum"), zero)
-             ).cast(_SUM_T).alias(f"{m}__sum"),
+             ).cast(_sum_t(sum_scale)).alias(f"{m}__sum"),
             F.when(bn.isNull(), F.col(f"{m}__min")).alias(f"{m}__min"),
             F.when(bn.isNull(), F.col(f"{m}__max")).alias(f"{m}__max"),
             (F.col(f"{m}__ssq") - F.coalesce(F.col(f"__b_{m}__ssq"), zssq)
@@ -136,14 +150,19 @@ def retract_agg_states(keys: list[str], measures: list[str],
 
 
 def finalize_agg(state: DataFrame, keys: list[str],
-                 measures: list[str], round_dp: int = 6) -> DataFrame:
+                 measures: list[str],
+                 round_dp: int | None = 6) -> DataFrame:
     """Derive the user-facing aggregate from a state.
 
     avg = sum/n (exact decimal division then double); sample stddev via
     the sufficient statistics: (ssq - sum^2/n)/(n-1), computed in double
     from the decimal-exact inputs so both engines evaluate the identical
     IEEE expression — rounded to ``round_dp`` like every non-exact stat
-    in the registry."""
+    in the registry (``round_dp=None`` skips rounding for callers that
+    want raw doubles, e.g. the rollup plan's legacy read surface)."""
+
+    def _r(c):
+        return c if round_dp is None else F.round(c, round_dp)
     sel = [F.col(k) for k in keys]
     for m in measures:
         n = F.col(f"{m}__n").cast("double")
@@ -153,11 +172,11 @@ def finalize_agg(state: DataFrame, keys: list[str],
         # the n>1 gate wraps the WHOLE expression: greatest() skips NULLs
         # in Spark, so greatest(NULL, 0.0) would turn "undefined" into 0.0
         std = F.when(F.col(f"{m}__n") > 1,
-                     F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_dp))
+                     _r(F.sqrt(F.greatest(var, F.lit(0.0)))))
         sel += [
             F.col(f"{m}__n").alias(f"{m}_count"),
             F.col(f"{m}__sum").cast("double").alias(f"{m}_sum"),
-            F.round(s / n, round_dp).alias(f"{m}_avg"),
+            _r(s / n).alias(f"{m}_avg"),
             F.col(f"{m}__min").cast("double").alias(f"{m}_min"),
             F.col(f"{m}__max").cast("double").alias(f"{m}_max"),
             std.alias(f"{m}_stddev"),

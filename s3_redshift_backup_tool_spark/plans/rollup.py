@@ -28,26 +28,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: partial-state columns maintained per group
-_PARTIALS = ("sum_value", "n_rows", "min_value", "max_value")
+from ..operators.incremental_agg import (agg_state, finalize_agg,
+                                         merge_agg_states,
+                                         retract_agg_states)
 
-
-def _partials(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    v = F.col(value_col).cast("double")
-    return df.groupBy(*keys).agg(
-        F.sum(v).alias("sum_value"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(v).alias("min_value"),
-        F.max(v).alias("max_value"))
-
-
-def _merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
-    return (a.unionByName(b)
-             .groupBy(*keys)
-             .agg(F.sum("sum_value").alias("sum_value"),
-                  F.sum("n_rows").alias("n_rows"),
-                  F.min("min_value").alias("min_value"),
-                  F.max("max_value").alias("max_value")))
+#: state decimal scale: 1e-12 per-row rounding — full-precision-double
+#: fidelity at test tolerances while keeping the ⊕-monoid bit-exact
+#: (money-grade feeds can drop to the module default of 4)
+_SCALE = 12
 
 
 class IncrementalRollup:
@@ -91,14 +79,7 @@ class IncrementalRollup:
             else:
                 os.rename(old, self.state_path)
 
-    def apply(self, delta: DataFrame) -> None:
-        self._recover()
-        part = _partials(delta, self.keys, self.value_col)
-        if self._exists():
-            cur = self.spark.read.parquet(self.state_path)
-            merged = _merge(cur, part, self.keys)
-        else:
-            merged = part
+    def _swap_in(self, merged: DataFrame) -> None:
         tmp = self.state_path.rstrip("/") + "__tmp" + uuid.uuid4().hex[:6]
         merged.write.mode("overwrite").parquet(tmp)
         old = self.state_path.rstrip("/") + "__old"
@@ -108,9 +89,47 @@ class IncrementalRollup:
         os.rename(tmp, self.state_path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def apply(self, delta: DataFrame) -> None:
+        """Fold one INSERT delta into the stored state (⊕)."""
+        self._recover()
+        part = agg_state(delta, self.keys, [self.value_col],
+                         sum_scale=_SCALE)
+        if self._exists():
+            cur = self.spark.read.parquet(self.state_path)
+            merged = merge_agg_states(self.keys, [self.value_col],
+                                      cur, part, sum_scale=_SCALE)
+        else:
+            merged = part
+        self._swap_in(merged)
+
+    def apply_deletes(self, deletes: DataFrame) -> None:
+        """Retract a DELETE batch from the stored state (⊖): count/sum/
+        avg/stddev stay exact; min/max on touched groups become NULL
+        (honest recompute-to-know markers, not stale values); groups
+        emptied by the deletes disappear. ``deletes`` must contain rows
+        previously applied — the standard CDC delete-batch contract the
+        sync plan's manifest guarantees."""
+        self._recover()
+        if not self._exists():
+            raise ValueError("cannot retract from an empty rollup state")
+        part = agg_state(deletes, self.keys, [self.value_col],
+                         sum_scale=_SCALE)
+        cur = self.spark.read.parquet(self.state_path)
+        left = retract_agg_states(self.keys, [self.value_col], cur, part,
+                                  sum_scale=_SCALE)
+        self._swap_in(left)
+
     def read(self) -> DataFrame:
         self._recover()
-        df = self.spark.read.parquet(self.state_path)
-        return df.select(
-            *self.keys, "n_rows", "sum_value", "min_value", "max_value",
-            (F.col("sum_value") / F.col("n_rows")).alias("avg_value"))
+        state = self.spark.read.parquet(self.state_path)
+        fin = finalize_agg(state, self.keys, [self.value_col],
+                           round_dp=None)
+        v = self.value_col
+        return fin.select(
+            *self.keys,
+            F.col(f"{v}_count").alias("n_rows"),
+            F.col(f"{v}_sum").alias("sum_value"),
+            F.col(f"{v}_min").alias("min_value"),
+            F.col(f"{v}_max").alias("max_value"),
+            F.col(f"{v}_avg").alias("avg_value"),
+            F.col(f"{v}_stddev").alias("stddev_value"))

@@ -200,3 +200,22 @@ def test_incremental_cms_sketch_maintenance(spark, documents, tmp_path):
     want = {(row["d"], row["bucket"]): row["c"]
             for row in cms_sketch(documents, depth=4, width=512).collect()}
     assert got == want
+
+
+def test_rollup_retracts_deletes(spark, events, tmp_path):
+    ev = events.select("event_id", "event_type", "value").limit(2000)
+    ru = IncrementalRollup(spark, str(tmp_path / "state"),
+                           ["event_type"], "value")
+    ru.apply(ev)
+    dels = ev.filter(F.col("event_id") % 5 == 0)
+    ru.apply_deletes(dels)
+    got = {r["event_type"]: r for r in ru.read().collect()}
+    want = {r["event_type"]: r
+            for r in _full(ev.filter(F.col("event_id") % 5 != 0)).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_rows"] == want[k]["n_rows"]
+        assert abs(got[k]["sum_value"] - want[k]["sum_value"]) < 1e-6
+        assert abs(got[k]["avg_value"] - want[k]["avg_value"]) < 1e-9
+        # min/max were touched by the deletes: honest NULLs, not stale
+        assert got[k]["min_value"] is None and got[k]["max_value"] is None
