@@ -664,6 +664,38 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_matview(args: argparse.Namespace) -> int:
+    """Maintained grouped aggregate (plans/rollup.py IncrementalRollup on
+    the agg-state monoid): ``refresh`` ⊕-folds a batch in, ``retract``
+    ⊖-subtracts a delete batch, ``read`` finalizes the state
+    (count/sum/min/max/avg/stddev per group). The CLI face of
+    incremental materialized-view maintenance — aggregate deltas, never
+    rescan the fact table."""
+    from .plans.rollup import IncrementalRollup
+    from .session import get_spark
+    from .sources.readers import read_table
+
+    spark = get_spark("cli_matview", cpus=args.cpus)
+    ru = IncrementalRollup(spark, args.state_dir,
+                           keys=args.keys.split(","),
+                           value_col=args.value_col)
+    if args.action == "read":
+        rows = ru.read().collect()
+        _emit({"state_dir": args.state_dir, "groups": len(rows),
+               "rows": [r.asDict() for r in rows[:50]]})
+        return 0
+    df = read_table(spark, args.source_dir, args.table)
+    if args.where:
+        df = df.where(args.where)
+    if args.action == "refresh":
+        ru.apply(df)
+    else:
+        ru.apply_deletes(df)
+    _emit({"action": args.action, "state_dir": args.state_dir,
+           "batch_rows": df.count()})
+    return 0
+
+
 def cmd_info(args: argparse.Namespace) -> int:
     """Operator-facing capability listing (reference
     src/cli/main.py:1267 ``info``): CDC strategies with their config
@@ -933,6 +965,22 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     di.set_defaults(fn=cmd_dedup_index)
+
+    mv = sub.add_parser("matview", help="maintained grouped aggregate: "
+                                        "refresh / retract / read")
+    mv.add_argument("action", choices=["refresh", "retract", "read"])
+    mv.add_argument("--state-dir", required=True)
+    mv.add_argument("--source-dir", default=None,
+                    help="directory of <table>.parquet (refresh/retract)")
+    mv.add_argument("-t", "--table", default="orders")
+    mv.add_argument("--keys", default="o_orderstatus",
+                    help="comma-separated group columns")
+    mv.add_argument("--value-col", default="o_totalprice")
+    mv.add_argument("--where", default=None,
+                    help="optional SQL predicate selecting the batch")
+    mv.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    mv.set_defaults(fn=cmd_matview)
     return p
 
 

@@ -377,3 +377,38 @@ def epoch_shuffle_ranks(df: DataFrame, seed: int, id_col: str = "doc_id",
                           salt=f"epoch{seed}:")
     return assign_global_ids(df.select(id_col), [gate, F.col(id_col)],
                              id_col=rank_col)
+
+
+def curriculum_interleave(df: DataFrame, group_col: str,
+                          order_cols: list[str],
+                          rank_col: str = "src_rank",
+                          pos_col: str = "pos") -> DataFrame:
+    """Curriculum epoch order: rank rows by difficulty WITHIN each group
+    (source/domain), then interleave groups — every group's easiest
+    examples first, round-robin across groups, so no single domain
+    dominates any training window (the "interleaved curriculum" shape
+    from data-mixing practice).
+
+    Scale-safe construction: the within-group rank is NOT a per-group
+    window (a hot source would serialize onto one core); it's the
+    distributed global-rank path ranked by (group, difficulty) minus the
+    group's base offset — one range exchange plus a |groups|-row
+    broadcast. The final interleave position is a second global rank by
+    (rank, group). Deterministic: ties broken by the trailing order
+    columns.
+
+    Output: input columns + ``rank_col`` (1-based within group) +
+    ``pos_col`` (1-based global curriculum position)."""
+    from .partitioning import assign_global_ids
+
+    g = assign_global_ids(df, [group_col] + list(order_cols),
+                          id_col="__gpos")
+    base = g.groupBy(group_col).agg(F.min("__gpos").alias("__base"))
+    ranked = (g.join(F.broadcast(base), group_col)
+               .withColumn(rank_col,
+                           (F.col("__gpos") - F.col("__base") + 1)
+                           .cast("bigint"))
+               .drop("__gpos", "__base"))
+    out = assign_global_ids(ranked, [rank_col, group_col] + list(order_cols),
+                            id_col=pos_col)
+    return out.withColumn(pos_col, F.col(pos_col).cast("bigint"))

@@ -5334,6 +5334,31 @@ def robust_outliers_events(spark, sf_dir):
     return robust_outlier_stats(ev, "event_type", "value")
 
 
+@q("curriculum_interleave_documents",
+   """WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS src_rank
+        FROM documents)
+      SELECT doc_id, source, src_rank,
+             row_number() OVER (ORDER BY src_rank, source, doc_id) AS pos
+      FROM ranked""",
+   "interleaved curriculum epoch order: rank by difficulty (n_chars) "
+   "within each source, then round-robin sources so no domain dominates "
+   "any training window. The oracle's two windows are the SEMANTICS; the "
+   "Spark side uses neither (a per-source window serializes a hot "
+   "source, the global one serializes everything): within-group rank = "
+   "distributed global rank minus a broadcast per-group base offset, "
+   "interleave = a second distributed rank — two range exchanges total, "
+   "the same machinery as stable_global_ids/epoch_shuffle")
+def curriculum_interleave_documents(spark, sf_dir):
+    from .operators.sampling import curriculum_interleave
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    out = curriculum_interleave(docs, "source", ["n_chars", "doc_id"])
+    return out.select("doc_id", "source", "src_rank", "pos")
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -5548,6 +5573,7 @@ _TAIL = [
     "kmv_distinct_by_source",          # mergeable distinct sketch
     "funnel_conversion_events",        # ordered sequence funnel
     "robust_outliers_events",          # median/MAD outlier screen
+    "curriculum_interleave_documents", # difficulty-ranked interleave
 ]
 
 

@@ -496,3 +496,51 @@ def streaming_ann_intake(
           .start()
           .awaitTermination())
     return stats
+
+
+def streaming_agg_maintenance(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    state_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    value_col: str,
+    op_col: str | None = None,
+) -> None:
+    """Streaming CDC-aware aggregate maintenance: each availableNow
+    micro-batch folds into the parquet-backed grouped aggregate —
+    inserts ⊕-merge, and (when ``op_col`` is given, 'I'/'D' rows)
+    deletes ⊖-retract — so the materialized aggregate tracks an
+    upstream table under both appends and deletes without ever
+    re-reading earlier batches.
+
+    Retraction semantics follow IncrementalRollup.apply_deletes:
+    count/sum/avg/stddev stay exact; min/max on delete-touched groups
+    go NULL (recompute-to-know markers). Delivery contract matches
+    streaming_sketch_maintenance: at-least-once batch replay with the
+    same commit-window caveat, documented there."""
+    from ..plans.rollup import IncrementalRollup
+
+    rollup = IncrementalRollup(spark, state_path, keys=keys,
+                               value_col=value_col)
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if op_col is None:
+            rollup.apply(batch_df)
+            return
+        ins = batch_df.where(F.col(op_col) == "I").drop(op_col)
+        dels = batch_df.where(F.col(op_col) == "D").drop(op_col)
+        if not ins.isEmpty():
+            rollup.apply(ins)
+        if not dels.isEmpty():
+            rollup.apply_deletes(dels)
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_fold)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())

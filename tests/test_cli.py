@@ -569,3 +569,32 @@ def test_dedup_index_verbs(capsys, tmp_path, sf_dir):
                             "--source-dir", sf_dir, "-t", "documents",
                             "-o", out_pq, "--cpus", "8"])
     assert rc4 == 0 and pw["pairs"] == pr["pairs"]
+
+
+def test_matview_verbs(capsys, tmp_path, sf_dir):
+    st = str(tmp_path / "mv_state")
+    rc, out = _run(capsys, ["matview", "refresh", "--state-dir", st,
+                            "--source-dir", sf_dir, "-t", "orders",
+                            "--keys", "o_orderstatus",
+                            "--value-col", "o_totalprice", "--cpus", "8"])
+    assert rc == 0 and out["batch_rows"] > 0
+
+    rc2, rd = _run(capsys, ["matview", "read", "--state-dir", st,
+                            "--keys", "o_orderstatus",
+                            "--value-col", "o_totalprice", "--cpus", "8"])
+    assert rc2 == 0 and rd["groups"] == 3  # P / O / F
+    total = sum(r["n_rows"] for r in rd["rows"])
+    assert total == out["batch_rows"]
+
+    rc3, rt = _run(capsys, ["matview", "retract", "--state-dir", st,
+                            "--source-dir", sf_dir, "-t", "orders",
+                            "--keys", "o_orderstatus",
+                            "--value-col", "o_totalprice",
+                            "--where", "o_orderkey % 2 = 0",
+                            "--cpus", "8"])
+    assert rc3 == 0
+    rc4, rd2 = _run(capsys, ["matview", "read", "--state-dir", st,
+                             "--keys", "o_orderstatus",
+                             "--value-col", "o_totalprice", "--cpus", "8"])
+    assert rc4 == 0
+    assert sum(r["n_rows"] for r in rd2["rows"]) == total - rt["batch_rows"]

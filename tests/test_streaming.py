@@ -560,3 +560,40 @@ def test_streaming_ann_intake_replay_seam(spark, tmp_path, sf_dir):
     assert logical.count() == 100
     assert logical.select("vec_id").exceptAll(
         emb.select("vec_id")).count() == 0
+
+
+def test_streaming_agg_maintenance_with_deletes(spark, events, tmp_path):
+    """CDC-aware streaming aggregate maintenance: inserts ⊕, deletes ⊖,
+    final state equals a from-scratch aggregate of the survivors."""
+    from s3_redshift_backup_tool_spark.plans.rollup import IncrementalRollup
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        streaming_agg_maintenance)
+
+    ev = events.select("event_id", "event_type", "value").limit(2000)
+    src = str(tmp_path / "cdc_src")
+    # batch 1: everything inserted; batch 2: every 5th row deleted
+    ev.withColumn("op", F.lit("I")).write.parquet(src)
+    (ev.filter(F.col("event_id") % 5 == 0)
+       .withColumn("op", F.lit("D"))
+       .write.mode("append").parquet(src))
+
+    schema = spark.read.parquet(src).schema
+    streaming_agg_maintenance(
+        spark, src, schema,
+        state_path=str(tmp_path / "agg_state"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        keys=["event_type"], value_col="value", op_col="op")
+
+    ru = IncrementalRollup(spark, str(tmp_path / "agg_state"),
+                           ["event_type"], "value")
+    got = {r["event_type"]: r for r in ru.read().collect()}
+    survivors = ev.filter(F.col("event_id") % 5 != 0)
+    want = {r["event_type"]: r for r in
+            survivors.groupBy("event_type")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("value").cast("double")).alias("s"))
+                     .collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_rows"] == want[k]["n"]
+        assert abs(got[k]["sum_value"] - want[k]["s"]) < 1e-6
