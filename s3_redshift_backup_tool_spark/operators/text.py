@@ -413,8 +413,8 @@ def scrub_pii(col: Column) -> Column:
 # Spark has no NFC/NFKC builtin)
 # --------------------------------------------------------------------------
 
-def normalize_text(df: DataFrame, text_col: str = "text",
-                   out_col: str = "norm_text", form: str = "NFC",
+def unicode_normalize(df: DataFrame, text_col: str = "text",
+                      out_col: str = "norm_text", form: str = "NFC",
                    lower: bool = True, strip_accents: bool = False,
                    collapse_ws: bool = True) -> DataFrame:
     """Canonical Unicode normalization: ``form`` (NFC/NFKC/NFD/NFKD) via

@@ -5238,9 +5238,9 @@ def compaction_plan_orders(spark, sf_dir):
    "stay JVM codegen. Per-row, zero shuffle. Oracle: DuckDB "
    "nfc_normalize over the same pipeline")
 def normalize_text_documents(spark, sf_dir):
-    from .operators.text import normalize_text
+    from .operators.text import unicode_normalize
     docs = _t(spark, sf_dir, "documents")
-    out = normalize_text(docs, "text", "norm_text", form="NFC",
+    out = unicode_normalize(docs, "text", "norm_text", form="NFC",
                          lower=True, collapse_ws=True)
     return out.select("doc_id", "norm_text",
                       F.length("norm_text").alias("norm_len"))

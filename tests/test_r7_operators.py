@@ -14,7 +14,7 @@ from s3_redshift_backup_tool_spark.operators.layout import (
     compaction_plan, files_df_from_dir)
 from s3_redshift_backup_tool_spark.operators.similarity import (
     cosine_topk, mmr_topk)
-from s3_redshift_backup_tool_spark.operators.text import normalize_text
+from s3_redshift_backup_tool_spark.operators.text import unicode_normalize
 from tests.conftest import _rt
 
 KEYS = ["o_orderstatus", "o_orderpriority"]
@@ -238,7 +238,7 @@ def test_normalize_nfc_composes(spark):
     composed = "\u00e9clair"
     df = spark.createDataFrame([(decomposed,), ("caf\u00e9",), (None,)],
                                "text string")
-    out = normalize_text(df, "text", "n", form="NFC", lower=False,
+    out = unicode_normalize(df, "text", "n", form="NFC", lower=False,
                          collapse_ws=False)
     vals = [r["n"] for r in out.collect()]
     assert vals[0] == composed and len(vals[0]) == 6
@@ -248,14 +248,14 @@ def test_normalize_nfc_composes(spark):
 
 def test_normalize_nfkc_folds_compatibility(spark):
     df = spark.createDataFrame([("ﬁle ①",)], "text string")
-    out = normalize_text(df, "text", "n", form="NFKC", lower=False,
+    out = unicode_normalize(df, "text", "n", form="NFKC", lower=False,
                          collapse_ws=False)
     assert out.collect()[0]["n"] == "file 1"
 
 
 def test_normalize_strip_accents_and_ws(spark):
     df = spark.createDataFrame([("  Caf\u00e9   du\tMonde ",)], "text string")
-    out = normalize_text(df, "text", "n", form="NFC", lower=True,
+    out = unicode_normalize(df, "text", "n", form="NFC", lower=True,
                          strip_accents=True, collapse_ws=True)
     assert out.collect()[0]["n"] == "cafe du monde"
 
@@ -263,7 +263,7 @@ def test_normalize_strip_accents_and_ws(spark):
 def test_normalize_rejects_bad_form(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError):
-        normalize_text(df, "text", "n", form="NFX")
+        unicode_normalize(df, "text", "n", form="NFX")
 
 
 # ------------------------------------------------------------------- ORC
