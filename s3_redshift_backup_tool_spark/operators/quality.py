@@ -294,3 +294,31 @@ def robust_outlier_stats(df: DataFrame, group_col: str, value_col: str,
                        F.round(F.coalesce("n_outliers", F.lit(0))
                                * F.lit(1.0) / F.col("n"), round_dp)
                         .alias("outlier_rate")))
+
+
+def checksum_audit(df: DataFrame, part_cols: list[str],
+                   cols: list[str] | None = None) -> DataFrame:
+    """Order-independent per-partition content fingerprint: row count +
+    bit_xor of a portable per-row hash over ``cols`` (default: every
+    column), cast to string with '|' separators and NULLs marked.
+
+    The reference verifies loads by COUNT alone (validation.py row-count
+    check) — counts match even when values were mangled in transit. XOR
+    of row hashes is commutative/associative, so the aggregate is
+    partition-order- and shuffle-independent, fully partial-aggregable,
+    and comparable across engines AND across sides of a sync (staging vs
+    warehouse): equal fingerprints == equal multisets of rows, up to
+    md5-collision odds. One scan, no shuffle beyond the tiny group agg.
+
+    Caveat (honest): XOR cancels PAIRS of identical rows — a row
+    duplicated twice vanishes from the fingerprint. The row count column
+    catches exact-duplicate injection; treat (count, xor) as one signal.
+    """
+    from .text import md5_prefix_int
+    cols = cols or [c for c in df.columns]
+    parts = [F.when(F.col(c).isNull(), F.lit("\\N"))
+              .otherwise(F.col(c).cast("string")) for c in cols]
+    rowhash = md5_prefix_int(F.concat_ws("|", *parts))
+    return (df.groupBy(*part_cols)
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.bit_xor(rowhash).alias("content_xor")))

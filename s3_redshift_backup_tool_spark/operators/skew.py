@@ -97,3 +97,25 @@ def grouped_topk_sharded(df: DataFrame, group_col: str,
               .withColumn("__r2", F.row_number().over(w2))
               .filter(F.col("__r2") <= k)
               .drop("__shard", "__r1", "__r2"))
+
+
+def skew_report(df: DataFrame, key_col: str,
+                round_dp: int = 6) -> DataFrame:
+    """Join/groupBy-key skew diagnostic: the numbers that decide whether
+    a key needs salting (``salted_join``) or AQE's skew-join split.
+
+    One row out: total rows, distinct keys, the heaviest key's row count
+    and share of the table, and the mean rows-per-key — computed as
+    groupBy(key).count() (partial-aggregable; shuffle carries one row
+    per DISTINCT key) followed by a scalar aggregate over the counts.
+    NULL keys count as a key (they hash-collide into one partition in a
+    real join — exactly the skew this report exists to surface)."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    return counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        F.round(F.max("__c") * F.lit(1.0) / F.sum("__c"), round_dp)
+         .alias("max_key_share"),
+        F.round(F.sum("__c") * F.lit(1.0) / F.count(F.lit(1)), round_dp)
+         .alias("avg_rows_per_key"))

@@ -5359,6 +5359,92 @@ def curriculum_interleave_documents(spark, sf_dir):
     return out.select("doc_id", "source", "src_rank", "pos")
 
 
+@q("checksum_audit_orders",
+   """WITH t AS (
+        SELECT CAST(month(o_orderdate) AS INT) AS part_month,
+               CAST('0x' || substr(md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   CAST(o_orderdate AS VARCHAR), o_orderpriority)),
+                   1, 15) AS BIGINT) AS h
+        FROM orders)
+      SELECT part_month, count(*) AS n_rows, bit_xor(h) AS content_xor
+      FROM t GROUP BY 1""",
+   "order-independent per-partition CONTENT fingerprint: count + bit_xor "
+   "of a portable row hash. The reference verifies loads by row count "
+   "alone (validation.py) — counts match even when values were mangled "
+   "in transit; equal (count, xor) pairs mean equal row multisets up to "
+   "md5 odds, comparable across engines and across sync sides. XOR is "
+   "commutative/associative ⇒ shuffle- and partition-order-independent, "
+   "fully partial-aggregable: one scan, |partitions|-row output. The "
+   "money column rides a decimal cast so both engines print the "
+   "identical canonical string")
+def checksum_audit_orders(spark, sf_dir):
+    from .operators.quality import checksum_audit
+    orders = (_t(spark, sf_dir, "orders")
+              .withColumn("o_totalprice",
+                          F.col("o_totalprice").cast("decimal(18,2)"))
+              .withColumn("part_month",
+                          F.month("o_orderdate").cast("int")))
+    return checksum_audit(
+        orders, ["part_month"],
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"])
+
+
+@q("skew_report_orders",
+   """WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1)
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             count(*) AS n_keys,
+             max(c) AS max_key_rows,
+             round(max(c) * 1.0 / sum(c), 6) AS max_key_share,
+             round(sum(c) * 1.0 / count(*), 6) AS avg_rows_per_key
+      FROM c""",
+   "join-key skew diagnostic: the numbers that decide between a plain "
+   "shuffle join, AQE's skew split, and operators/skew.py salting. "
+   "groupBy(key).count() is partial-aggregable (shuffle carries one row "
+   "per DISTINCT key, not per row) and the report is a scalar agg over "
+   "the counts — a planning probe you can afford to run on 100 TB "
+   "before committing to a join strategy")
+def skew_report_orders(spark, sf_dir):
+    from .operators.skew import skew_report
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+@q("kmv_union_sources",
+   """WITH hashes AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+               AS kmv_hash
+        FROM documents),
+      ranked AS (SELECT kmv_hash,
+                        row_number() OVER (ORDER BY kmv_hash) AS r
+                 FROM hashes),
+      sk AS (SELECT kmv_hash FROM ranked WHERE r <= 16)
+      SELECT count(*) AS kmv_size, max(kmv_hash) AS kth_hash,
+             round(CASE WHEN count(*) < 16
+                        THEN CAST(count(*) AS DOUBLE)
+                        ELSE 15.0 / (CAST(max(kmv_hash) AS DOUBLE)
+                                     / 1152921504606846976.0)
+                   END, 6) AS kmv_est
+      FROM sk""",
+   "KMV set-union closure IN the gate: the Spark side merges the "
+   "PER-SOURCE sketches (kmv_merge: union, dedup, keep k smallest) and "
+   "the oracle computes the GLOBAL sketch directly — they must agree "
+   "because a globally-k-smallest hash is k-smallest within its own "
+   "source, so the global sketch is always contained in the union of "
+   "per-source sketches (same per-source k). This is the property that "
+   "lets per-shard sketches answer corpus-wide distinct counts without "
+   "any rescan")
+def kmv_union_sources(spark, sf_dir):
+    from .operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+    docs = _t(spark, sf_dir, "documents")
+    per_src = (kmv_sketch(docs, ["source"], "text", k=16)
+               .withColumn("__g", F.lit(1)))
+    merged = kmv_merge(16, ["__g"], per_src)
+    return kmv_estimate(merged, ["__g"], k=16).drop("__g")
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -5574,6 +5660,9 @@ _TAIL = [
     "funnel_conversion_events",        # ordered sequence funnel
     "robust_outliers_events",          # median/MAD outlier screen
     "curriculum_interleave_documents", # difficulty-ranked interleave
+    "checksum_audit_orders",           # count+xor content fingerprint
+    "skew_report_orders",              # join-key skew probe
+    "kmv_union_sources",               # sketch set-union closure
 ]
 
 

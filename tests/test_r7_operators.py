@@ -370,3 +370,50 @@ def test_robust_outliers_zero_mad_group(spark):
     out = robust_outlier_stats(df, "g", "v").collect()[0]
     # MAD is 0: every deviation > 0 is an outlier, deterministically
     assert out["mad"] == 0.0 and out["n_outliers"] == 1
+
+
+# --------------------------------------------------------------- checksum
+
+def test_checksum_detects_value_mangle_count_does_not(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.quality import checksum_audit
+    orders = _rt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    mangled = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 7, F.lit("X"))
+         .otherwise(F.col("o_orderstatus")))
+    a = checksum_audit(orders.withColumn("g", F.lit(1)), ["g"]).collect()[0]
+    b = checksum_audit(mangled.withColumn("g", F.lit(1)), ["g"]).collect()[0]
+    assert a["n_rows"] == b["n_rows"]          # count check is blind
+    assert a["content_xor"] != b["content_xor"]  # fingerprint is not
+
+
+def test_checksum_is_partition_order_independent(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.quality import checksum_audit
+    orders = _rt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus").withColumn("g", F.lit(1))
+    a = checksum_audit(orders, ["g"]).collect()[0]
+    b = checksum_audit(orders.repartition(13), ["g"]).collect()[0]
+    assert (a["n_rows"], a["content_xor"]) == (b["n_rows"], b["content_xor"])
+
+
+def test_skew_report_known_distribution(spark):
+    from s3_redshift_backup_tool_spark.operators.skew import skew_report
+    rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k").collect()[0]
+    assert out["n_rows"] == 100 and out["n_keys"] == 3
+    assert out["max_key_rows"] == 90 and out["max_key_share"] == 0.9
+
+
+def test_kmv_union_of_sources_equals_global(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.sketches import (
+        kmv_estimate, kmv_merge, kmv_sketch)
+    docs = _rt(spark, sf_dir, "documents")
+    per_src = (kmv_sketch(docs, ["source"], "text", k=12)
+               .withColumn("g", F.lit(1)))
+    merged = kmv_estimate(kmv_merge(12, ["g"], per_src), ["g"], k=12)
+    direct = kmv_estimate(
+        kmv_sketch(docs.withColumn("g", F.lit(1)), ["g"], "text", k=12),
+        ["g"], k=12)
+    assert _rows(merged) == _rows(direct)
