@@ -3536,15 +3536,17 @@ def corr_matrix_lineitem(spark, sf_dir):
    "row representation through an exact DECIMAL(18,2) rendering because "
    "double->string formatting differs across engines")
 def table_checksum_orders(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    row_repr = F.concat_ws(
-        "|", F.col("o_orderkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"))
-    h = tx.md5_prefix_int(row_repr)
-    return orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.bit_xor(h).alias("checksum"))
+    # global-scalar form of quality.checksum_audit (round 7 made the
+    # per-partition operator the single implementation; empty part_cols
+    # collapses it to the original whole-table fingerprint)
+    from .operators.quality import checksum_audit
+    orders = (_t(spark, sf_dir, "orders")
+              .withColumn("o_totalprice",
+                          F.col("o_totalprice").cast("decimal(18,2)")))
+    out = checksum_audit(orders, [],
+                         cols=["o_orderkey", "o_orderstatus",
+                               "o_totalprice"])
+    return out.select("n_rows", F.col("content_xor").alias("checksum"))
 
 
 # ==========================================================================
