@@ -109,3 +109,46 @@ def with_rank(df: DataFrame, order_col: str, id_col: str = "doc_id"):
     from pyspark.sql import Window
     w = Window.orderBy(F.col(order_col).desc(), F.col(id_col))
     return df.withColumn("rank", F.row_number().over(w))
+
+
+def ranking_metrics(ranked: DataFrame, rel_col: str = "rel",
+                    rank_col: str = "rank", k: int = 10,
+                    n_relevant: int | None = None,
+                    round_dp: int = 6) -> DataFrame:
+    """Ranking-quality metrics over ONE ranked candidate list:
+    NDCG@k, MRR, precision@k. Input is a (bounded, top-N) relation with
+    a 1-based ``rank_col`` and binary ``rel_col``.
+
+    NDCG normalizes by the ideal DCG of ``min(n_relevant, k)`` leading
+    relevants — pass the corpus-wide relevant count for the standard
+    definition (a scalar the caller already has from one count); with
+    ``None`` it falls back to the retrieved-set relevants
+    (self-normalized variant). All-irrelevant lists score 0, not NULL.
+    The aggregate runs over <= N rows — evaluation is bounded work no
+    matter the corpus size; it's the RANKING that was the cluster job.
+    """
+    rel = F.col(rel_col).cast("double")
+    rank = F.col(rank_col)
+    dcg = F.sum(F.when(rank <= k, rel / F.log2(rank + 1)))
+    hits_topk = F.sum(F.when(rank <= k, rel))
+    first = F.min(F.when(rel == 1, rank))
+    agg = ranked.agg(
+        F.coalesce(dcg, F.lit(0.0)).alias("__dcg"),
+        F.coalesce(hits_topk, F.lit(0.0)).alias("__hits"),
+        first.alias("__first"),
+        F.coalesce(F.sum(rel), F.lit(0.0)).alias("__rel_in_list"))
+    ideal_n = (F.least(F.lit(n_relevant), F.lit(k)) if n_relevant is not None
+               else F.least(F.col("__rel_in_list").cast("int"), F.lit(k)))
+    # sequence(1, 0) auto-steps DOWN to [1, 0] in Spark, which would put
+    # 1/log2(1) = inf into the fold — gate the whole fold on n >= 1
+    idcg = F.when(ideal_n >= 1, F.aggregate(
+        F.sequence(F.lit(1), ideal_n),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i + 1))).otherwise(F.lit(0.0))
+    return agg.select(
+        F.round(F.when(idcg > 0, F.col("__dcg") / idcg)
+                 .otherwise(F.lit(0.0)), round_dp).alias(f"ndcg_at_{k}"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)),
+                round_dp).alias("mrr"),
+        F.round(F.col("__hits") / F.lit(float(k)), round_dp)
+         .alias(f"precision_at_{k}"))

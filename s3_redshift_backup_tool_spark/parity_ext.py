@@ -5447,6 +5447,72 @@ def kmv_union_sources(spark, sf_dir):
     return kmv_estimate(merged, ["__g"], k=16).drop("__g")
 
 
+@q("ndcg_retrieval_embeddings",
+   """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v, label
+                 FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT vec_id, label,
+                      round(list_cosine_similarity(
+                          CAST(embedding AS DOUBLE[]),
+                          (SELECT v FROM q)), 6) AS cos_sim
+               FROM embeddings WHERE vec_id <> 0),
+      top AS (SELECT vec_id, label, cos_sim,
+                     row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                       AS rank
+              FROM (SELECT * FROM cand
+                    ORDER BY cos_sim DESC, vec_id LIMIT 20)),
+      rel AS (SELECT rank,
+                     CASE WHEN label = (SELECT label FROM q)
+                          THEN 1 ELSE 0 END AS r
+              FROM top),
+      rcount AS (SELECT count(*) AS rr FROM cand
+                 WHERE label = (SELECT label FROM q)),
+      idcg AS (SELECT CASE WHEN (SELECT least(rr, 10) FROM rcount) >= 1
+                    THEN (SELECT sum(1.0 / log2(i + 1))
+                          FROM generate_series(1, 10) t(i)
+                          WHERE i <= (SELECT least(rr, 10) FROM rcount))
+                    ELSE 0.0 END AS v),
+      m AS (SELECT coalesce(sum(CASE WHEN rank <= 10
+                                     THEN r / log2(rank + 1) END),
+                            0.0) AS dcg,
+                   min(CASE WHEN r = 1 THEN rank END) AS frank,
+                   coalesce(sum(CASE WHEN rank <= 10 THEN r END),
+                            0.0) AS hits
+            FROM rel)
+      SELECT round(CASE WHEN (SELECT v FROM idcg) > 0
+                        THEN m.dcg / (SELECT v FROM idcg)
+                        ELSE 0.0 END, 6) AS ndcg_at_10,
+             round(coalesce(1.0 / m.frank, 0.0), 6) AS mrr,
+             round(m.hits / 10.0, 6) AS precision_at_10
+      FROM m""",
+   "ranking-quality metrics for the retrieval stack: exact-cosine top-20 "
+   "for the query vector, relevance = shared class label, then NDCG@10 "
+   "(normalized by the ideal DCG of the corpus-wide relevant count "
+   "capped at k — the standard definition), MRR, precision@10. The "
+   "cluster does the ranking (TakeOrderedAndProject) and one relevant "
+   "count; the metric aggregate runs over the 20-row list. This is the "
+   "eval harness you point at ann_lsh/ivf/pq variants to buy their "
+   "speed with a measured, not guessed, quality budget")
+def ndcg_retrieval_embeddings(spark, sf_dir):
+    from pyspark.sql import Window
+    from .operators.retrieval import ranking_metrics
+    from .operators.similarity import cosine
+    emb = _t(spark, sf_dir, "embeddings")
+    q0 = emb.where(F.col("vec_id") == 0).select("embedding", "label").head()
+    qv, ql = [float(x) for x in q0["embedding"]], q0["label"]
+    cand = emb.where(F.col("vec_id") != 0)
+    sim = F.round(cosine(F.col("embedding"),
+                         F.array(*[F.lit(v) for v in qv])), 6)
+    top = (cand.select("vec_id", "label", sim.alias("cos_sim"))
+               .orderBy(F.desc("cos_sim"), "vec_id").limit(20))
+    # rank window over the 20-row post-limit relation: bounded by design
+    ranked = (top.withColumn("rank", F.row_number().over(
+                    Window.orderBy(F.desc("cos_sim"), "vec_id")))
+                 .withColumn("rel", F.when(F.col("label") == ql, 1)
+                                     .otherwise(0)))
+    n_rel = cand.where(F.col("label") == ql).count()
+    return ranking_metrics(ranked, "rel", "rank", k=10, n_relevant=n_rel)
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -5665,6 +5731,7 @@ _TAIL = [
     "checksum_audit_orders",           # count+xor content fingerprint
     "skew_report_orders",              # join-key skew probe
     "kmv_union_sources",               # sketch set-union closure
+    "ndcg_retrieval_embeddings",       # NDCG/MRR/P@k eval harness
 ]
 
 

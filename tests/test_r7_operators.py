@@ -417,3 +417,54 @@ def test_kmv_union_of_sources_equals_global(spark, sf_dir):
         kmv_sketch(docs.withColumn("g", F.lit(1)), ["g"], "text", k=12),
         ["g"], k=12)
     assert _rows(merged) == _rows(direct)
+
+
+# ------------------------------------------------------------ ranking eval
+
+def _ranked(spark, rels):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(rank=i + 1, rel=r) for i, r in enumerate(rels)])
+
+
+def test_ranking_metrics_known_values(spark):
+    from s3_redshift_backup_tool_spark.operators.retrieval import (
+        ranking_metrics)
+    out = ranking_metrics(_ranked(spark, [1, 0, 1, 0, 0]), k=5,
+                          n_relevant=2).collect()[0]
+    import math
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    assert abs(out["ndcg_at_5"] - round(dcg / idcg, 6)) < 1e-9
+    assert out["mrr"] == 1.0
+    assert out["precision_at_5"] == 0.4
+
+
+def test_ranking_metrics_perfect_is_one(spark):
+    from s3_redshift_backup_tool_spark.operators.retrieval import (
+        ranking_metrics)
+    out = ranking_metrics(_ranked(spark, [1, 1, 1, 0, 0]), k=5,
+                          n_relevant=3).collect()[0]
+    assert out["ndcg_at_5"] == 1.0 and out["mrr"] == 1.0
+
+
+def test_ranking_metrics_no_relevant_zero_not_null(spark):
+    from s3_redshift_backup_tool_spark.operators.retrieval import (
+        ranking_metrics)
+    out = ranking_metrics(_ranked(spark, [0, 0, 0]), k=3,
+                          n_relevant=0).collect()[0]
+    assert out["ndcg_at_3"] == 0.0 and out["mrr"] == 0.0 \
+        and out["precision_at_3"] == 0.0
+
+
+def test_ranking_metrics_self_normalized_fallback(spark):
+    from s3_redshift_backup_tool_spark.operators.retrieval import (
+        ranking_metrics)
+    # n_relevant=None -> IDCG over the relevants IN the list (2 here)
+    out = ranking_metrics(_ranked(spark, [0, 1, 1]), k=3,
+                          n_relevant=None).collect()[0]
+    import math
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(out["ndcg_at_3"] - round(dcg / idcg, 6)) < 1e-9
+    assert out["mrr"] == 0.5
