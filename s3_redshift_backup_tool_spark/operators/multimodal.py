@@ -17,6 +17,7 @@ only the optional groupBy(media_type) stats shuffle, on tiny keys.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -290,3 +291,129 @@ def payload_stats(media: DataFrame) -> DataFrame:
         F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing: average-hash image near-dup
+# --------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), True),
+])
+
+#: 60 cells -> the hash lives in [0, 2^60): same width as the repo's
+#: portable md5-prefix hashes, and safely inside int64.
+AHASH_CELLS = 60
+
+
+def _gray_sequence(payload: bytes, meta: dict | None) -> "np.ndarray":
+    """Deterministic 1-D gray sequence for hashing: decoded luma for the
+    from-scratch codec formats, raw bytes otherwise."""
+    import numpy as np
+
+    from . import codecs
+    fmt = (meta or {}).get("format")
+    if fmt == "bmp":
+        px = codecs.decode_bmp(payload).astype(np.float64)
+        return px.mean(axis=2).ravel()
+    if fmt == "png":
+        px = codecs.decode_png(payload).astype(np.float64)
+        return px.mean(axis=2).ravel() if px.ndim == 3 else px.ravel()
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+
+
+def ahash_media(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint: resample the gray
+    sequence into ``cells`` contiguous blocks (byte i -> block
+    i*cells//n), bit c = block-c mean > global mean. Robust to small
+    local edits (one changed region flips at most a few bits), which is
+    exactly what byte-exact dedup misses on re-encoded/retouched images.
+
+    Arrow-batched mapInPandas over the media relation — per-row, no
+    shuffle, bytes never on the driver; corrupt payloads yield NULL
+    ahash (sentinel-row contract, same as the codec samplers). The
+    block means and threshold are exact in float64 (integer sums below
+    2^53), so the DuckDB oracle reproduces every bit."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, ns, hs = [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                ids.append(mid)
+                if payload is None or len(payload) == 0:
+                    ns.append(0)
+                    hs.append(None)
+                    continue
+                ns.append(len(payload))
+                try:
+                    arr = _gray_sequence(payload,
+                                         dict(meta) if meta is not None
+                                         else None)
+                    n = arr.size
+                    idx = (np.arange(n) * cells) // n
+                    sums = np.bincount(idx, weights=arr, minlength=cells)
+                    counts = np.bincount(idx, minlength=cells)
+                    means = np.divide(sums, counts,
+                                      out=np.zeros(cells, dtype=np.float64),
+                                      where=counts > 0)
+                    thr = float(arr.sum()) / n
+                    bits = np.nonzero((means > thr) & (counts > 0))[0]
+                    hs.append(int(sum(1 << int(c) for c in bits)))
+                except (ValueError, NotImplementedError, IndexError,
+                        MemoryError, struct.error):
+                    hs.append(None)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(ns, dtype="int64"),
+                "ahash": pd.Series(hs, dtype="object"),
+            })
+
+    from .partitioning import fan_out
+    return fan_out(media).mapInPandas(_go, schema=AHASH_SCHEMA)
+
+
+def ahash_hamming_pairs(hashes: DataFrame, max_dist: int = 3,
+                        bands: int = 4, id_col: str = "media_id",
+                        hash_col: str = "ahash") -> DataFrame:
+    """Near-dup pairs under Hamming distance on the perceptual hash,
+    WITHOUT all-pairs: split the 60-bit hash into ``bands`` equal bit
+    bands; by pigeonhole, any pair with at most ``max_dist <= bands-1``
+    differing bits shares at least one untouched band, so an exact-match
+    band join yields a COMPLETE candidate set, verified by
+    popcount(xor) <= max_dist. The classic Hamming-LSH recipe — the
+    bit-level twin of the MinHash band join in dedup.py. Raising
+    ``max_dist`` requires raising ``bands`` with it; the guard below
+    refuses silently-incomplete configurations."""
+    if max_dist >= bands:
+        raise ValueError(
+            f"completeness needs max_dist <= bands-1 (got max_dist="
+            f"{max_dist}, bands={bands}): {max_dist} differing bits can "
+            f"touch all {bands} bands and the band join would miss the "
+            "pair")
+    width = AHASH_CELLS // bands
+    mask = (1 << width) - 1
+    hs = hashes.where(F.col(hash_col).isNotNull())
+    banded = hs.select(
+        F.col(id_col), F.col(hash_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col(hash_col), b * width)
+                      .bitwiseAND(F.lit(mask)).alias("val"))
+            for b in range(bands)])).alias("bv")
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col(f"a.{hash_col}").alias("h_a"),
+                     F.col(f"b.{hash_col}").alias("h_b"))
+             .distinct())
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.where(dist <= max_dist)
+                .select("id_a", "id_b", dist.alias("hamming")))

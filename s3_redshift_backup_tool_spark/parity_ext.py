@@ -5513,6 +5513,47 @@ def ndcg_retrieval_embeddings(spark, sf_dir):
     return ranking_metrics(ranked, "rel", "rank", k=10, n_relevant=n_rel)
 
 
+@q("image_ahash_documents",
+   """WITH b AS (SELECT doc_id AS media_id, encode(text) AS blob
+                 FROM documents),
+      bytes AS (SELECT media_id, octet_length(blob) AS n,
+                       unnest(generate_series(1, octet_length(blob))) AS i,
+                       unnest(list_transform(
+                           generate_series(1, octet_length(blob)),
+                           j -> ('0x' || substr(hex(blob),
+                                 (j-1)*2+1, 2))::INT)) AS v
+                FROM b),
+      cells AS (SELECT media_id, ((i - 1) * 60) // n AS cell, v
+                FROM bytes),
+      cm AS (SELECT media_id, cell, sum(v) * 1.0 / count(*) AS m
+             FROM cells GROUP BY 1, 2),
+      thr AS (SELECT media_id, sum(v) * 1.0 / count(*) AS t
+              FROM bytes GROUP BY 1),
+      h AS (SELECT cm.media_id,
+                   CAST(sum(CASE WHEN cm.m > thr.t
+                                 THEN 1::BIGINT << cm.cell
+                                 ELSE 0 END) AS BIGINT) AS ahash
+            FROM cm JOIN thr USING (media_id) GROUP BY 1)
+      SELECT b.media_id, CAST(octet_length(b.blob) AS BIGINT) AS n_bytes,
+             h.ahash
+      FROM b JOIN h USING (media_id)""",
+   "average-hash perceptual fingerprint: 60 block means over the gray "
+   "sequence, bit c = block mean > global mean — the dedup signal that "
+   "survives re-encoding/retouching where byte-exact digests break. "
+   "Arrow-batched mapInPandas (bytes never on the driver; NULL sentinel "
+   "on corrupt payloads); block means and threshold are exact in "
+   "float64 (integer sums < 2^53) so the oracle reproduces every bit "
+   "from hex-expanded bytes. On decoded formats the same kernel hashes "
+   "codec luma (BMP/PNG paths unit-tested); ahash_hamming_pairs then "
+   "finds near-dups via the pigeonhole band join — Hamming-LSH, the "
+   "bit-level twin of the MinHash band join")
+def image_ahash_documents(spark, sf_dir):
+    from .operators.multimodal import ahash_media, attach_media
+    media = attach_media(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                         media_type="image", fmt="raw")
+    return ahash_media(media)
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -5732,6 +5773,7 @@ _TAIL = [
     "skew_report_orders",              # join-key skew probe
     "kmv_union_sources",               # sketch set-union closure
     "ndcg_retrieval_embeddings",       # NDCG/MRR/P@k eval harness
+    "image_ahash_documents",           # perceptual-hash fingerprints
 ]
 
 

@@ -468,3 +468,85 @@ def test_ranking_metrics_self_normalized_fallback(spark):
     dcg = 1 / math.log2(3) + 1 / math.log2(4)
     assert abs(out["ndcg_at_3"] - round(dcg / idcg, 6)) < 1e-9
     assert out["mrr"] == 0.5
+
+
+# --------------------------------------------------------------- aHash
+
+def _media_df(spark, rows, fmt="raw"):
+    from s3_redshift_backup_tool_spark.operators.multimodal import attach_media
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return attach_media(df, "text", "doc_id", media_type="image", fmt=fmt)
+
+
+def test_ahash_identical_payloads_match(spark):
+    from s3_redshift_backup_tool_spark.operators.multimodal import ahash_media
+    t = "the quick brown fox jumps over the lazy dog " * 8
+    out = {r["media_id"]: r["ahash"]
+           for r in ahash_media(_media_df(spark, [(1, t), (2, t),
+                                                  (3, t[::-1])])).collect()}
+    assert out[1] == out[2] and out[1] is not None
+    assert out[1] != out[3]
+
+
+def test_ahash_small_edit_small_hamming(spark):
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        ahash_hamming_pairs, ahash_media)
+    # high-contrast pseudorandom (NOT periodic: a periodic string puts
+    # every block mean exactly AT the global mean — knife-edge ties
+    # where one edit flips half the bits, faithful aHash behavior but
+    # useless as a near-dup fixture; low-amplitude data has the same
+    # marginal-block problem in milder form)
+    base = "".join(chr(32 + (i * 53 + 11) % 95) for i in range(600))
+    edited = base[:300] + "~" + base[301:]   # one changed byte
+    other = "".join(chr(32 + (i * 29 + 5) % 95) for i in range(610))
+    hashes = ahash_media(_media_df(spark, [(1, base), (2, edited),
+                                           (3, other), (4, base)]))
+    pairs = ahash_hamming_pairs(hashes, max_dist=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 4)] == 0                  # exact dup found
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ahash_hamming_rejects_incomplete_config(spark):
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        ahash_hamming_pairs, ahash_media)
+    hashes = ahash_media(_media_df(spark, [(1, "x" * 100)]))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ahash_hamming_pairs(hashes, max_dist=4, bands=4)
+
+
+def test_ahash_bmp_decode_path(spark):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import encode_bmp
+    from s3_redshift_backup_tool_spark.operators.multimodal import ahash_media
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = px.copy()
+    near[0, 0] = [255, 255, 255]            # one-pixel retouch
+    blobs = [(1, encode_bmp(px)), (2, encode_bmp(near)),
+             (3, encode_bmp(rng.integers(0, 256, (16, 16, 3),
+                                         dtype=np.uint8)))]
+    from s3_redshift_backup_tool_spark.operators.multimodal import attach_media
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "doc_id long, blob binary")
+    media = attach_media(df, "blob", "doc_id", media_type="image",
+                         fmt="bmp")
+    out = {r["media_id"]: r["ahash"] for r in ahash_media(media).collect()}
+    assert all(v is not None for v in out.values())
+    ham12 = bin(out[1] ^ out[2]).count("1")
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    assert ham12 <= 4 < ham13   # retouch ~identical; unrelated far
+
+
+def test_ahash_corrupt_payload_is_null_sentinel(spark):
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        ahash_media, attach_media)
+    df = spark.createDataFrame([(1, bytearray(b"notabmp")), (2, None)],
+                               "doc_id long, blob binary")
+    media = attach_media(df, "blob", "doc_id", media_type="image",
+                         fmt="bmp")
+    out = {r["media_id"]: (r["ahash"], r["n_bytes"])
+           for r in ahash_media(media).collect()}
+    assert out[1][0] is None and out[2][0] is None and out[2][1] == 0
