@@ -18,6 +18,7 @@ only the optional groupBy(media_type) stats shuffle, on tiny keys.
 from __future__ import annotations
 
 import struct
+import wave
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -321,6 +322,12 @@ def _gray_sequence(payload: bytes, meta: dict | None) -> "np.ndarray":
     if fmt == "png":
         px = codecs.decode_png(payload).astype(np.float64)
         return px.mean(axis=2).ravel() if px.ndim == 3 else px.ravel()
+    if fmt == "wav":
+        x, _rate = codecs.decode_wav(payload)
+        # absolute amplitude envelope scaled to byte range: the aHash
+        # blocks then capture the coarse loudness contour (a
+        # fingerprint-lite for exact/near-exact audio dedup)
+        return np.abs(x) * 255.0
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
 
 
@@ -364,7 +371,7 @@ def ahash_media(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
                     bits = np.nonzero((means > thr) & (counts > 0))[0]
                     hs.append(int(sum(1 << int(c) for c in bits)))
                 except (ValueError, NotImplementedError, IndexError,
-                        MemoryError, struct.error):
+                        MemoryError, struct.error, EOFError, wave.Error):
                     hs.append(None)
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),

@@ -550,3 +550,24 @@ def test_ahash_corrupt_payload_is_null_sentinel(spark):
     out = {r["media_id"]: (r["ahash"], r["n_bytes"])
            for r in ahash_media(media).collect()}
     assert out[1][0] is None and out[2][0] is None and out[2][1] == 0
+
+
+def test_ahash_wav_envelope_path(spark):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.codecs import encode_wav
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        ahash_media, attach_media)
+    t = np.arange(4000) / 16000.0
+    tone = np.sin(2 * np.pi * 440 * t) * np.linspace(0.2, 1.0, t.size)
+    noisy = tone + 1e-4 * np.sin(2 * np.pi * 7919 * t)
+    other = np.sin(2 * np.pi * 97 * t) * np.linspace(1.0, 0.1, t.size)
+    rows = [(1, bytearray(encode_wav(tone))),
+            (2, bytearray(encode_wav(noisy))),
+            (3, bytearray(encode_wav(other)))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = attach_media(df, "blob", "doc_id", media_type="audio",
+                         fmt="wav")
+    out = {r["media_id"]: r["ahash"] for r in ahash_media(media).collect()}
+    assert all(v is not None for v in out.values())
+    assert bin(out[1] ^ out[2]).count("1") <= 3   # near-identical audio
+    assert bin(out[1] ^ out[3]).count("1") > 10   # different envelope
