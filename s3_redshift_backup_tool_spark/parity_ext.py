@@ -5554,6 +5554,43 @@ def image_ahash_documents(spark, sf_dir):
     return ahash_media(media)
 
 
+@q("dow_seasonality_events",
+   """WITH per AS (SELECT event_type, CAST(isodow(ts) AS INT) AS isodow,
+                          count(value) AS n,
+                          CAST(sum(CAST(value AS DECIMAL(28,10)))
+                               AS DOUBLE) AS s
+                   FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, count(value) AS tn,
+                     CAST(sum(CAST(value AS DECIMAL(28,10)))
+                          AS DOUBLE) AS ts_
+              FROM events GROUP BY 1)
+      SELECT p.event_type, p.isodow, p.n,
+             round(p.s / p.n, 6) AS avg_value,
+             round((p.s / p.n) / (t.ts_ / t.tn), 6) AS dow_ratio
+      FROM per p JOIN tot t USING (event_type)""",
+   "day-of-week seasonality profile per event type: mean value by ISO "
+   "weekday plus its ratio to the type's overall mean — the reporting "
+   "primitive behind staffing/capacity curves and the drift checks that "
+   "compare this week's profile to the stored one (pair with "
+   "incremental_agg to maintain it without rescans). Two partial-"
+   "aggregable groupBys + a |types|-row broadcast join; sums ride "
+   "decimal(28,10) so the 6dp ratios are partition-order-proof")
+def dow_seasonality_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dsum = F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+    per = (ev.groupBy("event_type",
+                      (F.weekday("ts") + 1).cast("int").alias("isodow"))
+             .agg(F.count("value").alias("n"), dsum.alias("s")))
+    tot = (ev.groupBy("event_type")
+             .agg(F.count("value").alias("tn"), dsum.alias("ts_")))
+    j = per.join(F.broadcast(tot), "event_type")
+    return j.select(
+        "event_type", "isodow", "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+        F.round((F.col("s") / F.col("n"))
+                / (F.col("ts_") / F.col("tn")), 6).alias("dow_ratio"))
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate checks a leading window
 # of the registry (50 entries in round 1), so every unique operator family
@@ -5774,6 +5811,7 @@ _TAIL = [
     "kmv_union_sources",               # sketch set-union closure
     "ndcg_retrieval_embeddings",       # NDCG/MRR/P@k eval harness
     "image_ahash_documents",           # perceptual-hash fingerprints
+    "dow_seasonality_events",          # weekday profile + ratio
 ]
 
 
