@@ -192,3 +192,40 @@ def reference_logreg_numpy(X, y, iters: int = 5, lr: float = 1.0,
 
 def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def logreg_calibration(df: DataFrame, weights: list[float],
+                       feature_cols: list[str | Column],
+                       label_col: str | Column,
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability curve: bucket predicted probability into ``n_bins``
+    equal-width bins and compare mean prediction to observed positive
+    rate per bin — the calibration diagnostic that tells you whether
+    the gate's scores can be READ as probabilities (and whether a
+    threshold chosen from the PR curve will transfer to new data).
+
+    One corpus pass: per-row sigmoid on codegen literals, bin id =
+    min(floor(p*n_bins), n_bins-1), partial-aggregable counts. The
+    per-bin means ride decimal(20,12) per-row casts so the 6dp output
+    is partition-order-proof (plain double avgs drift in the last ulp
+    across shuffle orders — which is exactly where a round(x, 6)
+    boundary can flip)."""
+    feats = [(F.col(c) if isinstance(c, str) else c).cast("double")
+             for c in feature_cols]
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col) \
+        .cast("double")
+    p = _sigmoid(_z(weights, feats))
+    bin_id = F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("int")
+    pd_ = p.cast("decimal(20,12)")
+    yd = y.cast("decimal(20,12)")
+    g = (df.select(bin_id.alias("bin"), pd_.alias("pd"), yd.alias("yd"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("pd").cast("double").alias("sp"),
+                F.sum("yd").cast("double").alias("sy")))
+    return g.select(
+        "bin", "n",
+        F.round(F.col("sp") / F.col("n"), 6).alias("mean_pred"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("frac_pos"),
+        F.round(F.col("sp") / F.col("n") - F.col("sy") / F.col("n"), 6)
+         .alias("gap"))

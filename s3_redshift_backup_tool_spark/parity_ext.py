@@ -4639,6 +4639,49 @@ def _logreg_pr_oracle(iters: int = 3,
       FROM c""")
 
 
+def _logreg_calibration_oracle(iters: int = 3, n_bins: int = 10) -> str:
+    """Reliability-curve twin: same unrolled training CTEs; per-bin
+    means ride decimal(20,12) per-row casts exactly like the Spark
+    side, so 6dp outputs cannot drift with summation order."""
+    ctes, p = _logreg_weight_ctes(iters)
+    return ("WITH " + ",\n  ".join(ctes) + f""",
+      s AS (SELECT CAST(least(floor(({p}) * {n_bins}), {n_bins - 1})
+                        AS INT) AS bin,
+                   CAST(({p}) AS DECIMAL(20,12)) AS pd,
+                   CAST(y AS DECIMAL(20,12)) AS yd
+            FROM f CROSS JOIN w{iters}),
+      g AS (SELECT bin, count(*) AS n,
+                   CAST(sum(pd) AS DOUBLE) AS sp,
+                   CAST(sum(yd) AS DOUBLE) AS sy
+            FROM s GROUP BY bin)
+      SELECT bin, n,
+             round(sp / n, 6) AS mean_pred,
+             round(sy / n, 6) AS frac_pos,
+             round(sp / n - sy / n, 6) AS gap
+      FROM g""")
+
+
+@q("classifier_calibration_documents",
+   _logreg_calibration_oracle(1, n_bins=20),
+   "reliability curve for the learned quality gate: decile-binned mean "
+   "prediction vs observed positive rate (+ gap). PR curves pick a "
+   "threshold; calibration tells you whether the scores can be READ as "
+   "probabilities — i.e. whether that threshold transfers. One corpus "
+   "pass, partial-aggregable; per-bin means ride decimal(20,12) "
+   "per-row casts so 6dp outputs are partition-order-proof. Uses the "
+   "1-iteration model at 20 bins: the fixture's converged model "
+   "saturates into one honest-but-trivial bin, while the under-trained "
+   "one exposes the mean_pred≈0.1 / frac_pos≈0.43 miscalibration this "
+   "curve exists to catch. Oracle: same unrolled-GD weight CTEs as the "
+   "classifier entries")
+def classifier_calibration_documents(spark, sf_dir):
+    from .operators.classifier import logreg_calibration, logreg_train
+    feats = _logreg_feats(_t(spark, sf_dir, "documents"))
+    w = logreg_train(feats, ["f1", "f2", "f3"], "y", iters=1, lr=1.0)
+    return logreg_calibration(feats, w, ["f1", "f2", "f3"], "y",
+                              n_bins=20)
+
+
 @q("quality_classifier_documents",
    _logreg_oracle(3),
    "LEARNED quality gate: logistic regression trained ON the corpus "
@@ -5812,6 +5855,7 @@ _TAIL = [
     "ndcg_retrieval_embeddings",       # NDCG/MRR/P@k eval harness
     "image_ahash_documents",           # perceptual-hash fingerprints
     "dow_seasonality_events",          # weekday profile + ratio
+    "classifier_calibration_documents", # reliability curve
 ]
 
 

@@ -571,3 +571,19 @@ def test_ahash_wav_envelope_path(spark):
     assert all(v is not None for v in out.values())
     assert bin(out[1] ^ out[2]).count("1") <= 3   # near-identical audio
     assert bin(out[1] ^ out[3]).count("1") > 10   # different envelope
+
+
+def test_calibration_bins_partition_and_sum(spark):
+    from s3_redshift_backup_tool_spark.operators.classifier import (
+        logreg_calibration)
+    rows = [(0.0, -2.0), (0.0, -1.0), (1.0, 1.0), (1.0, 2.0)]
+    df = spark.createDataFrame(rows, "y double, f double")
+    # weights [bias, w_f] = [0, 1]: p = sigmoid(f)
+    out = logreg_calibration(df, [0.0, 1.0], ["f"], "y",
+                             n_bins=4).collect()
+    assert sum(r["n"] for r in out) == 4
+    import math
+    lo = [r for r in out if r["bin"] == 0][0]     # sigmoid(-2)=.119
+    hi = [r for r in out if r["bin"] == 3][0]     # sigmoid(2)=.881
+    assert lo["frac_pos"] == 0.0 and hi["frac_pos"] == 1.0
+    assert abs(lo["mean_pred"] - round(1 / (1 + math.e ** 2), 6)) < 1e-6
