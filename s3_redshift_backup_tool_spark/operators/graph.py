@@ -140,3 +140,60 @@ def pagerank_canonical(pairs: DataFrame, iters: int = 3,
         F.desc("rank"), F.col("canonical_id"))
     return (joined.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3,
+               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Fixed-round k-core peeling: ``rounds`` iterations of "drop every
+    node with degree < k (and its edges)". The dense cores that survive
+    are the spam/template clusters worth whole-cluster treatment —
+    pairwise dedup sees their edges one at a time; the k-core sees the
+    blob. Fixed round count keeps the job graph static and the oracle
+    exactly expressible (the pagerank/NN-descent convention); use
+    :func:`kcore` for run-to-convergence.
+
+    Each round is one degree groupBy + two semi-joins on the edge list
+    — O(E) shuffle per round, edges localCheckpoint'd so the plan stays
+    flat. Output: (node, core_deg) for survivors."""
+    e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+              .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                        F.col(id_a).alias("dst")))
+              .distinct()
+              .localCheckpoint(eager=False))
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        e = (e.join(keep, "src", "left_semi")
+              .join(keep.withColumnRenamed("src", "dst"), "dst",
+                    "left_semi")
+              .localCheckpoint(eager=False))
+    return (e.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("core_deg")))
+
+
+def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 50,
+          id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Run-to-convergence k-core: peel until the edge count stops
+    shrinking (one driver-side scalar count per round — the same
+    bounded probe the components loop uses). ``max_rounds`` bounds the
+    worst case; real graphs converge in a handful of rounds because
+    each round removes whole frontier layers."""
+    e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+              .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                        F.col(id_a).alias("dst")))
+              .distinct()
+              .localCheckpoint(eager=False))
+    prev = e.count()
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        e = (e.join(keep, "src", "left_semi")
+              .join(keep.withColumnRenamed("src", "dst"), "dst",
+                    "left_semi")
+              .localCheckpoint(eager=False))
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    return (e.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("core_deg")))

@@ -352,3 +352,34 @@ def funnel_conversions(df: DataFrame, user_col: str, ts_col: str,
                            / F.col(f"users_{a}"), round_dp)
                     .alias(f"conv_{a}_{b}"))
     return row.select(*sel)
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     round_dp: int = 6) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; cell
+    (cohort, offset_w) = share of the cohort active offset_w weeks
+    later — the standard product-analytics retention triangle.
+
+    Shuffle shape: first-seen = one groupBy(user); activity = distinct
+    (user, week); the cohort join rides the user key; the final matrix
+    is a groupBy over (cohort, offset) with count(DISTINCT user) —
+    every stage partial-aggregates and nothing exceeds |users| rows.
+    Week offsets come from epoch arithmetic on week-truncated naive-UTC
+    timestamps (exact multiples of 604800 s — no DST in the data
+    model), not calendar week-boundary counting, so both engines agree
+    on every cell."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = (df.groupBy(user_col)
+               .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort")))
+    active = df.select(F.col(user_col), wk.alias("wk")).distinct()
+    j = active.join(first, user_col)
+    off = ((F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
+           / F.lit(604800)).cast("int")
+    cells = (j.groupBy("cohort", off.alias("offset_w"))
+              .agg(F.countDistinct(user_col).alias("active_users")))
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    out = cells.join(size, "cohort")
+    return out.select(
+        "cohort", "offset_w", "active_users", "cohort_n",
+        F.round(F.col("active_users") * F.lit(1.0) / F.col("cohort_n"),
+                round_dp).alias("retention"))

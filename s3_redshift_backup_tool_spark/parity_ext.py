@@ -694,6 +694,47 @@ def pagerank_dup_graph_documents(spark, sf_dir):
         .select("node", F.round("rank", 6).alias("rank"))
 
 
+@q("kcore_dup_graph_documents",
+   f"""WITH {_MINHASH_CTE},
+      banded AS (SELECT doc_id, hash_idx // 2 AS band,
+                        md5(array_to_string(list_sort(
+                            list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
+                            ',')) AS band_hash
+                 FROM sig GROUP BY doc_id, hash_idx // 2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id),
+      e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+      d1 AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+      k1 AS (SELECT src FROM d1 WHERE d >= 2),
+      e1 AS (SELECT e.src, e.dst FROM e0 e
+             JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+      d2 AS (SELECT src, count(*) AS d FROM e1 GROUP BY 1),
+      k2 AS (SELECT src FROM d2 WHERE d >= 2),
+      e2 AS (SELECT e.src, e.dst FROM e1 e
+             JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+      d3 AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+      k3 AS (SELECT src FROM d3 WHERE d >= 2),
+      e3 AS (SELECT e.src, e.dst FROM e2 e
+             JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+      SELECT src AS node, count(*) AS core_deg FROM e3 GROUP BY 1""",
+   "2-core of the MinHash-LSH dup graph (3 fixed peel rounds, "
+   "unrolled in the oracle like the PageRank iterations): nodes that "
+   "survive repeated drop-degree-<2 are the dense template/spam blobs "
+   "worth whole-cluster handling — pairwise dedup sees their edges one "
+   "at a time, the core sees the blob. Each round is one degree "
+   "groupBy + two semi-joins, O(E) shuffle, checkpointed flat; "
+   "kcore() runs the same peel to convergence (equality at "
+   "convergence pinned in tests)")
+def kcore_dup_graph_documents(spark, sf_dir):
+    from .operators.graph import kcore_peel
+    prs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
+                       n=3, num_hashes=16, bands=8)
+    return kcore_peel(prs, k=2, rounds=3)
+
+
 @q("incremental_neardup_pairs_documents",
    f"""WITH {_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
@@ -5352,6 +5393,36 @@ def funnel_conversion_events(spark, sf_dir):
                               ["view", "click", "purchase"])
 
 
+@q("cohort_retention_events",
+   """WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY 1),
+      active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                 FROM events),
+      j AS (SELECT f.cohort,
+                   CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS INT)
+                     AS offset_w,
+                   a.user_id
+            FROM active a JOIN first f USING (user_id)),
+      cells AS (SELECT cohort, offset_w,
+                       count(DISTINCT user_id) AS active_users
+                FROM j GROUP BY 1, 2),
+      size_ AS (SELECT cohort, count(*) AS cohort_n FROM first GROUP BY 1)
+      SELECT c.cohort, c.offset_w, c.active_users, s.cohort_n,
+             round(c.active_users * 1.0 / s.cohort_n, 6) AS retention
+      FROM cells c JOIN size_ s USING (cohort)""",
+   "weekly cohort retention triangle: users grouped by first-seen week, "
+   "cell (cohort, offset) = share active that many weeks later — the "
+   "standard product-analytics report. Every stage partial-aggregates "
+   "on user/cohort keys; week offsets are epoch arithmetic on "
+   "week-truncated naive-UTC timestamps (exact 604800-second "
+   "multiples), not calendar boundary counting, so both engines agree "
+   "on every cell")
+def cohort_retention_events(spark, sf_dir):
+    from .operators.temporal import cohort_retention
+    return cohort_retention(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
 @q("robust_outliers_events",
    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
                    FROM events GROUP BY 1),
@@ -5856,6 +5927,8 @@ _TAIL = [
     "image_ahash_documents",           # perceptual-hash fingerprints
     "dow_seasonality_events",          # weekday profile + ratio
     "classifier_calibration_documents", # reliability curve
+    "cohort_retention_events",         # retention triangle
+    "kcore_dup_graph_documents",       # dense-blob peeling
 ]
 
 

@@ -587,3 +587,42 @@ def test_calibration_bins_partition_and_sum(spark):
     hi = [r for r in out if r["bin"] == 3][0]     # sigmoid(2)=.881
     assert lo["frac_pos"] == 0.0 and hi["frac_pos"] == 1.0
     assert abs(lo["mean_pred"] - round(1 / (1 + math.e ** 2), 6)) < 1e-6
+
+
+# ----------------------------------------------------------------- graphs
+
+def test_kcore_peels_tail_keeps_core(spark):
+    from s3_redshift_backup_tool_spark.operators.graph import kcore, kcore_peel
+    # triangle 1-2-3 (2-core) with a pendant chain 3-4-5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    out = {r["node"]: r["core_deg"] for r in kcore(pairs, k=2).collect()}
+    assert set(out) == {1, 2, 3} and all(v == 2 for v in out.values())
+    # fixed 3 rounds converge on this graph: identical to kcore()
+    peeled = {r["node"]: r["core_deg"]
+              for r in kcore_peel(pairs, k=2, rounds=3).collect()}
+    assert peeled == out
+
+
+def test_kcore_empty_when_no_core(spark):
+    from s3_redshift_backup_tool_spark.operators.graph import kcore
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_a long, id_b long")
+    assert kcore(chain, k=2).count() == 0
+
+
+def test_cohort_retention_known_matrix(spark):
+    import datetime as dt
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        cohort_retention)
+    w0, w1 = dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 8, 12)
+    rows = [  # users 1,2 start week0; only user 1 returns week1;
+              # user 3 starts week1
+        (1, w0), (2, w0), (1, w1), (3, w1)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort"].date().isoformat(), r["offset_w"]):
+           (r["active_users"], r["cohort_n"], r["retention"])
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
