@@ -286,3 +286,53 @@ def density_stats(df: DataFrame, ts_col: str) -> DataFrame:
         (F.stddev_pop("rows_per_hour") / F.avg("rows_per_hour")).alias("cv"),
         F.sum("rows_per_hour").alias("total_rows"),  # S9 count probe, same pass
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Snapshot-based CDC: derive I/U/D change rows from two full
+    snapshots — the extraction strategy of last resort when the source
+    has NO usable cursor (no timestamp, no monotonic id), which the
+    reference can only handle by full_sync-replacing the target every
+    run. One full-outer join on the key plus a content hash comparison:
+
+    - key only in new           -> 'I' (insert)
+    - key only in old           -> 'D' (delete)
+    - key in both, hash differs -> 'U' (update, new row values)
+
+    Unchanged rows (the overwhelming majority between consecutive
+    snapshots) are dropped, so downstream load/merge work scales with
+    the CHANGE volume even though the diff itself reads both snapshots
+    once. At 100 TB: bucket both snapshot tables by key and the join is
+    co-partitioned; the hash comparison never shuffles row payloads
+    beyond that one join. Output: key columns + new-side values (old
+    values for 'D') + 'op'."""
+    from .text import md5_prefix_int  # same portable row-hash as checksum_audit
+    cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
+
+    def _hashed(df: DataFrame, tag: str) -> DataFrame:
+        # both snapshots usually derive from the same source relation:
+        # prefix EVERY column (keys included) so the full-outer join has
+        # no ambiguous attribute references (self-join lineage)
+        parts = [F.when(F.col(c).isNull(), F.lit("\\N"))
+                  .otherwise(F.col(c).cast("string")) for c in cmp_cols]
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+            *[F.col(c).alias(f"{tag}_{c}") for c in cmp_cols],
+            md5_prefix_int(F.concat_ws("|", *parts)).alias(f"{tag}__h"))
+
+    o = _hashed(old, "o")
+    n = _hashed(new, "n")
+    cond = [F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}")) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    op = (F.when(F.col("o__h").isNull(), F.lit("I"))
+           .when(F.col("n__h").isNull(), F.lit("D"))
+           .when(F.col("o__h") != F.col("n__h"), F.lit("U")))
+    out_cols = [F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k)
+                for k in keys]
+    for c in cmp_cols:
+        out_cols.append(F.coalesce(F.col(f"n_{c}"), F.col(f"o_{c}"))
+                        .alias(c))
+    return (j.withColumn("op", op)
+             .where(F.col("op").isNotNull())
+             .select(*out_cols, "op"))

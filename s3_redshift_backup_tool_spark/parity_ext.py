@@ -5364,7 +5364,7 @@ def kmv_distinct_by_source(spark, sf_dir):
     return kmv_estimate(sk, ["source"], k=16)
 
 
-@q("funnel_conversion_events",
+@q("funnel_ordered_events",
    """WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events
                   WHERE event_type = 'view' GROUP BY 1),
       s2 AS (SELECT e.user_id, min(e.ts) AS t1
@@ -5393,7 +5393,54 @@ def funnel_conversion_events(spark, sf_dir):
                               ["view", "click", "purchase"])
 
 
-@q("cohort_retention_events",
+@q("snapshot_diff_orders",
+   """WITH old_ AS (
+        SELECT o_orderkey,
+               o_orderstatus || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               || '|' || o_orderpriority AS repr
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      new_ AS (
+        SELECT o_orderkey,
+               o_orderstatus || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               || '|' || CASE WHEN o_orderkey % 11 = 0 THEN 'X-UPDATED'
+                              ELSE o_orderpriority END AS repr
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT o_orderkey,
+             CASE WHEN o.repr IS NULL THEN 'I'
+                  WHEN n.repr IS NULL THEN 'D'
+                  WHEN o.repr <> n.repr THEN 'U' END AS op
+      FROM old_ o FULL OUTER JOIN new_ n USING (o_orderkey)
+      WHERE o.repr IS NULL OR n.repr IS NULL OR o.repr <> n.repr""",
+   "snapshot-based CDC: I/U/D change rows derived from two full "
+   "snapshots — the extraction strategy of last resort when the source "
+   "has NO usable cursor, which the reference can only handle by "
+   "full_sync-replacing the target every run. One co-partitionable "
+   "full-outer join on the key + a portable content-hash comparison; "
+   "unchanged rows (the overwhelming majority between consecutive "
+   "snapshots) drop out, so downstream merge work scales with CHANGE "
+   "volume. The oracle compares canonical row strings — equal to the "
+   "hash comparison up to md5 odds. Feeds streaming_agg_maintenance / "
+   "load_jdbc_upsert directly via the 'op' column")
+def snapshot_diff_orders(spark, sf_dir):
+    from .operators.cdc import snapshot_diff
+    orders = (_t(spark, sf_dir, "orders")
+              .withColumn("o_totalprice",
+                          F.col("o_totalprice").cast("decimal(18,2)")))
+    key = F.col("o_orderkey")
+    old = orders.where(key % 5 != 0)
+    new = (orders.where(key % 7 != 0)
+                 .withColumn("o_orderpriority",
+                             F.when(key % 11 == 0, F.lit("X-UPDATED"))
+                              .otherwise(F.col("o_orderpriority"))))
+    out = snapshot_diff(old, new, ["o_orderkey"],
+                        compare_cols=["o_orderstatus", "o_totalprice",
+                                      "o_orderpriority"])
+    return out.select("o_orderkey", "op")
+
+
+@q("cohort_retention_weekly_events",
    """WITH first AS (
         SELECT user_id, date_trunc('week', min(ts)) AS cohort
         FROM events GROUP BY 1),
@@ -5917,7 +5964,7 @@ _TAIL = [
     "minhash_lsh_pairs_documents",
     # round-7 second batch (window candidates for the r8 rotation):
     "kmv_distinct_by_source",          # mergeable distinct sketch
-    "funnel_conversion_events",        # ordered sequence funnel
+    "funnel_ordered_events",           # strictly-ordered funnel
     "robust_outliers_events",          # median/MAD outlier screen
     "curriculum_interleave_documents", # difficulty-ranked interleave
     "checksum_audit_orders",           # count+xor content fingerprint
@@ -5927,8 +5974,9 @@ _TAIL = [
     "image_ahash_documents",           # perceptual-hash fingerprints
     "dow_seasonality_events",          # weekday profile + ratio
     "classifier_calibration_documents", # reliability curve
-    "cohort_retention_events",         # retention triangle
+    "cohort_retention_weekly_events",  # weekly retention triangle
     "kcore_dup_graph_documents",       # dense-blob peeling
+    "snapshot_diff_orders",            # cursor-less I/U/D extraction
 ]
 
 
