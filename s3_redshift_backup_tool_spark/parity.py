@@ -66,6 +66,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent dict overwrite shadowed two earlier-round entries
+            # in round 7 (funnel/cohort) — fail loudly instead
+            raise RuntimeError(f"duplicate registry entry name: {name!r} "
+                               f"(existing: {REGISTRY[name].fn.__module__}."
+                               f"{REGISTRY[name].fn.__qualname__})")
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
         return fn
     return deco
