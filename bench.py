@@ -191,7 +191,13 @@ def _persist_full_history(result: dict) -> None:
     rounds = [int(m.group(1)) for f in glob.glob(
         os.path.join(repo, "BENCH_r*.json"))
         if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
-    n = (max(rounds) + 1) if rounds else 1
+    # the driver occasionally skips a BENCH_r artifact (round 6 had
+    # none), so also advance past our own full-history files — never
+    # overwrite a prior round's sweep
+    full_rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(repo, "bench_full_r*.json"))
+        if (m := re.search(r"bench_full_r(\d+)\.json$", f))]
+    n = max([r + 1 for r in rounds + full_rounds] or [1])
     with open(os.path.join(repo, f"bench_full_r{n:02d}.json"), "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
 
