@@ -336,3 +336,20 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     return (j.withColumn("op", op)
              .where(F.col("op").isNotNull())
              .select(*out_cols, "op"))
+
+
+def apply_diff(old: DataFrame, diff: DataFrame,
+               keys: list[str]) -> DataFrame:
+    """Replay a :func:`snapshot_diff` change set onto a snapshot:
+    drop keys carrying 'D' or 'U', then append the 'I' and 'U' rows —
+    upsert-by-replacement, the merge half of snapshot replication. By
+    construction ``apply_diff(old, snapshot_diff(old, new), keys)``
+    equals ``new`` row-for-row (pinned by a hypothesis property test).
+
+    One left_anti join on the key set + a union — the same shuffle
+    budget as any keyed upsert; at 100 TB both sides bucket by key."""
+    touched = (diff.where(F.col("op").isin("D", "U"))
+                   .select(*[F.col(k) for k in keys]).distinct())
+    kept = old.join(touched, keys, "left_anti")
+    incoming = diff.where(F.col("op").isin("I", "U")).drop("op")
+    return kept.unionByName(incoming)
