@@ -864,27 +864,43 @@ def shingle_bloom_mask(df: DataFrame, text_col: str = "text",
     h x |shingles|) longs — the EVAL side of decontamination is small
     by definition, that is the whole premise). Words are two's-
     complement so they round-trip through an ``array<bigint>``."""
+    sh = word_shingles(df, text_col, id_col, n).select("shingle").distinct()
+    return bloom_mask_from_keys(sh, "shingle", m_bits, h_funcs, seed)
+
+
+def bloom_mask_from_keys(keys: DataFrame, key_col: str,
+                         m_bits: int = 1 << 20, h_funcs: int = 4,
+                         seed: int = 7) -> list[int]:
+    """Generic Bloom builder over ANY distinct key relation (the
+    shingle mask above is one instance; skew.bloom_semi_join is
+    another). Positions fold into 64-bit words DISTRIBUTED (bit_or
+    partial-aggregates map-side), so the driver receives <= m_bits/64
+    word rows — not one row per distinct position."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    sh = word_shingles(df, text_col, id_col, n).select("shingle").distinct()
-    # fold positions into 64-bit words DISTRIBUTED (bit_or partial-
-    # aggregates map-side), so the driver receives <= m_bits/64 word
-    # rows — not one row per distinct position (h x |eval shingles|,
-    # which at a large eval suite is millions of rows into a Python
-    # bit-set loop)
-    packed = (sh.select(*_bloom_position_cols(F.col("shingle"), m_bits,
-                                              h_funcs, seed))
-                .select(F.explode(F.array(
-                    *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
-                .select(F.shiftright("p", 6).alias("w"),
-                        F.expr("shiftleft(cast(1 as bigint), "
-                               "cast(p % 64 as int))").alias("bit"))
-                .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
-                .collect())
+    packed = (keys.select(*_bloom_position_cols(F.col(key_col), m_bits,
+                                                h_funcs, seed))
+                  .select(F.explode(F.array(
+                      *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
+                  .select(F.shiftright("p", 6).alias("w"),
+                          F.expr("shiftleft(cast(1 as bigint), "
+                                 "cast(p % 64 as int))").alias("bit"))
+                  .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
+                  .collect())
     words = [0] * (m_bits // 64)
     for r in packed:
         words[int(r["w"])] = int(r["word"]) & ((1 << 64) - 1)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_gate_sql(h_funcs: int) -> str:
+    """SQL membership predicate over the ``__p{i}`` position columns and
+    a broadcast ``__bloom_mask`` array<bigint> column."""
+    return " AND ".join(
+        f"((shiftright(element_at(__bloom_mask, "
+        f"cast(__p{i} div 64 as int) + 1), "
+        f"cast(__p{i} % 64 as int))) & 1) = 1"
+        for i in range(h_funcs))
 
 
 def decontaminate_overlap_bloom(eval_df: DataFrame, train_df: DataFrame,
@@ -914,11 +930,7 @@ def decontaminate_overlap_bloom(eval_df: DataFrame, train_df: DataFrame,
                               h_funcs, seed)
     mask_df = spark.createDataFrame([(mask,)],
                                     "__bloom_mask: array<bigint>")
-    gate = " AND ".join(
-        f"((shiftright(element_at(__bloom_mask, "
-        f"cast(__p{i} div 64 as int) + 1), "
-        f"cast(__p{i} % 64 as int))) & 1) = 1"
-        for i in range(h_funcs))
+    gate = bloom_gate_sql(h_funcs)
     tr = (word_shingles(train_df, text_col, id_col, n)
           .select("shingle")
           .crossJoin(F.broadcast(mask_df))

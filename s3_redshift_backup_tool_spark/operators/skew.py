@@ -119,3 +119,42 @@ def skew_report(df: DataFrame, key_col: str,
          .alias("max_key_share"),
         F.round(F.sum("__c") * F.lit(1.0) / F.count(F.lit(1)), round_dp)
          .alias("avg_rows_per_key"))
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, on: list[str],
+                    m_bits: int = 1 << 20, h_funcs: int = 4,
+                    seed: int = 7) -> DataFrame:
+    """left_semi of ``big`` against ``small`` with a broadcast Bloom
+    pre-filter on the big side — IDENTICAL output to a plain left_semi
+    (false positives die in the exact join that follows), but big-side
+    rows that fail the Bloom never enter the shuffle.
+
+    The 100 TB regime this exists for: ``small`` is a computed,
+    medium-cardinality key set (too big to broadcast-hash-join outright
+    or produced mid-pipeline where AQE's runtime bloom doesn't reach)
+    and ``big`` is the fact table. The mask is m_bits/8 bytes on a
+    1-row broadcast; the gate is pure JVM bit arithmetic inside
+    codegen, so the shuffled volume drops to |matches| + FP-rate x
+    |big|. Size m_bits ~ 20x the small side's distinct key count for
+    ~2% FP. Same mask/word-fold machinery as the decontamination
+    bloom (dedup.bloom_mask_from_keys)."""
+    from .dedup import (_bloom_position_cols, bloom_gate_sql,
+                        bloom_mask_from_keys)
+
+    def _key(df: DataFrame):
+        parts = [F.when(F.col(c).isNull(), F.lit("\\N"))
+                  .otherwise(F.col(c).cast("string")) for c in on]
+        return F.concat_ws("|", *parts)
+
+    spark = big.sparkSession
+    keys = small.select(_key(small).alias("__k")).distinct()
+    mask = bloom_mask_from_keys(keys, "__k", m_bits, h_funcs, seed)
+    mask_df = spark.createDataFrame([(mask,)],
+                                    "__bloom_mask: array<bigint>")
+    pre = (big.crossJoin(F.broadcast(mask_df))
+              .select(*big.columns, F.col("__bloom_mask"),
+                      *_bloom_position_cols(_key(big), m_bits, h_funcs,
+                                            seed))
+              .filter(F.expr(bloom_gate_sql(h_funcs)))
+              .select(*big.columns))
+    return pre.join(small.select(*on).distinct(), on, "left_semi")

@@ -5393,6 +5393,30 @@ def funnel_conversion_events(spark, sf_dir):
                               ["view", "click", "purchase"])
 
 
+@q("bloom_semi_join_orders",
+   """SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 9000)""",
+   "left_semi with a broadcast Bloom pre-filter on the fact side — the "
+   "oracle IS the plain semi-join because the exact join after the gate "
+   "kills every false positive; the bloom only changes WHERE rows die "
+   "(map-side, pre-shuffle). The regime: a computed medium-cardinality "
+   "key set that is too big to broadcast outright and invisible to "
+   "AQE's runtime bloom; the mask (m_bits/8 bytes) rides a 1-row "
+   "broadcast and the gate is codegen bit arithmetic, so shuffle volume "
+   "drops to |matches| + FP x |facts|. Same word-fold machinery as the "
+   "decontamination bloom")
+def bloom_semi_join_orders(spark, sf_dir):
+    from .operators.skew import bloom_semi_join
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus")
+    rich = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_acctbal") > 9000)
+            .select(F.col("c_custkey").alias("o_custkey")))
+    return bloom_semi_join(orders, rich, ["o_custkey"])
+
+
 @q("snapshot_diff_orders",
    """WITH old_ AS (
         SELECT o_orderkey,
@@ -5977,6 +6001,7 @@ _TAIL = [
     "cohort_retention_weekly_events",  # weekly retention triangle
     "kcore_dup_graph_documents",       # dense-blob peeling
     "snapshot_diff_orders",            # cursor-less I/U/D extraction
+    "bloom_semi_join_orders",          # broadcast-bloom prefilter semi
 ]
 
 

@@ -65,3 +65,44 @@ def test_mask_word_sign_roundtrip(spark):
     out = decontaminate_overlap_bloom(evald, evald, m_bits=64,
                                       h_funcs=8, seed=3).collect()
     assert out[0]["overlap_frac"] == 1.0     # self-overlap fully kept
+
+
+def test_bloom_semi_join_equals_plain_semi(spark, sf_dir):
+    from tests.conftest import _rt
+    from s3_redshift_backup_tool_spark.operators.skew import bloom_semi_join
+    orders = _rt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rich = (_rt(spark, sf_dir, "customer")
+            .where(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("o_custkey")))
+    got = bloom_semi_join(orders, rich, ["o_custkey"])
+    want = orders.join(rich.distinct(), ["o_custkey"], "left_semi")
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
+
+
+def test_bloom_semi_join_null_keys_drop(spark):
+    from s3_redshift_backup_tool_spark.operators.skew import bloom_semi_join
+    big = spark.createDataFrame([(1, "x"), (None, "y"), (2, "z")],
+                                "k int, v string")
+    small = spark.createDataFrame([(1,), (None,)], "k int")
+    out = bloom_semi_join(big, small, ["k"]).collect()
+    # semi-join null semantics: NULL keys never match (same as plain)
+    assert {r["v"] for r in out} == {"x"}
+
+
+def test_bloom_gate_actually_prunes(spark):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        _bloom_position_cols, bloom_gate_sql, bloom_mask_from_keys)
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(10)],
+                                 "k string")
+    mask = bloom_mask_from_keys(keys, "k", m_bits=1 << 12)
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(10)]
+        + [(f"other-{i}",) for i in range(500)], "k string")
+    mask_df = spark.createDataFrame([(mask,)], "__bloom_mask: array<bigint>")
+    kept = (probe.crossJoin(F.broadcast(mask_df))
+                 .select("k", "__bloom_mask",
+                         *_bloom_position_cols(F.col("k"), 1 << 12, 4, 7))
+                 .filter(F.expr(bloom_gate_sql(4)))
+                 .count())
+    assert 10 <= kept < 100   # all members kept; vast majority pruned
