@@ -669,3 +669,23 @@ def test_snapshot_diff_feeds_agg_maintenance(spark, tmp_path):
     for g in want:
         assert got[g][0] == want[g][0]
         assert abs(got[g][1] - want[g][1]) < 1e-6
+
+
+# ------------------------------------------------------------ corpus card
+
+def test_corpus_report_shape_and_consistency(spark, sf_dir):
+    import json
+    from s3_redshift_backup_tool_spark.plans.report import corpus_report
+    docs = _rt(spark, sf_dir, "documents")
+    card = corpus_report(docs)
+    json.dumps(card)                       # JSON-serializable contract
+    assert card["n_docs"] == docs.count()
+    assert sum(s["docs"] for s in card["volume"]) == card["n_docs"]
+    assert sum(l["docs"] for l in card["languages"]) == card["n_docs"]
+    dup = card["duplication"]
+    assert 0.0 <= dup["exact_dup_rate"] < 1.0
+    assert len(dup["kmv_per_source"]) == len(card["volume"])
+    lp = card["length_percentiles"]
+    assert lp["p10"] <= lp["p50"] <= lp["p90"]
+    qq = card["quality_quartiles"]
+    assert qq["p25"] <= qq["p50"] <= qq["p75"]
