@@ -664,6 +664,22 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """Dataset-card summary (plans/report.py corpus_report) for a
+    documents-shaped table: per-source volume/tokens, languages,
+    quality quartiles, dup rates + KMV distinct estimates, length
+    percentiles — one JSON object on stdout."""
+    from .plans.report import corpus_report
+    from .session import get_spark
+    from .sources.readers import read_table
+
+    spark = get_spark("cli_report", cpus=args.cpus)
+    docs = read_table(spark, args.source_dir, args.table)
+    _emit(corpus_report(docs, text_col=args.text_col, id_col=args.id_col,
+                        source_col=args.source_col))
+    return 0
+
+
 def cmd_matview(args: argparse.Namespace) -> int:
     """Maintained grouped aggregate (plans/rollup.py IncrementalRollup on
     the agg-state monoid): ``refresh`` ⊕-folds a batch in, ``retract``
@@ -965,6 +981,17 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     di.set_defaults(fn=cmd_dedup_index)
+
+    rp = sub.add_parser("report", help="dataset-card corpus summary "
+                                       "(volume/langs/quality/dup/KMV)")
+    rp.add_argument("--source-dir", required=True)
+    rp.add_argument("-t", "--table", default="documents")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--source-col", default="source")
+    rp.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    rp.set_defaults(fn=cmd_report)
 
     mv = sub.add_parser("matview", help="maintained grouped aggregate: "
                                         "refresh / retract / read")

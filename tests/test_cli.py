@@ -598,3 +598,11 @@ def test_matview_verbs(capsys, tmp_path, sf_dir):
                              "--value-col", "o_totalprice", "--cpus", "8"])
     assert rc4 == 0
     assert sum(r["n_rows"] for r in rd2["rows"]) == total - rt["batch_rows"]
+
+
+def test_report_verb(capsys, sf_dir):
+    rc, out = _run(capsys, ["report", "--source-dir", sf_dir,
+                            "-t", "documents", "--cpus", "8"])
+    assert rc == 0
+    assert out["n_docs"] > 0 and "quality_quartiles" in out
+    assert sum(s["docs"] for s in out["volume"]) == out["n_docs"]
