@@ -5393,6 +5393,55 @@ def funnel_conversion_events(spark, sf_dir):
                               ["view", "click", "purchase"])
 
 
+@q("tfidf_top_terms_documents",
+   """WITH tf AS (
+        SELECT doc_id, t.term, count(*) AS tf
+        FROM documents,
+             unnest(string_split(text, ' ')) AS t(term)
+        GROUP BY doc_id, t.term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                 AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, term, round(score, 6) AS tfidf, rnk
+      FROM ranked WHERE rnk <= 3""",
+   "top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1, "
+   "sklearn's formula): keyword extraction / doc labeling on the same "
+   "posting-list shape BM25 uses. Shuffles are the (doc,term) tf "
+   "groupBy and the |vocab|-row df aggregate joined back on term "
+   "(broadcast-class); the per-doc rank window partitions by doc_id — "
+   "bounded by a document's distinct vocabulary, never corpus-wide. "
+   "Scores are identical IEEE expressions from integer tf/df, so the "
+   "ranking cannot diverge between engines")
+def tfidf_top_terms_documents(spark, sf_dir):
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("term"))
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(n_docs) + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (tf.join(df_, "term")
+                .select("doc_id", "term",
+                        (F.col("tf") * idf).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= 3)
+                  .select("doc_id", "term",
+                          F.round("score", 6).alias("tfidf"), "rnk"))
+
+
 @q("bloom_semi_join_orders",
    """SELECT o_orderkey, o_custkey, o_orderstatus
       FROM orders
@@ -6002,6 +6051,7 @@ _TAIL = [
     "kcore_dup_graph_documents",       # dense-blob peeling
     "snapshot_diff_orders",            # cursor-less I/U/D extraction
     "bloom_semi_join_orders",          # broadcast-bloom prefilter semi
+    "tfidf_top_terms_documents",       # keyword extraction
 ]
 
 
