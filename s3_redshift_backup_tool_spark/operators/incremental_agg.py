@@ -51,11 +51,6 @@ def _sum_t(scale: int = _DEFAULT_SUM_SCALE) -> str:
     return f"decimal(38,{scale})"
 
 
-def _cols(measure: str) -> list[str]:
-    return [f"{measure}__n", f"{measure}__sum", f"{measure}__min",
-            f"{measure}__max", f"{measure}__ssq"]
-
-
 def agg_state(df: DataFrame, keys: list[str], measures: list[str],
               sum_scale: int = _DEFAULT_SUM_SCALE) -> DataFrame:
     """One partial-aggregable pass -> per-key mergeable state.
