@@ -322,3 +322,56 @@ def checksum_audit(df: DataFrame, part_cols: list[str],
     return (df.groupBy(*part_cols)
               .agg(F.count(F.lit(1)).alias("n_rows"),
                    F.bit_xor(rowhash).alias("content_xor")))
+
+
+def numeric_histogram(df: DataFrame, value_col: str, bins: int = 10,
+                      lo: float | None = None,
+                      hi: float | None = None) -> DataFrame:
+    """Equi-width histogram of a numeric column: the profiling primitive
+    behind distribution drift checks and UI sparklines. Bounds default
+    to the column's min/max (one scalar agg); bucket = floor((v - lo) *
+    bins / (hi - lo)) capped into [0, bins-1] — plain double arithmetic
+    expressible identically in any engine (no width_bucket dependency).
+    One partial-aggregable groupBy over at most ``bins`` keys; NULLs
+    are reported as their own row (bucket NULL) rather than dropped."""
+    if lo is None or hi is None:
+        row = df.agg(F.min(value_col).alias("lo"),
+                     F.max(value_col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    v = F.col(value_col).cast("double")
+    if hi <= lo:
+        bucket = F.when(v.isNull(), F.lit(None)).otherwise(F.lit(0))
+    else:
+        raw = F.floor((v - F.lit(lo)) * F.lit(float(bins))
+                      / (F.lit(hi) - F.lit(lo)))
+        bucket = F.when(v.isNull(), F.lit(None).cast("int")) \
+                  .otherwise(F.least(F.greatest(raw, F.lit(0)),
+                                     F.lit(bins - 1)).cast("int"))
+    return (df.groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("lo", F.round(F.lit(lo)
+                          + F.col("bucket") * (F.lit(hi) - F.lit(lo))
+                          / F.lit(float(bins)), 6)))
+
+
+def fk_orphan_audit(facts: DataFrame, fact_key: str,
+                    dim: DataFrame, dim_key: str) -> DataFrame:
+    """Referential-integrity probe: how many fact rows point at a
+    missing dimension key (and how many point at NULL). The reference
+    trusts source FKs blindly; after partial syncs or out-of-order
+    loads the orphan rate is the first thing to check before joining.
+    One left_anti join (NULL-keyed rows counted separately — anti-join
+    semantics would silently lump them with orphans) + scalar counts."""
+    nn = facts.where(F.col(fact_key).isNotNull())
+    orphans = nn.join(dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+                      [fact_key], "left_anti")
+    total = facts.count()
+    n_null = total - nn.count()
+    n_orphan = orphans.count()
+    spark = facts.sparkSession
+    return spark.createDataFrame(
+        [(total, n_null, n_orphan,
+          round(n_orphan * 1.0 / total, 6) if total else 0.0)],
+        "n_rows bigint, n_null_keys bigint, n_orphans bigint, "
+        "orphan_rate double")

@@ -383,3 +383,43 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
         "cohort", "offset_w", "active_users", "cohort_n",
         F.round(F.col("active_users") * F.lit(1.0) / F.col("cohort_n"),
                 round_dp).alias("retention"))
+
+
+def top_session_paths(df: DataFrame, user_col: str, ts_col: str,
+                      type_col: str, gap_minutes: int = 30,
+                      top_n: int = 20,
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """Most common event paths per session: sessionize (same gap rule
+    as session_window), assemble each session's ordered event-type
+    string, count paths, keep the global top N — the "how do users
+    actually move" report behind funnel design.
+
+    The per-session ordering happens INSIDE an aggregated array
+    (sort_array over collect_list of (ts, tiebreak, type) structs), so
+    the sort is bounded by one session's events — no global or
+    per-user-history window. Path strings shuffle as grouped keys with
+    map-side partial counts; the final top-N is a TakeOrdered over
+    |distinct paths|."""
+    order_cols = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    gap = (F.unix_timestamp(ts_col)
+           - F.unix_timestamp(F.lag(ts_col).over(w)))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1) \
+                .otherwise(0)
+    sess = (df.withColumn("__new", new_sess)
+              .withColumn("__sid", F.sum("__new").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    struct_cols = [F.col(ts_col).alias("t")] + (
+        [F.col(tiebreak_col).alias("tb")] if tiebreak_col else []) + [
+        F.col(type_col).alias("e")]
+    paths = (sess.groupBy(user_col, "__sid")
+                 .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(F.struct(*struct_cols))),
+                         lambda s: s["e"]),
+                     ">").alias("path")))
+    return (paths.groupBy("path")
+                 .agg(F.count(F.lit(1)).alias("n_sessions"))
+                 .orderBy(F.desc("n_sessions"), "path")
+                 .limit(top_n))

@@ -5466,6 +5466,93 @@ def bloom_semi_join_orders(spark, sf_dir):
     return bloom_semi_join(orders, rich, ["o_custkey"])
 
 
+@q("value_histogram_events",
+   """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      h AS (SELECT CASE WHEN value IS NULL THEN NULL
+                   ELSE CAST(least(greatest(floor((value - b.lo) * 10.0
+                                            / (b.hi - b.lo)), 0), 9)
+                             AS INT) END AS bucket
+            FROM events CROSS JOIN b)
+      SELECT bucket, count(*) AS n,
+             round((SELECT lo FROM b)
+                   + bucket * ((SELECT hi FROM b) - (SELECT lo FROM b))
+                     / 10.0, 6) AS lo
+      FROM h GROUP BY bucket""",
+   "equi-width histogram of a numeric column — the profiling primitive "
+   "behind drift checks and UI sparklines. Bucketing is plain double "
+   "arithmetic (floor((v-lo)*bins/(hi-lo)) clamped), identical in any "
+   "engine — no width_bucket dependency (DuckDB lacks it); NULLs get "
+   "their own row instead of vanishing. One scalar bounds agg + one "
+   "partial-aggregable groupBy over <= bins keys")
+def value_histogram_events(spark, sf_dir):
+    from .operators.quality import numeric_histogram
+    return numeric_histogram(_t(spark, sf_dir, "events"), "value",
+                             bins=10)
+
+
+@q("fk_orphan_audit_lineitem",
+   """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+               AS n_null_keys,
+             CAST(count(*) FILTER (l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey % 3 <> 0)) AS BIGINT)
+               AS n_orphans,
+             round(count(*) FILTER (l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey % 3 <> 0)) * 1.0
+                   / count(*), 6) AS orphan_rate
+      FROM lineitem""",
+   "referential-integrity probe: fact rows pointing at a missing "
+   "dimension key, counted separately from NULL keys (anti-join "
+   "semantics would silently lump them). The dimension here is orders "
+   "with a third of its keys withheld — the partially-synced-dimension "
+   "scenario this audit exists to catch before a join silently drops "
+   "rows. One left_anti + scalar counts")
+def fk_orphan_audit_lineitem(spark, sf_dir):
+    from .operators.quality import fk_orphan_audit
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (_t(spark, sf_dir, "orders")
+           .where(F.col("o_orderkey") % 3 != 0))
+    return fk_orphan_audit(li, "l_orderkey", dim, "o_orderkey")
+
+
+@q("top_event_paths_sessions",
+   """WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o),
+      p AS (SELECT user_id, sid,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                     AS path
+            FROM s GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions
+      FROM p GROUP BY 1
+      ORDER BY n_sessions DESC, path LIMIT 20""",
+   "most common per-session event paths (30-min gap sessionization, "
+   "same rule as session_windows_events): the 'how do users actually "
+   "move' report funnels are designed from. Per-session ordering "
+   "happens INSIDE an aggregated array (sort_array over collected "
+   "structs) — bounded by one session's events, no per-user-history "
+   "sort exchange; paths shuffle as grouped keys with map-side "
+   "partials; final top-N is a TakeOrdered over |distinct paths|")
+def top_event_paths_sessions(spark, sf_dir):
+    from .operators.temporal import top_session_paths
+    return top_session_paths(_t(spark, sf_dir, "events"),
+                             "user_id", "ts", "event_type",
+                             gap_minutes=30, top_n=20,
+                             tiebreak_col="event_id")
+
+
 @q("snapshot_diff_orders",
    """WITH old_ AS (
         SELECT o_orderkey,
@@ -6052,6 +6139,9 @@ _TAIL = [
     "snapshot_diff_orders",            # cursor-less I/U/D extraction
     "bloom_semi_join_orders",          # broadcast-bloom prefilter semi
     "tfidf_top_terms_documents",       # keyword extraction
+    "value_histogram_events",          # equi-width profiling bins
+    "fk_orphan_audit_lineitem",        # referential-integrity probe
+    "top_event_paths_sessions",        # session path mining
 ]
 
 

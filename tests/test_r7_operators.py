@@ -689,3 +689,53 @@ def test_corpus_report_shape_and_consistency(spark, sf_dir):
     assert lp["p10"] <= lp["p50"] <= lp["p90"]
     qq = card["quality_quartiles"]
     assert qq["p25"] <= qq["p50"] <= qq["p75"]
+
+
+# -------------------------------------------------------- profiling/paths
+
+def test_histogram_buckets_partition_rows(spark):
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        numeric_histogram)
+    df = spark.createDataFrame([(float(i),) for i in range(100)]
+                               + [(None,)], "v double")
+    rows = numeric_histogram(df, "v", bins=4).collect()
+    by = {r["bucket"]: r["n"] for r in rows}
+    assert by[None] == 1
+    assert sum(v for k, v in by.items() if k is not None) == 100
+    # max value clamps into the last bucket, not bins
+    assert set(k for k in by if k is not None) == {0, 1, 2, 3}
+
+
+def test_histogram_constant_column(spark):
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        numeric_histogram)
+    df = spark.createDataFrame([(5.0,)] * 7, "v double")
+    rows = numeric_histogram(df, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 7
+
+
+def test_fk_audit_counts_orphans_and_nulls(spark):
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        fk_orphan_audit)
+    facts = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "d int")
+    out = fk_orphan_audit(facts, "k", dim, "d").collect()[0]
+    assert out["n_rows"] == 4 and out["n_null_keys"] == 1
+    assert out["n_orphans"] == 1 and out["orphan_rate"] == 0.25
+
+
+def test_session_paths_split_on_gap(spark):
+    import datetime as dt
+    from s3_redshift_backup_tool_spark.operators.temporal import (
+        top_session_paths)
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [(1, t0, 1, "view"), (1, t0 + dt.timedelta(minutes=5), 2, "click"),
+            # > 30 min gap: new session
+            (1, t0 + dt.timedelta(hours=2), 3, "view"),
+            (2, t0, 4, "view"), (2, t0 + dt.timedelta(minutes=1), 5, "click")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["path"]: r["n_sessions"]
+           for r in top_session_paths(df, "user_id", "ts", "event_type",
+                                      tiebreak_col="event_id").collect()}
+    assert out == {"view>click": 2, "view": 1}
