@@ -277,3 +277,56 @@ def files_df_from_dir(spark, path: str, suffix: str = ".parquet") -> DataFrame:
                 p = os.path.join(root, n)
                 rows.append((os.path.relpath(p, path), os.path.getsize(p)))
     return spark.createDataFrame(rows, "file_id string, size_bytes bigint")
+
+
+def execute_compaction(spark, path: str,
+                       target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Execute a compaction: rewrite a parquet directory so each
+    partition carries ~target-byte files — the OPTIMIZE half to
+    :func:`compaction_plan`'s planning half. Hive-style single-level
+    partition dirs (``col=value``) are compacted per partition (a
+    bounded driver loop — one small Spark job per partition, which is
+    how real OPTIMIZE implementations batch too); flat dirs in one job.
+
+    Crash-safe: each rewritten dir lands aside as ``<dir>__tmpc`` and
+    swaps in via rename (stale tmp dirs are cleaned first), so a crash
+    leaves either the old or the new complete directory, never a mix.
+    Returns {partition: (files_before, files_after)}."""
+    import math
+    import os
+    import shutil
+
+    def _bins(d: str) -> tuple[int, int]:
+        sizes = [os.path.getsize(os.path.join(d, f))
+                 for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        total = sum(sizes)
+        return len(sizes), max(1, math.ceil(total / target_bytes))
+
+    def _rewrite(d: str, n_files: int) -> None:
+        tmp = d.rstrip("/") + "__tmpc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df = spark.read.parquet(d)
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        old = d.rstrip("/") + "__oldc"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+
+    parts = [e for e in os.listdir(path)
+             if "=" in e and os.path.isdir(os.path.join(path, e))]
+    report = {}
+    if parts:
+        for e in sorted(parts):
+            d = os.path.join(path, e)
+            before, n = _bins(d)
+            if n < before:
+                _rewrite(d, n)
+            report[e] = (before, min(before, n))
+    else:
+        before, n = _bins(path)
+        if n < before:
+            _rewrite(path, n)
+        report["."] = (before, min(before, n))
+    return report

@@ -5466,6 +5466,30 @@ def bloom_semi_join_orders(spark, sf_dir):
     return bloom_semi_join(orders, rich, ["o_custkey"])
 
 
+@q("ann_matryoshka_topk_embeddings",
+   """WITH q AS (SELECT CAST(embedding AS DOUBLE[])[1:16] AS v
+                 FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+             round(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[])[1:16],
+                 (SELECT v FROM q)), 6) AS cos_sim
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+   "Matryoshka truncation retrieval (Kusupati '22): exact top-10 over "
+   "the leading 16 of 64 dims — the storage/compute rung modern "
+   "MRL-trained embedding models ship (prefix retains most quality at "
+   "a fraction of the cost; cosine is scale-invariant so no renorm). "
+   "Per-row slice, zero shuffle, TakeOrderedAndProject top-k; compose "
+   "with IVF/PQ for a truncate->bucket->rerank ladder")
+def ann_matryoshka_topk_embeddings(spark, sf_dir):
+    from .operators.similarity import cosine_topk, matryoshka_truncate
+    emb = _t(spark, sf_dir, "embeddings")
+    tr = matryoshka_truncate(emb, 16)
+    qv = [float(x) for x in
+          tr.where(F.col("vec_id") == 0).head()["embedding"]]
+    return cosine_topk(tr.where(F.col("vec_id") != 0), qv, k=10)
+
+
 @q("value_histogram_events",
    """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
       h AS (SELECT CASE WHEN value IS NULL THEN NULL
@@ -6142,6 +6166,7 @@ _TAIL = [
     "value_histogram_events",          # equi-width profiling bins
     "fk_orphan_audit_lineitem",        # referential-integrity probe
     "top_event_paths_sessions",        # session path mining
+    "ann_matryoshka_topk_embeddings",  # truncated-prefix retrieval
 ]
 
 

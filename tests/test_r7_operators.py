@@ -739,3 +739,46 @@ def test_session_paths_split_on_gap(spark):
            for r in top_session_paths(df, "user_id", "ts", "event_type",
                                       tiebreak_col="event_id").collect()}
     assert out == {"view>click": 2, "view": 1}
+
+
+# -------------------------------------------------------- compaction exec
+
+def test_execute_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from s3_redshift_backup_tool_spark.operators.layout import (
+        execute_compaction)
+    d = str(tmp_path / "tbl")
+    spark.range(10_000).repartition(24).write.parquet(d)
+    import os
+    n_before = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_before == 24
+    report = execute_compaction(spark, d, target_bytes=10 * 1024 * 1024)
+    after = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert report["."][0] == 24 and report["."][1] == after < 24
+    assert spark.read.parquet(d).count() == 10_000
+
+
+def test_execute_compaction_partitioned(spark, tmp_path):
+    from s3_redshift_backup_tool_spark.operators.layout import (
+        execute_compaction)
+    from pyspark.sql import functions as F2
+    d = str(tmp_path / "ptbl")
+    (spark.range(6000).withColumn("p", (F2.col("id") % 3).cast("int"))
+          .repartition(12).write.partitionBy("p").parquet(d))
+    report = execute_compaction(spark, d, target_bytes=50 * 1024 * 1024)
+    assert set(report) == {"p=0", "p=1", "p=2"}
+    assert all(after <= before for before, after in report.values())
+    back = spark.read.parquet(d)
+    assert back.count() == 6000
+    assert back.select("p").distinct().count() == 3
+
+
+def test_matryoshka_truncate_and_renorm(spark, sf_dir):
+    import numpy as np
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        matryoshka_truncate)
+    emb = _rt(spark, sf_dir, "embeddings").limit(5)
+    tr = matryoshka_truncate(emb, 16, renormalize=True).collect()
+    for r in tr:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert v.size == 16
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
