@@ -5466,6 +5466,56 @@ def bloom_semi_join_orders(spark, sf_dir):
     return bloom_semi_join(orders, rich, ["o_custkey"])
 
 
+@q("embedding_drift_halves",
+   """WITH ex AS (
+        SELECT vec_id % 2 AS h, i - 1 AS d,
+               CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12)) AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)),
+      means AS (SELECT h, d,
+                       CAST(sum(v) AS DOUBLE) / count(*) AS m
+                FROM ex GROUP BY 1, 2),
+      j AS (SELECT a.d, a.m AS m0, b.m AS m1
+            FROM means a JOIN means b USING (d)
+            WHERE a.h = 0 AND b.h = 1)
+      SELECT round(sum(m0 * m1)
+                   / (sqrt(sum(m0 * m0)) * sqrt(sum(m1 * m1))), 6)
+               AS mean_cosine,
+             round(max(abs(m0 - m1)), 6) AS max_dim_shift,
+             round(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS l2_shift
+      FROM j""",
+   "embedding distribution drift between two corpus slices (halves by "
+   "id parity standing in for week-over-week batches): cosine of the "
+   "slice mean vectors + max per-dimension shift + L2 shift — the "
+   "retrain/reindex trigger for the IVF/PQ family (centroids trained "
+   "on last month's distribution quietly degrade recall when the "
+   "corpus moves). Per-dim means ride decimal(20,12) sums (partition-"
+   "order-proof); the final reduction is over |dims| rows — "
+   "broadcast-class. Shuffle: one posexplode groupBy keyed (slice, "
+   "dim), <= 2 x dims rows out")
+def embedding_drift_halves(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select((F.col("vec_id") % 2).alias("h"),
+                    F.posexplode("embedding").alias("d", "v"))
+    means = (ex.groupBy("h", "d")
+               .agg((F.sum(F.col("v").cast("double")
+                            .cast("decimal(20,12)")).cast("double")
+                     / F.count("v")).alias("m")))
+    m0 = means.where(F.col("h") == 0).select("d", F.col("m").alias("m0"))
+    m1 = means.where(F.col("h") == 1).select("d", F.col("m").alias("m1"))
+    j = m0.join(m1, "d")
+    return j.agg(
+        F.round(F.sum(F.col("m0") * F.col("m1"))
+                / (F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                   * F.sqrt(F.sum(F.col("m1") * F.col("m1")))), 6)
+         .alias("mean_cosine"),
+        F.round(F.max(F.abs(F.col("m0") - F.col("m1"))), 6)
+         .alias("max_dim_shift"),
+        F.round(F.sqrt(F.sum((F.col("m0") - F.col("m1"))
+                             * (F.col("m0") - F.col("m1")))), 6)
+         .alias("l2_shift"))
+
+
 @q("ann_matryoshka_topk_embeddings",
    """WITH q AS (SELECT CAST(embedding AS DOUBLE[])[1:16] AS v
                  FROM embeddings WHERE vec_id = 0)
@@ -6167,6 +6217,7 @@ _TAIL = [
     "fk_orphan_audit_lineitem",        # referential-integrity probe
     "top_event_paths_sessions",        # session path mining
     "ann_matryoshka_topk_embeddings",  # truncated-prefix retrieval
+    "embedding_drift_halves",          # distribution-shift trigger
 ]
 
 
