@@ -5998,7 +5998,7 @@ _WINDOW = [
     # CDC core + probes + alignment + manifest/verify/quality (SURVEY §2)
     "cdc_hybrid_lineitem_ties", "cdc_timestamp_only_events",
     "cdc_id_only_ceiling_events", "cdc_full_sync_region",
-    "cdc_custom_sql_orders",
+    "snapshot_diff_orders",
     "cast_suite_lineitem",
     "sanitize_scrub_customer", "manifest_anti_join", "verify_counts",
     "quality_metrics_lineitem",
@@ -6027,7 +6027,7 @@ _WINDOW = [
     "compaction_plan_orders",
     # analytics joins + aggregation shapes
     "pricing_summary_lineitem",
-    "order_priority_exists", "shipping_priority_top10",
+    "image_ahash_documents", "shipping_priority_top10",
     "supplier_revenue_by_nation",
     "bm25_search_documents", "cube_status_priority_orders",
     "price_percentiles_orders", "approx_distinct_users_check",
@@ -6205,12 +6205,10 @@ _TAIL = [
     "skew_report_orders",              # join-key skew probe
     "kmv_union_sources",               # sketch set-union closure
     "ndcg_retrieval_embeddings",       # NDCG/MRR/P@k eval harness
-    "image_ahash_documents",           # perceptual-hash fingerprints
     "dow_seasonality_events",          # weekday profile + ratio
     "classifier_calibration_documents", # reliability curve
     "cohort_retention_weekly_events",  # weekly retention triangle
     "kcore_dup_graph_documents",       # dense-blob peeling
-    "snapshot_diff_orders",            # cursor-less I/U/D extraction
     "bloom_semi_join_orders",          # broadcast-bloom prefilter semi
     "tfidf_top_terms_documents",       # keyword extraction
     "value_histogram_events",          # equi-width profiling bins
@@ -6218,6 +6216,13 @@ _TAIL = [
     "top_event_paths_sessions",        # session path mining
     "ann_matryoshka_topk_embeddings",  # truncated-prefix retrieval
     "embedding_drift_halves",          # distribution-shift trigger
+    # rotated out late round 7 to admit the two strongest new stories
+    # (snapshot-diff CDC, perceptual-hash dedup); machinery siblings
+    # in-window: the four other cdc_* scans + the custom-sql validator
+    # unit tests cover S5; supplier_revenue/tpch_q2/shipping cover the
+    # EXISTS join shape:
+    "cdc_custom_sql_orders",
+    "order_priority_exists",
 ]
 
 
