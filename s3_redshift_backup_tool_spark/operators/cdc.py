@@ -330,9 +330,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
            .when(F.col("o__h") != F.col("n__h"), F.lit("U")))
     out_cols = [F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k)
                 for k in keys]
+    # value columns are gated on op, NOT coalesced: an update that sets a
+    # column to NULL must surface the NULL (coalesce would silently
+    # resurrect the old value and break the apply_diff round-trip)
     for c in cmp_cols:
-        out_cols.append(F.coalesce(F.col(f"n_{c}"), F.col(f"o_{c}"))
-                        .alias(c))
+        out_cols.append(F.when(F.col("op") == "D", F.col(f"o_{c}"))
+                         .otherwise(F.col(f"n_{c}")).alias(c))
     return (j.withColumn("op", op)
              .where(F.col("op").isNotNull())
              .select(*out_cols, "op"))
@@ -347,9 +350,16 @@ def apply_diff(old: DataFrame, diff: DataFrame,
     equals ``new`` row-for-row (pinned by a hypothesis property test).
 
     One left_anti join on the key set + a union — the same shuffle
-    budget as any keyed upsert; at 100 TB both sides bucket by key."""
+    budget as any keyed upsert; at 100 TB both sides bucket by key.
+    The anti-join is null-SAFE to mirror snapshot_diff's eqNullSafe key
+    match, so NULL-keyed D/U rows replay correctly."""
+    import functools
+    import operator as _op
     touched = (diff.where(F.col("op").isin("D", "U"))
-                   .select(*[F.col(k) for k in keys]).distinct())
-    kept = old.join(touched, keys, "left_anti")
+                   .select(*[F.col(k).alias(f"__t_{k}") for k in keys])
+                   .distinct())
+    cond = functools.reduce(_op.and_, [
+        F.col(k).eqNullSafe(F.col(f"__t_{k}")) for k in keys])
+    kept = old.join(touched, cond, "left_anti")
     incoming = diff.where(F.col("op").isin("I", "U")).drop("op")
     return kept.unionByName(incoming)

@@ -291,10 +291,26 @@ def execute_compaction(spark, path: str,
     Crash-safe: each rewritten dir lands aside as ``<dir>__tmpc`` and
     swaps in via rename (stale tmp dirs are cleaned first), so a crash
     leaves either the old or the new complete directory, never a mix.
-    Returns {partition: (files_before, files_after)}."""
+    The one unguarded instant — between ``rename(d, __oldc)`` and
+    ``rename(__tmpc, d)`` — leaves NO live dir, so entry runs
+    :func:`_recover_swap` first: a missing live dir with a complete
+    ``__tmpc`` (has _SUCCESS) rolls FORWARD, otherwise ``__oldc`` rolls
+    BACK. Returns {partition: (files_before, files_after)}."""
     import math
     import os
     import shutil
+
+    def _recover_swap(d: str) -> None:
+        tmp, old = d.rstrip("/") + "__tmpc", d.rstrip("/") + "__oldc"
+        if os.path.isdir(d):
+            return
+        if os.path.isdir(tmp) and os.path.exists(
+                os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, d)                # roll forward: new is complete
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            os.rename(old, d)                # roll back: restore original
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _bins(d: str) -> tuple[int, int]:
         sizes = [os.path.getsize(os.path.join(d, f))
@@ -314,8 +330,18 @@ def execute_compaction(spark, path: str,
         os.rename(tmp, d)
         shutil.rmtree(old, ignore_errors=True)
 
+    # recover any interrupted swap from a prior run before planning:
+    # strip the suffix off orphaned __oldc/__tmpc dirs to find the live
+    # paths they belong to, then roll each forward or back
+    _recover_swap(path)  # flat-dir case: path itself may be mid-swap
+    for e in list(os.listdir(path)):
+        for suf in ("__oldc", "__tmpc"):
+            if e.endswith(suf):
+                _recover_swap(os.path.join(path, e[: -len(suf)]))
+
     parts = [e for e in os.listdir(path)
-             if "=" in e and os.path.isdir(os.path.join(path, e))]
+             if "=" in e and not e.endswith(("__oldc", "__tmpc"))
+             and os.path.isdir(os.path.join(path, e))]
     report = {}
     if parts:
         for e in sorted(parts):

@@ -361,6 +361,9 @@ def ahash_media(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
                                          dict(meta) if meta is not None
                                          else None)
                     n = arr.size
+                    if n == 0:  # decodable but empty (0-frame WAV,
+                        hs.append(None)  # 0-pixel image): NULL sentinel
+                        continue
                     idx = (np.arange(n) * cells) // n
                     sums = np.bincount(idx, weights=arr, minlength=cells)
                     counts = np.bincount(idx, minlength=cells)

@@ -337,6 +337,13 @@ def numeric_histogram(df: DataFrame, value_col: str, bins: int = 10,
     if lo is None or hi is None:
         row = df.agg(F.min(value_col).alias("lo"),
                      F.max(value_col).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            # entirely-NULL (or empty) column: there is no data range to
+            # bucket — return the NULL-bucket-only histogram directly
+            return (df.where(F.col(value_col).isNull())
+                      .groupBy(F.lit(None).cast("int").alias("bucket"))
+                      .agg(F.count(F.lit(1)).alias("n"))
+                      .withColumn("lo", F.lit(None).cast("double")))
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     v = F.col(value_col).cast("double")

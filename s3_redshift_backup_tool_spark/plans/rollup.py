@@ -79,6 +79,32 @@ class IncrementalRollup:
             else:
                 os.rename(old, self.state_path)
 
+    def _load_state(self) -> DataFrame:
+        """Read stored state, refusing a legacy-format directory with a
+        clear message instead of a downstream unresolved-column
+        AnalysisException. The pre-v2 state persisted finalized columns
+        (``sum_value/n_rows/min_value/max_value``) which lack the
+        sum-of-squares partial, so stddev cannot be reconstructed —
+        migration is impossible and a rebuild is the honest answer."""
+        state = self.spark.read.parquet(self.state_path)
+        v = self.value_col
+        want = {f"{v}__n", f"{v}__sum", f"{v}__min", f"{v}__max",
+                f"{v}__ssq"}
+        if not want.issubset(set(state.columns)):
+            legacy = {"n_rows", "sum_value", "min_value", "max_value"}
+            if legacy.issubset(set(state.columns)):
+                raise ValueError(
+                    f"rollup state at {self.state_path} uses the legacy "
+                    "v1 finalized-column format; the v2 engine keeps "
+                    "mergeable partials (incl. sum-of-squares) that v1 "
+                    "never stored — rebuild required: delete the state "
+                    "directory and re-apply the deltas")
+            raise ValueError(
+                f"rollup state at {self.state_path} is missing partial "
+                f"columns {sorted(want - set(state.columns))} for "
+                f"measure {v!r} — wrong state dir or measure name?")
+        return state
+
     def _swap_in(self, merged: DataFrame) -> None:
         tmp = self.state_path.rstrip("/") + "__tmp" + uuid.uuid4().hex[:6]
         merged.write.mode("overwrite").parquet(tmp)
@@ -95,7 +121,7 @@ class IncrementalRollup:
         part = agg_state(delta, self.keys, [self.value_col],
                          sum_scale=_SCALE)
         if self._exists():
-            cur = self.spark.read.parquet(self.state_path)
+            cur = self._load_state()
             merged = merge_agg_states(self.keys, [self.value_col],
                                       cur, part, sum_scale=_SCALE)
         else:
@@ -114,14 +140,14 @@ class IncrementalRollup:
             raise ValueError("cannot retract from an empty rollup state")
         part = agg_state(deletes, self.keys, [self.value_col],
                          sum_scale=_SCALE)
-        cur = self.spark.read.parquet(self.state_path)
+        cur = self._load_state()
         left = retract_agg_states(self.keys, [self.value_col], cur, part,
                                   sum_scale=_SCALE)
         self._swap_in(left)
 
     def read(self) -> DataFrame:
         self._recover()
-        state = self.spark.read.parquet(self.state_path)
+        state = self._load_state()
         fin = finalize_agg(state, self.keys, [self.value_col],
                            round_dp=None)
         v = self.value_col

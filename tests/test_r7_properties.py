@@ -49,22 +49,28 @@ def test_agg_monoid_split_merge_equals_full(spark, rows, mod):
 @_PROFILE
 def test_snapshot_diff_apply_reconstructs_new(spark, seed):
     """apply_diff(old, snapshot_diff(old, new)) == new, for random
-    edit mixes (deletes, updates, inserts) derived from the seed."""
+    edit mixes (deletes, updates, inserts) derived from the seed —
+    including updates that SET a value to NULL, updates FROM NULL, and
+    NULL-valued inserts (the round-7 coalesce bug class)."""
     import random
     rng = random.Random(seed)
-    old_rows = [(k, f"s{rng.randint(0, 5)}", round(rng.uniform(0, 99), 2))
+    old_rows = [(k,
+                 None if rng.random() < 0.15 else f"s{rng.randint(0, 5)}",
+                 round(rng.uniform(0, 99), 2))
                 for k in range(20)]
     new_rows = []
     for k, s, v in old_rows:
         r = rng.random()
         if r < 0.2:
             continue                       # delete
-        if r < 0.5:
-            new_rows.append((k, s + "!", v))   # update
+        if r < 0.4:
+            new_rows.append((k, ("!" if s is None else s + "!"), v))  # update
+        elif r < 0.5:
+            new_rows.append((k, None, v))  # update TO NULL
         else:
             new_rows.append((k, s, v))     # unchanged
     for k in range(100, 100 + rng.randint(0, 5)):
-        new_rows.append((k, "new", 1.0))   # insert
+        new_rows.append((k, None if rng.random() < 0.3 else "new", 1.0))
     old = spark.createDataFrame(old_rows, "k long, s string, v double")
     new = spark.createDataFrame(new_rows, "k long, s string, v double") \
         if new_rows else spark.createDataFrame([], "k long, s string, v double")
