@@ -73,6 +73,16 @@ def headline_sync(spark) -> tuple[float, int]:
 
 
 def main() -> None:
+    # The driver parses our stdout as JSON; round 7 shipped a degraded
+    # artifact ("parsed": null) because SOMETHING in the process wrote to
+    # stdout after/around the result line. Make the contract structural,
+    # not hopeful: redirect fd 1 to stderr for the entire run so every
+    # stray library/JVM write lands on stderr, and emit the single result
+    # line on a saved dup of the real stdout at the very end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     from s3_redshift_backup_tool_spark.parity import REGISTRY
     import s3_redshift_backup_tool_spark.parity_ext  # noqa: F401
     from s3_redshift_backup_tool_spark.session import get_spark
@@ -121,10 +131,12 @@ def main() -> None:
     # that runs 2.1s isolated — 7x overstated in the round's artifact of
     # record; round 6 saw a 2.9x blip slide under a 3x trigger). Any
     # query whose best-of-2 exceeds 2x its cost in the prior round's
-    # full history by more than a second (or, with no history, 3x this
-    # sweep's median and >5s) gets ONE isolated re-time after a GC, and
-    # the artifact records the better number plus which queries were
-    # re-timed.
+    # full history by more than a second, OR regressed >2.5x relative to
+    # prior regardless of absolute size (round 7 shipped an unexplained
+    # 0.311s -> 1.173s = 3.8x mover that slid under the absolute gate),
+    # or, with no history, 3x this sweep's median and >5s, gets ONE
+    # isolated re-time after a GC, and the artifact records the better
+    # number plus which queries were re-timed.
     prior_q = _prior_round_queries()
     med = sorted(query_times.values())[len(query_times) // 2]
     retimed: dict[str, float] = {}
@@ -132,6 +144,8 @@ def main() -> None:
         prior = prior_q.get(name)
         suspicious = ((prior is not None and best > 2 * prior
                        and best - prior > 1.0)
+                      or (prior is not None and best > 2.5 * prior
+                          and best > 0.2)
                       or (prior is None and best > 5.0 and best > 3 * med))
         if suspicious:
             spark.sparkContext._jvm.System.gc()
@@ -155,8 +169,36 @@ def main() -> None:
         "total_query_sec": round(sum(query_times.values()), 3),
         "retimed_outliers": retimed,   # name -> in-sweep time it replaced
     }
-    _persist_full_history(result)
-    print(json.dumps(result))
+    full_file = _persist_full_history(result)
+
+    # The driver records only a 2 KB TAIL of stdout and then json-parses
+    # it: round 7's artifact had "parsed": null because the single result
+    # line, carrying all 203 per-query times, was ~7 KB — truncated
+    # mid-line into garbage. Emit a line guaranteed to fit: keep the
+    # headline fields, include per-query times most-expensive-first only
+    # while the encoded line stays under the budget, and point at the
+    # checked-in full-history file for the rest.
+    line = _bounded_stdout_line(result, full_file, budget=1800)
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
+
+
+def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
+    slim = {k: v for k, v in result.items() if k != "queries"}
+    slim["queries"] = {}
+    slim["n_queries"] = len(result["queries"])
+    slim["queries_full_in"] = os.path.basename(full_file)
+    by_cost = sorted(result["queries"].items(), key=lambda kv: -kv[1])
+    line = json.dumps(slim)
+    for name, sec in by_cost:
+        slim["queries"][name] = sec
+        candidate = json.dumps(slim)
+        if len(candidate) > budget:
+            del slim["queries"][name]
+            break
+        line = candidate
+    slim["queries_elided"] = len(result["queries"]) - len(slim["queries"])
+    return json.dumps(slim)
 
 
 def _prior_round_queries() -> dict[str, float]:
@@ -178,7 +220,7 @@ def _prior_round_queries() -> dict[str, float]:
         return {}
 
 
-def _persist_full_history(result: dict) -> None:
+def _persist_full_history(result: dict) -> str:
     """The driver truncates BENCH_r{N}.json to a 2 KB tail, which makes
     round-over-round per-query diffs impossible from the artifacts
     alone. Keep the FULL result in-repo as bench_full_r{NN}.json (round
@@ -198,7 +240,8 @@ def _persist_full_history(result: dict) -> None:
         os.path.join(repo, "bench_full_r*.json"))
         if (m := re.search(r"bench_full_r(\d+)\.json$", f))]
     n = max([r + 1 for r in rounds + full_rounds] or [1])
-    with open(os.path.join(repo, f"bench_full_r{n:02d}.json"), "w") as fh:
+    full_file = os.path.join(repo, f"bench_full_r{n:02d}.json")
+    with open(full_file, "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
 
     prior_files = sorted(
@@ -235,6 +278,7 @@ def _persist_full_history(result: dict) -> None:
         else text.rstrip() + "\n\n" + block + "\n"
     with open(perf, "w") as fh:
         fh.write(text)
+    return full_file
 
 
 if __name__ == "__main__":

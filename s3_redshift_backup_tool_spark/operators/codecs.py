@@ -5,8 +5,9 @@ BMP (BI_RGB 24-bit) is a struct-packed pixel grid, WAV (PCM16) is a
 struct-packed sample stream, and PNG is zlib (stdlib) + per-scanline
 filters. Implementing them upgrades the multimodal pipeline from
 "deterministic stand-in" to REAL decode / feature-extract / resize for
-these formats, with the remaining compressed codecs (jpeg/mp4) staying
-the documented stubs.
+these formats, with the remaining compressed codecs (jpeg/mp4 FRAME
+decode) staying the documented stubs — mp4 CONTAINER metadata and
+keyframe byte ranges are parsed for real in operators/mp4.py.
 
 Everything here is per-row worker-side code invoked from the Arrow-
 batched ``mapInPandas`` stages in operators/multimodal.py — no Spark

@@ -4,7 +4,9 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
 are Arrow-batched ``mapInPandas`` stages. Self-describing formats have
 REAL decode kernels (BMP, PNG, WAV — stdlib+numpy, operators/codecs.py)
-behind ``DecoderRegistry``; jpeg/mp4 remain documented stubs (their
+behind ``DecoderRegistry``; mp4 CONTAINER metadata (brand, codecs,
+dimensions, keyframe byte ranges) is parsed for real by operators/mp4.py
+via :func:`video_metadata`; jpeg/mp4 frame DECODE remains stubbed (their
 libraries are not in this container) — a production deploy registers
 PIL/ffmpeg kernels without touching the plan shape.
 
@@ -283,6 +285,128 @@ def sample_gif_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
             })
 
     return fan_out(media).mapInPandas(_go, schema=GIF_FRAME_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("brand", T.StringType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_tracks", T.IntegerType(), True),
+    T.StructField("video_codec", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("audio_codec", T.StringType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("n_keyframes", T.LongType(), True),
+    T.StructField("keyframe_offsets", T.ArrayType(T.LongType()), True),
+])
+
+
+def video_metadata(media: DataFrame,
+                   max_keyframes: int = 64) -> DataFrame:
+    """REAL mp4/ISO-BMFF metadata extraction — no ffmpeg, no stub: walk
+    the box tree (operators/mp4.py, from-scratch bounded parser) and emit
+    brand, duration, per-track codec fourcc, video dimensions, and
+    keyframe BYTE OFFSETS (the stss x stsc x stsz x stco join). Frame
+    DECODE still needs a codec library; what a 100 TB video-curation
+    pipeline needs FIRST is exactly this manifest — dedup keys, audit
+    dimensions, and seekable sync-sample ranges so downstream ffmpeg
+    executors read keyframe slices instead of demuxing whole files.
+
+    Arrow-batched mapInPandas, per-row, no shuffle, bytes never on the
+    driver. Corrupt / non-BMFF payloads yield a NULL-metadata sentinel
+    row (same contract as ahash_media / the codec samplers)."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import keyframe_byte_ranges, parse_mp4
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in VIDEO_META_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                rows["n_bytes"].append(
+                    len(payload) if payload is not None else 0)
+                blank = {k: None for k in rows if k not in
+                         ("media_id", "n_bytes")}
+                if payload is None:
+                    for k, v in blank.items():
+                        rows[k].append(v)
+                    continue
+                try:
+                    info = parse_mp4(bytes(payload))
+                except (ValueError, IndexError, struct.error, MemoryError):
+                    for k, v in blank.items():
+                        rows[k].append(v)
+                    continue
+                vid = next((t for t in info.tracks if t.handler == "vide"),
+                           None)
+                aud = next((t for t in info.tracks if t.handler == "soun"),
+                           None)
+                kf = keyframe_byte_ranges(vid, max_keyframes) if vid else []
+                rows["brand"].append(info.brand)
+                rows["duration_ms"].append(info.duration_ms)
+                rows["n_tracks"].append(len(info.tracks))
+                rows["video_codec"].append(vid.codec if vid else None)
+                rows["width"].append(vid.width if vid else None)
+                rows["height"].append(vid.height if vid else None)
+                rows["audio_codec"].append(aud.codec if aud else None)
+                rows["n_samples"].append(vid.n_samples if vid else None)
+                rows["n_keyframes"].append(len(kf) if vid else None)
+                rows["keyframe_offsets"].append(
+                    [off for _s, off, _sz in kf] if vid else None)
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                "brand": pd.Series(rows["brand"], dtype="object"),
+                "duration_ms": pd.Series(rows["duration_ms"],
+                                         dtype="object"),
+                "n_tracks": pd.Series(rows["n_tracks"], dtype="object"),
+                "video_codec": pd.Series(rows["video_codec"],
+                                         dtype="object"),
+                "width": pd.Series(rows["width"], dtype="object"),
+                "height": pd.Series(rows["height"], dtype="object"),
+                "audio_codec": pd.Series(rows["audio_codec"],
+                                         dtype="object"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="object"),
+                "n_keyframes": pd.Series(rows["n_keyframes"],
+                                         dtype="object"),
+                "keyframe_offsets": pd.Series(rows["keyframe_offsets"],
+                                              dtype="object"),
+            })
+
+    from .partitioning import fan_out
+    return fan_out(media).mapInPandas(_go, schema=VIDEO_META_SCHEMA)
+
+
+def synth_mp4_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic spec-shaped mp4 fixture corpus: one real ISO-BMFF
+    payload per row (operators/mp4.py writer), parameterized by the id —
+    dimensions, sample count/size, keyframe cadence, and audio-track
+    presence are all closed-form in the id, so a SQL oracle can recompute
+    every field :func:`video_metadata` extracts. Arrow-batched encode;
+    payloads are built ON THE EXECUTORS (never on the driver), the same
+    ingest shape real mp4 blobs would arrive in."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import encode_mp4
+        for pdf in batches:
+            payloads = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                n = 8 + d % 24
+                payloads.append(encode_mp4(
+                    16 * (1 + d % 8), 16 * (1 + d % 5),
+                    [100 + d % 50] * n, keyframe_every=4,
+                    with_audio=(d % 2 == 1)))
+            yield pd.DataFrame({
+                "media_id": pd.Series(pdf["media_id"], dtype="int64"),
+                "payload": payloads,
+            })
+
+    ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
+    blobs = ids.mapInPandas(_encode, schema="media_id long, payload binary")
+    return attach_media(blobs, "payload", "media_id",
+                        media_type="video", fmt="mp4")
 
 
 def payload_stats(media: DataFrame) -> DataFrame:
