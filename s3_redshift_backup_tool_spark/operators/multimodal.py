@@ -234,6 +234,64 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
+KEYFRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_no", T.IntegerType(), False),
+    T.StructField("byte_offset", T.LongType(), False),
+    T.StructField("frame_bytes", T.BinaryType(), True),
+])
+
+
+def sample_keyframes(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """REAL keyframe extraction from mp4 payloads: parse the container
+    (operators/mp4.py), resolve sync-sample byte ranges via the
+    stss x stsc x stsz x stco join, and slice the EXACT coded-frame
+    bytes out of mdat — replacing :func:`sample_frames`'s fixed-stride
+    stand-in with spec-accurate access units for the video track.
+    Decoding those bytes to pixels still needs a codec library; a
+    production deploy feeds each (offset, size) slice to its decoder
+    workers, which is precisely how 100 TB frame-extraction jobs avoid
+    demuxing whole files per frame. One output row per sync sample,
+    exploded BEFORE any shuffle; corrupt payloads contribute a sentinel
+    row (sample_no -1, null bytes) so failures stay countable."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import keyframe_byte_ranges, parse_mp4
+        for pdf in batches:
+            ids, nos, offs, blobs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    buf = bytes(payload)
+                    info = parse_mp4(buf)
+                    vid = next((t for t in info.tracks
+                                if t.handler == "vide"), None)
+                    kf = (keyframe_byte_ranges(vid, max_frames)
+                          if vid else [])
+                except (ValueError, IndexError, struct.error, MemoryError):
+                    ids.append(mid)
+                    nos.append(-1)
+                    offs.append(-1)
+                    blobs.append(None)
+                    continue
+                for s, off, size in kf:
+                    ids.append(mid)
+                    nos.append(s)
+                    offs.append(off)
+                    blobs.append(buf[off: off + size])
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "sample_no": pd.Series(nos, dtype="int32"),
+                "byte_offset": pd.Series(offs, dtype="int64"),
+                "frame_bytes": blobs if blobs else pd.Series([],
+                                                             dtype=object),
+            })
+
+    from .partitioning import fan_out
+    return fan_out(media).mapInPandas(_go, schema=KEYFRAME_SCHEMA)
+
+
 GIF_FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),

@@ -5996,6 +5996,45 @@ def video_metadata_documents(spark, sf_dir):
          * F.expr("keyframe_offsets[0]")).cast("long").alias("sum_kf_rel"))
 
 
+@q("keyframe_slices_documents",
+   """SELECT doc_id AS media_id,
+             CAST(1 + 4 * i AS INT) AS sample_no,
+             CAST(4 * i * (100 + doc_id % 50) AS BIGINT) AS rel_offset,
+             CAST(100 + doc_id % 50 AS BIGINT) AS frame_len,
+             CAST((4 * i * 37 + 11) % 256 AS INT) AS first_byte
+      FROM documents,
+           unnest(generate_series(0, ((8 + doc_id % 24 + 3) // 4) - 1))
+           AS t(i)""",
+   "REAL keyframe extraction from mp4 containers: resolve sync-sample "
+   "byte ranges (stss x stsc x stsz x stco) and slice the exact coded "
+   "access units out of mdat — one row per keyframe, exploded BEFORE "
+   "any shuffle, replacing the fixed-stride sample_frames stand-in. "
+   "Pixel decode still needs a codec library; the (offset, size) slices "
+   "this emits are what 100 TB frame-extraction jobs hand their decoder "
+   "workers so no executor demuxes a whole file. Oracle: the fixture "
+   "encoder's layout is closed-form in doc_id (keyframes every 4th "
+   "sample, constant sample size, deterministic filler bytes), so "
+   "offsets relative to the first sync sample, slice lengths, and the "
+   "first payload byte of every slice are all recomputable from "
+   "arithmetic — pinning that the slices land on the true sample "
+   "boundaries byte-for-byte")
+def keyframe_slices_documents(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from .operators.multimodal import sample_keyframes, synth_mp4_corpus
+    media = synth_mp4_corpus(_t(spark, sf_dir, "documents"))
+    kf = sample_keyframes(media, max_frames=8)
+    w = W.partitionBy("media_id")
+    return (kf.withColumn("rel_offset",
+                          (F.col("byte_offset")
+                           - F.min("byte_offset").over(w)).cast("bigint"))
+              .select(
+                  "media_id", "sample_no", "rel_offset",
+                  F.octet_length("frame_bytes").cast("bigint")
+                   .alias("frame_len"),
+                  F.conv(F.hex(F.expr("substring(frame_bytes, 1, 1)")),
+                         16, 10).cast("int").alias("first_byte")))
+
+
 @q("dow_seasonality_events",
    """WITH per AS (SELECT event_type, CAST(isodow(ts) AS INT) AS isodow,
                           count(value) AS n,
@@ -6066,10 +6105,10 @@ _WINDOW = [
     "json_props_extract_events", "disjunctive_pred_part_revenue",
     "waiting_multi_supplier_orders", "knn_label_eval_embeddings",
     "volume_shipping_pair_nations", "market_share_by_year",
-    "returned_item_top_customers", "custdist_orders_per_customer",
-    # -- round-8 addition: new operator family, first-time by definition
-    # (real ISO-BMFF metadata + keyframe byte ranges) --
-    "video_metadata_documents",
+    "returned_item_top_customers",
+    # -- round-8 additions: new operator family, first-time by definition
+    # (real ISO-BMFF metadata + keyframe byte-range extraction) --
+    "video_metadata_documents", "keyframe_slices_documents",
     # -- round-7 second batch (queued for this rotation in r7) --
     "kmv_distinct_by_source", "funnel_ordered_events",
     "robust_outliers_events", "curriculum_interleave_documents",
@@ -6085,7 +6124,7 @@ _WINDOW = [
 _TAIL = [
     # --- awaiting first driver hash; scheduled for the r9/r10 windows
     # (rotation order = this list order; see ROTATION.json) ---
-    "top_supplier_by_revenue",
+    "top_supplier_by_revenue", "custdist_orders_per_customer",
 
     "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
     "rolling_hour_avg_value", "pivot_status_by_priority",

@@ -157,3 +157,27 @@ def test_synth_corpus_matches_parser(spark):
         assert r["width"] == 16 * (1 + d % 8)
         assert r["n_samples"] == 8 + d % 24
         assert r["audio_codec"] == ("mp4a" if d % 2 == 1 else None)
+
+
+def test_sample_keyframes_slices_and_sentinel(spark):
+    from s3_redshift_backup_tool_spark.operators.multimodal import (
+        attach_media, sample_keyframes)
+    good = encode_mp4(32, 32, _sizes(10), keyframe_every=4)
+    rows = [(1, bytearray(good)), (2, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = attach_media(df, "blob", "doc_id", media_type="video",
+                         fmt="mp4")
+    out = sample_keyframes(media).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["sample_no"] for r in sorted(by_id[1],
+                                           key=lambda r: r["sample_no"])] \
+        == [1, 5, 9]
+    for r in by_id[1]:
+        fill = ((r["sample_no"] - 1) * 37 + 11) & 0xFF
+        assert bytes(r["frame_bytes"])[0] == fill
+        assert len(r["frame_bytes"]) == _sizes(10)[r["sample_no"] - 1]
+        assert bytes(good)[r["byte_offset"]] == fill
+    assert by_id[2][0]["sample_no"] == -1          # corrupt sentinel
+    assert by_id[2][0]["frame_bytes"] is None
