@@ -207,9 +207,12 @@ FRAME_SCHEMA = T.StructType([
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64,
                   max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stage for video payloads: one output row per
-    sampled frame (media_id, frame_idx, frame bytes). The ffmpeg decode
-    is stubbed as fixed-stride byte slices; the row-explosion shape (a
+    """Frame-sampling stage for UNPARSEABLE/opaque payloads: one output
+    row per sampled frame (media_id, frame_idx, frame bytes), sliced at
+    a fixed byte stride. For real mp4 containers use
+    :func:`sample_keyframes`, which resolves true sync-sample byte
+    ranges from the box tables; this fixed-stride variant remains the
+    format-agnostic fallback. Either way the row-explosion shape (a
     1-row video becomes k frame rows, fanned out BEFORE any shuffle) is
     the part that matters for 100 TB video corpora."""
 
