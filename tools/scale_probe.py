@@ -131,8 +131,25 @@ def main() -> None:
               f"(x{t1 / t01:.1f}), plan_identical={sig01 == sig1}",
               file=sys.stderr)
 
-    _write_perf(out)
+    merged = _accumulate(out)
+    _write_perf(merged)
     print(json.dumps(out))
+
+
+def _accumulate(out: dict) -> dict:
+    """Merge this run's results into the sidecar so repeated probe runs
+    over different query subsets render ONE table in PERF.md."""
+    path = os.path.join(REPO, "scale_probe_results.json")
+    acc: dict = {}
+    if os.path.exists(path):
+        try:
+            acc = json.load(open(path))
+        except ValueError:
+            acc = {}
+    acc.update(out)
+    with open(path, "w") as fh:
+        json.dump(acc, fh, indent=1, sort_keys=True)
+    return acc
 
 
 def _write_perf(out: dict) -> None:
