@@ -363,3 +363,56 @@ def apply_diff(old: DataFrame, diff: DataFrame,
     kept = old.join(touched, cond, "left_anti")
     incoming = diff.where(F.col("op").isin("I", "U")).drop("op")
     return kept.unionByName(incoming)
+
+
+def compact_change_log(log: DataFrame, keys: list[str],
+                       seq_col: str, op_col: str = "op") -> DataFrame:
+    """Log-based CDC, step 1 — compact a row-image change log (the shape
+    Debezium/DMS/binlog taps emit: one row per change carrying op
+    'c'/'u'/'d', a monotonically increasing sequence, and the full row
+    image) down to the LATEST change per key. The third extraction
+    strategy next to the reference's query-based scans and round-7's
+    snapshot-diff: no source cursor column AND no full snapshots needed,
+    just the transaction log.
+
+    One partial-aggregable groupBy: ``max(struct(seq, op, image...))``
+    picks the per-key winner with map-side combine — deliberately NOT a
+    row_number window, whose per-key partitions skew on hot keys and
+    whose sort is wasted when only the max survives. At 100 TB of log,
+    the shuffle carries one row per DISTINCT key. Ties on ``seq_col``
+    resolve by the struct's remaining fields (document sequence
+    uniqueness upstream; binlog offsets are unique by construction)."""
+    img_cols = [c for c in log.columns if c not in (op_col, seq_col)]
+    data_cols = [c for c in img_cols if c not in keys]
+    winner = F.max(F.struct(
+        F.col(seq_col).alias("__seq"), F.col(op_col).alias("__op"),
+        *[F.col(c).alias(c) for c in data_cols])).alias("w")
+    g = log.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    return g.select(
+        *keys,
+        F.col("w.__seq").alias(seq_col),
+        F.col("w.__op").alias(op_col),
+        *[F.col(f"w.{c}").alias(c) for c in data_cols])
+
+
+def apply_change_log(base: DataFrame, log: DataFrame, keys: list[str],
+                     seq_col: str, op_col: str = "op") -> DataFrame:
+    """Log-based CDC, step 2 — merge a compacted (or raw) change log
+    onto the base table: every key's final fate is its LATEST log entry
+    ('d' -> gone, 'c'/'u' -> the new row image), keys absent from the
+    log keep their base row. Same shuffle budget as apply_diff (one
+    compaction groupBy + one null-safe anti-join + a union); at 100 TB
+    bucket base and log by key (plans/bucketing.py) and nothing
+    re-shuffles. Idempotent: replaying the same log is a no-op, which is
+    what makes at-least-once log delivery safe."""
+    import functools
+    import operator as _op
+    latest = compact_change_log(log, keys, seq_col, op_col)
+    touched = latest.select(
+        *[F.col(k).alias(f"__t_{k}") for k in keys]).distinct()
+    cond = functools.reduce(_op.and_, [
+        F.col(k).eqNullSafe(F.col(f"__t_{k}")) for k in keys])
+    kept = base.join(touched, cond, "left_anti")
+    incoming = (latest.where(F.lower(F.col(op_col)) != "d")
+                      .drop(op_col, seq_col))
+    return kept.unionByName(incoming)

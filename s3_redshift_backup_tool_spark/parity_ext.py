@@ -6035,6 +6035,55 @@ def keyframe_slices_documents(spark, sf_dir):
                          16, 10).cast("int").alias("first_byte")))
 
 
+@q("change_log_apply_orders",
+   """WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                    FROM orders)
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'P-SECOND'
+                  WHEN o_orderkey % 7 = 0 THEN 'P-FIRST'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM base WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+             'P-NEW' AS o_orderpriority
+      FROM base WHERE o_orderkey % 13 = 0""",
+   "log-based CDC (the Debezium/binlog shape): compact a row-image "
+   "change log (op c/u/d + monotone sequence + full row image) to the "
+   "latest entry per key with ONE partial-aggregable max(struct(seq, "
+   "image)) groupBy — deliberately not a row_number window, whose "
+   "per-key partitions skew on hot keys — then merge onto the base "
+   "(null-safe anti-join + union, apply_diff's budget). The THIRD "
+   "extraction strategy next to the reference's query-based scans and "
+   "round-7's snapshot-diff: needs no cursor column and no snapshots, "
+   "just the transaction log; idempotent under at-least-once delivery "
+   "(replay is a no-op, unit-pinned). Fixture log: updates at seq 1/2 "
+   "(priority rewrites on %7/%11 keys — overlapping keys pin "
+   "last-wins), deletes at seq 3 (%5 keys — delete beats both "
+   "updates), inserts of shifted new keys (%13); the oracle recomputes "
+   "the final state closed-form")
+def change_log_apply_orders(spark, sf_dir):
+    from .operators.cdc import apply_change_log
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    key = F.col("o_orderkey")
+
+    def entry(pred, op, seq, key_expr=None, prio=None):
+        d = base.where(pred)
+        if key_expr is not None:
+            d = d.withColumn("o_orderkey", key_expr)
+        if prio is not None:
+            d = d.withColumn("o_orderpriority", F.lit(prio))
+        return d.withColumn("op", F.lit(op)).withColumn("seq",
+                                                        F.lit(seq))
+
+    log = (entry(key % 7 == 0, "u", 1, prio="P-FIRST")
+           .unionByName(entry(key % 11 == 0, "u", 2, prio="P-SECOND"))
+           .unionByName(entry(key % 5 == 0, "d", 3))
+           .unionByName(entry(key % 13 == 0, "c", 1,
+                              key_expr=key + 10_000_000, prio="P-NEW")))
+    return apply_change_log(base, log, ["o_orderkey"], "seq")
+
+
 @q("dow_seasonality_events",
    """WITH per AS (SELECT event_type, CAST(isodow(ts) AS INT) AS isodow,
                           count(value) AS n,
@@ -6105,10 +6154,11 @@ _WINDOW = [
     "json_props_extract_events", "disjunctive_pred_part_revenue",
     "waiting_multi_supplier_orders", "knn_label_eval_embeddings",
     "volume_shipping_pair_nations", "market_share_by_year",
-    "returned_item_top_customers",
-    # -- round-8 additions: new operator family, first-time by definition
-    # (real ISO-BMFF metadata + keyframe byte-range extraction) --
+    # -- round-8 additions: new operator families, first-time by
+    # definition (real ISO-BMFF metadata + keyframe byte-range
+    # extraction; log-based CDC compaction/apply) --
     "video_metadata_documents", "keyframe_slices_documents",
+    "change_log_apply_orders",
     # -- round-7 second batch (queued for this rotation in r7) --
     "kmv_distinct_by_source", "funnel_ordered_events",
     "robust_outliers_events", "curriculum_interleave_documents",
@@ -6125,6 +6175,7 @@ _TAIL = [
     # --- awaiting first driver hash; scheduled for the r9/r10 windows
     # (rotation order = this list order; see ROTATION.json) ---
     "top_supplier_by_revenue", "custdist_orders_per_customer",
+    "returned_item_top_customers",
 
     "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
     "rolling_hour_avg_value", "pivot_status_by_priority",
