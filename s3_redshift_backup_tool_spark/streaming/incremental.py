@@ -127,6 +127,76 @@ def streaming_upsert_sync(
           .awaitTermination())
 
 
+def streaming_change_log_sync(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    target_path: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> None:
+    """Streaming LOG-BASED CDC sink: micro-batches of Debezium-shaped
+    change rows (op c/u/d + monotone sequence + full row image) are
+    folded into a materialized table — the streaming form of
+    ``operators.cdc.apply_change_log`` and the delete-aware completion
+    of :func:`streaming_upsert_sync` (which has no 'd' concept).
+
+    Out-of-order safety: the target RETAINS DELETE TOMBSTONES (the
+    stored rows keep ``seq_col`` and ``op_col``). Each merge treats the
+    current target as log entries and re-compacts target ∪ batch by
+    max(struct(seq, ...)), so a stale update replayed AFTER its key's
+    tombstone (at-least-once delivery, shuffled batch boundaries)
+    cannot resurrect the row — the tombstone's higher seq wins. This is
+    Kafka-compaction semantics; drop tombstones on a retention schedule
+    with plans/cleanup.py if the key space churns. Read the live view
+    with :func:`read_change_log_target`.
+
+    Exactly-once across restarts = checkpoint (replays re-merge
+    idempotently: compaction is a max, not an append) + the same
+    crash-atomic rename-aside swap as the upsert sink."""
+    from ..operators.cdc import compact_change_log
+
+    _recover_swap(target_path)
+
+    def _merge(batch_df: DataFrame, _epoch: int) -> None:
+        import os as _os
+        import shutil as _sh
+        sp = batch_df.sparkSession
+        batch = compact_change_log(batch_df, key_cols, seq_col, op_col)
+        if _os.path.exists(target_path):
+            cur = sp.read.parquet(target_path)
+            merged = compact_change_log(cur.unionByName(batch),
+                                        key_cols, seq_col, op_col)
+        else:
+            merged = batch
+        tmp = target_path.rstrip("/") + "__tmp"
+        old = target_path.rstrip("/") + "__old"
+        merged.write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(old, ignore_errors=True)
+        if _os.path.exists(target_path):
+            _os.rename(target_path, old)
+        _os.rename(tmp, target_path)
+        _sh.rmtree(old, ignore_errors=True)
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_merge)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())
+
+
+def read_change_log_target(spark: SparkSession, target_path: str,
+                           seq_col: str, op_col: str = "op") -> DataFrame:
+    """Live view of a :func:`streaming_change_log_sync` target: filter
+    delete tombstones, drop the bookkeeping columns."""
+    cur = spark.read.parquet(target_path)
+    return (cur.where(F.lower(F.col(op_col)) != "d")
+               .drop(op_col, seq_col))
+
+
 def streaming_merge_versioned(
     spark: SparkSession,
     source_glob: str,
