@@ -167,8 +167,16 @@ def streaming_change_log_sync(
         batch = compact_change_log(batch_df, key_cols, seq_col, op_col)
         if _os.path.exists(target_path):
             cur = sp.read.parquet(target_path)
-            merged = compact_change_log(cur.unionByName(batch),
-                                        key_cols, seq_col, op_col)
+            # additive schema evolution: a column newly added to the
+            # source (the routine ALTER TABLE ... ADD COLUMN a CDC tap
+            # forwards) appears in the batch but not the stored target —
+            # allowMissingColumns backfills NULL on the old rows, the
+            # correct relational answer. Columns DROPPED upstream keep
+            # their stored values on untouched keys (tombstone-grade
+            # history, never invented data).
+            merged = compact_change_log(
+                cur.unionByName(batch, allowMissingColumns=True),
+                key_cols, seq_col, op_col)
         else:
             merged = batch
         tmp = target_path.rstrip("/") + "__tmp"

@@ -655,3 +655,39 @@ def test_streaming_change_log_applies_cud_across_batches(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v string")
     batch_final = apply_change_log(empty, full_log, ["k"], "seq")
     assert {tuple(r) for r in batch_final.collect()} == live
+
+
+def test_streaming_change_log_additive_schema_evolution(spark, tmp_path):
+    """A column added upstream (ALTER TABLE ... ADD COLUMN forwarded by
+    the CDC tap) appears mid-stream: the sink union-evolves the stored
+    target — NULL backfill on old rows, values on new — instead of
+    failing the merge."""
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        read_change_log_target, streaming_change_log_sync)
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, "a", "c", 1), (2, "b", "c", 2)],
+                          "k long, v string, op string, seq long") \
+         .write.mode("append").parquet(src)
+    sch1 = spark.read.parquet(src).schema
+    streaming_change_log_sync(spark, src, sch1, tgt, ckpt,
+                              key_cols=["k"], seq_col="seq")
+
+    # upstream adds column w; later batch carries it
+    spark.createDataFrame([(2, "b2", 7.5, "u", 3), (3, "c", 9.0, "c", 4)],
+                          "k long, v string, w double, op string, seq long") \
+         .write.mode("append").parquet(src)
+    from pyspark.sql import types as T2
+    sch2 = T2.StructType(list(sch1.fields[:2])
+                         + [T2.StructField("w", T2.DoubleType(), True)]
+                         + list(sch1.fields[2:]))
+    streaming_change_log_sync(spark, src, sch2, tgt, ckpt,
+                              key_cols=["k"], seq_col="seq")
+
+    live = {r["k"]: (r["v"], r["w"]) for r in
+            read_change_log_target(spark, tgt, "seq").collect()}
+    assert live == {1: ("a", None),      # old row: NULL backfill
+                    2: ("b2", 7.5),      # updated with the new column
+                    3: ("c", 9.0)}       # inserted with the new column
