@@ -147,3 +147,47 @@ def test_skew_report_flags_the_hot_key(no_aqe, hot_facts):
     # the probe must surface a top-key share ~50% so the pipeline knows
     # to salt BEFORE paying for a skewed join
     assert rep["max_key_share"] > 0.45
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, hot_facts, dim):
+    """The OTHER layer of the skew defense: AQE's runtime skew-join
+    split handles sort-merge skew without salting (salted_join exists
+    for the cases AQE does not cover — broadcast-infeasible hot keys in
+    non-SMJ shapes and pre-shuffle stages). Pin that with AQE on and
+    test-scale thresholds, the hot-key SMJ executes with the skew flag
+    set on the join node."""
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin."
+                 "skewedPartitionThresholdInBytes", "65536")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                 "32768")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                 "1.5")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # pad rows so the hot partition crosses the byte threshold
+        j = (hot_facts.withColumn("pad", F.lit("x" * 100)).hint("merge")
+             .join(dim.hint("merge"), ["k"], "inner"))
+        # collect() executes THIS dataframe's own query execution — a
+        # noop write (or count) plans a separate query, and the skew
+        # flag only appears on the executed join's final adaptive plan
+        assert len(j.collect()) == N_ROWS
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not flag the hot partition for skew split")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
