@@ -1,146 +1,194 @@
-"""DataFrame-native BPE vocabulary training (Sennrich et al. 2016).
+"""Distributed BPE vocabulary training + encoding (Sennrich'16 shape).
 
-The part of tokenizer-building that actually touches 100 TB is ONE
-corpus pass: the word-frequency dictionary. Everything after operates
-on the DISTINCT-WORD relation (vocabulary-sized, millions of rows, not
-trillions), so the merge loop is k small distributed jobs:
+The training-data operators so far COUNT tokens with a fixed regex
+(text.token_count_regex); real pipelines also need to LEARN the
+tokenizer from the corpus. Classic byte-pair-encoding trains on the
+WORD-FREQUENCY table, not the corpus — the critical scale property:
+after the first aggregation, every round's work is proportional to the
+number of distinct words (millions), not corpus bytes (100 TB). Each
+merge round here is one explode + one partial-aggregable groupBy over
+that vocab-sized relation plus an O(|word|) per-row array rewrite —
+a driver loop of ``n_merges`` rounds exactly like the engine's other
+bounded iterative operators (pagerank, NN-Descent), with a
+``localCheckpoint`` every few rounds to keep the plan flat.
 
-- per iteration: adjacent-symbol pair counts weighted by word frequency
-  (one partial-aggregable groupBy over the dictionary), a 1-row argmax
-  collect, then a per-row array fold applying the winning merge
-  greedily left-to-right — no shuffle for the rewrite;
-- the dictionary is localCheckpoint'd per iteration so the lineage
-  doesn't grow by one fold per merge (the iterative-algorithm device
-  used by neardup components and k-means here).
+Exactness contract (tested): the learned merge list is IDENTICAL to a
+single-node reference implementation of the textbook algorithm — ties
+on pair frequency broken lexicographically so the result is
+deterministic and engine-independent.
 
-Training on a hash-gate sample (``sampling.sample_by_hash``) is the
-100 TB mode — merge ranks need the distribution, not every word, the
-same swap note as the IVF quantizer.
+``apply_bpe`` then encodes documents with the learned ranked merges via
+an Arrow-batched pandas iterator (merge table broadcast to workers),
+emitting per-document token counts — the number that actually gates
+sequence packing and train-budget accounting.
 
-SEGMENTATION (applying thousands of merges to every document) is the
-opposite cost shape: per-row Python with a real tokenizer library is
-the production path; :func:`segment_words` ships an Arrow-batched
-mapInPandas reference implementation so the pipeline shape (schema,
-batching, broadcast merges) is real even where the kernel would be
-swapped for a native tokenizer.
-
-No DuckDB oracle: the argmax-rewrite loop is iterative (not
-SQL-expressible); correctness is pinned against an independent
-pure-Python reference implementation in tests/test_bpe.py.
+No reference parity (the reference has nothing like this); public
+algorithm, public Spark APIs.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: end-of-word marker (Sennrich's </w>): lets BPE distinguish "low" the
-#: word from "low" the prefix of "lower".
-EOW = "▁"
+#: end-of-word sentinel (textbook BPE: lets merges distinguish suffixes)
+EOW = "</w>"
 
 
-def word_dictionary(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The one corpus-sized pass: (word, n) frequency dictionary."""
-    return (df.select(F.explode(F.split(F.col(text_col), "\\s+"))
-                       .alias("word"))
-              .filter(F.col("word") != "")
-              .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, freq): the one corpus-sized pass. Lowercased
+    whitespace tokenization (the pre-tokenizer is pluggable in spirit;
+    this matches the reference implementation in the tests)."""
+    return (docs.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                          r"\s+")).alias("word"))
+                .where(F.col("word") != "")
+                .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
 
-def _merge_pair_expr(a: str, b: str):
-    """Greedy left-to-right application of merge (a, b) to a symbol
-    array, as a pure fold expression (no Python, no shuffle)."""
-    def step(acc, x):
-        return F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                     F.array(F.lit(a + b)))
-        ).otherwise(F.concat(acc, F.array(x)))
-    return F.aggregate(F.col("syms"),
-                       F.array().cast("array<string>"), step)
+def train_bpe(docs: DataFrame, text_col: str = "text",
+              n_merges: int = 50,
+              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ranked
+    merge list [(left, right), ...] (rank = list position). Driver-side
+    state is ONLY the merge list (n_merges tuples) and one 1-row max per
+    round; the word/symbol relation stays distributed."""
+    words = word_freq_table(docs, text_col)
+    # word -> symbol array: chars + end-of-word marker on the last char
+    syms = words.select(
+        "freq",
+        F.concat(F.split(F.col("word"), ""),
+                 F.array(F.lit(EOW))).alias("s"))
+    # drop the empty trailing element split("") produces on some rows
+    syms = syms.select(
+        "freq", F.filter(F.col("s"), lambda x: x != "").alias("s"))
 
-
-def train_bpe_merges(df: DataFrame, text_col: str = "text",
-                     num_merges: int = 50,
-                     min_pair_count: int = 2) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from the corpus. Deterministic
-    tie-break: (count desc, left asc, right asc) — pinned so retrains
-    and the test reference agree bit-for-bit. Stops early when no pair
-    reaches ``min_pair_count``."""
-    words = (word_dictionary(df, text_col)
-             .select(F.concat(
-                         F.filter(F.split("word", ""),
-                                  lambda x: x != ""),
-                         F.array(F.lit(EOW))).alias("syms"),
-                     "n")
-             .localCheckpoint(eager=False))
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        # fully-merged words (1 symbol) carry no pairs — and MUST be
-        # filtered before the index transform: F.sequence(1, 0) steps
-        # DOWNWARD, producing out-of-bounds element_at probes
-        pairs = (words.filter(F.size("syms") > 1).select(
-                    F.explode(F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("syms"), i).alias("a"),
-                            F.element_at(F.col("syms"), i + 1).alias("b"))))
-                     .alias("p"), "n")
-                 .groupBy("p.a", "p.b")
-                 .agg(F.sum("n").alias("c"))
-                 .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-                 .limit(1)
-                 .collect())
-        if not pairs or pairs[0]["c"] < min_pair_count:
-            break
-        a, b = pairs[0]["a"], pairs[0]["b"]
+    for r in range(n_merges):
+        # pair frequencies: one explode + one partial-aggregable groupBy
+        # over the vocab-sized relation; deterministic argmax via
+        # max(struct(freq, pair)) with the pair INVERTED so frequency
+        # ties resolve to the lexicographically SMALLEST pair (matching
+        # the reference implementation exactly)
+        pairs = syms.select(
+            "freq",
+            F.explode(F.expr(
+                "transform(slice(s, 1, size(s) - 1), "
+                "(x, i) -> struct(x as a, s[i + 1] as b))")).alias("p"))
+        # deterministic argmax: min_by over (-freq, pair) = highest
+        # frequency, ties broken by lexicographically smallest pair
+        # (struct ordering is field-by-field) — matches reference_bpe
+        agg = (pairs.groupBy("p").agg(F.sum("freq").alias("f"))
+                    .agg(F.min_by(F.col("p"),
+                                  F.struct((-F.col("f")).alias("nf"),
+                                           F.col("p"))).alias("best"),
+                         F.max(F.col("f")).alias("bf")))
+        row = agg.first()
+        if row["best"] is None or row["bf"] is None or row["bf"] < 2:
+            break                       # nothing left worth merging
+        a, b = row["best"]["a"], row["best"]["b"]
         merges.append((a, b))
-        words = (words.select(_merge_pair_expr(a, b).alias("syms"), "n")
-                      .localCheckpoint(eager=False))
+        merged = a + b
+        # rewrite every word's symbol array: left-to-right single pass,
+        # expressed as an aggregate fold (JVM-side, no Python)
+        syms = syms.select("freq", _merge_pair_expr("s", a, b, merged))
+        if (r + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=False)
     return merges
 
 
-def segment_words(df: DataFrame, merges: list[tuple[str, str]],
-                  text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Apply learned merges to every document: Arrow-batched
-    mapInPandas (real tokenizers are native libs — this is the
-    reference kernel behind the same plumbing). Output:
-    (id, n_words, n_tokens, tokens_per_word) — the fertility stats a
-    tokenizer evaluation wants; emitting every token row would just be
-    an explode on top."""
+def _merge_pair_expr(col: str, a: str, b: str, merged: str):
+    """aggregate() fold that merges every non-overlapping (a, b)
+    occurrence left-to-right, the textbook semantics: acc carries the
+    rebuilt array; each step either fuses with the previous element or
+    appends."""
+    qa, qb, qm = [s.replace("\\", "\\\\").replace("'", "\\'")
+                  for s in (a, b, merged)]
+    return F.expr(
+        f"aggregate({col}, cast(array() as array<string>), "
+        f"(acc, x) -> if(size(acc) > 0 "
+        f"            and element_at(acc, -1) = '{qa}' and x = '{qb}', "
+        f"    concat(slice(acc, 1, size(acc) - 1), array('{qm}')), "
+        f"    concat(acc, array(x))))").alias(col)
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Encode each document with the learned merges (ranked; lowest rank
+    applies first, per token, textbook order) and emit (id, n_words,
+    n_tokens) — Arrow-batched, merge table broadcast via closure."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    out_schema = (f"{id_col} long, n_words long, n_tokens long, "
-                  "tokens_per_word double")
 
-    def _seg(batches):
-        import pandas as pd
+    def _encode_word(word: str, cache: dict) -> int:
+        if word in cache:
+            return cache[word]
+        s = list(word) + [EOW]
+        while len(s) > 1:
+            best, bi = None, -1
+            for i in range(len(s) - 1):
+                r = ranks.get((s[i], s[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            s[bi: bi + 2] = [s[bi] + s[bi + 1]]
+        cache[word] = len(s)
+        return len(s)
 
-        def encode_word(w: str) -> int:
-            syms = list(w) + [EOW]
-            while len(syms) > 1:
-                best, bi = None, -1
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]))
-                    if r is not None and (best is None or r < best):
-                        best, bi = r, i
-                if best is None:
-                    break
-                syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
-            return len(syms)
-
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
-            rows = []
+            ids, nw, nt = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text).split() if w]
-                n_tok = sum(encode_word(w) for w in words)
-                nw = len(words)
-                rows.append((did, nw, n_tok,
-                             (n_tok / nw) if nw else 0.0))
-            yield pd.DataFrame(rows, columns=[
-                id_col, "n_words", "n_tokens", "tokens_per_word"])
+                words = [w for w in (text or "").lower().split() if w]
+                ids.append(did)
+                nw.append(len(words))
+                nt.append(sum(_encode_word(w, cache) for w in words))
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "n_words": pd.Series(nw, dtype="int64"),
+                                "n_tokens": pd.Series(nt, dtype="int64")})
 
-    from .partitioning import fan_out
-    return (fan_out(df.select(id_col, text_col))
-            .mapInPandas(_seg, schema=out_schema))
+    return docs.select(id_col, text_col).mapInPandas(
+        _go, schema=f"{id_col} long, n_words long, n_tokens long")
+
+
+# -- single-node reference (test oracle; NOT used by the operators) --------
+
+def reference_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Textbook in-memory BPE with the same tie-break (max freq, then
+    lexicographically smallest pair). The distributed trainer must
+    reproduce this list exactly."""
+    from collections import Counter
+    wf = Counter(w for t in texts for w in t.lower().split() if w)
+    words = {w: list(w) + [EOW] for w in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, s in words.items():
+            f = wf[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        maxf = max(pc.values())
+        if maxf < 2:
+            break
+        # tie-break: lexicographically smallest pair under natural
+        # string order (UTF-8 binary order == code-point order, so
+        # Spark's struct<string,string> min agrees exactly)
+        (a, b) = min(p for p, f in pc.items() if f == maxf)
+        merges.append((a, b))
+        for w, s in words.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words[w] = out
+    return merges
+
