@@ -158,6 +158,7 @@ _NOTES = {
     "bloom_decontamination_documents": " (1)",
     "bm25_search_documents": " (1)",
     "ntile_cumedist_customers": " (1)",
+    "funnel_ordered_events": " (1)",
     "neardup_clusters_documents": " (2)",
     "jaccard_prefix_pairs_documents": " (3)",
     "change_log_apply_orders": " (4)",
@@ -169,7 +170,7 @@ Annotations:
 
 1. The BroadcastNestedLoopJoin flagged in these plans is a broadcast of
    a 1-row/k-row AGGREGATE (the 128 KB bloom mask; bm25's corpus-stats
-   row; ntile's distribution boundaries) — the documented intended
+   row; ntile's distribution boundaries; the funnel's stage list) — the documented intended
    pattern, not a pair explosion; their x1.2-2.8 ratios confirm it.
 2. `neardup_clusters` switches code path at scale exactly as designed:
    at sf0.1 the dup graph is under COMPONENTS_DRIVER_MAX_EDGES and the
