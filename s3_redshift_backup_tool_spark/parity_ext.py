@@ -1895,11 +1895,12 @@ def epoch_shuffle_ranks_documents(spark, sf_dir):
 
 @q("mixture_plan_by_source",
    """WITH per AS (SELECT source,
-                         sum(len(string_split(text, ' '))) AS available_tokens,
-                         CASE source WHEN 'src0' THEN 4.0
-                                     WHEN 'src1' THEN 2.0
-                                     WHEN 'src2' THEN 1.0
-                                     ELSE 0.0 END AS w
+                         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS available_tokens,
+                         CAST(CASE source WHEN 'src0' THEN 4.0
+                                          WHEN 'src1' THEN 2.0
+                                          WHEN 'src2' THEN 1.0
+                                          ELSE 0.0 END AS DOUBLE) AS w
                   FROM documents WHERE source IS NOT NULL
                   GROUP BY source),
       tot AS (SELECT sum(w) AS wsum FROM per)
