@@ -188,15 +188,17 @@ def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
     slim["queries"] = {}
     slim["n_queries"] = len(result["queries"])
     slim["queries_full_in"] = os.path.basename(full_file)
+    # 'queries_elided' is added AFTER the loop, so reserve its worst-case
+    # encoded width up front — otherwise the emitted line can exceed the
+    # budget by the trailing key's length and only stays parseable by
+    # luck against the driver's 2 KB stdout tail.
+    reserve = len(json.dumps({"queries_elided": len(result["queries"])})) + 2
     by_cost = sorted(result["queries"].items(), key=lambda kv: -kv[1])
-    line = json.dumps(slim)
     for name, sec in by_cost:
         slim["queries"][name] = sec
-        candidate = json.dumps(slim)
-        if len(candidate) > budget:
+        if len(json.dumps(slim)) > budget - reserve:
             del slim["queries"][name]
             break
-        line = candidate
     slim["queries_elided"] = len(result["queries"]) - len(slim["queries"])
     return json.dumps(slim)
 

@@ -379,13 +379,26 @@ def compact_change_log(log: DataFrame, keys: list[str],
     picks the per-key winner with map-side combine — deliberately NOT a
     row_number window, whose per-key partitions skew on hot keys and
     whose sort is wasted when only the max survives. At 100 TB of log,
-    the shuffle carries one row per DISTINCT key. Ties on ``seq_col``
-    resolve by the struct's remaining fields (document sequence
-    uniqueness upstream; binlog offsets are unique by construction)."""
+    the shuffle carries one row per DISTINCT key. Sequence uniqueness per
+    key is the upstream contract (binlog offsets are unique by
+    construction); should a malformed log carry colliding sequences
+    anyway, ties resolve by an explicit op PRECEDENCE rank
+    ('d' > 'u' > 'c') rather than by lexicographic accident — a delete
+    deterministically wins over an update at the same sequence, so a
+    duplicated seq can never silently resurrect a deleted row. Rows
+    whose op is not one of 'c'/'u'/'d' (including NULL) are dropped up
+    front: without the filter a NULL-op row would anti-join its base
+    row away in :func:`apply_change_log` yet fail every downstream op
+    comparison, silently acting as a delete."""
+    log = log.where(F.lower(F.col(op_col)).isin("c", "u", "d"))
     img_cols = [c for c in log.columns if c not in (op_col, seq_col)]
     data_cols = [c for c in img_cols if c not in keys]
+    op_rank = (F.when(F.lower(F.col(op_col)) == "d", F.lit(2))
+                .when(F.lower(F.col(op_col)) == "u", F.lit(1))
+                .otherwise(F.lit(0)))
     winner = F.max(F.struct(
-        F.col(seq_col).alias("__seq"), F.col(op_col).alias("__op"),
+        F.col(seq_col).alias("__seq"), op_rank.alias("__rank"),
+        F.col(op_col).alias("__op"),
         *[F.col(c).alias(c) for c in data_cols])).alias("w")
     g = log.groupBy(*[F.col(k) for k in keys]).agg(winner)
     return g.select(

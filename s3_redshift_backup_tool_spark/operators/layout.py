@@ -303,6 +303,15 @@ def execute_compaction(spark, path: str,
     def _recover_swap(d: str) -> None:
         tmp, old = d.rstrip("/") + "__tmpc", d.rstrip("/") + "__oldc"
         if os.path.isdir(d):
+            # live dir exists => the swap completed (or never started);
+            # any surviving __oldc/__tmpc siblings are stale leftovers
+            # from a crash between rename(tmp, d) and the final rmtree.
+            # They must go NOW: the suffixed dir name still contains
+            # 'col=', so a partition-discovery read of the dataset root
+            # would otherwise see partition value 'X__oldc' and return a
+            # duplicate copy of the old data.
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
             return
         if os.path.isdir(tmp) and os.path.exists(
                 os.path.join(tmp, "_SUCCESS")):

@@ -905,7 +905,14 @@ def overlap_coeff_pairs_documents(spark, sf_dir):
    "the check. Honest cost note: computing the df order costs ~3 "
    "corpus shuffles up front, so on THIS low-skew fixture the naive "
    "join is faster — PPJoin's regime is skewed posting lists, where "
-   "sum(df^2) explodes and the fixed cost amortizes")
+   "sum(df^2) explodes and the fixed cost amortizes. ROLE: this entry "
+   "is the EXACTNESS/FAILURE-MODE TWIN of "
+   "ngram_jaccard_capped_documents (the max_doc_freq-capped 100 TB "
+   "path) — it exists to pin the capped sibling's values and to "
+   "demonstrate the uncapped cost curve (x16.7 at 10x in the scale "
+   "probe). No production entry point (plans/curate.py, the dedup CLI) "
+   "can reach an uncapped candidate generator without an explicit "
+   "opt-in; tests/test_scale_fences.py pins that contract")
 def jaccard_prefix_pairs_documents(spark, sf_dir):
     # threshold 0.8: the prefix is ~20% of each set — the regime the
     # algorithm exists for (at 0.3 the prefix is 70% and the extra df
@@ -2074,7 +2081,8 @@ def oov_rate_documents(spark, sf_dir):
 
 @q("user_event_sequences",
    """SELECT user_id,
-             list(event_type ORDER BY ts, event_id) AS seq,
+             array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS seq,
              count(*) AS n
       FROM (SELECT user_id, event_type, ts, event_id
             FROM events WHERE user_id < 20)
@@ -2082,7 +2090,8 @@ def oov_rate_documents(spark, sf_dir):
    "behavioral-sequence construction (the session->training-sequence "
    "step of an event-model pipeline): deterministic ordered array_agg "
    "per user — one shuffle on the user key, ordering via in-group sort "
-   "keys, never a global sort")
+   "keys, never a global sort. Serialized '>'-joined for the driver "
+   "hash (the canonicalizer can't sort array columns)")
 def user_event_sequences(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     return (ev.groupBy("user_id")
@@ -2092,8 +2101,9 @@ def user_event_sequences(spark, sf_dir):
                    .alias("__s"),
                    F.count(F.lit(1)).alias("n"))
               .select("user_id",
-                      F.transform("__s", lambda s: s["event_type"])
-                       .alias("seq"),
+                      F.array_join(
+                          F.transform("__s", lambda s: s["event_type"]),
+                          ">").alias("seq"),
                       "n"))
 
 
@@ -5187,7 +5197,7 @@ def retract_agg_orders(spark, sf_dir):
         FROM dirty d JOIN customer c
           ON d.c_nationkey = c.c_nationkey
          AND d.c_mktsegment = c.c_mktsegment
-         AND right(d.d_name, 3) = right(c.c_name, 3)),
+         AND right(d.d_name, 5) = right(c.c_name, 5)),
       best AS (
         SELECT d_key, c_custkey AS match_key, sim,
                row_number() OVER (PARTITION BY d_key
@@ -5214,17 +5224,23 @@ def er_best_match_customer(spark, sf_dir):
                               F.substring(name, 14, 100)))
                .otherwise(name))
     # blocking = fixed-cardinality attributes (nation x segment) PLUS a
-    # SCALING, corruption-invariant component: the name's last 3 chars
-    # (both fixture corruptions touch interior padding positions, never
-    # the tail). Without it the 125 attribute blocks grow linearly with
-    # the data and candidates grow QUADRATICALLY — measured x73 wall at
-    # 10x data in the round-8 scale probe; with it x1-2. This is the
-    # standard multi-attribute blocking recipe: every blocking key must
-    # subdivide as the table grows or block^2 eats the job.
+    # SCALING, corruption-invariant component: the name's last 5 chars.
+    # Both fixture corruptions touch only positions 10/13, so the
+    # 5-char suffix survives the char-drop (shift-safe: right() indexes
+    # from the end) and the substitution. Cardinality of the suffix
+    # grows ~linearly with the table (names embed the entity key), so
+    # per-block size stays O(1) and candidates grow LINEARLY — pinned
+    # at <=12x for 10x data by tests/test_scale_fences.py. History: the
+    # original nation x segment blocking had FIXED cardinality and
+    # measured x73 wall at 10x (r8 probe); a last-3 suffix still left
+    # candidate growth quadratic once per-tail density outgrew 1 (the
+    # r9 candidate-count pin caught exactly that). The recipe stands:
+    # every blocking key must subdivide as the table grows, and the
+    # candidate COUNT — not wall time — is what the test asserts.
     dirty = (cust.select(key.alias("d_key"), d_name.alias("d_name"),
                          "c_nationkey", "c_mktsegment")
-                 .withColumn("name_tail", F.expr("right(d_name, 3)")))
-    clean = cust.withColumn("name_tail", F.expr("right(c_name, 3)"))
+                 .withColumn("name_tail", F.expr("right(d_name, 5)")))
+    clean = cust.withColumn("name_tail", F.expr("right(c_name, 5)"))
     out = link_records(dirty, clean,
                        ["c_nationkey", "c_mktsegment", "name_tail"],
                        "d_key", "c_custkey", "d_name", "c_name",
@@ -6136,6 +6152,109 @@ def dow_seasonality_events(spark, sf_dir):
 
 
 # ==========================================================================
+# Round 9: oracle coverage for the two formerly pytest-only components
+# (VERDICT r8 "Next round" #6): BPE encoding and the bucketed co-located
+# join.
+# ==========================================================================
+
+#: Fixed literal BPE merge list for the registry entry. Topologically
+#: valid (every multi-symbol half is produced by an EARLIER merge, so
+#: greedy min-rank encoding == applying merges sequentially in rank
+#: order) and free of self-pairs (a != b for every merge, so the
+#: oracle's left-to-right replace() passes align exactly with textbook
+#: non-overlapping merging; see _bpe_oracle_sql).
+_BPE_MERGES = [("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("s", "</w>"),
+               ("d", "</w>"), ("a", "n"), ("an", "d</w>"), ("i", "n"),
+               ("o", "n"), ("e", "r"), ("t", "</w>"), ("a", "t</w>")]
+
+
+def _bpe_oracle_sql(merges) -> str:
+    """DuckDB SQL that BPE-encodes every document with the fixed merge
+    list and returns (doc_id, n_words, n_tokens) — the same contract as
+    operators.bpe.apply_bpe.
+
+    Encoding in pure SQL: each word becomes a chr(31)-delimited symbol
+    string ('\\x1ft\\x1fh\\x1fe\\x1f</w>\\x1f'); each merge (a, b) is a
+    string replace of '\\x1fa\\x1fb\\x1f' with '\\x1fab\\x1f', applied 3
+    times. Because no merge has a == b, a needle can never overlap
+    itself, so every replace() match is a TRUE pair occurrence; the only
+    misses are occurrences directly following a match (their leading
+    delimiter was consumed), which are never adjacent to each other, so
+    a second pass catches them all (third pass = slack). Fixpoint ==
+    textbook left-to-right non-overlapping merging == the greedy
+    min-rank encoder in operators/bpe.py (fuzz-verified on 3000 random
+    words). Token count = delimiter count - 1."""
+    expr = (r"chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')"
+            r" || '</w>' || chr(31)")
+    for a, b in merges:
+        needle = f"chr(31) || '{a}' || chr(31) || '{b}' || chr(31)"
+        repl = f"chr(31) || '{a}{b}' || chr(31)"
+        for _ in range(3):
+            expr = f"replace({expr}, {needle}, {repl})"
+    ntok = f"(length({expr}) - length(replace({expr}, chr(31), ''))) - 1"
+    return f"""WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+      t AS (SELECT doc_id, count(*) AS n_words,
+                   CAST(sum({ntok}) AS BIGINT) AS n_tokens
+            FROM w GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(t.n_words, 0) AS n_words,
+             coalesce(t.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN t USING (doc_id)"""
+
+
+@q("bpe_encode_documents",
+   _bpe_oracle_sql(_BPE_MERGES),
+   "BPE encoding with a fixed ranked merge table: per-document word and "
+   "token counts via the Arrow-batched greedy min-rank encoder "
+   "(operators/bpe.apply_bpe, merge table broadcast in the closure, "
+   "per-partition word cache). The merge list is a topologically-valid "
+   "literal so the oracle can replay it as sequential delimiter-aligned "
+   "string replaces — the distributed TRAINER's exactness is separately "
+   "pinned against a single-node textbook reference in test_bpe.py. "
+   "Linear in corpus bytes, zero shuffles: the 100 TB path for "
+   "train-budget token accounting")
+def bpe_encode_documents(spark, sf_dir):
+    from .operators.bpe import apply_bpe
+    return apply_bpe(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+
+
+@q("bucketed_join_orders_lineitem",
+   """SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""",
+   "co-located fact-fact join off BUCKETED layout (plans/bucketing): "
+   "both sides written bucketBy(8, key) sorted-within-buckets, so the "
+   "sort-merge join compiles with ZERO shuffle exchanges — each task "
+   "merges bucket i of orders against bucket i of lineitem straight "
+   "off the scans (zero-exchange plan pinned in test_bucketing.py; "
+   "this entry pins the VALUES against the plain-join oracle). At "
+   "100 TB this deletes both large exchanges from every recurring "
+   "orders x lineitem run at the cost of one bucketed write")
+def bucketed_join_orders_lineitem(spark, sf_dir):
+    from .plans.bucketing import bucketed_join, write_bucketed
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  "l_extendedprice", "l_discount"))
+    write_bucketed(orders, "pbj_orders", "o_orderkey", 8,
+                   sort_cols="o_orderkey")
+    write_bucketed(li, "pbj_lineitem", "o_orderkey", 8,
+                   sort_cols="o_orderkey")
+    j = bucketed_join(spark, "pbj_orders", "pbj_lineitem", "o_orderkey")
+    rev = (F.col("l_extendedprice")
+           * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum(rev).cast("double").alias("revenue")))
+
+
+# ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
 # early, siblings in the tail" heuristic with a WRITTEN ROTATION SCHEDULE
@@ -6150,70 +6269,47 @@ def dow_seasonality_events(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-8 rotation: all 50 are first-time driver candidates (never
-    # hashed in CORRECTNESS_r01..r07); verified against the DuckDB oracle
-    # at sf0.01 via tools/check_parity.py before promotion (50/50 green).
-    # -- oldest never-hashed (rounds 2-3 additions) --
-    "tpch_q11", "tpch_q16", "tpch_q20",
-    "above_avg_idle_customers", "small_qty_part_revenue",
-    "minhash_signatures_documents", "source_overlap_matrix_documents",
-    "incremental_neardup_pairs_documents",
-    "embedding_norms", "ann_lsh_multiprobe_topk",
-    "ann_pq_adc_topk_embeddings", "ann_pq_rerank_topk_embeddings",
-    "ann_ivfpq_topk_embeddings", "corpus_stats_by_source",
-    "decontamination_eval_overlap", "bloom_decontamination_documents",
-    "mixture_plan_by_source", "pagerank_dup_graph_documents",
-    "epoch_shuffle_ranks_documents", "pack_sequences_documents",
-    "frame_sample_documents", "salted_join_order_priority",
-    "json_props_extract_events", "disjunctive_pred_part_revenue",
-    "waiting_multi_supplier_orders", "knn_label_eval_embeddings",
-    "volume_shipping_pair_nations", "market_share_by_year",
-    # -- round-8 additions: new operator families, first-time by
-    # definition (real ISO-BMFF metadata + keyframe byte-range
-    # extraction; log-based CDC compaction/apply) --
-    "video_metadata_documents", "keyframe_slices_documents",
-    "change_log_apply_orders",
-    # -- round-7 second batch (queued for this rotation in r7) --
-    "kmv_distinct_by_source", "funnel_ordered_events",
-    "robust_outliers_events", "curriculum_interleave_documents",
-    "checksum_audit_orders", "skew_report_orders", "kmv_union_sources",
-    "ndcg_retrieval_embeddings", "dow_seasonality_events",
-    "classifier_calibration_documents", "cohort_retention_weekly_events",
-    "kcore_dup_graph_documents", "bloom_semi_join_orders",
-    "tfidf_top_terms_documents", "value_histogram_events",
-    "fk_orphan_audit_lineitem", "top_event_paths_sessions",
-    "ann_matryoshka_topk_embeddings", "embedding_drift_halves",
-]
-
-_TAIL = [
-    # --- awaiting first driver hash; scheduled for the r9/r10 windows
-    # (rotation order = this list order; see ROTATION.json) ---
-    "top_supplier_by_revenue", "custdist_orders_per_customer",
-    "returned_item_top_customers",
-
+    # round-9 rotation (ROTATION.json window_r9): all 50 are first-time
+    # driver candidates — the never-hashed backlog in registry order,
+    # headed by mixture_plan_by_source (r8 hash-red; oracle literal
+    # typing fixed in commit ba4d0a8, re-windowed for a green row).
+    # Pre-verified vs the DuckDB oracle at sf0.01 via
+    # tools/check_parity.py before promotion.
+    "mixture_plan_by_source", "top_supplier_by_revenue",
+    "custdist_orders_per_customer", "returned_item_top_customers",
     "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
     "rolling_hour_avg_value", "pivot_status_by_priority",
     "intersect_click_purchase_users", "label_centroids_embeddings",
-    "oov_rate_documents", "user_event_sequences",
-    "drift_psi_documents", "forecast_revenue_change",
-    "chunk_documents_windowed", "funnel_conversion_events",
-    "cohort_retention_events", "late_shipment_by_priority",
-    "ngram_jaccard_capped_documents", "neardup_clusters_star_documents",
-    "semantic_dedup_pairs_embeddings", "gopher_quality_documents",
-    "zscore_outliers_events", "importance_sample_documents",
-    "approx_percentile_check_lineitem", "hll_union_distinct_users",
-    "mixture_sample_by_source", "fuzzy_pairs_customer",
-    "normalized_dedup_documents", "bigram_logprob_documents",
-    "lexical_diversity_by_source", "gopher_pass_rates_by_source",
-    "key_skew_profile_events", "dup_rate_by_source",
-    "unpivot_measure_stats_lineitem", "python_source_cdc_feed",
-    "events_since_last_purchase", "token_pmi_pairs_documents",
-    "purchase_value_daily_gapfilled", "event_transition_matrix",
-    "corr_matrix_lineitem", "table_checksum_orders",
-    "promo_revenue_share", "min_cost_supplier_per_part",
-    "profit_by_nation_year", "important_parts_share",
-    "supplier_count_by_part_attrs", "excess_shipped_suppliers",
-    "stable_global_ids_orders", "udtf_json_kv_events",
+    "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
+    "forecast_revenue_change", "chunk_documents_windowed",
+    "funnel_conversion_events", "cohort_retention_events",
+    "late_shipment_by_priority", "ngram_jaccard_capped_documents",
+    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
+    "gopher_quality_documents", "zscore_outliers_events",
+    "importance_sample_documents", "approx_percentile_check_lineitem",
+    "hll_union_distinct_users", "mixture_sample_by_source",
+    "fuzzy_pairs_customer", "normalized_dedup_documents",
+    "bigram_logprob_documents", "lexical_diversity_by_source",
+    "gopher_pass_rates_by_source", "key_skew_profile_events",
+    "dup_rate_by_source", "unpivot_measure_stats_lineitem",
+    "python_source_cdc_feed", "events_since_last_purchase",
+    "token_pmi_pairs_documents", "purchase_value_daily_gapfilled",
+    "event_transition_matrix", "corr_matrix_lineitem",
+    "table_checksum_orders", "promo_revenue_share",
+    "min_cost_supplier_per_part", "profit_by_nation_year",
+    "important_parts_share", "supplier_count_by_part_attrs",
+    "excess_shipped_suppliers", "stable_global_ids_orders",
+    "udtf_json_kv_events",
+]
+
+_TAIL = [
+    # --- never-hashed backlog: scheduled for the r10 window
+    # (rotation order = this list order; see ROTATION.json) — the
+    # 15 remaining r2-r7 additions plus the two round-9 additions
+    # (first oracle coverage for the formerly pytest-only BPE and
+    # bucketed-join components) ---
+    # --- then driver-hashed entries, oldest last-hash first
+    # (r1/r2 -> r3/r4 -> r5 -> r7 -> r8) ---
     "cluster_safe_split_documents", "constraint_audit_orders",
     "token_kl_by_source", "overlap_coeff_pairs_documents",
     "char_entropy_documents", "variant_props_events",
@@ -6221,12 +6317,10 @@ _TAIL = [
     "weighted_sample_per_source", "dup_graph_triangles",
     "rolling_median_daily_revenue", "embedding_dim_stats",
     "top_bigrams_per_source", "curation_attrition_documents",
-    "benford_audit_orders",
-    # --- driver-hashed green in rounds 1-5 (re-attestation queue,
-    # oldest last-hash first) ---
-    "part_type_revenue_share", "revenue_rollup_flag_status",
-    "sliding_2h1h_events", "customers_without_orders",
-    "vocab_top20_documents", "lang_id_documents",
+    "benford_audit_orders", "bpe_encode_documents",
+    "bucketed_join_orders_lineitem", "part_type_revenue_share",
+    "revenue_rollup_flag_status", "sliding_2h1h_events",
+    "customers_without_orders", "vocab_top20_documents", "lang_id_documents",
     "multimodal_payload_stats", "cosine_topk_embeddings",
     "hash_sample_documents", "event_gap_lag_window",
     "lang_id_confusion_documents", "large_volume_orders",
@@ -6241,37 +6335,55 @@ _TAIL = [
     "ccnet_buckets_by_source", "stratified_sample_by_source",
     "scd2_history_events", "winnowing_dup_fingerprints_documents",
     "cdc_time_window_events", "watermark_extract_orders",
-    "density_stats_events", "align_orders_to_target",
-    "topk_orders_by_price", "latest_record_per_user",
-    "revenue_by_nation", "minhash_lsh_pairs_documents",
-    "cdc_custom_sql_orders", "order_priority_exists",
-    # --- driver-hashed green in round 7 (the former window, rotated out
-    # r8 to admit the 50 first-time candidates above) ---
-    "cdc_hybrid_lineitem_ties", "cdc_timestamp_only_events",
-    "cdc_id_only_ceiling_events", "cdc_full_sync_region",
-    "snapshot_diff_orders", "cast_suite_lineitem",
-    "sanitize_scrub_customer", "manifest_anti_join",
-    "verify_counts", "quality_metrics_lineitem",
-    "incremental_agg_orders", "retract_agg_orders",
-    "exact_dedup_documents", "neardup_clusters_documents",
-    "scrub_exact_substrings_documents", "duplicated_spans_documents",
-    "knn_graph_embeddings", "nn_descent_graph_embeddings",
-    "ann_lsh_topk_embeddings", "ann_ivf_topk_embeddings",
-    "ann_lsh_multitable_topk", "mmr_topk_embeddings",
-    "train_val_test_split_documents", "quality_classifier_documents",
-    "classifier_pr_curve_documents", "multimodal_features",
-    "temperature_mixture_by_source", "text_stats_documents",
-    "normalize_text_documents", "er_best_match_customer",
-    "ntile_cumedist_customers", "pii_scrub_customer",
-    "id_gap_audit_orders", "overlapping_purchase_intervals_events",
-    "asof_click_attribution", "keyset_page_orders",
-    "tumbling_daily_events", "zorder_keys_events",
-    "hilbert_keys_events", "zorder3_keys_events",
-    "compaction_plan_orders", "pricing_summary_lineitem",
-    "image_ahash_documents", "shipping_priority_top10",
-    "supplier_revenue_by_nation", "bm25_search_documents",
-    "cube_status_priority_orders", "price_percentiles_orders",
-    "approx_distinct_users_check", "tpch_q2",
+    "density_stats_events", "align_orders_to_target", "topk_orders_by_price",
+    "latest_record_per_user", "revenue_by_nation",
+    "minhash_lsh_pairs_documents", "cdc_custom_sql_orders",
+    "order_priority_exists", "cdc_hybrid_lineitem_ties",
+    "cdc_timestamp_only_events", "cdc_id_only_ceiling_events",
+    "cdc_full_sync_region", "snapshot_diff_orders", "cast_suite_lineitem",
+    "sanitize_scrub_customer", "manifest_anti_join", "verify_counts",
+    "quality_metrics_lineitem", "incremental_agg_orders",
+    "retract_agg_orders", "exact_dedup_documents",
+    "neardup_clusters_documents", "scrub_exact_substrings_documents",
+    "duplicated_spans_documents", "knn_graph_embeddings",
+    "nn_descent_graph_embeddings", "ann_lsh_topk_embeddings",
+    "ann_ivf_topk_embeddings", "ann_lsh_multitable_topk",
+    "mmr_topk_embeddings", "train_val_test_split_documents",
+    "quality_classifier_documents", "classifier_pr_curve_documents",
+    "multimodal_features", "temperature_mixture_by_source",
+    "text_stats_documents", "normalize_text_documents",
+    "er_best_match_customer", "ntile_cumedist_customers",
+    "pii_scrub_customer", "id_gap_audit_orders",
+    "overlapping_purchase_intervals_events", "asof_click_attribution",
+    "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
+    "hilbert_keys_events", "zorder3_keys_events", "compaction_plan_orders",
+    "pricing_summary_lineitem", "image_ahash_documents",
+    "shipping_priority_top10", "supplier_revenue_by_nation",
+    "bm25_search_documents", "cube_status_priority_orders",
+    "price_percentiles_orders", "approx_distinct_users_check", "tpch_q2",
+    "tpch_q11", "tpch_q16", "tpch_q20", "above_avg_idle_customers",
+    "small_qty_part_revenue", "minhash_signatures_documents",
+    "source_overlap_matrix_documents", "incremental_neardup_pairs_documents",
+    "embedding_norms", "ann_lsh_multiprobe_topk",
+    "ann_pq_adc_topk_embeddings", "ann_pq_rerank_topk_embeddings",
+    "ann_ivfpq_topk_embeddings", "corpus_stats_by_source",
+    "decontamination_eval_overlap", "bloom_decontamination_documents",
+    "pagerank_dup_graph_documents", "epoch_shuffle_ranks_documents",
+    "pack_sequences_documents", "frame_sample_documents",
+    "salted_join_order_priority", "json_props_extract_events",
+    "disjunctive_pred_part_revenue", "waiting_multi_supplier_orders",
+    "knn_label_eval_embeddings", "volume_shipping_pair_nations",
+    "market_share_by_year", "video_metadata_documents",
+    "keyframe_slices_documents", "change_log_apply_orders",
+    "kmv_distinct_by_source", "funnel_ordered_events",
+    "robust_outliers_events", "curriculum_interleave_documents",
+    "checksum_audit_orders", "skew_report_orders", "kmv_union_sources",
+    "ndcg_retrieval_embeddings", "dow_seasonality_events",
+    "classifier_calibration_documents", "cohort_retention_weekly_events",
+    "kcore_dup_graph_documents", "bloom_semi_join_orders",
+    "tfidf_top_terms_documents", "value_histogram_events",
+    "fk_orphan_audit_lineitem", "top_event_paths_sessions",
+    "ann_matryoshka_topk_embeddings", "embedding_drift_halves",
 ]
 
 

@@ -47,9 +47,19 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str] | str,
         from urllib.parse import urlparse
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # Orphaned-location cleanup must mirror Spark's actual layout:
+        # default-db tables live at <wh>/<tbl>, but a table in database
+        # db lives at <wh>/db.db/<tbl>. Resolve the database (current
+        # database when the name is unqualified) instead of always
+        # stripping to the bare table name, which both missed qualified
+        # locations and could delete a same-named table's directory
+        # from another database.
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh.rstrip('/')}/{table.split('.')[-1]}",
-                      ignore_errors=True)
+        db, _, tbl = table.rpartition(".")
+        db = db or spark.catalog.currentDatabase()
+        loc = (f"{wh.rstrip('/')}/{tbl}" if db == "default"
+               else f"{wh.rstrip('/')}/{db}.db/{tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
     if sort_cols:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) \
