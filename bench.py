@@ -98,13 +98,21 @@ def main() -> None:
 
     # cold run pays one-time JIT compilation, codegen, and parquet-
     # committer init (~4s of fixed cost a long-lived cluster amortizes to
-    # zero) — reported separately; the headline is the best of two warm
+    # zero) — reported separately; the headline is the best of three warm
     # runs (same jitter rationale as the per-query numbers below).
+    # Idle-core precheck (headline only): r8's sweeps spread 338-397K
+    # rows/s (~17%) on this shared sandbox, which made round-over-round
+    # headline deltas pure noise. Wait briefly for the box to go quiet
+    # and RECORD the spread so the artifact carries its own error bar.
+    load_at_start = _wait_for_idle(max_wait_sec=60)
     cold_sec, _ = headline_sync(spark)
     w1, n_rows = headline_sync(spark)
     w2, _ = headline_sync(spark)
     w3, _ = headline_sync(spark)
-    headline_sec = min(w1, w2, w3)
+    runs = sorted((w1, w2, w3))
+    headline_sec = runs[0]
+    headline_median = runs[1]
+    spread_pct = round(100.0 * (runs[-1] - runs[0]) / runs[1], 1)
 
     # best-of-2 per query: single-JVM local mode shows multi-second GC/JIT
     # jitter on a handful of queries (measured 3s..91s on an idle box for
@@ -165,6 +173,10 @@ def main() -> None:
         "rows": n_rows,
         "cold_run_sec": round(cold_sec, 3),
         "rows_per_sec": round(n_rows / headline_sec),
+        "rows_per_sec_median": round(n_rows / headline_median),
+        "headline_runs_sec": [round(r, 3) for r in runs],
+        "headline_spread_pct": spread_pct,
+        "load1_at_start": load_at_start,
         "baseline_rows_per_sec": 233_000,
         "total_query_sec": round(sum(query_times.values()), 3),
         "retimed_outliers": retimed,   # name -> in-sweep time it replaced
@@ -181,6 +193,19 @@ def main() -> None:
     line = _bounded_stdout_line(result, full_file, budget=1800)
     os.write(real_stdout, (line + "\n").encode())
     os.close(real_stdout)
+
+
+def _wait_for_idle(max_wait_sec: int) -> float:
+    """Headline-only precheck: wait (bounded) for 1-min load below 75%
+    of our CPU budget so the three timed runs measure the plan, not a
+    neighbor. Returns the load actually observed at the end — recorded
+    in the artifact so an elevated-load sweep is self-describing."""
+    deadline = time.monotonic() + max_wait_sec
+    load = os.getloadavg()[0]
+    while load > 0.75 * CPUS and time.monotonic() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return round(load, 2)
 
 
 def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
@@ -260,16 +285,32 @@ def _persist_full_history(result: dict) -> str:
         with open(prior_files[-1]) as fh:
             prev = json.load(fh)
         pq, cq = prev.get("queries", {}), result["queries"]
-        deltas = sorted(((cq[k] - pq[k], k) for k in cq if k in pq),
-                        reverse=True)[:5]
+        # Environmental filter (r8 verdict item 7): the sweep's own
+        # measured headline spread is the noise floor — a mover whose
+        # delta sits inside spread x prev (and under 0.5 s absolute)
+        # is shared-sandbox jitter, not a regression; don't flag it.
+        noise = max(result.get("headline_spread_pct", 0.0),
+                    prev.get("headline_spread_pct", 0.0)) / 100.0
+        real = [(cq[k] - pq[k], k) for k in cq if k in pq
+                and abs(cq[k] - pq[k]) > max(0.5, noise * pq[k])]
+        suppressed = sum(1 for k in cq if k in pq and cq[k] != pq[k]) \
+            - len(real)
+        deltas = sorted(real, reverse=True)[:5]
         prev_r = re.search(r"bench_full_r(\d+)", prior_files[-1]).group(1)
-        lines += [f"Top movers vs r{prev_r} "
-                  f"(+ = slower now; {len(cq)} vs {len(pq)} queries, "
-                  f"headline {prev.get('rows_per_sec')} -> "
-                  f"{result['rows_per_sec']} rows/s):", "",
-                  "| query | prev s | now s | delta s |", "|---|---|---|---|"]
-        lines += [f"| {k} | {pq[k]:.3f} | {cq[k]:.3f} | {d:+.3f} |"
-                  for d, k in deltas]
+        lines += [f"Movers vs r{prev_r} beyond the environmental noise "
+                  f"floor (spread {result.get('headline_spread_pct')}% "
+                  f"this sweep; {suppressed} within-noise deltas "
+                  f"suppressed; + = slower now; headline "
+                  f"{prev.get('rows_per_sec')} -> "
+                  f"{result['rows_per_sec']} rows/s, median "
+                  f"{result.get('rows_per_sec_median')}):", ""]
+        if deltas:
+            lines += ["| query | prev s | now s | delta s |",
+                      "|---|---|---|---|"]
+            lines += [f"| {k} | {pq[k]:.3f} | {cq[k]:.3f} | {d:+.3f} |"
+                      for d, k in deltas]
+        else:
+            lines += ["No movers beyond the noise floor."]
     lines.append("<!-- bench-regressions:end -->")
     block = "\n".join(lines)
     perf = os.path.join(repo, "PERF.md")

@@ -642,8 +642,10 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
         return 0
     df = read_table(spark, args.source_dir, args.table)
     if args.action == "build":
-        dd.save_lsh_index(df, args.index_dir,
-                          max_bucket_size=args.max_bucket_size, **kw)
+        # --max-bucket-size 0 is the explicit uncapped opt-in; the
+        # default (64) keeps the CLI on the capped 100 TB-safe path.
+        cap = args.max_bucket_size or None
+        dd.save_lsh_index(df, args.index_dir, max_bucket_size=cap, **kw)
         _emit({"action": "build", "index_dir": args.index_dir,
                "docs": df.count()})
         return 0
@@ -973,8 +975,11 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--ngram", type=int, default=3)
     di.add_argument("--num-hashes", type=int, default=16)
     di.add_argument("--bands", type=int, default=8)
-    di.add_argument("--max-bucket-size", type=int, default=None,
-                    help="build-time stop-bucket cap")
+    di.add_argument("--max-bucket-size", type=int, default=64,
+                    help="build-time stop-bucket cap (a bucket of b docs "
+                         "emits b^2/2 candidate pairs, so the CLI is "
+                         "capped BY DEFAULT; pass 0 to opt in to an "
+                         "uncapped build for exactness studies)")
     di.add_argument("-o", "--output", default=None,
                     help="probe: write pairs parquet here instead of "
                          "printing a sample")

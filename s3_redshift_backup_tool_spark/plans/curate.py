@@ -60,6 +60,7 @@ def curate_corpus(
     gopher_min_words: int | None = None,
     minhash_hashes: int = 16,
     minhash_bands: int = 8,
+    lsh_max_bucket_size: int | None = 64,
     min_quality: float = 0.3,
     classifier_weights: list[float] | None = None,
     classifier_min_p: float | None = None,
@@ -90,8 +91,14 @@ def curate_corpus(
     res.counts["exact_dedup"] = docs.count()
 
     # -- 2. near-dup components -------------------------------------------
+    # lsh_max_bucket_size is NON-None by default: the production plan
+    # must never reach an uncapped b^2/2 candidate generator — one
+    # boilerplate band bucket at web scale would dominate the whole job.
+    # Passing None is the explicit opt-in for exactness studies
+    # (tests/test_scale_fences.py pins this contract).
     pairs = dd.lsh_pairs(docs, text_col, id_col,
-                         num_hashes=minhash_hashes, bands=minhash_bands)
+                         num_hashes=minhash_hashes, bands=minhash_bands,
+                         max_bucket_size=lsh_max_bucket_size)
     comp = dd.neardup_components(pairs)
     # docs in no component are unique; component members survive only if
     # they ARE the component label (min id = canonical)

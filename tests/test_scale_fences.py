@@ -1,0 +1,150 @@
+"""Scale fences (round-9 verdict items #3/#4).
+
+Two contracts that SCALE.md argues and these tests PIN:
+
+1. No production entry point (plans/curate.py, the dedup CLI) can reach
+   an uncapped quadratic candidate generator without an explicit
+   opt-in. The uncapped paths exist on purpose — as exactness pins for
+   their capped siblings (``jaccard_prefix_pairs_documents`` vs
+   ``ngram_jaccard_capped_documents``) — but they must be unreachable
+   by default from anything a user composes at 100 TB.
+
+2. ``er_best_match_customer``'s blocking produces a candidate set that
+   grows LINEARLY with the data. The r8 probe caught the original
+   fixed-cardinality blocking at x73 wall; the r9 candidate-count
+   measurement then showed the last-3-char tail STILL grew candidates
+   x100 for x10 data (per-tail density outgrew 1), which wall time
+   (x14.9) had masked. The fix is the last-5 tail — cardinality scales
+   with the table — and this test asserts the COUNT ratio, the
+   quantity that actually explodes, not its cheap downstream symptom.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+PKG = os.path.join(os.path.dirname(__file__), "..",
+                   "s3_redshift_backup_tool_spark")
+SF1 = "/root/repo/.scale/sf1"
+
+
+# ---------------------------------------------------------------------------
+# contract 1a: production sources never reference the uncapped exact-
+# jaccard generator at all
+# ---------------------------------------------------------------------------
+
+def test_production_entry_points_never_use_exact_jaccard():
+    for rel in ("plans/curate.py", "cli.py"):
+        src = open(os.path.join(PKG, rel)).read()
+        assert "ngram_jaccard_pairs" not in src, (
+            f"{rel} references ngram_jaccard_pairs — the uncapped exact "
+            "generator must stay out of production compositions")
+        assert "jaccard_prefix_filter_pairs" not in src, (
+            f"{rel} references the PPJoin exactness twin — same fence")
+
+
+# ---------------------------------------------------------------------------
+# contract 1b: curate_corpus passes a bucket cap to lsh_pairs by default
+# ---------------------------------------------------------------------------
+
+def test_curate_lsh_pairs_capped_by_default(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.plans import curate as cu
+
+    seen = {}
+    real = cu.dd.lsh_pairs
+
+    def spy(*args, **kwargs):
+        seen.update(kwargs)
+        return real(*args, **kwargs)
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .limit(50))
+    cu.dd.lsh_pairs = spy
+    try:
+        cu.curate_corpus(spark, docs)
+    finally:
+        cu.dd.lsh_pairs = real
+    assert seen.get("max_bucket_size") is not None, (
+        "curate_corpus called lsh_pairs without a max_bucket_size cap — "
+        "the production plan reached an uncapped b^2/2 generator")
+
+
+def test_curate_uncapped_requires_explicit_opt_in():
+    import inspect
+
+    from s3_redshift_backup_tool_spark.plans.curate import curate_corpus
+    sig = inspect.signature(curate_corpus)
+    default = sig.parameters["lsh_max_bucket_size"].default
+    assert default is not None and default > 0, (
+        "lsh_max_bucket_size must default to a finite cap; None is the "
+        "explicit opt-in")
+
+
+# ---------------------------------------------------------------------------
+# contract 1c: the dedup CLI's build verb defaults to a capped index
+# ---------------------------------------------------------------------------
+
+def test_cli_dedup_index_cap_default():
+    from s3_redshift_backup_tool_spark.cli import build_parser
+    args = build_parser().parse_args(
+        ["dedup-index", "build", "--index-dir", "/tmp/x"])
+    assert args.max_bucket_size == 64, (
+        "dedup-index --max-bucket-size must default to a finite cap "
+        "(0 = the explicit uncapped opt-in)")
+
+
+# ---------------------------------------------------------------------------
+# contract 1d: the registry documents the uncapped entry as the
+# exactness/failure-mode twin
+# ---------------------------------------------------------------------------
+
+def test_uncapped_jaccard_registry_entry_is_labeled():
+    from s3_redshift_backup_tool_spark.parity import REGISTRY
+    import s3_redshift_backup_tool_spark.parity_ext  # noqa: F401
+    doc = REGISTRY["jaccard_prefix_pairs_documents"].doc
+    assert re.search(r"EXACTNESS/FAILURE-MODE TWIN", doc)
+    assert "ngram_jaccard_capped_documents" in doc
+
+
+# ---------------------------------------------------------------------------
+# contract 2: er blocking candidate growth is linear (count, not wall)
+# ---------------------------------------------------------------------------
+
+def _er_candidates(spark, sf_path: str) -> int:
+    from s3_redshift_backup_tool_spark.operators.entity_resolution import (
+        block_candidates)
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+
+    cust = read_table(spark, sf_path, "customer")
+    key, name = F.col("c_custkey"), F.col("c_name")
+    d_name = (F.when(key % 3 == 0,
+                     F.concat(F.substring(name, 1, 9),
+                              F.substring(name, 11, 100)))
+               .when(key % 3 == 1,
+                     F.concat(F.substring(name, 1, 12), F.lit("X"),
+                              F.substring(name, 14, 100)))
+               .otherwise(name))
+    dirty = (cust.select(key.alias("d_key"), d_name.alias("d_name"),
+                         "c_nationkey", "c_mktsegment")
+                 .withColumn("name_tail", F.expr("right(d_name, 5)")))
+    clean = cust.withColumn("name_tail", F.expr("right(c_name, 5)"))
+    return block_candidates(
+        dirty, clean, ["c_nationkey", "c_mktsegment", "name_tail"]).count()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF1),
+                    reason="10x fixture absent — regenerate with "
+                           "tools/make_scale_fixture.py")
+def test_er_candidate_growth_is_linear(spark):
+    c_small = _er_candidates(spark, "/root/testdata/sf0.1")
+    c_big = _er_candidates(spark, SF1)
+    ratio = c_big / c_small
+    # 10x data -> <=12x candidates (linear + slack). The pre-fix last-3
+    # tail measured ratio 100.0 here; last-5 measures ~10.1.
+    assert ratio <= 12.0, (
+        f"er blocking candidates grew x{ratio:.1f} for 10x data "
+        f"({c_small} -> {c_big}) — blocking key stopped subdividing")
