@@ -38,7 +38,7 @@ import duckdb
 import numpy as np
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = 10   # overridden by --replicas (100 = sf10 for the 100x probe)
 # strides: > row-count-derived max key, AND a multiple of 840
 # (lcm(1..8)=840) so `key % k` predicates select the same fraction in
 # every replica for every k the registry uses (2,3,4,5,7,8,11,...840)
@@ -125,13 +125,28 @@ def upsample_embeddings(out: str) -> None:
 
 
 def main() -> None:
+    global REPLICAS
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    ap.add_argument("--replicas", type=int, default=10,
+                    help="upsampling factor (10 = sf1-equivalent, "
+                         "100 = sf10-equivalent for the 100x probe)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (the 100x probe needs "
+                         "only lineitem,documents,embeddings)")
     args = ap.parse_args()
+    REPLICAS = args.replicas
+    only = set(args.tables.split(",")) if args.tables else None
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
     for name in ("region", "nation"):
+        if not want(name):
+            continue
         con.execute(f"COPY (SELECT * FROM '{SRC}/{name}.parquet') TO "
                     f"'{args.out}/{name}.parquet' (FORMAT PARQUET)")
         print(f"{name}: copied (fixed dim)")
@@ -147,41 +162,51 @@ def main() -> None:
     ev_s = _stride(mx("events", "event_id"))
     usr_s = _stride(mx("events", "user_id"))
 
-    upsample_relational(con, "customer", args.out,
-                        {"c_custkey": cust_s},
-                        ["c_nationkey", "c_acctbal", "c_mktsegment"],
-                        {"c_name": "'Customer#' || lpad(CAST(c_custkey "
-                                   "+ {shift} AS VARCHAR), 9, '0')"})
-    upsample_relational(con, "supplier", args.out,
-                        {"s_suppkey": supp_s},
-                        ["s_nationkey", "s_acctbal"],
-                        {"s_name": "'Supplier#' || lpad(CAST(s_suppkey "
-                                   "+ {shift} AS VARCHAR), 9, '0')"})
-    upsample_relational(con, "part", args.out,
-                        {"p_partkey": part_s},
-                        ["p_name", "p_brand", "p_type", "p_size",
-                         "p_retailprice"])
-    upsample_relational(con, "orders", args.out,
-                        {"o_orderkey": ord_s, "o_custkey": cust_s},
-                        ["o_orderstatus", "o_totalprice", "o_orderdate",
-                         "o_orderpriority"])
-    upsample_relational(con, "lineitem", args.out,
-                        {"l_orderkey": ord_s, "l_partkey": part_s,
-                         "l_suppkey": supp_s},
-                        ["l_linenumber", "l_quantity", "l_extendedprice",
-                         "l_discount", "l_tax", "l_returnflag",
-                         "l_linestatus", "l_shipdate"])
-    upsample_relational(con, "events", args.out,
-                        {"event_id": ev_s, "user_id": usr_s},
-                        ["ts", "event_type", "value", "props"])
+    if want("customer"):
+        upsample_relational(con, "customer", args.out,
+                            {"c_custkey": cust_s},
+                            ["c_nationkey", "c_acctbal", "c_mktsegment"],
+                            {"c_name": "'Customer#' || lpad(CAST(c_custkey "
+                                       "+ {shift} AS VARCHAR), 9, '0')"})
+    if want("supplier"):
+        upsample_relational(con, "supplier", args.out,
+                            {"s_suppkey": supp_s},
+                            ["s_nationkey", "s_acctbal"],
+                            {"s_name": "'Supplier#' || lpad(CAST(s_suppkey "
+                                       "+ {shift} AS VARCHAR), 9, '0')"})
+    if want("part"):
+        upsample_relational(con, "part", args.out,
+                            {"p_partkey": part_s},
+                            ["p_name", "p_brand", "p_type", "p_size",
+                             "p_retailprice"])
+    if want("orders"):
+        upsample_relational(con, "orders", args.out,
+                            {"o_orderkey": ord_s, "o_custkey": cust_s},
+                            ["o_orderstatus", "o_totalprice", "o_orderdate",
+                             "o_orderpriority"])
+    if want("lineitem"):
+        upsample_relational(con, "lineitem", args.out,
+                            {"l_orderkey": ord_s, "l_partkey": part_s,
+                             "l_suppkey": supp_s},
+                            ["l_linenumber", "l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax", "l_returnflag",
+                             "l_linestatus", "l_shipdate"])
+    if want("events"):
+        upsample_relational(con, "events", args.out,
+                            {"event_id": ev_s, "user_id": usr_s},
+                            ["ts", "event_type", "value", "props"])
     for name in ("customer", "supplier", "part", "orders", "lineitem",
                  "events"):
+        if not want(name):
+            continue
         n = con.execute(f"SELECT count(*) FROM "
                         f"'{args.out}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n}")
 
-    upsample_documents(args.out)
-    upsample_embeddings(args.out)
+    if want("documents"):
+        upsample_documents(args.out)
+    if want("embeddings"):
+        upsample_embeddings(args.out)
     print(f"fixture at {args.out}")
 
 

@@ -176,7 +176,12 @@ Annotations:
    at sf0.1 the dup graph is under COMPONENTS_DRIVER_MAX_EDGES and the
    documented driver union-find short-circuit runs; at sf1 the
    distributed label-propagation path runs (one extra Project node —
-   the switch, not a regression). x5.5 for 10x data on the harder path.
+   the switch, not a regression). x10.2 isolated (r9 re-measure; r8's
+   sweep said x5.5) — the ratio compares two DIFFERENT algorithms
+   across the gate, so it is not a scaling exponent: the iterative
+   label-prop loop pays a per-iteration join+agg that the in-memory
+   union-find doesn't, and its own growth is the log-iteration bound
+   argued in SCALE.md.
 3. `jaccard_prefix_pairs` is the UNCAPPED exactness pin (the oracle
    twin that pays the naive-join cost by design). Its candidate set
    scales with token document frequency, which this fixture multiplies
@@ -188,24 +193,34 @@ Annotations:
    strategy switch working as intended: the touched-keys anti-join
    broadcasts at sf0.1 and becomes a sort-merge join at sf1 when the
    key set outgrows the broadcast threshold.
-5. `er_best_match` is the round-8 probe's one REAL catch-and-fix: the
-   original blocking key (nation x segment) has FIXED cardinality, so
-   blocks grew linearly with data and candidates quadratically —
-   measured x73 (3.5 s -> 252 s). Fix: add a SCALING,
-   corruption-invariant blocking component (the name's last 3 chars),
-   the standard multi-attribute blocking recipe. After: 0.67 s -> 10 s
-   (5x faster at sf0.1, 25x at sf1; candidates now grow linearly).
+5. `er_best_match` took two rounds to pin honestly. r8: the original
+   blocking key (nation x segment) has FIXED cardinality — blocks grew
+   linearly with data, candidates quadratically, measured x73 wall
+   (3.5 s -> 252 s); fixed with a corruption-invariant name-suffix
+   blocking component. r9: COUNTING the blocking-stage candidates
+   (tests/test_scale_fences.py) showed the last-3 suffix still grew
+   them x100 for x10 data — 1000 suffix values meant per-block density
+   outgrew 1, and the x14.9 wall had masked it (Levenshtein on 1.7M
+   candidates is cheap at this scale; it would not be at 100 TB). The
+   last-5 suffix subdivides with the table: measured candidate growth
+   16,756 -> 150,918 = x10.06 for x10 data — linear, and now pinned at
+   <=12x by the test, on the COUNT rather than its wall-time symptom.
+   (The r9 fixture fix matters here too: verbatim name replicas had
+   made every entity a 10-clone clique — see make_scale_fixture's
+   derived_cols docstring.)
 
-Several relational queries run FASTER at 10x (pricing_summary x0.57,
-supplier_revenue x0.75, snapshot_diff x0.85): at sf0.1 they are
+Several relational queries run FASTER at 10x (pricing_summary x0.73,
+supplier_revenue x0.83, funnel x0.55): at sf0.1 they are
 fixed-cost-bound — exactly what a long-lived cluster amortizes.
 Scaling exponents (log10 of time ratio over one decade): relational /
-windows / streaming 0.0-0.2, dedup / decontamination / ANN / retrieval
-0.15-0.45, per-row Python-kernel paths (text folds, mp4 parse/slice)
-~0.65, graph/ANN builders 0.67-0.99 — all at or below linear; the only
-superlinear member is the uncapped oracle twin, whose capped production
-sibling measures 0.34. Raw data: `scale_probe_results.json`
-(accumulated across probe runs)."""
+windows / streaming / bucketed-join 0.0-0.2, dedup / decontamination /
+ANN / retrieval / ER 0.15-0.45, per-row Python-kernel paths (text
+folds, BPE encode, mp4 parse/slice) 0.4-0.75, graph/ANN builders
+0.44-0.94 — all at or below linear; the only members above x10 are the
+uncapped oracle twin (x10.1, whose capped production sibling measures
+x3.9 on identical data) and neardup_clusters' cross-algorithm gate
+ratio (annotation 2 — not an exponent). Raw data:
+`scale_probe_results.json` (accumulated across probe runs)."""
 
 
 def _write_perf(out: dict) -> None:
