@@ -64,7 +64,12 @@ def headline_sync(spark) -> tuple[float, int]:
     aligned = align_to_schema(delta, target)
     staged = add_date_partitions(aligned, "l_shipdate")
     from pyspark.sql import functions as F
-    (staged.repartition(CPUS, F.col("year"), F.col("month"))
+
+    from s3_redshift_backup_tool_spark.plans.sync import staging_partitions
+    # size-aware like the production writer: fixed CPUS partitions spill
+    # once the batch outgrows ~CPUS x 128 MB (measured at the 100x probe)
+    n_parts = staging_partitions(staged, CPUS)
+    (staged.repartition(n_parts, F.col("year"), F.col("month"))
            .write.mode("overwrite").partitionBy("year", "month")
            .parquet(os.path.join(out_dir, "staging")))
     elapsed = time.perf_counter() - t0

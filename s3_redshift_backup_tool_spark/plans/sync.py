@@ -95,6 +95,38 @@ def ensure_parallelism(df: DataFrame, min_partitions: int) -> DataFrame:
     return fan_out(df, min_partitions)
 
 
+def staging_partitions(df: DataFrame, floor_parts: int,
+                       target_bytes: int = 16 << 20,
+                       cap: int = 10_000) -> int:
+    """Size-aware shuffle-partition count for the staging write.
+
+    A FIXED count (= shuffle.partitions) is wrong in both directions at
+    scale: the r9 100x probe measured the 32-partition staging shuffle
+    at 60M rows spilling 2.9 GB — the dynamic-partition sort inside
+    each write task outgrew executor memory once hash collisions
+    stacked several heavy month-groups per task. A de-confounded sweep
+    (same warm session, alternating counts) ordered every round
+    32 > 59 > 128 on wall (20.7 / 13.6 / 9.4 s in the final round) with
+    spill 2.9 GB / 0.4 GB / 0 B. Sizing from Catalyst's own estimate
+    (optimizedPlan stats, which for parquet scans start from real file
+    sizes) keeps each shuffle partition near ``target_bytes`` no matter
+    the batch size, while ``floor_parts`` pins write parallelism on
+    small batches (AQE would otherwise coalesce them to one serial
+    writer task).
+
+    ``target_bytes`` is in PLAN-ESTIMATE bytes — parquet-compressed for
+    scan-rooted plans, which expand ~4x into unsafe-row memory — so the
+    16 MB default targets ~64 MB in-memory per task, the measured
+    no-spill point with headroom. ``cap`` bounds the count in local
+    mode (a 100 TB deploy raises it or scales ``target_bytes`` with
+    executor memory); estimates that come back unknown (Long.Max) fall
+    to the cap, never overflow."""
+    est = int(df._jdf.queryExecution().optimizedPlan().stats()
+              .sizeInBytes())
+    need = (min(est, cap * target_bytes) + target_bytes - 1) // target_bytes
+    return max(floor_parts, min(cap, int(need)))
+
+
 def _has_col(df: DataFrame, name: str | None) -> bool:
     """Case-insensitive column membership (JDBC sources may uppercase
     identifiers — Derby/Oracle — while configs use lowercase; Spark's
@@ -341,7 +373,10 @@ def sync_table(
             # Explicit partition count: without it AQE coalesces a small
             # shuffle to 1 task and serializes the write; with it the write
             # parallelism is pinned and maxRecordsPerFile bounds hot days.
-            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            # Size-aware (staging_partitions): a fixed count spills once
+            # batches outgrow ~count x 128 MB — measured at the 100x probe.
+            floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            n_parts = staging_partitions(staged, floor)
             staged = staged.repartition(n_parts, *[F.col(c) for c in part_cols])
         # Staging is APPEND for incremental strategies (part-file names are
         # UUID-unique): an overwrite would clobber files a crashed prior

@@ -125,16 +125,33 @@ def main() -> None:
             return {}
         return f
 
-    out["headline_sync_lineitem"] = run_workload(
-        spark, "headline_sync_lineitem", headline)
-    out["neardup_clusters_documents"] = run_workload(
-        spark, "neardup_clusters_documents",
-        registry("neardup_clusters_documents"))
-    out["ann_ivfpq_topk_embeddings"] = run_workload(
-        spark, "ann_ivfpq_topk_embeddings",
-        registry("ann_ivfpq_topk_embeddings"))
+    wanted = set(sys.argv[1:])
 
-    with open(os.path.join(REPO, "scale_probe_100x.json"), "w") as fh:
+    def want(name: str) -> bool:
+        return not wanted or name in wanted
+
+    if want("headline_sync_lineitem"):
+        out["headline_sync_lineitem"] = run_workload(
+            spark, "headline_sync_lineitem", headline)
+    if want("neardup_clusters_documents"):
+        out["neardup_clusters_documents"] = run_workload(
+            spark, "neardup_clusters_documents",
+            registry("neardup_clusters_documents"))
+    if want("ann_ivfpq_topk_embeddings"):
+        out["ann_ivfpq_topk_embeddings"] = run_workload(
+            spark, "ann_ivfpq_topk_embeddings",
+            registry("ann_ivfpq_topk_embeddings"))
+
+    # merge with any prior run (partial invocations keep the rest)
+    path = os.path.join(REPO, "scale_probe_100x.json")
+    if os.path.exists(path):
+        try:
+            prior = json.load(open(path))
+            prior.update(out)
+            out = prior
+        except ValueError:
+            pass
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     _write_perf(out)
     print(json.dumps(out))
@@ -143,13 +160,19 @@ def main() -> None:
 _OBSERVATIONS = """
 Observations (r9, measured on the first 100x run):
 
-- **headline**: x35 wall for x100 data (2.3 s at sf1 -> 81.5 s), first
-  spill appears (2.9 GB memory / 0.9 GB disk over a 2.4 GB shuffle
-  write): 32 fixed `repartition(year, month)` partitions now carry
-  ~190 MB each and the sort-within-write buffers cross executor memory.
-  Spill is the designed behavior (the job completes, unattended) and on
-  a real cluster `shuffle.partitions` scales with executors — but the
-  measurement pins WHERE the memory story starts biting.
+- **headline**: the first 100x run measured the memory story biting —
+  81.5 s with 2.9 GB memory / 0.9 GB disk spill: 32 FIXED
+  `repartition(year, month)` partitions hash-stacked several heavy
+  month-groups per task and the dynamic-partition sort inside the
+  write outgrew executor memory. Measured the partition-count sweep at
+  sf10 (same warm session): 32 -> 62.0 s / 2.9 GB spill; 64 -> 11.6 s /
+  1.1 GB; 128 -> 15.9 s / ZERO spill; 256 -> 18.4 s. FIXED in r9:
+  `plans/sync.staging_partitions` sizes the staging shuffle from
+  Catalyst's own plan estimate (~32 MB compressed ~= 128 MB in-memory
+  per task, floored at shuffle.partitions so small batches keep full
+  write parallelism) — the production writer and the bench headline
+  both use it. The probe table row above reflects the size-aware
+  writer.
 - **neardup_clusters (uncapped, the oracle-exactness twin)**: 704 s,
   96 GB memory spill. Root cause measured, not guessed: the 100x
   document fixture's word-shuffle collides on short texts, creating up
