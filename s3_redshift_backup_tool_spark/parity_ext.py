@@ -6184,6 +6184,16 @@ def _bpe_oracle_sql(merges) -> str:
     textbook left-to-right non-overlapping merging == the greedy
     min-rank encoder in operators/bpe.py (fuzz-verified on 3000 random
     words). Token count = delimiter count - 1."""
+    return f"""WITH {_bpe_per_doc_ctes(merges)}
+      SELECT d.doc_id, coalesce(t.n_words, 0) AS n_words,
+             coalesce(t.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN t USING (doc_id)"""
+
+
+def _bpe_per_doc_ctes(merges) -> str:
+    """The shared per-document CTE chain (w: exploded words, t: per-doc
+    word/token counts) behind both BPE oracles; see
+    :func:`_bpe_oracle_sql` for the fixpoint correctness argument."""
     expr = (r"chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')"
             r" || '</w>' || chr(31)")
     for a, b in merges:
@@ -6192,17 +6202,14 @@ def _bpe_oracle_sql(merges) -> str:
         for _ in range(3):
             expr = f"replace({expr}, {needle}, {repl})"
     ntok = f"(length({expr}) - length(replace({expr}, chr(31), ''))) - 1"
-    return f"""WITH w AS (
+    return f"""w AS (
         SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                   x -> x <> '')) AS word
         FROM documents),
       t AS (SELECT doc_id, count(*) AS n_words,
                    CAST(sum({ntok}) AS BIGINT) AS n_tokens
-            FROM w GROUP BY doc_id)
-      SELECT d.doc_id, coalesce(t.n_words, 0) AS n_words,
-             coalesce(t.n_tokens, 0) AS n_tokens
-      FROM documents d LEFT JOIN t USING (doc_id)"""
+            FROM w GROUP BY doc_id)"""
 
 
 @q("bpe_encode_documents",
@@ -6219,6 +6226,43 @@ def _bpe_oracle_sql(merges) -> str:
 def bpe_encode_documents(spark, sf_dir):
     from .operators.bpe import apply_bpe
     return apply_bpe(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+
+
+@q("bpe_fertility_by_source",
+   f"""WITH {_bpe_per_doc_ctes(_BPE_MERGES)},
+      p AS (SELECT d.source, d.n_chars,
+                   coalesce(t.n_words, 0) AS n_words,
+                   coalesce(t.n_tokens, 0) AS n_tokens
+            FROM documents d LEFT JOIN t USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(CAST(sum(n_tokens) AS DOUBLE)
+                   / NULLIF(sum(n_words), 0), 6) AS fertility,
+             round(CAST(sum(n_chars) AS DOUBLE)
+                   / NULLIF(sum(n_tokens), 0), 6) AS chars_per_token
+      FROM p GROUP BY source""",
+   "tokenizer-fit diagnostic by source: fertility (tokens per word) and "
+   "compression (chars per token) under the fixed BPE merge table — the "
+   "standard check that a tokenizer serves every source/language in a "
+   "training mix before committing a token budget (a source with "
+   "outlier fertility is under-served and its effective epoch count "
+   "silently shrinks). Same Arrow-batched encoder as "
+   "bpe_encode_documents + one partial-aggregable groupBy on source; "
+   "linear in corpus bytes, one k-row shuffle — 100 TB-safe")
+def bpe_fertility_by_source(spark, sf_dir):
+    from .operators.bpe import apply_bpe
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_bpe(docs, _BPE_MERGES)
+    j = enc.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    return (j.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.round(F.sum("n_tokens").cast("double")
+                          / F.expr("nullif(sum(n_words), 0)"), 6)
+                   .alias("fertility"),
+                  F.round(F.sum("n_chars").cast("double")
+                          / F.expr("nullif(sum(n_tokens), 0)"), 6)
+                   .alias("chars_per_token")))
 
 
 @q("bucketed_join_orders_lineitem",
@@ -6318,7 +6362,8 @@ _TAIL = [
     "rolling_median_daily_revenue", "embedding_dim_stats",
     "top_bigrams_per_source", "curation_attrition_documents",
     "benford_audit_orders", "bpe_encode_documents",
-    "bucketed_join_orders_lineitem", "part_type_revenue_share",
+    "bucketed_join_orders_lineitem", "bpe_fertility_by_source",
+    "part_type_revenue_share",
     "revenue_rollup_flag_status", "sliding_2h1h_events",
     "customers_without_orders", "vocab_top20_documents", "lang_id_documents",
     "multimodal_payload_stats", "cosine_topk_embeddings",
