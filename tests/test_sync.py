@@ -225,3 +225,25 @@ def sync_mod_leftovers(doc):
     from s3_redshift_backup_tool_spark.plans.sync import (
         _staging_may_have_leftovers)
     return _staging_may_have_leftovers(doc)
+
+
+def test_staging_partitions_floor_on_small_batches(spark, orders):
+    """Small batches keep full write parallelism: the estimate-derived
+    count never drops below the floor (AQE would otherwise coalesce the
+    staging shuffle to one serial writer task)."""
+    from s3_redshift_backup_tool_spark.plans.sync import staging_partitions
+    assert staging_partitions(orders, 32) == 32
+
+
+def test_staging_partitions_scales_with_estimate(spark):
+    """The count grows with Catalyst's size estimate (~target_bytes per
+    partition) and is clamped at the cap even for unknown (Long.Max)
+    estimates — never overflows, never returns a number above cap."""
+    from s3_redshift_backup_tool_spark.plans.sync import staging_partitions
+
+    big = spark.range(0, 10_000_000).selectExpr(
+        "id", "repeat('x', 64) AS pad")
+    n = staging_partitions(big, 4, target_bytes=1 << 20, cap=10_000)
+    assert 4 < n <= 10_000
+    # cap clamps: a tiny target forces need >> cap
+    assert staging_partitions(big, 4, target_bytes=1, cap=7) == 7
