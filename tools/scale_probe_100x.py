@@ -190,6 +190,14 @@ Observations (r9, measured on the first 100x run):
   spill and 12 KB total shuffle at 200K vectors — the IVF index keeps
   all heavy work inside partition-pruned Arrow kernels; cost growth is
   the per-cell quadratic bounded by n_centroids, exactly as documented.
+- **incremental vs full at sf10** (measured in the same warm session,
+  identical write path): a 1-month watermark delta stages 844,800 rows
+  in 3.5 s and a 6-month delta 4.5M rows in 3.3 s, vs 31.9 s for the
+  full 60M-row extraction — the CDC predicate scales the job with the
+  DELTA, not the table. The residual delta cost is the scan of
+  shipdate row groups the fixture's interleaved calendar can't prune;
+  on a date-partitioned source directory pruning removes that too
+  (the layout the staging write itself produces).
 """
 
 
