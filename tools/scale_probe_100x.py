@@ -141,6 +141,10 @@ def main() -> None:
         out["ann_ivfpq_topk_embeddings"] = run_workload(
             spark, "ann_ivfpq_topk_embeddings",
             registry("ann_ivfpq_topk_embeddings"))
+    if want("text_stats_documents"):
+        out["text_stats_documents"] = run_workload(
+            spark, "text_stats_documents",
+            registry("text_stats_documents"))
 
     # merge with any prior run (partial invocations keep the rest)
     path = os.path.join(REPO, "scale_probe_100x.json")
@@ -226,7 +230,9 @@ def _write_perf(out: dict) -> None:
         "|---|---|---|---|---|---|---|---|",
     ]
     for name in ("headline_sync_lineitem", "neardup_clusters_documents",
-                 "ann_ivfpq_topk_embeddings"):
+                 "ann_ivfpq_topk_embeddings", "text_stats_documents"):
+        if name not in out:
+            continue
         r = out[name]
         t = tenx.get(name, {})
         lines.append(
