@@ -289,7 +289,8 @@ def ann_topk_ivf(df: DataFrame, query_vec: list[float],
 
 
 def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
-                      n_parts: int, vec_col: str, id_col: str) -> DataFrame:
+                      n_parts: int, vec_col: str, id_col: str,
+                      max_group_size: int | None = None) -> DataFrame:
     """Cosine pairs WITHIN each key group (SRP bucket, IVF cluster):
     per-key collected (id, vec) lists rather than a keyed self-join —
     the aliased self-join defeats Spark's exchange reuse and would
@@ -300,18 +301,30 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
     collection (cosine = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — same
     float ops, same order, so factoring the sqrt out per row is
     bit-identical) — the quadratic inner loop then evaluates one
-    aggregate per pair instead of three."""
+    aggregate per pair instead of three.
+
+    ``max_group_size`` is this family's stop-bucket guard (the cosine
+    twin of LSH's ``max_bucket_size`` and the jaccard family's
+    ``max_doc_freq``): a group of g rows materializes a g-element
+    vector array in ONE task and hides g^2/2 cosine evaluations behind
+    it, so one degenerate cluster/bucket dominates the job at scale —
+    the r9 10x probe measured semantic_dedup at x36 for x10 data with
+    the quantizer held fixed. Groups over the cap are dropped whole
+    (recall becomes a lower bound, the conservative direction; the
+    caller's signal to raise n_centroids/n_planes)."""
     buckets = (keyed.withColumn("__nrm", l2_norm(F.col(vec_col)))
                .groupBy(key_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
                             F.col(vec_col).alias("v"),
                             F.col("__nrm").alias("n")))).alias("items"))
-               .filter(F.size("items") > 1)
-               # one partition per group: the collected rows are tiny
-               # (AQE would coalesce them onto one task) but each hides
-               # |group|^2/2 cosine evaluations of downstream compute
-               .repartition(n_parts, F.col(key_col)))
+               .filter(F.size("items") > 1))
+    if max_group_size is not None:
+        buckets = buckets.filter(F.size("items") <= max_group_size)
+    # one partition per group: the collected rows are tiny (AQE would
+    # coalesce them onto one task) but each hides |group|^2/2 cosine
+    # evaluations of downstream compute
+    buckets = buckets.repartition(n_parts, F.col(key_col))
     pairs = F.flatten(F.transform(
         F.col("items"),
         lambda x, i: F.transform(
@@ -327,21 +340,25 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          n_planes: int = 6, vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: SRP-bucket grouping + exact cosine
     filter. The bucket key bounds the comparisons: no O(n^2) cross
-    product. At web scale cap bucket size (raise ``n_planes``) so a
-    degenerate bucket can't collect unboundedly."""
+    product. At web scale raise ``n_planes`` so buckets stay small AND
+    set ``max_bucket_size`` so a degenerate bucket (zero vectors,
+    boilerplate embeddings) can't collect unboundedly — dropped buckets
+    make recall a lower bound, the conservative direction."""
     b = srp_buckets(df, n_planes, vec_col, id_col)
     return _pairs_within_key(b, "bucket", threshold, 1 << n_planes,
-                             vec_col, id_col)
+                             vec_col, id_col, max_bucket_size)
 
 
 def semantic_dedup_pairs(df: DataFrame,
                          centroids: list[tuple[int, list[float]]],
                          threshold: float = 0.95,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
     k-means-partition the corpus, then cosine pairs WITHIN each cluster
     only — semantic redundancy lives inside tight neighborhoods, so the
@@ -354,16 +371,24 @@ def semantic_dedup_pairs(df: DataFrame,
     (``ivf_assign``); one shuffle on centroid_id; per-cluster pair gen.
     At 1B vectors use kmeans_centroids over a hash-gate sample and raise
     n_centroids so cluster populations stay bounded (cost is
-    sum(|cluster|^2)/2 cosines)."""
+    sum(|cluster|^2)/2 cosines) — and set ``max_cluster_size`` as the
+    hard guard for the cluster the quantizer gets wrong anyway: the r9
+    10x probe measured x36 wall for x10 data with the quantizer held
+    fixed at 8 centroids (the registry exactness entry), which is
+    exactly the fixed-cardinality failure the cap fences in production
+    compositions."""
     assigned = ivf_assign(df, centroids, vec_col)
     return _pairs_within_key(assigned, "centroid_id", threshold,
-                             max(len(centroids), 1), vec_col, id_col)
+                             max(len(centroids), 1), vec_col, id_col,
+                             max_cluster_size)
 
 
 def semantic_dedup_pairs_indexed(spark, df: DataFrame, index_dir: str,
                                  threshold: float = 0.95,
                                  vec_col: str = "embedding",
-                                 id_col: str = "vec_id") -> DataFrame:
+                                 id_col: str = "vec_id",
+                                 max_cluster_size: int | None = 4096
+                                 ) -> DataFrame:
     """PRODUCTION SemDeDup path: centroids come from the persisted IVF
     index (``save_ivf_index``) — a k-row parquet read — so the quantizer
     costs ZERO passes over the corpus. The in-query-trained
@@ -375,7 +400,11 @@ def semantic_dedup_pairs_indexed(spark, df: DataFrame, index_dir: str,
     not touched until the returned pairs plan executes (pinned by
     tests/test_ivf_pruning.py: a poisoned corpus passes construction)."""
     cents = load_ivf_index(spark, index_dir)
-    return semantic_dedup_pairs(df, cents, threshold, vec_col, id_col)
+    # capped BY DEFAULT: this is the production entry point (the frozen
+    # quantizer WILL mis-fit some cluster between re-trains); None is
+    # the explicit exactness opt-in, same contract as the LSH cap
+    return semantic_dedup_pairs(df, cents, threshold, vec_col, id_col,
+                                max_cluster_size)
 
 
 def semantic_dedup(df: DataFrame,

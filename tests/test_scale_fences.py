@@ -148,3 +148,39 @@ def test_er_candidate_growth_is_linear(spark):
     assert ratio <= 12.0, (
         f"er blocking candidates grew x{ratio:.1f} for 10x data "
         f"({c_small} -> {c_big}) — blocking key stopped subdividing")
+
+
+# ---------------------------------------------------------------------------
+# contract 1e: the within-key cosine pair family has the same stop-bucket
+# guard as LSH/jaccard, and the indexed production path is capped by default
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_cluster_cap_bounds_pairs(spark, sf_dir):
+    import os
+
+    from s3_redshift_backup_tool_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = sim.ivf_centroids(emb, n_centroids=4)
+    uncapped = sim.semantic_dedup_pairs(emb, cents, threshold=0.0).count()
+    capped = sim.semantic_dedup_pairs(emb, cents, threshold=0.0,
+                                      max_cluster_size=50).count()
+    # threshold 0 keeps every within-cluster pair, so the counts expose
+    # the generator itself: the cap must strictly shrink the pair set
+    # (every cluster of the 4-centroid quantizer exceeds 50 on this
+    # fixture), and a cap below any cluster size must yield zero.
+    assert 0 < capped < uncapped or (capped == 0 and uncapped > 0)
+    assert sim.semantic_dedup_pairs(emb, cents, threshold=0.0,
+                                    max_cluster_size=1).count() == 0
+
+
+def test_semantic_dedup_indexed_capped_by_default():
+    import inspect
+
+    from s3_redshift_backup_tool_spark.operators.similarity import (
+        semantic_dedup_pairs_indexed)
+    default = inspect.signature(semantic_dedup_pairs_indexed) \
+        .parameters["max_cluster_size"].default
+    assert default is not None and default > 0, (
+        "the indexed (production) SemDeDup path must cap cluster size "
+        "by default; None is the explicit exactness opt-in")

@@ -165,6 +165,12 @@ _NOTES = {
     "er_best_match_customer": " (5)",
     "neardup_dedup_keep_canonical": " (6)",
     "neardup_cluster_size_histogram": " (6)",
+    "cluster_safe_split_documents": " (6)",
+    "neardup_clusters_star_documents": " (2)",
+    "overlap_coeff_pairs_documents": " (3)",
+    "semantic_dedup_pairs_embeddings": " (7)",
+    "salted_join_order_priority": " (4)",
+    "tpch_q20": " (4)",
 }
 
 _APPENDIX = """
@@ -194,7 +200,10 @@ Annotations:
 4. `change_log_apply`'s plan difference is Catalyst's size-based
    strategy switch working as intended: the touched-keys anti-join
    broadcasts at sf0.1 and becomes a sort-merge join at sf1 when the
-   key set outgrows the broadcast threshold.
+   key set outgrows the broadcast threshold. Same class:
+   `salted_join_order_priority` and `tpch_q20` (BHJ -> SMJ when a
+   build side outgrows the threshold; their x1.0-1.2 ratios confirm
+   the switch is free).
 5. `er_best_match` took two rounds to pin honestly. r8: the original
    blocking key (nation x segment) has FIXED cardinality — blocks grew
    linearly with data, candidates quadratically, measured x73 wall
@@ -219,6 +228,23 @@ Annotations:
    `max_bucket_size=64`, the default in plans/curate.py and the dedup
    CLI — measured at the 100x probe: 2.69M candidate pairs vs 112M
    uncapped on identical data, full chain 56.8 s at 500K docs.
+   (`cluster_safe_split` composes the same chain before its hash
+   split; `neardup_clusters_star` is annotation 2's star-algorithm
+   variant crossing the same driver/distributed gate; `overlap_coeff`
+   is annotation 3's uncapped-inverted-index family with the same
+   `max_doc_freq` production guard, left uncapped as the exactness
+   pin.)
+7. `semantic_dedup_pairs` (x36.1) is the fixed-cardinality quantizer
+   failure ON PURPOSE: the registry entry holds the quantizer at 8
+   deterministic centroids for oracle exactness, so cluster
+   populations scale with the corpus and the within-cluster cosine
+   cost grows quadratically — the documented production recipe is
+   scale n_centroids with the corpus AND cap the cluster the
+   quantizer gets wrong anyway. r9 added that cap:
+   `max_cluster_size` on the whole within-key cosine family, capped
+   by default (4096) on the indexed production path
+   (`semantic_dedup_pairs_indexed`), pinned by
+   tests/test_scale_fences.py.
 
 Several relational queries run FASTER at 10x (pricing_summary x0.73,
 supplier_revenue x0.83, funnel x0.55): at sf0.1 they are
