@@ -168,6 +168,7 @@ _NOTES = {
     "cluster_safe_split_documents": " (6)",
     "neardup_clusters_star_documents": " (2)",
     "overlap_coeff_pairs_documents": " (3)",
+    "ngram_jaccard_pairs_documents": " (3)",
     "semantic_dedup_pairs_embeddings": " (7)",
     "salted_join_order_priority": " (4)",
     "tpch_q20": " (4)",
@@ -190,13 +191,15 @@ Annotations:
    label-prop loop pays a per-iteration join+agg that the in-memory
    union-find doesn't, and its own growth is the log-iteration bound
    argued in SCALE.md.
-3. `jaccard_prefix_pairs` is the UNCAPPED exactness pin (the oracle
-   twin that pays the naive-join cost by design). Its candidate set
-   scales with token document frequency, which this fixture multiplies
-   by exactly 10 — x16.7 is the documented failure mode of
-   DF-insensitive prefix filtering and the measured case FOR the capped
-   sibling (`ngram_jaccard_capped`, x2.2 on identical data via
-   `max_doc_freq`) being the 100 TB path.
+3. `jaccard_prefix_pairs` (x10.1) and `ngram_jaccard_pairs` (x26.8,
+   the plain naive inverted-index join) are the UNCAPPED exactness
+   pins that pay the posting-list pair-expansion cost by design;
+   `overlap_coeff_pairs` (x16.2) shares the same machinery. Their
+   candidate sets scale with token document frequency, which this
+   fixture multiplies by exactly 10 — the measured failure mode that
+   the `max_doc_freq` guard exists for, and the measured case FOR the
+   capped sibling (`ngram_jaccard_capped`, x3.9 on identical data)
+   being the 100 TB path.
 4. `change_log_apply`'s plan difference is Catalyst's size-based
    strategy switch working as intended: the touched-keys anti-join
    broadcasts at sf0.1 and becomes a sort-merge join at sf1 when the
