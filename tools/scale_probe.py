@@ -170,8 +170,11 @@ _NOTES = {
     "overlap_coeff_pairs_documents": " (3)",
     "ngram_jaccard_pairs_documents": " (3)",
     "semantic_dedup_pairs_embeddings": " (7)",
+    "embedding_neardup_pairs": " (7)",
     "salted_join_order_priority": " (4)",
     "tpch_q20": " (4)",
+    "market_share_by_year": " (4)",
+    "waiting_multi_supplier_orders": " (4)",
 }
 
 _APPENDIX = """
@@ -247,7 +250,11 @@ Annotations:
    `max_cluster_size` on the whole within-key cosine family, capped
    by default (4096) on the indexed production path
    (`semantic_dedup_pairs_indexed`), pinned by
-   tests/test_scale_fences.py.
+   tests/test_scale_fences.py. `embedding_neardup_pairs` (x17.5) is
+   the SRP-bucket member of the same family on the same clique-heavy
+   fixture (perturbed replicas land in the same buckets); its
+   `max_bucket_size` guard was added alongside, and the registry
+   entry stays uncapped as the exactness pin.
 
 Several relational queries run FASTER at 10x (pricing_summary x0.73,
 supplier_revenue x0.83, funnel x0.55): at sf0.1 they are
