@@ -3331,6 +3331,11 @@ def id_gap_audit_orders(spark, sf_dir):
 def python_source_cdc_feed(spark, sf_dir):
     from .operators.cdc import CDCConfig, Watermark, apply_cdc
     from .sources.pysource import CDCFeedDataSource
+    # Spark 4.1 hard-errors (DATA_SOURCE_PUSHDOWN_DISABLED) when a reader
+    # implements pushFilters() under the default conf; the key is a runtime
+    # SQLConf, so set it here rather than depend on the session builder
+    # (r9 driver ran a vanilla session and this row went red).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CDCFeedDataSource)
     df = spark.read.format("cdc_feed").option("end", 5000).load()
     delta = apply_cdc(df, CDCConfig(strategy="id_only", id_column="id"),
@@ -6317,57 +6322,24 @@ def bucketed_join_orders_lineitem(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-9 rotation (ROTATION.json window_r9): all 50 are first-time
-    # driver candidates — the never-hashed backlog in registry order,
-    # headed by mixture_plan_by_source (r8 hash-red; oracle literal
-    # typing fixed in commit ba4d0a8, re-windowed for a green row).
-    # Pre-verified vs the DuckDB oracle at sf0.01 via
-    # tools/check_parity.py before promotion.
-    "mixture_plan_by_source", "top_supplier_by_revenue",
-    "custdist_orders_per_customer", "returned_item_top_customers",
-    "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
-    "rolling_hour_avg_value", "pivot_status_by_priority",
-    "intersect_click_purchase_users", "label_centroids_embeddings",
-    "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
-    "forecast_revenue_change", "chunk_documents_windowed",
-    "funnel_conversion_events", "cohort_retention_events",
-    "late_shipment_by_priority", "ngram_jaccard_capped_documents",
-    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
-    "gopher_quality_documents", "zscore_outliers_events",
-    "importance_sample_documents", "approx_percentile_check_lineitem",
-    "hll_union_distinct_users", "mixture_sample_by_source",
-    "fuzzy_pairs_customer", "normalized_dedup_documents",
-    "bigram_logprob_documents", "lexical_diversity_by_source",
-    "gopher_pass_rates_by_source", "key_skew_profile_events",
-    "dup_rate_by_source", "unpivot_measure_stats_lineitem",
-    "python_source_cdc_feed", "events_since_last_purchase",
-    "token_pmi_pairs_documents", "purchase_value_daily_gapfilled",
-    "event_transition_matrix", "corr_matrix_lineitem",
-    "table_checksum_orders", "promo_revenue_share",
-    "min_cost_supplier_per_part", "profit_by_nation_year",
-    "important_parts_share", "supplier_count_by_part_attrs",
-    "excess_shipped_suppliers", "stable_global_ids_orders",
-    "udtf_json_kv_events",
-]
-
-_TAIL = [
-    # --- never-hashed backlog: scheduled for the r10 window
-    # (rotation order = this list order; see ROTATION.json) — the
-    # 15 remaining r2-r7 additions plus the two round-9 additions
-    # (first oracle coverage for the formerly pytest-only BPE and
-    # bucketed-join components) ---
-    # --- then driver-hashed entries, oldest last-hash first
-    # (r1/r2 -> r3/r4 -> r5 -> r7 -> r8) ---
-    "cluster_safe_split_documents", "constraint_audit_orders",
-    "token_kl_by_source", "overlap_coeff_pairs_documents",
-    "char_entropy_documents", "variant_props_events",
-    "interpolate_value_events", "ewma_purchase_value_by_user",
-    "weighted_sample_per_source", "dup_graph_triangles",
-    "rolling_median_daily_revenue", "embedding_dim_stats",
-    "top_bigrams_per_source", "curation_attrition_documents",
-    "benford_audit_orders", "bpe_encode_documents",
-    "bucketed_join_orders_lineitem", "bpe_fertility_by_source",
-    "part_type_revenue_share",
+    # round-10 rotation (ROTATION.json window_r10): the 19-entry
+    # never-hashed queue first — python_source_cdc_feed (r9 driver-red on
+    # the filterPushdown session conf; fixed with a runtime conf.set
+    # inside the query fn) plus the 18-entry backlog the r9 judge
+    # pre-verified 18/18 at sf0.01 — then the 31 oldest-hashed entries
+    # (r1/r2 re-attestation). Pre-verified vs the DuckDB oracle at
+    # sf0.01 via tools/check_parity.py (and tools/check_parity.py
+    # --vanilla, the default-session lint) before promotion.
+    "python_source_cdc_feed", "cluster_safe_split_documents",
+    "constraint_audit_orders", "token_kl_by_source",
+    "overlap_coeff_pairs_documents", "char_entropy_documents",
+    "variant_props_events", "interpolate_value_events",
+    "ewma_purchase_value_by_user", "weighted_sample_per_source",
+    "dup_graph_triangles", "rolling_median_daily_revenue",
+    "embedding_dim_stats", "top_bigrams_per_source",
+    "curation_attrition_documents", "benford_audit_orders",
+    "bpe_encode_documents", "bucketed_join_orders_lineitem",
+    "bpe_fertility_by_source", "part_type_revenue_share",
     "revenue_rollup_flag_status", "sliding_2h1h_events",
     "customers_without_orders", "vocab_top20_documents", "lang_id_documents",
     "multimodal_payload_stats", "cosine_topk_embeddings",
@@ -6382,9 +6354,15 @@ _TAIL = [
     "session_windows_events", "jaccard_prefix_pairs_documents",
     "fuzzy_decontamination_pairs", "hybrid_search_rrf",
     "ccnet_buckets_by_source", "stratified_sample_by_source",
-    "scd2_history_events", "winnowing_dup_fingerprints_documents",
-    "cdc_time_window_events", "watermark_extract_orders",
-    "density_stats_events", "align_orders_to_target", "topk_orders_by_price",
+    "scd2_history_events",
+]
+
+_TAIL = [
+    # hashed entries, oldest last-hash first (r1/r2 -> r3/r4 -> r5 ->
+    # r7 -> r8 -> r9); regenerate with tools/rotation.py each round
+    "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
+    "watermark_extract_orders", "density_stats_events",
+    "align_orders_to_target", "topk_orders_by_price",
     "latest_record_per_user", "revenue_by_nation",
     "minhash_lsh_pairs_documents", "cdc_custom_sql_orders",
     "order_priority_exists", "cdc_hybrid_lineitem_ties",
@@ -6433,6 +6411,30 @@ _TAIL = [
     "tfidf_top_terms_documents", "value_histogram_events",
     "fk_orphan_audit_lineitem", "top_event_paths_sessions",
     "ann_matryoshka_topk_embeddings", "embedding_drift_halves",
+    "mixture_plan_by_source", "top_supplier_by_revenue",
+    "custdist_orders_per_customer", "returned_item_top_customers",
+    "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
+    "rolling_hour_avg_value", "pivot_status_by_priority",
+    "intersect_click_purchase_users", "label_centroids_embeddings",
+    "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
+    "forecast_revenue_change", "chunk_documents_windowed",
+    "funnel_conversion_events", "cohort_retention_events",
+    "late_shipment_by_priority", "ngram_jaccard_capped_documents",
+    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
+    "gopher_quality_documents", "zscore_outliers_events",
+    "importance_sample_documents", "approx_percentile_check_lineitem",
+    "hll_union_distinct_users", "mixture_sample_by_source",
+    "fuzzy_pairs_customer", "normalized_dedup_documents",
+    "bigram_logprob_documents", "lexical_diversity_by_source",
+    "gopher_pass_rates_by_source", "key_skew_profile_events",
+    "dup_rate_by_source", "unpivot_measure_stats_lineitem",
+    "events_since_last_purchase", "token_pmi_pairs_documents",
+    "purchase_value_daily_gapfilled", "event_transition_matrix",
+    "corr_matrix_lineitem", "table_checksum_orders", "promo_revenue_share",
+    "min_cost_supplier_per_part", "profit_by_nation_year",
+    "important_parts_share", "supplier_count_by_part_attrs",
+    "excess_shipped_suppliers", "stable_global_ids_orders",
+    "udtf_json_kv_events",
 ]
 
 

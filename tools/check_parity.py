@@ -5,7 +5,17 @@ scale factor, then compares row count, column-name set, and
 order-insensitive values (rows sorted by all columns). Floats compared to
 1e-9 relative; everything else exact.
 
-Usage: python tools/check_parity.py [sf_dir] [name_filter...]
+Usage: python tools/check_parity.py [--vanilla] [sf_dir] [name_filter...]
+
+``--vanilla`` runs the sweep under a DEFAULT SparkSession — none of
+session.py's confs (no UTC pin, no inferTimestampNTZ=false, no Python
+filterPushdown, no arrow flag, Spark-default shuffle partitions). This is
+the driver-environment lint: twice (r3 complex-typed window columns, r9
+``spark.sql.python.filterPushdown.enabled``) a query was builder-green
+but driver-red because it silently depended on a builder-session conf.
+Every rotation window must be pre-verified under --vanilla as well as
+the tuned session; tests/test_vanilla_session.py runs this in CI as a
+subprocess so the JVM carries no builder confs at all.
 """
 
 from __future__ import annotations
@@ -71,20 +81,40 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
-        else "/root/testdata/sf0.01"
-    filters = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+def vanilla_spark():
+    """A default-conf SparkSession: only harness resources (master, UI,
+    driver memory) are set — every SQL-semantic conf is Spark's 4.1
+    default, exactly what a driver that builds its own session gets."""
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master("local[8]")
+            .appName("parity-vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate())
 
-    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+
+def main():
+    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--window")]
+    vanilla = "--vanilla" in sys.argv[1:]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
+        else "/root/testdata/sf0.01"
+    filters = [a for a in args if not os.path.isdir(a)]
+
+    spark = vanilla_spark() if vanilla \
+        else get_spark("parity", cpus=8, shuffle_partitions=8)
+    if vanilla:
+        spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TPCH_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    names = list(REGISTRY)[:50] if window_only else list(REGISTRY)
     n_pass = n_fail = n_rows_only = 0
-    for name, spec in REGISTRY.items():
+    for name in names:
+        spec = REGISTRY[name]
         if filters and not any(f in name for f in filters):
             continue
         try:
