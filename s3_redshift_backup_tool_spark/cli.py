@@ -40,6 +40,17 @@ def _emit(obj: Any) -> None:
     sys.stdout.write("\n")
 
 
+def _nonneg_int(v: str) -> int:
+    """argparse type for caps where 0 means 'uncapped': a NEGATIVE cap
+    would pass `or None` checks as truthy and filter out every bucket,
+    silently building an empty index — reject it at the parser."""
+    n = int(v)
+    if n < 0:
+        raise argparse.ArgumentTypeError(
+            f"must be >= 0 (0 = uncapped), got {n}")
+    return n
+
+
 def cmd_sync(args: argparse.Namespace) -> int:
     from .plans.pipeline import (TableConfig, adhoc_pipeline,
                                  load_pipeline_yaml)
@@ -641,10 +652,12 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
                "max_bucket_size": int(widest) if widest is not None else 0})
         return 0
     df = read_table(spark, args.source_dir, args.table)
+    # --max-bucket-size 0 is the explicit uncapped opt-in; the default
+    # (64) keeps the CLI on the capped 100 TB-safe path for BOTH the
+    # build and the probe (probe caps combined index+batch bucket
+    # width — index buckets regrow past the build cap via `add`).
+    cap = args.max_bucket_size or None
     if args.action == "build":
-        # --max-bucket-size 0 is the explicit uncapped opt-in; the
-        # default (64) keeps the CLI on the capped 100 TB-safe path.
-        cap = args.max_bucket_size or None
         dd.save_lsh_index(df, args.index_dir, max_bucket_size=cap, **kw)
         _emit({"action": "build", "index_dir": args.index_dir,
                "docs": df.count()})
@@ -654,7 +667,8 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
         _emit({"action": "add", "index_dir": args.index_dir,
                "docs": df.count()})
         return 0
-    pairs = dd.lsh_index_pairs(spark, df, args.index_dir, **kw)
+    pairs = dd.lsh_index_pairs(spark, df, args.index_dir,
+                               max_bucket_size=cap, **kw)
     if args.output:
         pairs.write.mode("overwrite").parquet(args.output)
         _emit({"action": "probe", "pairs": spark.read.parquet(
@@ -975,11 +989,13 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--ngram", type=int, default=3)
     di.add_argument("--num-hashes", type=int, default=16)
     di.add_argument("--bands", type=int, default=8)
-    di.add_argument("--max-bucket-size", type=int, default=64,
-                    help="build-time stop-bucket cap (a bucket of b docs "
-                         "emits b^2/2 candidate pairs, so the CLI is "
-                         "capped BY DEFAULT; pass 0 to opt in to an "
-                         "uncapped build for exactness studies)")
+    di.add_argument("--max-bucket-size", type=_nonneg_int, default=64,
+                    help="stop-bucket cap applied at build AND probe (a "
+                         "bucket of b docs emits b^2/2 candidate pairs, "
+                         "so the CLI is capped BY DEFAULT; probe caps the "
+                         "combined index+batch width, guarding buckets "
+                         "regrown by `add`; pass 0 to opt in to uncapped "
+                         "for exactness studies)")
     di.add_argument("-o", "--output", default=None,
                     help="probe: write pairs parquet here instead of "
                          "printing a sample")

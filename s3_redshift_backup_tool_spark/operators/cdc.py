@@ -383,18 +383,23 @@ def compact_change_log(log: DataFrame, keys: list[str],
     key is the upstream contract (binlog offsets are unique by
     construction); should a malformed log carry colliding sequences
     anyway, ties resolve by an explicit op PRECEDENCE rank
-    ('d' > 'u' > 'c') rather than by lexicographic accident — a delete
-    deterministically wins over an update at the same sequence, so a
-    duplicated seq can never silently resurrect a deleted row. Rows
-    whose op is not one of 'c'/'u'/'d' (including NULL) are dropped up
-    front: without the filter a NULL-op row would anti-join its base
-    row away in :func:`apply_change_log` yet fail every downstream op
-    comparison, silently acting as a delete."""
-    log = log.where(F.lower(F.col(op_col)).isin("c", "u", "d"))
+    ('d' > 'u' > 'c' > 'r') rather than by lexicographic accident — a
+    delete deterministically wins over an update at the same sequence,
+    so a duplicated seq can never silently resurrect a deleted row.
+    Debezium's snapshot-read op 'r' is accepted as an upsert (it IS the
+    row image — a snapshot-seeded log's seed rows must survive
+    compaction), ranked weakest so any real change at the same sequence
+    supersedes it. Rows whose op is not one of 'c'/'u'/'d'/'r'
+    (including NULL) are dropped up front: without the filter a NULL-op
+    row would anti-join its base row away in :func:`apply_change_log`
+    yet fail every downstream op comparison, silently acting as a
+    delete."""
+    log = log.where(F.lower(F.col(op_col)).isin("c", "u", "d", "r"))
     img_cols = [c for c in log.columns if c not in (op_col, seq_col)]
     data_cols = [c for c in img_cols if c not in keys]
-    op_rank = (F.when(F.lower(F.col(op_col)) == "d", F.lit(2))
-                .when(F.lower(F.col(op_col)) == "u", F.lit(1))
+    op_rank = (F.when(F.lower(F.col(op_col)) == "d", F.lit(3))
+                .when(F.lower(F.col(op_col)) == "u", F.lit(2))
+                .when(F.lower(F.col(op_col)) == "c", F.lit(1))
                 .otherwise(F.lit(0)))
     winner = F.max(F.struct(
         F.col(seq_col).alias("__seq"), op_rank.alias("__rank"),

@@ -390,7 +390,8 @@ def lsh_index_pairs(spark, new_df: DataFrame, path: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     n: int = 3, num_hashes: int = 16, bands: int = 8,
                     include_intra: bool = True,
-                    broadcast_batch: bool = True) -> DataFrame:
+                    broadcast_batch: bool = True,
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidate pairs for an INCREMENTAL batch against a
     persisted LSH index: batch docs band-hash equi-join the index's
     (id, band, band_hash) rows — corpus text is never rescanned, only
@@ -405,15 +406,42 @@ def lsh_index_pairs(spark, new_df: DataFrame, path: str,
     full-corpus pair set restricted to pairs touching the batch:
     exactly the delta a from-scratch rerun would add. Docs re-synced
     into a batch while already indexed self-pair-filter on id
-    equality. Output: (id_a, id_b), id_a < id_b, distinct."""
+    equality. Output: (id_a, id_b), id_a < id_b, distinct.
+
+    ``max_bucket_size`` caps the COMBINED (index + batch) width of every
+    bucket the probe touches. Build-time capping alone is not enough:
+    :func:`lsh_index_add` appends without re-counting, so an index
+    bucket can regrow past the build cap, and the intra-batch pair set
+    has its own b^2/2 blowup — a capped build followed by an uncapped
+    probe would still hand a stop-bucket l x r rows. Combined width is
+    the from-scratch-equivalent semantics: a bucket this probe drops is
+    exactly one a capped :func:`lsh_pairs` rerun over corpus+batch
+    would drop. The width audit is one narrow count per batch-touched
+    bucket (index rows semi-joined to the broadcast batch buckets
+    first, so the full index is never re-counted)."""
     arr = minhash_signature_array(new_df, text_col, id_col, n, num_hashes)
     banded = _banded_from_array(arr, id_col, num_hashes, bands)
     banded = banded.localCheckpoint(eager=False)   # feeds probe + intra
+    if max_bucket_size is not None:
+        idx = spark.read.schema(banded.schema).parquet(path)
+        bw = (banded.groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).alias("__bw")))
+        iw = (idx.join(F.broadcast(bw.select("band", "band_hash")),
+                       ["band", "band_hash"], "left_semi")
+              .groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).alias("__iw")))
+        wide = (bw.join(iw, ["band", "band_hash"], "left")
+                .filter(F.col("__bw") + F.coalesce(F.col("__iw"), F.lit(0))
+                        > max_bucket_size)
+                .select("band", "band_hash"))
+        banded = (banded.join(F.broadcast(wide), ["band", "band_hash"],
+                              "left_anti")
+                  .localCheckpoint(eager=False))
     cross = _index_cross_pairs(spark, banded, path, id_col,
                                broadcast_batch)
     if include_intra:
         cross = cross.unionByName(
-            _pairs_from_banded(banded, id_col)).distinct()
+            _pairs_from_banded(banded, id_col, max_bucket_size)).distinct()
     return cross
 
 

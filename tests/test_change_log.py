@@ -71,3 +71,21 @@ def test_compact_is_one_aggregate_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_snapshot_read_rows_flow_through_as_upserts(spark):
+    """Debezium emits op='r' for snapshot-read rows: a snapshot-seeded
+    log's seed rows must survive compaction and apply as upserts (they
+    ARE the row image), not be silently dropped — while any real change
+    at the same sequence still supersedes the read ('d'>'u'>'c'>'r')."""
+    base = _df(spark, [(1, "old")], "k long, v string")
+    log = _df(spark, [(2, "seed", "r", 1),           # snapshot seed row
+                      (3, "seed", "r", 1), (3, None, "d", 1),  # tie: d wins
+                      (4, "seed", "r", 1), (4, "upd", "u", 2), # later u wins
+                      (5, "junk", "x", 1)], LOG_SCHEMA)        # unknown op
+    compacted = {r["k"]: (r["v"], r["op"])
+                 for r in compact_change_log(log, ["k"], "seq").collect()}
+    assert compacted == {2: ("seed", "r"), 3: (None, "d"), 4: ("upd", "u")}
+    got = {r["k"]: r["v"]
+           for r in apply_change_log(base, log, ["k"], "seq").collect()}
+    assert got == {1: "old", 2: "seed", 4: "upd"}

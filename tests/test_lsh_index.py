@@ -114,3 +114,45 @@ def test_incremental_contract_holds_on_random_corpora(spark, texts):
         n=2, num_hashes=8, bands=4))
     full = _pairs(lsh_pairs(df, n=2, num_hashes=8, bands=4))
     assert got == {(a, b) for a, b in full if a % 2 == 1 or b % 2 == 1}
+
+
+def test_capped_probe_equals_capped_fullscratch_delta(spark, documents,
+                                                      tmp_path):
+    """The incremental contract under the production cap: probe pairs
+    with max_bucket_size must equal a capped from-scratch lsh_pairs run
+    restricted to batch-touching pairs — the cap applies to the COMBINED
+    index+batch bucket width, exactly the width the from-scratch run
+    sees (r9 advice: only the build verb was capped; a capped build with
+    an uncapped probe still hands a regrown stop-bucket l x r rows)."""
+    idx = str(tmp_path / "idx")
+    corpus = documents.filter(F.col("doc_id") % 2 == 0)
+    batch = documents.filter(F.col("doc_id") % 2 == 1)
+    save_lsh_index(corpus, idx, n=3, num_hashes=16, bands=8)  # uncapped
+    cap = 4
+    got = _pairs(lsh_index_pairs(spark, batch, idx, n=3, num_hashes=16,
+                                 bands=8, max_bucket_size=cap))
+    full = _pairs(lsh_pairs(documents, n=3, num_hashes=16, bands=8,
+                            max_bucket_size=cap))
+    want = {(a, b) for a, b in full if a % 2 == 1 or b % 2 == 1}
+    uncapped = _pairs(lsh_index_pairs(spark, batch, idx,
+                                      n=3, num_hashes=16, bands=8))
+    assert got == want
+    assert got < uncapped, "cap never engaged — pick a smaller cap"
+
+
+def test_probe_cap_guards_buckets_regrown_by_add(spark, tmp_path):
+    """An index bucket can regrow past the build-time cap via append-only
+    lsh_index_add; the probe's combined-width cap must still drop it."""
+    text = "the quick brown fox jumps over the lazy dog number"
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    save_lsh_index(mk([(1, text + " one"), (2, text + " two")]),
+                   str(tmp_path / "idx"), max_bucket_size=4)
+    # regrow the near-dup bucket well past the cap, append-only
+    lsh_index_add(spark, mk([(i, text + f" v{i}") for i in range(3, 9)]),
+                  str(tmp_path / "idx"))
+    probe = mk([(100, text + " probe")])
+    capped = lsh_index_pairs(spark, probe, str(tmp_path / "idx"),
+                             max_bucket_size=4)
+    uncapped = lsh_index_pairs(spark, probe, str(tmp_path / "idx"))
+    assert _pairs(uncapped), "fixture bug: probe found no candidates"
+    assert len(_pairs(capped)) < len(_pairs(uncapped))

@@ -52,19 +52,25 @@ def _stride(max_key: int) -> int:
 def upsample_relational(con, name: str, out: str, key_shifts: dict[str, int],
                         plain_cols: list[str],
                         derived_cols: dict[str, str] | None = None) -> None:
-    """``derived_cols`` maps column -> SQL template with a ``{shift}``
-    placeholder: columns that TPC-H derives from the entity key (c_name
-    = 'Customer#' || 9-digit key, s_name likewise) must be REGENERATED
-    from the shifted key, not copied verbatim — verbatim replication
-    gives every entity 10 exact name-clones sharing all attributes,
-    which turns any correct ER/fuzzy blocking into 10x10 clone cliques
-    and measures fixture duplication instead of algorithmic scaling
-    (caught by the round-9 er_best_match candidate-growth pin)."""
+    """``derived_cols`` maps column -> SQL template with a
+    ``{<key>_shift}`` placeholder PER key in ``key_shifts`` (e.g.
+    ``{c_custkey_shift}``): columns that TPC-H derives from an entity
+    key (c_name = 'Customer#' || 9-digit key, s_name likewise) must be
+    REGENERATED from the shifted key, not copied verbatim — verbatim
+    replication gives every entity 10 exact name-clones sharing all
+    attributes, which turns any correct ER/fuzzy blocking into 10x10
+    clone cliques and measures fixture duplication instead of
+    algorithmic scaling (caught by the round-9 er_best_match
+    candidate-growth pin). Named-per-key placeholders (not a single
+    positional ``{shift}``) so a multi-key table's derived column is
+    always formatted with the stride of the key it actually derives
+    from; a template naming an unknown key fails loudly (KeyError)."""
     reps = []
     for r in range(REPLICAS):
         shifted = [f"{c} + {r * s} AS {c}" for c, s in key_shifts.items()]
-        derived = [t.format(shift=r * list(key_shifts.values())[0]) +
-                   f" AS {c}" for c, t in (derived_cols or {}).items()]
+        per_key = {f"{k}_shift": r * s for k, s in key_shifts.items()}
+        derived = [t.format(**per_key) + f" AS {c}"
+                   for c, t in (derived_cols or {}).items()]
         reps.append(f"SELECT {', '.join(shifted + derived + plain_cols)} "
                     f"FROM src")
     con.execute(f"CREATE OR REPLACE TEMP VIEW src AS "
@@ -167,13 +173,15 @@ def main() -> None:
                             {"c_custkey": cust_s},
                             ["c_nationkey", "c_acctbal", "c_mktsegment"],
                             {"c_name": "'Customer#' || lpad(CAST(c_custkey "
-                                       "+ {shift} AS VARCHAR), 9, '0')"})
+                                       "+ {c_custkey_shift} AS VARCHAR), "
+                                       "9, '0')"})
     if want("supplier"):
         upsample_relational(con, "supplier", args.out,
                             {"s_suppkey": supp_s},
                             ["s_nationkey", "s_acctbal"],
                             {"s_name": "'Supplier#' || lpad(CAST(s_suppkey "
-                                       "+ {shift} AS VARCHAR), 9, '0')"})
+                                       "+ {s_suppkey_shift} AS VARCHAR), "
+                                       "9, '0')"})
     if want("part"):
         upsample_relational(con, "part", args.out,
                             {"p_partkey": part_s},
