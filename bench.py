@@ -28,6 +28,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _canary(spark) -> float:
+    """Fixed-cost host-health probe, timed at sweep START and END.
+
+    Round 10 shipped a whole-sweep phantom regression (headline 207K
+    rows/s in the artifact vs 369K re-measured on a quiet box): the
+    host degraded for the entire sweep and bench.py had no way to see
+    it. This canary is a constant CPU+shuffle job (range -> modular
+    arithmetic -> groupBy sum) whose cost depends only on the host, not
+    on any repo code — if start/end disagree with each other or with
+    the canary history in prior bench_full_r*.json files, the artifact
+    self-reports "degraded": true and the numbers are not trusted as a
+    round-over-round comparison.
+    """
+    from pyspark.sql import functions as F
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (spark.range(30_000_000)
+              .select((F.col("id") % 997).alias("k"),
+                      ((F.col("id") * 2654435761) % 1000000007).alias("v"))
+              .groupBy("k").agg(F.sum("v").alias("s"))
+              .write.format("noop").mode("overwrite").save())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def headline_sync(spark) -> tuple[float, int]:
     """Flagship sync slice on lineitem: fresh-watermark extraction."""
     from pyspark.sql import types as T
@@ -110,6 +136,7 @@ def main() -> None:
     # headline deltas pure noise. Wait briefly for the box to go quiet
     # and RECORD the spread so the artifact carries its own error bar.
     load_at_start = _wait_for_idle(max_wait_sec=60)
+    canary_start = _canary(spark)
     cold_sec, _ = headline_sync(spark)
     w1, n_rows = headline_sync(spark)
     w2, _ = headline_sync(spark)
@@ -143,20 +170,22 @@ def main() -> None:
     # multi-second GC pause (round 5 shipped a 14.9s artifact for a query
     # that runs 2.1s isolated — 7x overstated in the round's artifact of
     # record; round 6 saw a 2.9x blip slide under a 3x trigger). Any
-    # query whose best-of-2 exceeds 2x its cost in the prior round's
-    # full history by more than a second, OR regressed >2.5x relative to
-    # prior regardless of absolute size (round 7 shipped an unexplained
-    # 0.311s -> 1.173s = 3.8x mover that slid under the absolute gate),
-    # or, with no history, 3x this sweep's median and >5s, gets ONE
-    # isolated re-time after a GC, and the artifact records the better
-    # number plus which queries were re-timed.
-    prior_q = _prior_round_queries()
+    # query whose best-of-2 exceeds 1.5x its cost in the prior round's
+    # full history by more than half a second (round 10's ccnet phantom
+    # was 1.92x and slid under the old 2x gate), OR regressed >2.5x
+    # relative to prior regardless of absolute size (round 7 shipped an
+    # unexplained 0.311s -> 1.173s = 3.8x mover that slid under the
+    # absolute gate), or, with no history, 3x this sweep's median and
+    # >5s, gets ONE isolated re-time after a GC, and the artifact
+    # records the better number plus which queries were re-timed.
+    prior_full = _prior_round_full()
+    prior_q = dict(prior_full.get("queries", {}))
     med = sorted(query_times.values())[len(query_times) // 2]
     retimed: dict[str, float] = {}
     for name, best in list(query_times.items()):
         prior = prior_q.get(name)
-        suspicious = ((prior is not None and best > 2 * prior
-                       and best - prior > 1.0)
+        suspicious = ((prior is not None and best > 1.5 * prior
+                       and best - prior > 0.5)
                       or (prior is not None and best > 2.5 * prior
                           and best > 0.2)
                       or (prior is None and best > 5.0 and best > 3 * med))
@@ -167,6 +196,39 @@ def main() -> None:
             if iso < best:
                 retimed[name] = round(best, 3)
                 query_times[name] = round(iso, 3)
+
+    # End-of-sweep canary + degradation verdict (r10 verdict item 1a):
+    # the sweep is flagged degraded when the start/end canaries disagree
+    # with each other by >1.5x (host load changed mid-sweep) or when
+    # BOTH exceed 1.5x the median canary of prior non-degraded sweeps
+    # (the whole sweep ran on a slow host — exactly round 10's failure).
+    canary_end = _canary(spark)
+    canary_prior = _prior_canary_median()
+    degraded = (canary_end > 1.5 * canary_start
+                or canary_start > 1.5 * canary_end
+                or (canary_prior is not None
+                    and min(canary_start, canary_end) > 1.5 * canary_prior))
+
+    # Headline retime (r10 verdict item 1b): the outlier-retime loop
+    # above never covered the headline itself, so r10's artifact
+    # published a 45% phantom collapse uncontested. If the best-of-3
+    # headline exceeds 1.4x the prior non-degraded round's, or the
+    # sweep is flagged degraded, re-run the headline after a GC and
+    # record both numbers.
+    headline_retimed_from = None
+    prior_headline = prior_full.get("value")
+    if (degraded or (prior_headline is not None
+                     and headline_sec > 1.4 * prior_headline)):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        extra = [headline_sync(spark)[0] for _ in range(2)]
+        if min(extra) < headline_sec:
+            headline_retimed_from = round(headline_sec, 3)
+            runs = sorted(runs + [round(e, 3) for e in extra])
+            headline_sec = runs[0]
+            headline_median = runs[len(runs) // 2]
+            spread_pct = round(
+                100.0 * (runs[-1] - runs[0]) / runs[len(runs) // 2], 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -185,6 +247,12 @@ def main() -> None:
         "baseline_rows_per_sec": 233_000,
         "total_query_sec": round(sum(query_times.values()), 3),
         "retimed_outliers": retimed,   # name -> in-sweep time it replaced
+        "canary_start_sec": round(canary_start, 3),
+        "canary_end_sec": round(canary_end, 3),
+        "canary_prior_median_sec": (round(canary_prior, 3)
+                                    if canary_prior is not None else None),
+        "degraded": degraded,
+        "headline_retimed_from": headline_retimed_from,
     }
     full_file = _persist_full_history(result)
 
@@ -233,23 +301,51 @@ def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
     return json.dumps(slim)
 
 
-def _prior_round_queries() -> dict[str, float]:
-    """Per-query times from the most recent bench_full_r*.json — the
-    trailing cost baseline for outlier detection."""
+def _prior_full_files() -> list[str]:
     import glob
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(
+    return sorted(
         glob.glob(os.path.join(repo, "bench_full_r*.json")),
         key=lambda f: int(re.search(r"r(\d+)\.json$", f).group(1)))
-    if not files:
-        return {}
-    try:
-        with open(files[-1]) as fh:
-            return dict(json.load(fh).get("queries", {}))
-    except (OSError, ValueError):
-        return {}
+
+
+def _prior_round_full(skip_degraded: bool = True) -> dict:
+    """Full result dict of the most recent NON-degraded sweep — the
+    cost baseline for outlier detection and the headline retime gate.
+    Degraded sweeps (host-load phantom, e.g. round 10's r15 file) are
+    skipped so phantoms don't become next round's baseline."""
+    for f in reversed(_prior_full_files()):
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if skip_degraded and data.get("degraded"):
+            continue
+        return data
+    return {}
+
+
+def _prior_canary_median() -> float | None:
+    """Median canary_start_sec across prior non-degraded sweeps."""
+    vals = []
+    for f in _prior_full_files():
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if data.get("degraded"):
+            continue
+        for k in ("canary_start_sec", "canary_end_sec"):
+            if isinstance(data.get(k), (int, float)):
+                vals.append(data[k])
+    if not vals:
+        return None
+    vals.sort()
+    return vals[len(vals) // 2]
 
 
 def _persist_full_history(result: dict) -> str:
@@ -276,13 +372,30 @@ def _persist_full_history(result: dict) -> str:
     with open(full_file, "w") as fh:
         json.dump(result, fh, indent=2, sort_keys=True)
 
-    prior_files = sorted(
-        f for f in glob.glob(os.path.join(repo, "bench_full_r*.json"))
-        if (m := re.search(r"bench_full_r(\d+)\.json$", f))
-        and int(m.group(1)) < n)
+    # Diff against the most recent NON-degraded prior sweep: a phantom
+    # sweep (r15 = round 10's loaded host) as baseline would report its
+    # recovery as across-the-board "improvements" and mask real movers.
+    prior_files = []
+    for f in sorted(
+            f for f in glob.glob(os.path.join(repo, "bench_full_r*.json"))
+            if (m := re.search(r"bench_full_r(\d+)\.json$", f))
+            and int(m.group(1)) < n):
+        try:
+            with open(f) as fh:
+                if not json.load(fh).get("degraded"):
+                    prior_files.append(f)
+        except (OSError, ValueError):
+            continue
     lines = [f"<!-- bench-regressions:start (auto-written by bench.py) -->",
              f"## Per-query regressions vs prior round (auto, r{n:02d})",
              ""]
+    if result.get("degraded"):
+        lines += ["**This sweep is flagged `degraded`** (canary "
+                  f"start/end {result.get('canary_start_sec')}s/"
+                  f"{result.get('canary_end_sec')}s vs prior median "
+                  f"{result.get('canary_prior_median_sec')}s) — treat "
+                  "movers below as suspect host noise, not regressions.",
+                  ""]
     if not prior_files:
         lines += ["No prior bench_full_r*.json to diff against — full "
                   "per-query history starts this round."]

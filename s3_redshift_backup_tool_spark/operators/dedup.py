@@ -146,6 +146,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        min_hash.alias("min_hash"))
 
 
+def _check_bucket_cap(max_bucket_size: int | None) -> None:
+    """A non-positive cap makes the width filter drop EVERY bucket and
+    silently return an empty pair set — reject it at the library
+    boundary (the CLI already rejects it at the parser, but programmatic
+    callers reach these functions directly)."""
+    if max_bucket_size is not None and max_bucket_size < 1:
+        raise ValueError(
+            f"max_bucket_size must be >= 1 or None, got {max_bucket_size}")
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         num_hashes: int = 16, bands: int = 4,
                         max_bucket_size: int | None = None) -> DataFrame:
@@ -159,6 +169,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     and shuffle volume stays O(docs x bands). ``max_bucket_size`` is the
     web-scale degenerate-bucket guard — a bucket of b docs would
     otherwise emit b^2/2 pairs (see _pairs_from_banded)."""
+    _check_bucket_cap(max_bucket_size)
     rows_per_band = num_hashes // bands
     banded = (signatures
               .withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -220,6 +231,7 @@ def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exploded-signature path disappears — the only shuffles left are the
     bucket groupBy and the final distinct. Output identical to
     ``lsh_candidate_pairs(minhash_signatures(df))``."""
+    _check_bucket_cap(max_bucket_size)
     arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
     # banding explodes a band INDEX sequence, not an array built from
     # sig: a generator input referencing the sig alias gets inlined
@@ -302,6 +314,7 @@ def lsh_bipartite_pairs(left: DataFrame, right: DataFrame,
     through the band explode. ``max_bucket_size`` caps per-side bucket
     width (a bucket of l x r docs emits l*r rows). Output:
     (eval_id, train_id, est_jaccard)."""
+    _check_bucket_cap(max_bucket_size)
     sl = minhash_signature_array(left, text_col, id_col, n, num_hashes)
     sr = minhash_signature_array(right, text_col, id_col, n, num_hashes)
     sl = sl.localCheckpoint(eager=False)    # feeds banding + estimate
@@ -356,6 +369,7 @@ def save_lsh_index(df: DataFrame, path: str, text_col: str = "text",
     Scale shape: the index is O(docs x bands) rows of ~40 bytes —
     ~3 orders smaller than the text it summarizes; the build is the
     zero-shuffle signature pipeline plus one repartition-by-band."""
+    _check_bucket_cap(max_bucket_size)
     arr = minhash_signature_array(df, text_col, id_col, n, num_hashes)
     banded = _banded_from_array(arr, id_col, num_hashes, bands)
     if max_bucket_size is not None:
@@ -418,21 +432,27 @@ def lsh_index_pairs(spark, new_df: DataFrame, path: str,
     exactly one a capped :func:`lsh_pairs` rerun over corpus+batch
     would drop. The width audit is one narrow count per batch-touched
     bucket (index rows semi-joined to the broadcast batch buckets
-    first, so the full index is never re-counted)."""
+    first, so the full index is never re-counted); it counts DISTINCT
+    doc ids across index+batch, so a doc re-synced into the batch
+    while already indexed (same id on both sides — and lsh_index_add
+    may have appended it more than once) is counted once; the naive
+    batch-count + index-count sum would overstate the width and drop
+    buckets a capped from-scratch rerun over corpus+batch keeps."""
+    _check_bucket_cap(max_bucket_size)
     arr = minhash_signature_array(new_df, text_col, id_col, n, num_hashes)
     banded = _banded_from_array(arr, id_col, num_hashes, bands)
     banded = banded.localCheckpoint(eager=False)   # feeds probe + intra
     if max_bucket_size is not None:
         idx = spark.read.schema(banded.schema).parquet(path)
-        bw = (banded.groupBy("band", "band_hash")
-              .agg(F.count(F.lit(1)).alias("__bw")))
-        iw = (idx.join(F.broadcast(bw.select("band", "band_hash")),
-                       ["band", "band_hash"], "left_semi")
-              .groupBy("band", "band_hash")
-              .agg(F.count(F.lit(1)).alias("__iw")))
-        wide = (bw.join(iw, ["band", "band_hash"], "left")
-                .filter(F.col("__bw") + F.coalesce(F.col("__iw"), F.lit(0))
-                        > max_bucket_size)
+        bkeys = banded.select("band", "band_hash").distinct()
+        touched = (idx.join(F.broadcast(bkeys),
+                            ["band", "band_hash"], "left_semi")
+                   .select("band", "band_hash", id_col))
+        wide = (banded.select("band", "band_hash", id_col)
+                .unionByName(touched)
+                .groupBy("band", "band_hash")
+                .agg(F.countDistinct(id_col).alias("__w"))
+                .filter(F.col("__w") > max_bucket_size)
                 .select("band", "band_hash"))
         banded = (banded.join(F.broadcast(wide), ["band", "band_hash"],
                               "left_anti")

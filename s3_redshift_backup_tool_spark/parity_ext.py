@@ -3335,6 +3335,14 @@ def python_source_cdc_feed(spark, sf_dir):
     # implements pushFilters() under the default conf; the key is a runtime
     # SQLConf, so set it here rather than depend on the session builder
     # (r9 driver ran a vanilla session and this row went red).
+    # DELIBERATELY NOT restored: the worker reads enable_pushdown at
+    # ACTION time (plan_data_source_read.py receives it from the JVM when
+    # the returned lazy DataFrame executes), so a try/finally restore here
+    # re-raises DATA_SOURCE_PUSHDOWN_DISABLED at the driver's collect —
+    # verified by direct test. The cross-query leak this creates on a
+    # shared session is instead caught by tools/check_parity.py's
+    # per-query conf isolation (any later query silently depending on
+    # this key now fails the vanilla lint).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CDCFeedDataSource)
     df = spark.read.format("cdc_feed").option("end", 5000).load()
@@ -6322,44 +6330,12 @@ def bucketed_join_orders_lineitem(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-10 rotation (ROTATION.json window_r10): the 19-entry
-    # never-hashed queue first — python_source_cdc_feed (r9 driver-red on
-    # the filterPushdown session conf; fixed with a runtime conf.set
-    # inside the query fn) plus the 18-entry backlog the r9 judge
-    # pre-verified 18/18 at sf0.01 — then the 31 oldest-hashed entries
-    # (r1/r2 re-attestation). Pre-verified vs the DuckDB oracle at
-    # sf0.01 via tools/check_parity.py (and tools/check_parity.py
-    # --vanilla, the default-session lint) before promotion.
-    "python_source_cdc_feed", "cluster_safe_split_documents",
-    "constraint_audit_orders", "token_kl_by_source",
-    "overlap_coeff_pairs_documents", "char_entropy_documents",
-    "variant_props_events", "interpolate_value_events",
-    "ewma_purchase_value_by_user", "weighted_sample_per_source",
-    "dup_graph_triangles", "rolling_median_daily_revenue",
-    "embedding_dim_stats", "top_bigrams_per_source",
-    "curation_attrition_documents", "benford_audit_orders",
-    "bpe_encode_documents", "bucketed_join_orders_lineitem",
-    "bpe_fertility_by_source", "part_type_revenue_share",
-    "revenue_rollup_flag_status", "sliding_2h1h_events",
-    "customers_without_orders", "vocab_top20_documents", "lang_id_documents",
-    "multimodal_payload_stats", "cosine_topk_embeddings",
-    "hash_sample_documents", "event_gap_lag_window",
-    "lang_id_confusion_documents", "large_volume_orders",
-    "distinct_users_daily", "fingerprint_documents",
-    "dup_span_chunks_documents", "ngram_jaccard_pairs_documents",
-    "simhash_documents", "quantize_int8_embeddings",
-    "embedding_neardup_pairs", "boilerplate_scrub_documents",
-    "range_clicks_before_purchase", "cms_heavy_hitters_documents",
-    "batch_cosine_topk_embeddings", "repetition_signals_documents",
-    "session_windows_events", "jaccard_prefix_pairs_documents",
-    "fuzzy_decontamination_pairs", "hybrid_search_rrf",
-    "ccnet_buckets_by_source", "stratified_sample_by_source",
-    "scd2_history_events",
-]
-
-_TAIL = [
-    # hashed entries, oldest last-hash first (r1/r2 -> r3/r4 -> r5 ->
-    # r7 -> r8 -> r9); regenerate with tools/rotation.py each round
+    # round-11 rotation (ROTATION.json window_r11): the never-hashed
+    # backlog is EMPTY (r10 closed it), so this window is pure
+    # re-attestation — the 50 hashed entries with the oldest driver
+    # hash (r1/r2 era). Pre-verified vs the DuckDB oracle at sf0.01 via
+    # tools/check_parity.py and the --vanilla default-session lint
+    # before promotion.
     "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
     "watermark_extract_orders", "density_stats_events",
     "align_orders_to_target", "topk_orders_by_price",
@@ -6383,7 +6359,14 @@ _TAIL = [
     "pii_scrub_customer", "id_gap_audit_orders",
     "overlapping_purchase_intervals_events", "asof_click_attribution",
     "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
-    "hilbert_keys_events", "zorder3_keys_events", "compaction_plan_orders",
+    "hilbert_keys_events",
+]
+
+_TAIL = [
+    # hashed entries, oldest last-hash first; regenerated with
+    # tools/rotation.py each round (r11: generated from the union of
+    # CORRECTNESS_r01..r10 last-hash rounds).
+    "zorder3_keys_events", "compaction_plan_orders",
     "pricing_summary_lineitem", "image_ahash_documents",
     "shipping_priority_top10", "supplier_revenue_by_nation",
     "bm25_search_documents", "cube_status_priority_orders",
@@ -6434,7 +6417,31 @@ _TAIL = [
     "min_cost_supplier_per_part", "profit_by_nation_year",
     "important_parts_share", "supplier_count_by_part_attrs",
     "excess_shipped_suppliers", "stable_global_ids_orders",
-    "udtf_json_kv_events",
+    "udtf_json_kv_events", "python_source_cdc_feed",
+    "cluster_safe_split_documents", "constraint_audit_orders",
+    "token_kl_by_source", "overlap_coeff_pairs_documents",
+    "char_entropy_documents", "variant_props_events",
+    "interpolate_value_events", "ewma_purchase_value_by_user",
+    "weighted_sample_per_source", "dup_graph_triangles",
+    "rolling_median_daily_revenue", "embedding_dim_stats",
+    "top_bigrams_per_source", "curation_attrition_documents",
+    "benford_audit_orders", "bpe_encode_documents",
+    "bucketed_join_orders_lineitem", "bpe_fertility_by_source",
+    "part_type_revenue_share", "revenue_rollup_flag_status",
+    "sliding_2h1h_events", "customers_without_orders",
+    "vocab_top20_documents", "lang_id_documents", "multimodal_payload_stats",
+    "cosine_topk_embeddings", "hash_sample_documents", "event_gap_lag_window",
+    "lang_id_confusion_documents", "large_volume_orders",
+    "distinct_users_daily", "fingerprint_documents",
+    "dup_span_chunks_documents", "ngram_jaccard_pairs_documents",
+    "simhash_documents", "quantize_int8_embeddings",
+    "embedding_neardup_pairs", "boilerplate_scrub_documents",
+    "range_clicks_before_purchase", "cms_heavy_hitters_documents",
+    "batch_cosine_topk_embeddings", "repetition_signals_documents",
+    "session_windows_events", "jaccard_prefix_pairs_documents",
+    "fuzzy_decontamination_pairs", "hybrid_search_rrf",
+    "ccnet_buckets_by_source", "stratified_sample_by_source",
+    "scd2_history_events",
 ]
 
 

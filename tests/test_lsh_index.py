@@ -156,3 +156,44 @@ def test_probe_cap_guards_buckets_regrown_by_add(spark, tmp_path):
     uncapped = lsh_index_pairs(spark, probe, str(tmp_path / "idx"))
     assert _pairs(uncapped), "fixture bug: probe found no candidates"
     assert len(_pairs(capped)) < len(_pairs(uncapped))
+
+def test_resync_does_not_double_count_bucket_width(spark, tmp_path):
+    """r10 advice: the combined-width audit must count DISTINCT doc ids
+    across index+batch. A doc both indexed and re-synced in the batch
+    (here: all of them, plus a duplicate append via lsh_index_add) would
+    double/triple-count under a naive batch+index sum, pushing the
+    apparent width past the cap and dropping a bucket a capped
+    from-scratch rerun over corpus+batch keeps."""
+    text = "the quick brown fox jumps over the lazy dog number"
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    docs = [(i, text + f" v{i}") for i in range(1, 4)]   # 3 near-dups
+    save_lsh_index(mk(docs), idx)
+    lsh_index_add(spark, mk(docs), idx)   # re-sync: duplicate index rows
+    # batch re-syncs the same 3 docs plus one new near-dup: true distinct
+    # bucket width = 4; naive sum = 3(batch) + 6(index rows) = 9 > cap.
+    batch = mk(docs + [(4, text + " v4")])
+    got = _pairs(lsh_index_pairs(spark, batch, idx, max_bucket_size=5))
+    full = _pairs(lsh_pairs(mk(docs + [(4, text + " v4")]), bands=8,
+                            max_bucket_size=5))
+    assert got == full and len(full) == 6   # C(4,2) — nothing dropped
+
+
+def test_bucket_cap_rejects_nonpositive(spark, tmp_path):
+    import pytest
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        lsh_bipartite_pairs, lsh_candidate_pairs)
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    df = mk([(1, "alpha beta gamma delta epsilon zeta")])
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            lsh_pairs(df, max_bucket_size=bad)
+        with pytest.raises(ValueError):
+            save_lsh_index(df, str(tmp_path / "idx"), max_bucket_size=bad)
+        with pytest.raises(ValueError):
+            lsh_index_pairs(spark, df, str(tmp_path / "idx"),
+                            max_bucket_size=bad)
+        with pytest.raises(ValueError):
+            lsh_bipartite_pairs(df, df, max_bucket_size=bad)
+        with pytest.raises(ValueError):
+            lsh_candidate_pairs(df, max_bucket_size=bad)

@@ -111,14 +111,48 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    names = list(REGISTRY)[:50] if window_only else list(REGISTRY)
+    # slice by the rotation window's actual size, not a literal 50 — a
+    # future rotation with a different window size would otherwise lint
+    # the wrong query set
+    from s3_redshift_backup_tool_spark.parity_ext import _WINDOW
+    names = list(REGISTRY)[:len(_WINDOW)] if window_only else list(REGISTRY)
     n_pass = n_fail = n_rows_only = 0
+
+    def conf_snapshot() -> dict[str, str]:
+        return {r["key"]: r["value"]
+                for r in spark.sql("SET").collect()}
+
+    baseline_conf = conf_snapshot()
+
+    def restore_conf() -> None:
+        # Per-query session-conf isolation: a query that sets a runtime
+        # SQLConf (python_source_cdc_feed must leave
+        # spark.sql.python.filterPushdown.enabled on through its own
+        # action) must not silently change the environment a LATER query
+        # is linted under — that would mask exactly the
+        # driver-runs-it-in-isolation failure class this sweep exists to
+        # catch. Reset any drifted keys after each query's action.
+        for k, v in conf_snapshot().items():
+            if k not in baseline_conf:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            elif baseline_conf[k] != v:
+                try:
+                    spark.conf.set(k, baseline_conf[k])
+                except Exception:
+                    pass
+
     for name in names:
         spec = REGISTRY[name]
         if filters and not any(f in name for f in filters):
             continue
         try:
-            sdf = spec.fn(spark, sf_dir).toPandas()
+            try:
+                sdf = spec.fn(spark, sf_dir).toPandas()
+            finally:
+                restore_conf()
             if spec.oracle is None:
                 n_rows_only += 1
                 print(f"  ~ {name}: rows-only ({len(sdf)} rows)")
