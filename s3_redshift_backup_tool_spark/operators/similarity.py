@@ -797,6 +797,13 @@ def ann_topk_indexed(spark, data_path: str, index_path: str,
 # Codes are computed once (pq_encode, zero shuffle) and scanned with
 # table-lookup distances (pq_adc_topk); no float vector rides the scan.
 
+# Fence for the measured O(n*k*d) PQ-encode quadratic when k is scaled
+# with the corpus (round 11 probe; see pq_codebooks docstring). 4096
+# matches max_cluster_size's default cap elsewhere in the ANN family and
+# is 16x the standard full-scale k=256.
+_PQ_MAX_K = 4096
+
+
 def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
                  vec_col: str = "embedding",
                  id_col: str = "vec_id") -> list[list[list[float]]]:
@@ -806,7 +813,24 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
     on both engines). :func:`pq_codebooks_kmeans` is the quality
     upgrade with the same output shape, so everything downstream
     (encode, ADC, the persisted layout) is quantizer-agnostic.
-    Returns ``codebooks[s][j] = list[d/m floats]``."""
+    Returns ``codebooks[s][j] = list[d/m floats]``.
+
+    Scaling recipe (measured, round 11): encode cost is O(n_rows x m x
+    k x d/m) = O(n x k x d) — LINEAR in k (k 16 -> 160 at 20K vectors:
+    x9.2 wall) and sublinear-to-linear in n (x10 corpus at fixed k:
+    x2.7). So k MUST stay fixed as the corpus grows (k=256 is the
+    standard full-scale setting; per-vector quality is m*log2(k) bits
+    and improves via m, the code length, not via k proportional to n).
+    k ∝ corpus is the IVF recipe (bounded cells), NOT the PQ recipe —
+    measured k∝n here is O(n^2): x24.6 wall for x10 data. ``_PQ_MAX_K``
+    fences the quadratic: beyond it the codebook/LUT plan literal also
+    stops being "tiny"."""
+    if k > _PQ_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds _PQ_MAX_K={_PQ_MAX_K}: PQ encode cost is "
+            "O(n*k*d) — scale code length m, not k, with the corpus "
+            "(k proportional to corpus size is the IVF recipe, and "
+            "makes PQ quadratic)")
     rows = (df.filter(F.col(id_col) < k)
               .select(id_col, vec_col).orderBy(id_col).collect())
     d = len(rows[0][1])
@@ -1002,7 +1026,12 @@ def pq_residual_codebooks(df: DataFrame,
     far better than they cover raw vectors. Same first-k convention as
     :func:`pq_codebooks`; swap in per-subspace Lloyd on residuals for
     the production upgrade (pq_codebooks_kmeans works unchanged on a
-    pre-computed residual column)."""
+    pre-computed residual column). Same fixed-k scaling recipe as
+    :func:`pq_codebooks` (encode is O(n*k*d); scale m, not k)."""
+    if k > _PQ_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds _PQ_MAX_K={_PQ_MAX_K}: PQ encode cost is "
+            "O(n*k*d) — scale code length m, not k, with the corpus")
     rows = (df.filter(F.col(id_col) < k)
               .select(id_col, vec_col).orderBy(id_col).collect())
     d = len(rows[0][1])

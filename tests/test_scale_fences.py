@@ -184,3 +184,26 @@ def test_semantic_dedup_indexed_capped_by_default():
     assert default is not None and default > 0, (
         "the indexed (production) SemDeDup path must cap cluster size "
         "by default; None is the explicit exactness opt-in")
+
+
+def test_pq_k_proportional_to_corpus_is_fenced(spark, sf_dir):
+    """Round-11 measured fence: PQ encode is O(n*k*d), so scaling k with
+    the corpus (the IVF recipe) makes PQ quadratic — measured x24.6 wall
+    for x10 data with k x10 vs x2.7 at fixed k. k beyond _PQ_MAX_K is a
+    recipe error, rejected at every codebook constructor."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from s3_redshift_backup_tool_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    bad = sim._PQ_MAX_K + 1
+    with _pytest.raises(ValueError, match="_PQ_MAX_K"):
+        sim.pq_codebooks(emb, m=8, k=bad)
+    with _pytest.raises(ValueError, match="_PQ_MAX_K"):
+        sim.pq_codebooks_kmeans(emb, m=8, k=bad, iters=1)
+    with _pytest.raises(ValueError, match="_PQ_MAX_K"):
+        sim.pq_residual_codebooks(emb, [(0, [0.0] * 64)], m=8, k=bad)
+    # the registry pins stay inside the fence
+    assert 16 <= sim._PQ_MAX_K
