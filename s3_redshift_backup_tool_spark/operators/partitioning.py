@@ -52,10 +52,14 @@ def assign_global_ids(df: DataFrame, order_cols: list[str | Column],
     2. per-partition local ``row_number`` (window partitioned by
        ``spark_partition_id()`` — every partition numbered in
        parallel);
-    3. an exclusive prefix sum over the per-partition counts (one
-       O(num_partitions)-row aggregate; the running total is a window
-       over that TINY relation, not the data) broadcast back and added
-       to the local rank.
+    3. an exclusive prefix sum over the per-partition counts — the
+       counts aggregate is O(num_partitions) ROWS, collected to the
+       driver (the same O(tasks)-integers class as parquet footer
+       counts), prefix-summed in plain Python, and broadcast back as a
+       tiny literal relation added to the local rank. Driver-side on
+       purpose: the alternative is a single-partition window over the
+       counts, which costs an extra exchange + WindowExec for work
+       that is a 32-element cumsum.
 
     ``order_cols`` must be a total order (include a unique tiebreaker);
     otherwise ids among ties are nondeterministic across runs — same
@@ -76,14 +80,16 @@ def assign_global_ids(df: DataFrame, order_cols: list[str | Column],
     local = ranged.withColumn("__lrn", F.row_number().over(local_w))
     if checkpoint:
         local = local.localCheckpoint(eager=False)
-    # exclusive prefix sum over per-partition counts: tiny relation
-    pid_w = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1)
-    offsets = (local.groupBy("__pid").count()
-                    .withColumn("__offset",
-                                F.coalesce(F.sum("count").over(pid_w),
-                                           F.lit(0)))
-                    .select("__pid", "__offset"))
+    # exclusive prefix sum over per-partition counts: O(tasks) ints to
+    # the driver, cumsum in Python, back as a literal broadcast relation
+    counts = sorted((r["__pid"], r["count"])
+                    for r in local.groupBy("__pid").count().collect())
+    offs, running = [], 0
+    for pid, cnt in counts:
+        offs.append((pid, running))
+        running += cnt
+    offsets = df.sparkSession.createDataFrame(
+        offs or [(0, 0)], "__pid int, __offset long")
     return (local.join(F.broadcast(offsets), "__pid")
                  .withColumn(id_col,
                              (F.lit(start) + F.col("__offset")

@@ -213,11 +213,14 @@ def id_gap_audit(df: DataFrame, id_col: str,
     2. per-partition lag (window PARTITIONED by
        ``spark_partition_id()`` — every partition scans in parallel)
        finds all intra-partition gaps;
-    3. per-partition (min, max) — an O(num_partitions)-row aggregate —
-       reconciles the boundaries: a lag over that TINY relation pairs
-       each partition's min with the previous non-empty partition's
-       max, catching gaps that straddle (or entirely swallow) partition
-       boundaries.
+    3. per-partition (min, max) — an O(num_partitions)-row aggregate,
+       COLLECTED to the driver (O(tasks) integer pairs, the same class
+       as parquet footer counts) and stitched in plain Python: each
+       non-empty partition's min pairs with the previous non-empty
+       partition's max, catching gaps that straddle (or entirely
+       swallow) partition boundaries. Driver-side on purpose — the
+       alternative is a single-partition lag window over the bounds,
+       an extra exchange + WindowExec for a 32-element zip.
 
     The ranged relation is lazily localCheckpointed so the boundary
     aggregate and the data-side window consume the SAME materialized
@@ -239,14 +242,18 @@ def id_gap_audit(df: DataFrame, id_col: str,
     local = (ranged.withColumn("prev", F.lag("id").over(local_w))
                    .filter(F.col("prev").isNotNull()
                            & (F.col("id") - F.col("prev") > 1)))
-    # tiny relation: one row per non-empty partition
-    bounds = ranged.groupBy("__pid").agg(F.min("id").alias("lo"),
-                                         F.max("id").alias("hi"))
-    cross_w = Window.orderBy("__pid")
-    cross = (bounds.withColumn("prev", F.lag("hi").over(cross_w))
-                   .filter(F.col("prev").isNotNull()
-                           & (F.col("lo") - F.col("prev") > 1))
-                   .select(F.col("lo").alias("id"), "prev"))
+    # tiny relation: one row per non-empty partition -> driver stitch
+    bounds = sorted((r["__pid"], r["lo"], r["hi"]) for r in
+                    ranged.groupBy("__pid")
+                          .agg(F.min("id").alias("lo"),
+                               F.max("id").alias("hi")).collect())
+    straddle, prev_hi = [], None
+    for _, lo, hi in bounds:
+        if prev_hi is not None and lo - prev_hi > 1:
+            straddle.append((lo, prev_hi))
+        prev_hi = max(prev_hi, hi) if prev_hi is not None else hi
+    cross = df.sparkSession.createDataFrame(
+        straddle or [], "id long, prev long")
     gaps = local.select("id", "prev").unionByName(cross)
     return gaps.select((F.col("prev") + 1).alias("gap_start"),
                        (F.col("id") - 1).alias("gap_end"),

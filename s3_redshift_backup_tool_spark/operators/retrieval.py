@@ -107,6 +107,11 @@ def with_rank(df: DataFrame, order_col: str, id_col: str = "doc_id"):
     already-LIMITed candidate list (k rows), so the single-partition
     global window is k-row work, not a scale hazard."""
     from pyspark.sql import Window
+    # The single-partition window is the INTENDED plan (k-row input);
+    # WindowExec's "no partition defined" warning fires anyway — Spark
+    # folds any constant partition key (EliminateWindowPartitions), so
+    # it cannot be silenced without obfuscating the plan. Accepted and
+    # documented in PERF.md's warning census.
     w = Window.orderBy(F.col(order_col).desc(), F.col(id_col))
     return df.withColumn("rank", F.row_number().over(w))
 

@@ -4259,24 +4259,39 @@ def embedding_dim_stats(spark, sf_dir):
    "smoothing can't give (one bulk order skews a mean for a week; the "
    "median shrugs). Order statistics over window frames: Spark's "
    "median() rejects frames, so the frame is collected (<= 7 values), "
-   "sorted, and interpolated per row — exact, and the window runs over "
-   "the DAY-grain relation (thousands of rows at any corpus size; the "
-   "fact table was already reduced by the groupBy)")
+   "sorted, and interpolated per row — exact. The window is YEAR-"
+   "partitioned with a 6-row boundary stitch (each year's partition "
+   "also carries the previous year's last 6 rows, dropped from the "
+   "output after the frame is computed), so no executor ever holds "
+   "more than ~366+6 day-grain rows and the plan has zero "
+   "unpartitioned WindowExec — identical output to the global ROWS "
+   "frame, because a ROWS BETWEEN 6 PRECEDING frame only ever reaches "
+   "6 rows back regardless of calendar gaps")
 def rolling_median_daily_revenue(spark, sf_dir):
     from pyspark.sql.window import Window
     orders = _t(spark, sf_dir, "orders")
     daily = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
                    .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                         .cast("double").alias("revenue")))
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+                         .cast("double").alias("revenue"))
+                   .withColumn("yr", F.year("day")))
+    wprev = Window.partitionBy("yr").orderBy(F.desc("day"))
+    carry = (daily.withColumn("__rn", F.row_number().over(wprev))
+                  .filter(F.col("__rn") <= 6)
+                  .select((F.col("yr") + 1).alias("yr"), "day", "revenue",
+                          F.lit(True).alias("__carry")))
+    both = (daily.select("yr", "day", "revenue",
+                         F.lit(False).alias("__carry"))
+                 .unionByName(carry))
+    w = Window.partitionBy("yr").orderBy("day").rowsBetween(-6, 0)
     arr = F.array_sort(F.collect_list("revenue").over(w))
     n = F.size(arr)
     odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
     even = (F.element_at(arr, (n / 2).cast("int"))
             + F.element_at(arr, (n / 2 + 1).cast("int"))) / 2.0
     med = F.when(n % 2 == 1, odd).otherwise(even)
-    return daily.select("day", "revenue",
-                        F.round(med, 6).alias("med7"))
+    return (both.withColumn("med7", F.round(med, 6))
+                .filter(~F.col("__carry"))
+                .select("day", "revenue", "med7"))
 
 
 @q("fuzzy_decontamination_pairs",
