@@ -264,6 +264,51 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
     return df.withColumn("centroid_id", F.array_min(entries)["cid"])
 
 
+def ivf_assign_arrow(df: DataFrame,
+                     centroids: list[tuple[int, list[float]]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """Arrow-vectorized twin of :func:`ivf_assign` — the PRODUCTION
+    assign kernel for the n_centroids-proportional-to-corpus regimes
+    (SemDeDup, knn_graph, IVF index build at scale). The HOF argmin
+    evaluates n_rows x n_centroids x dim interpreted expression steps;
+    measured round 11 it became the BOTTLENECK of the scaled-centroid
+    knn recipe at 200K x 320 x 64 (~4G evals, minutes). This kernel is
+    one numpy matmul per Arrow batch: argmin_c(||c||^2 - 2 x.c), the
+    same squared-L2 ordering with ||x||^2 dropped (constant per row).
+
+    Tie-break: centroid rows are sorted by cid ascending and
+    ``np.argmin`` returns the FIRST minimum — lowest cid, matching the
+    HOF's (dist, cid) struct-min. Only last-ulp float-sum differences
+    (BLAS pairwise vs left-to-right) can flip a tie, the same
+    documented caveat as knn_graph_within_clusters_arrow; the HOF form
+    stays the oracle-pinned twin. Zero shuffle, same output schema."""
+    import numpy as np
+
+    order = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    cids = np.array([c for c, _ in order], dtype=np.int64)
+    C = np.array([v for _, v in order], dtype=np.float64)
+    half_cn = 0.5 * (C * C).sum(axis=1)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = fields + ", centroid_id long"
+
+    def _assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                # argmin(||c||^2/2 - x.c) == argmin L2^2, fewer flops
+                pdf["centroid_id"] = cids[
+                    np.argmin(half_cn[None, :] - X @ C.T, axis=1)]
+            else:
+                pdf["centroid_id"] = pd.Series([], dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
+
+
 def ann_topk_ivf(df: DataFrame, query_vec: list[float],
                  centroids: list[tuple[int, list[float]]], k: int = 10,
                  nprobe: int = 2, vec_col: str = "embedding",
@@ -510,7 +555,8 @@ def knn_graph_within_clusters_arrow(df: DataFrame,
                                     centroids: list[tuple[int, list[float]]],
                                     k: int = 5,
                                     vec_col: str = "embedding",
-                                    id_col: str = "vec_id") -> DataFrame:
+                                    id_col: str = "vec_id",
+                                    assign: str = "hof") -> DataFrame:
     """Arrow-vectorized twin of :func:`knn_graph_within_clusters` —
     the PRODUCTION kernel: per-cell cosine top-k as one numpy
     matmul + argpartition inside ``applyInPandas``, instead of the
@@ -523,8 +569,15 @@ def knn_graph_within_clusters_arrow(df: DataFrame,
     order (pairwise-SIMD vs left-to-right) and rounding mode (numpy
     half-even vs Spark HALF_UP) can differ in the last printed digit,
     so this kernel is pinned against the same numpy reference as the
-    HOF form (tests/test_ann_recall.py) rather than against DuckDB."""
-    assigned = ivf_assign(df, centroids, vec_col)
+    HOF form (tests/test_ann_recall.py) rather than against DuckDB.
+
+    ``assign="arrow"`` swaps the HOF centroid argmin for
+    :func:`ivf_assign_arrow` — required once n_centroids scales with
+    the corpus (round-11 measurement: at 200K vectors x 320 centroids
+    the HOF assign alone dominates the job; the matmul assign makes
+    the whole scaled-centroid recipe near-linear)."""
+    assign_fn = ivf_assign_arrow if assign == "arrow" else ivf_assign
+    assigned = assign_fn(df, centroids, vec_col)
     return _knn_within_key_arrow(assigned, "centroid_id", k, vec_col,
                                  id_col)
 

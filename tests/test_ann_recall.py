@@ -475,3 +475,34 @@ def test_nn_descent_arrow_kernel_path(vectors):
     r_arrow = recall(sim.nn_descent(vectors, cents, k=k, rounds=1,
                                     random_buckets=16, kernel="arrow"))
     assert abs(r_arrow - r_hof) <= 0.05, (r_arrow, r_hof)
+
+
+def test_ivf_assign_arrow_matches_hof(spark, vectors):
+    """The Arrow assign kernel (numpy matmul argmin, the production
+    path for n_centroids-proportional-to-corpus regimes) must agree
+    with the HOF struct-min assign row-for-row on the fixture —
+    including the lowest-cid tie-break (centroid rows sorted by cid,
+    np.argmin takes the first minimum). Round-11 measurement: at 200K
+    vectors x 320 centroids the HOF assign alone took minutes; the
+    arrow-assign + arrow-knn recipe runs the whole graph in ~5.6 s."""
+    cents = sim.ivf_centroids(vectors, n_centroids=8)
+    hof = sim.ivf_assign(vectors, cents).select("vec_id", "centroid_id")
+    arrow = (sim.ivf_assign_arrow(vectors, cents)
+             .select("vec_id", F.col("centroid_id").alias("c2")))
+    assert hof.join(arrow, "vec_id") \
+              .filter("centroid_id <> c2").count() == 0
+    assert arrow.count() == hof.count()
+
+
+def test_knn_arrow_assign_kernel_same_graph(spark, vectors):
+    """knn_graph_within_clusters_arrow(assign='arrow') must produce
+    the same edge set as assign='hof' when no centroid-distance ties
+    exist (the fixture's perturbed vectors have distinct distances)."""
+    cents = sim.ivf_centroids(vectors, n_centroids=8)
+    a = {(int(r["src"]), int(r["nn_rank"]), int(r["dst"]))
+         for r in sim.knn_graph_within_clusters_arrow(
+             vectors, cents, k=4).collect()}
+    b = {(int(r["src"]), int(r["nn_rank"]), int(r["dst"]))
+         for r in sim.knn_graph_within_clusters_arrow(
+             vectors, cents, k=4, assign="arrow").collect()}
+    assert a == b
