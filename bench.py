@@ -136,6 +136,11 @@ def main() -> None:
     # headline deltas pure noise. Wait briefly for the box to go quiet
     # and RECORD the spread so the artifact carries its own error bar.
     load_at_start = _wait_for_idle(max_wait_sec=60)
+    # one UNTIMED canary first: the canary plan's own first execution
+    # pays codegen/JIT, which made the r11 start canary read 2.6x the
+    # end canary on an otherwise-fine host — the canary must measure
+    # the HOST, not the JVM warm-up it shares with every first run
+    _canary(spark)
     canary_start = _canary(spark)
     cold_sec, _ = headline_sync(spark)
     w1, n_rows = headline_sync(spark)
