@@ -155,6 +155,16 @@ def main() -> None:
         out["bpe_encode_documents"] = run_workload(
             spark, "bpe_encode_documents",
             registry("bpe_encode_documents"))
+    # any other registry name passed on argv runs as a plain workload;
+    # a single workload failure (e.g. a table the slim sf10 fixture
+    # doesn't carry) must not lose the rest of the sweep
+    for extra in sorted(wanted):
+        if extra in REGISTRY and extra not in out:
+            try:
+                out[extra] = run_workload(spark, extra, registry(extra))
+            except Exception as exc:  # noqa: BLE001
+                print(f"# {extra}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:200]}", file=sys.stderr)
     # r10 verdict item 6: the incremental LSH index at 100x — capped
     # build, append-only regrowth, combined-width-audited probe; plus
     # the audit's OWN cost isolated (the one narrow count per
@@ -300,6 +310,15 @@ Python path, and the incremental LSH index):
   Append-only regrowth is therefore fenced at probe time for the cost
   of one narrow count over batch-touched buckets, exactly as designed
   (operators/dedup.py lsh_index_pairs).
+- **text/classifier breadth (8 more families, second decade)**: every
+  one linear with ZERO spill at 500K docs — bigram_logprob x13.3,
+  ccnet x13.4, char_entropy x10.5, classifier_pr_curve x8.0,
+  quality_classifier x9.6, simhash x2.5, tfidf x5.4, winnowing x12.0
+  for the second x10 (ratios under 10 are the first decade's fixed
+  cost washing out; slightly over are AQE/partition granularity, not
+  algorithmic growth — no candidate-set or state relation in these
+  plans grows faster than the input). 13 workloads now carry
+  100x rows.
 """
 
 
@@ -327,11 +346,14 @@ def _write_perf(out: dict) -> None:
         "| spill mem | spill disk |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for name in ("headline_sync_lineitem", "neardup_clusters_documents",
-                 "ann_ivfpq_topk_embeddings", "text_stats_documents",
-                 "knn_graph_embeddings", "bpe_encode_documents",
-                 "lsh_index_build_capped", "lsh_index_add_regrow",
-                 "lsh_index_width_audit_only", "lsh_index_probe_capped"):
+    fixed = ("headline_sync_lineitem", "neardup_clusters_documents",
+             "ann_ivfpq_topk_embeddings", "text_stats_documents",
+             "knn_graph_embeddings", "bpe_encode_documents",
+             "lsh_index_build_capped", "lsh_index_add_regrow",
+             "lsh_index_width_audit_only", "lsh_index_probe_capped")
+    names = list(fixed) + sorted(k for k in out
+                                 if k not in fixed and k != "fixture")
+    for name in names:
         if name not in out:
             continue
         r = out[name]
