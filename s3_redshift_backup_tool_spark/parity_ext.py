@@ -6330,6 +6330,144 @@ def bucketed_join_orders_lineitem(spark, sf_dir):
                   F.sum(rev).cast("double").alias("revenue")))
 
 
+@q("pca_covariance_embeddings",
+   """WITH x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) s)
+      SELECT a.i - 1 AS i, b.i - 1 AS j,
+             round(covar_samp(a.v, b.v), 6) AS cov
+      FROM x a JOIN x b USING (vec_id)
+      WHERE a.i <= b.i GROUP BY 1, 2""",
+   "distributed covariance of the embedding column (the PCA/whitening "
+   "sufficient-statistics pass, operators/decomposition.py): one "
+   "Arrow-batched mapInPandas kernel emits a (n, sum, gram) partial "
+   "PER BATCH via BLAS X.T@X, reduced by posexplode+groupBy(pos) — "
+   "the shuffle is batches x (1+dim+dim^2) scalar rows, never O(rows) "
+   "— and the dim^2 reduced moments come to the driver (same allowed "
+   "class as k-means centroids). This entry pins the upper-left 8x8 "
+   "block against the exact covar_samp oracle; pca_fit/project/whiten "
+   "on top of it are eigen-invariant-tested in test_decomposition.py. "
+   "At 100 TB the stats pass is one linear scan with <7%% partial-row "
+   "overhead at dim=1024")
+def pca_covariance_embeddings(spark, sf_dir):
+    from .operators.decomposition import covariance_stats
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, cov = covariance_stats(emb, "embedding")
+    rows = [(i, j, cov[i][j]) for i in range(8) for j in range(i, 8)]
+    return (spark.createDataFrame(rows, "i int, j int, cov double")
+            .select("i", "j", F.round("cov", 6).alias("cov")))
+
+
+@q("zipf_slope_by_source",
+   """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+      f AS (SELECT source, w, count(*)::DOUBLE AS freq
+            FROM t GROUP BY 1, 2),
+      r AS (SELECT source, w, freq,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY freq DESC, w) AS rnk
+            FROM f)
+      SELECT source, count(*) AS n_ranks,
+             round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+             round(regr_r2(ln(freq), ln(rnk)), 6) AS r2
+      FROM r WHERE rnk <= 100 GROUP BY source""",
+   "Zipf rank-frequency fit per source: log-log OLS slope over the "
+   "top-100 token ranks (natural text ~ -1; templated/synthetic "
+   "sources flatten toward 0, so the slope is a corpus-forensics "
+   "signal alongside TTR and entropy). Plan: token explode -> "
+   "partial-agg'd count per (source, w) -> source-partitioned "
+   "row_number (top-100 cut) -> regr_slope/regr_r2, both "
+   "partial-aggregable JVM built-ins. The only per-source serial "
+   "step is the rank window over the source's DISTINCT vocabulary "
+   "(bounded by Heaps' law, not corpus rows)")
+def zipf_slope_by_source(spark, sf_dir):
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    freq = (docs.select("source",
+                        F.explode(tx.tokens(F.col("text"))).alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).cast("double").alias("freq")))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = (freq.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= 100))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_ranks"),
+                 F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6)
+                  .alias("zipf_slope"),
+                 F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6)
+                  .alias("r2")))
+
+
+@q("hard_negatives_embeddings",
+   f"""WITH a AS (SELECT vec_id AS aid, embedding AS av, label AS al
+                FROM embeddings WHERE vec_id < 10),
+      s AS (SELECT aid, al, e.vec_id AS vid, e.label AS el,
+                   round({_DOT.format(a='e.embedding', b='av')}
+                         / (sqrt({_DOT.format(a='e.embedding',
+                                              b='e.embedding')})
+                            * sqrt({_DOT.format(a='av', b='av')})),
+                         6) AS sim
+            FROM embeddings e, a WHERE e.vec_id <> aid),
+      r AS (SELECT *, row_number() OVER (PARTITION BY aid, (el = al)
+                                         ORDER BY sim DESC, vid) AS rn
+            FROM s)
+      SELECT aid AS anchor_id,
+             max(CASE WHEN el = al THEN vid END) AS pos_id,
+             max(CASE WHEN el = al THEN sim END) AS pos_sim,
+             max(CASE WHEN el <> al THEN vid END) AS neg_id,
+             max(CASE WHEN el <> al THEN sim END) AS neg_sim
+      FROM r WHERE rn = 1 GROUP BY aid""",
+   "contrastive-pair mining for embedding-model training: per anchor, "
+   "the most-similar SAME-label vector (positive) and most-similar "
+   "DIFFERENT-label vector (hard negative). Plan: the k anchors come "
+   "to the driver (k x dim floats — the same allowed class as k-means "
+   "centroids); each anchor's cosine becomes ONE literal-dot column "
+   "in a flat projection (the row's own l2_norm hoisted out of the "
+   "k-loop, anchor norms folded to Python constants — 11 HOF evals "
+   "per row, not 30; measured 4.9s -> 1.8s at sf1), then a cheap "
+   "explode over column-ref structs fans out to (anchor, candidate) "
+   "rows with NO join node (the broadcast-crossJoin formulation "
+   "compiles to BroadcastNestedLoopJoin). The conditional max_by/max "
+   "agg with a (sim, -vec_id) tie-break struct is partial-aggregable, "
+   "so the only shuffle is k rows per partition, NOT the k x corpus "
+   "candidate relation a rank-window formulation would sort. At "
+   "100 TB with thousands of anchors you'd pre-cut candidates per "
+   "anchor through the IVF index (similarity.ann_topk_indexed) and "
+   "run the same conditional agg over the shortlist")
+def hard_negatives_embeddings(spark, sf_dir):
+    import math
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = sorted(
+        (r["vec_id"], [float(v) for v in r["embedding"]], r["label"])
+        for r in emb.filter(F.col("vec_id") < 10)
+                    .select("vec_id", "embedding", "label").collect())
+    nrm = sim.l2_norm(F.col("embedding"))
+    simcols = [
+        F.round(sim.dot_literal(F.col("embedding"), av)
+                / (nrm * F.lit(math.sqrt(sum(v * v for v in av)))), 6)
+         .alias(f"__s{i}")
+        for i, (_, av, _) in enumerate(anchors)]
+    base = emb.select("vec_id", "label", *simcols)
+    structs = [F.struct(F.lit(aid).alias("aid"), F.lit(al).alias("al"),
+                        F.col(f"__s{i}").alias("sim"))
+               for i, (aid, _, al) in enumerate(anchors)]
+    cand = (base.select("vec_id", "label",
+                        F.explode(F.array(*structs)).alias("a"))
+            .filter(F.col("vec_id") != F.col("a.aid"))
+            .select(F.col("a.aid").alias("aid"),
+                    F.col("a.al").alias("al"),
+                    F.col("vec_id").alias("vid"),
+                    F.col("label").alias("el"),
+                    F.col("a.sim").alias("sim")))
+    same = F.col("el") == F.col("al")
+    tie = F.struct(F.col("sim"), (-F.col("vid")).alias("nv"))
+    return (cand.groupBy(F.col("aid").alias("anchor_id"))
+            .agg(F.max_by("vid", F.when(same, tie)).alias("pos_id"),
+                 F.max(F.when(same, F.col("sim"))).alias("pos_sim"),
+                 F.max_by("vid", F.when(~same, tie)).alias("neg_id"),
+                 F.max(F.when(~same, F.col("sim"))).alias("neg_sim")))
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
@@ -6345,12 +6483,14 @@ def bucketed_join_orders_lineitem(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-11 rotation (ROTATION.json window_r11): the never-hashed
-    # backlog is EMPTY (r10 closed it), so this window is pure
-    # re-attestation — the 50 hashed entries with the oldest driver
-    # hash (r1/r2 era). Pre-verified vs the DuckDB oracle at sf0.01 via
-    # tools/check_parity.py and the --vanilla default-session lint
-    # before promotion.
+    # round-11 rotation (ROTATION.json window_r11): three NEW entries
+    # (the r11 PCA/zipf/contrastive additions, never-hashed) lead per
+    # the rotation policy; the rest is re-attestation — the hashed
+    # entries with the oldest driver hash (r1/r2 era). Pre-verified vs
+    # the DuckDB oracle at sf0.01 via tools/check_parity.py and the
+    # --vanilla default-session lint before promotion.
+    "pca_covariance_embeddings", "zipf_slope_by_source",
+    "hard_negatives_embeddings",
     "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
     "watermark_extract_orders", "density_stats_events",
     "align_orders_to_target", "topk_orders_by_price",
@@ -6373,14 +6513,15 @@ _WINDOW = [
     "er_best_match_customer", "ntile_cumedist_customers",
     "pii_scrub_customer", "id_gap_audit_orders",
     "overlapping_purchase_intervals_events", "asof_click_attribution",
-    "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
-    "hilbert_keys_events",
+    "keyset_page_orders",
 ]
 
 _TAIL = [
     # hashed entries, oldest last-hash first; regenerated with
     # tools/rotation.py each round (r11: generated from the union of
-    # CORRECTNESS_r01..r10 last-hash rounds).
+    # CORRECTNESS_r01..r10 last-hash rounds; tumbling/zorder/hilbert
+    # displaced from the window by the three new r11 entries).
+    "tumbling_daily_events", "zorder_keys_events", "hilbert_keys_events",
     "zorder3_keys_events", "compaction_plan_orders",
     "pricing_summary_lineitem", "image_ahash_documents",
     "shipping_priority_top10", "supplier_revenue_by_nation",
