@@ -107,6 +107,47 @@ def _reduce_moments(partials: DataFrame, dim: int) -> tuple[int, list, list]:
     return n, vals[1:1 + dim], vals[1 + dim:]
 
 
+def moments(df: DataFrame, vec_col: str = "embedding",
+            dim: int | None = None) -> tuple[int, list[float], list[float]]:
+    """Raw sufficient statistics ``(n, sum_vec, gram_flat)`` — the
+    MERGEABLE form: two batches' moments add elementwise
+    (:func:`merge_moments`), so an incremental sync can keep a running
+    covariance without ever rescanning the corpus (the same
+    partial-aggregation contract as the KMV/CMS sketches)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).filter(
+            F.col("d") > 0).first()
+        if first is None:
+            raise ValueError(f"no non-empty vectors in {vec_col!r}")
+        dim = int(first["d"])
+    return _reduce_moments(second_moment_partials(df, vec_col, dim), dim)
+
+
+def merge_moments(a: tuple[int, list, list],
+                  b: tuple[int, list, list]) -> tuple[int, list, list]:
+    """Combine two :func:`moments` results (exact, order-insensitive up
+    to float associativity)."""
+    na, sa, ga = a
+    nb, sb, gb = b
+    if len(sa) != len(sb) or len(ga) != len(gb):
+        raise ValueError("moment dimensionality mismatch")
+    return (na + nb, [x + y for x, y in zip(sa, sb)],
+            [x + y for x, y in zip(ga, gb)])
+
+
+def cov_from_moments(m: tuple[int, list, list], ddof: int = 1
+                     ) -> tuple[int, list[float], list[list[float]]]:
+    """Finalize ``(n, mean, cov)`` from raw moments."""
+    n, s, g = m
+    if n <= ddof:
+        raise ValueError(f"need more than ddof={ddof} rows, got {n}")
+    dim = len(s)
+    mean = [si / n for si in s]
+    cov = [[(g[i * dim + j] - s[i] * s[j] / n) / (n - ddof)
+            for j in range(dim)] for i in range(dim)]
+    return n, mean, cov
+
+
 def covariance_stats(df: DataFrame, vec_col: str = "embedding",
                      dim: int | None = None, ddof: int = 1
                      ) -> tuple[int, list[float], list[list[float]]]:
@@ -115,20 +156,72 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding",
     Returns ``(n, mean[dim], cov[dim][dim])`` with ``cov`` the
     ddof-corrected covariance (ddof=1 == SQL ``covar_samp``). One
     linear pass over the data (see module docstring for the plan)."""
+    return cov_from_moments(moments(df, vec_col, dim), ddof)
+
+
+def covariance_by_group(df: DataFrame, group_col: str,
+                        vec_col: str = "embedding",
+                        dim: int | None = None, ddof: int = 1
+                        ) -> dict[str, tuple[int, list, list]]:
+    """Per-group mean + covariance: ``{group: (n, mean, cov)}``.
+
+    Same one-pass design as :func:`covariance_stats`, with the batch
+    kernel computing partials PER GROUP WITHIN EACH ARROW BATCH
+    (pandas groupby + one BLAS matmul per group slice) — the kernel
+    never materializes a whole group, so a group larger than executor
+    memory is fine; only the per-batch slice is dense. The reduce
+    shuffles (groups-per-batch x batches) x (1 + dim + dim^2) scalar
+    rows and the driver receives n_groups x dim^2 doubles — intended
+    for LOW-CARDINALITY groups (sources, labels, languages). For
+    high-cardinality group columns, run dim-blocked passes or drop to
+    per-group sketches instead."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).filter(
             F.col("d") > 0).first()
         if first is None:
             raise ValueError(f"no non-empty vectors in {vec_col!r}")
         dim = int(first["d"])
-    n, s, g = _reduce_moments(
-        second_moment_partials(df, vec_col, dim), dim)
-    if n <= ddof:
-        raise ValueError(f"need more than ddof={ddof} rows, got {n}")
-    mean = [si / n for si in s]
-    cov = [[(g[i * dim + j] - s[i] * s[j] / n) / (n - ddof)
-            for j in range(dim)] for i in range(dim)]
-    return n, mean, cov
+    d = dim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ok = pdf[pdf[vec_col].map(
+                lambda v: v is not None and len(v) == d)]
+            if ok.empty:
+                continue
+            out = {"g": [], "n": [], "s": [], "gr": []}
+            for gval, sub in ok.groupby(group_col, sort=False):
+                x = np.asarray(list(sub[vec_col]), dtype="float64")
+                out["g"].append(gval)
+                out["n"].append(np.int64(x.shape[0]))
+                out["s"].append(x.sum(axis=0).tolist())
+                out["gr"].append((x.T @ x).ravel().tolist())
+            yield pd.DataFrame(out)
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    parts = df.select(group_col, vec_col).mapInPandas(
+        gen, schema=f"g {gtype}, n long, s array<double>, gr array<double>")
+    flat = parts.select(
+        "g", F.posexplode(F.concat(F.array(F.col("n").cast("double")),
+                                   "s", "gr")).alias("pos", "val"))
+    rows = (flat.groupBy("g", "pos").agg(F.sum("val").alias("val"))
+            .collect())
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["g"], [0.0] * (1 + d + d * d))[r["pos"]] = r["val"]
+    out: dict[str, tuple[int, list, list]] = {}
+    for gval, vals in by_group.items():
+        n = int(round(vals[0]))
+        if n <= ddof:
+            continue
+        s = vals[1:1 + d]
+        g = vals[1 + d:]
+        mean = [si / n for si in s]
+        cov = [[(g[i * d + j] - s[i] * s[j] / n) / (n - ddof)
+                for j in range(d)] for i in range(d)]
+        out[gval] = (n, mean, cov)
+    return out
 
 
 @dataclass(frozen=True)

@@ -6358,6 +6358,48 @@ def pca_covariance_embeddings(spark, sf_dir):
             .select("i", "j", F.round("cov", 6).alias("cov")))
 
 
+@q("cov_shift_by_label_embeddings",
+   """WITH x AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) s),
+      p AS (SELECT a.label, a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS c
+            FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2, 3),
+      g AS (SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS c
+            FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+      cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      SELECT p.label, cnt.n,
+             round(sqrt(sum((p.c - g.c) * (p.c - g.c))), 6) AS fro_dist
+      FROM p JOIN g USING (i, j) JOIN cnt ON cnt.label = p.label
+      GROUP BY 1, 2""",
+   "covariance-shift drift diagnostic: Frobenius distance between each "
+   "label's covariance (8x8 leading block) and the global covariance — "
+   "the second-moment analogue of drift_psi (a class whose embedding "
+   "geometry diverges from the corpus flags an encoder or upstream "
+   "shift that mean-based drift stats miss). One pass via "
+   "decomposition.covariance_by_group: the Arrow kernel computes "
+   "per-group (n, sum, gram) partials WITHIN each batch (pandas "
+   "groupby + BLAS per slice — never materializes a group), the "
+   "reduce shuffles only scalar partial rows, and the driver gets "
+   "n_labels x dim^2 doubles. At 100 TB this is the same linear scan "
+   "as the global covariance; group cardinality (10 labels) bounds "
+   "the driver transfer")
+def cov_shift_by_label_embeddings(spark, sf_dir):
+    import math
+
+    from .operators.decomposition import (covariance_by_group,
+                                          covariance_stats)
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, gcov = covariance_stats(emb, "embedding")
+    per = covariance_by_group(emb, "label", "embedding")
+    rows = []
+    for label, (n, _, cov) in sorted(per.items()):
+        fro = math.sqrt(sum((cov[i][j] - gcov[i][j]) ** 2
+                            for i in range(8) for j in range(8)))
+        rows.append((label, n, fro))
+    return (spark.createDataFrame(rows, "label int, n long, fro_dist double")
+            .select("label", "n", F.round("fro_dist", 6).alias("fro_dist")))
+
+
 @q("zipf_slope_by_source",
    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
                FROM documents),
@@ -6489,8 +6531,8 @@ _WINDOW = [
     # entries with the oldest driver hash (r1/r2 era). Pre-verified vs
     # the DuckDB oracle at sf0.01 via tools/check_parity.py and the
     # --vanilla default-session lint before promotion.
-    "pca_covariance_embeddings", "zipf_slope_by_source",
-    "hard_negatives_embeddings",
+    "pca_covariance_embeddings", "cov_shift_by_label_embeddings",
+    "zipf_slope_by_source", "hard_negatives_embeddings",
     "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
     "watermark_extract_orders", "density_stats_events",
     "align_orders_to_target", "topk_orders_by_price",
@@ -6513,14 +6555,15 @@ _WINDOW = [
     "er_best_match_customer", "ntile_cumedist_customers",
     "pii_scrub_customer", "id_gap_audit_orders",
     "overlapping_purchase_intervals_events", "asof_click_attribution",
-    "keyset_page_orders",
 ]
 
 _TAIL = [
     # hashed entries, oldest last-hash first; regenerated with
     # tools/rotation.py each round (r11: generated from the union of
-    # CORRECTNESS_r01..r10 last-hash rounds; tumbling/zorder/hilbert
-    # displaced from the window by the three new r11 entries).
+    # CORRECTNESS_r01..r10 last-hash rounds; keyset_page +
+    # tumbling/zorder/hilbert displaced from the window by the four
+    # new r11 entries).
+    "keyset_page_orders",
     "tumbling_daily_events", "zorder_keys_events", "hilbert_keys_events",
     "zorder3_keys_events", "compaction_plan_orders",
     "pricing_summary_lineitem", "image_ahash_documents",

@@ -107,3 +107,53 @@ def test_empty_input_raises(spark):
     df = spark.createDataFrame([], "id long, embedding array<double>")
     with pytest.raises(ValueError):
         dc.covariance_stats(df, "embedding")
+
+
+def test_covariance_by_group_matches_numpy(embeddings, emb_np, spark):
+    from pyspark.sql import functions as F
+    per = dc.covariance_by_group(embeddings, "label", "embedding")
+    labels = [r["label"] for r in
+              embeddings.select("label").distinct().collect()]
+    assert sorted(per) == sorted(labels)
+    rows = embeddings.select("label", "embedding").collect()
+    for lbl in labels:
+        x = np.asarray([r["embedding"] for r in rows if r["label"] == lbl],
+                       dtype="float64")
+        n, mean, cov = per[lbl]
+        assert n == x.shape[0]
+        np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(cov),
+                                   np.cov(x, rowvar=False, ddof=1),
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_covariance_by_group_skips_tiny_groups(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [9.0, 9.0])],
+        "g string, embedding array<double>")
+    per = dc.covariance_by_group(df, "g", "embedding", dim=2)
+    assert set(per) == {"a"}          # group b has n <= ddof
+    n, mean, cov = per["a"]
+    assert n == 2
+    np.testing.assert_allclose(mean, [2.0, 4.0])
+    np.testing.assert_allclose(cov, [[2.0, 4.0], [4.0, 8.0]])
+
+
+def test_moments_merge_equals_full_scan(embeddings, emb_np):
+    """Incremental covariance: moments of two halves merged == moments
+    of the whole corpus (the mergeable-sufficient-stats contract)."""
+    from pyspark.sql import functions as F
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    merged = dc.merge_moments(dc.moments(a, "embedding"),
+                              dc.moments(b, "embedding"))
+    n, mean, cov = dc.cov_from_moments(merged)
+    assert n == emb_np.shape[0]
+    np.testing.assert_allclose(np.asarray(cov),
+                               np.cov(emb_np, rowvar=False, ddof=1),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_merge_moments_dimension_mismatch():
+    with pytest.raises(ValueError):
+        dc.merge_moments((1, [1.0], [1.0]), (1, [1.0, 2.0], [1.0] * 4))
