@@ -384,6 +384,80 @@ def streaming_curate(
             .awaitTermination())
 
 
+def streaming_moments_maintenance(
+    spark: SparkSession,
+    source_glob: str,
+    schema: T.StructType,
+    state_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Streaming covariance maintenance: each availableNow micro-batch
+    is reduced to its (n, Σx, ΣxxT) sufficient statistics
+    (decomposition.second_moment_partials — one Arrow kernel pass,
+    O(batch-partitions) partial rows) and folded into a parquet-backed
+    (pos, val) moments state of exactly ``1 + dim + dim^2`` doubles.
+    Moment additivity (decomposition.merge_moments) makes the fold an
+    exact ⊕, so the corpus-wide covariance/PCA basis stays current
+    without ever re-reading earlier batches — the streaming twin of the
+    batch covariance_stats scan, finalized by
+    :func:`read_moments_state` + decomposition.cov_from_moments.
+
+    State stays DOUBLE (no decimal quantization like IncrementalRollup):
+    the gram terms feed an eigendecomposition, where quantizing to a
+    fixed scale would bias small eigenvalues. The swap is the same
+    rename-aside crash-safe protocol as streaming_upsert_sync; the
+    checkpoint gives at-least-once batch delivery with the same
+    one-batch re-fold window streaming_sketch_maintenance documents."""
+    from ..operators.decomposition import second_moment_partials
+
+    _recover_swap(state_path)
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        import os as _os
+        import shutil as _sh
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        parts = second_moment_partials(batch_df, vec_col, dim)
+        delta = (parts.select(
+            F.posexplode(F.concat(F.array(F.col("n").cast("double")),
+                                  "s", "g")).alias("pos", "val"))
+            .groupBy("pos").agg(F.sum("val").alias("val")))
+        if _os.path.exists(state_path):
+            cur = sp.read.parquet(state_path)
+            merged = (cur.unionByName(delta)
+                      .groupBy("pos").agg(F.sum("val").alias("val")))
+        else:
+            merged = delta
+        tmp = state_path.rstrip("/") + "__tmp"
+        old = state_path.rstrip("/") + "__old"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(old, ignore_errors=True)
+        if _os.path.exists(state_path):
+            _os.rename(state_path, old)
+        _os.rename(tmp, state_path)
+        _sh.rmtree(old, ignore_errors=True)
+
+    (spark.readStream.schema(schema).parquet(source_glob)
+          .writeStream.foreachBatch(_fold)
+          .option("checkpointLocation", checkpoint_path)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())
+
+
+def read_moments_state(spark: SparkSession, state_path: str,
+                       dim: int) -> tuple[int, list, list]:
+    """Load a streaming moments state back into the
+    decomposition-module form ``(n, sum_vec, gram_flat)``."""
+    vals = [0.0] * (1 + dim + dim * dim)
+    for r in spark.read.parquet(state_path).collect():
+        vals[r["pos"]] = r["val"]
+    return int(round(vals[0])), vals[1:1 + dim], vals[1 + dim:]
+
+
 def streaming_sketch_maintenance(
     spark: SparkSession,
     source_glob: str,

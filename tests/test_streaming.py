@@ -691,3 +691,76 @@ def test_streaming_change_log_additive_schema_evolution(spark, tmp_path):
     assert live == {1: ("a", None),      # old row: NULL backfill
                     2: ("b2", 7.5),      # updated with the new column
                     3: ("c", 9.0)}       # inserted with the new column
+
+
+def test_streaming_moments_maintenance(spark, tmp_path):
+    """The corpus covariance stays current across availableNow runs via
+    the mergeable (n, sum, gram) state, equals the one-shot batch scan,
+    and a re-run with no new files changes nothing."""
+    import numpy as np
+
+    from s3_redshift_backup_tool_spark.operators.decomposition import (
+        cov_from_moments, covariance_stats)
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        read_moments_state, streaming_moments_maintenance)
+
+    src = str(tmp_path / "vecs")
+    state = str(tmp_path / "mom_state")
+    ckpt = str(tmp_path / "mom_ckpt")
+
+    rng = np.random.RandomState(7)
+    d = 5
+
+    def mk(n, start):
+        return spark.createDataFrame(
+            [(start + i, rng.randn(d).tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>")
+
+    mk(40, 0).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_moments_maintenance(spark, src, schema, state, ckpt, dim=d)
+
+    mk(25, 100).write.mode("append").parquet(src)
+    streaming_moments_maintenance(spark, src, schema, state, ckpt, dim=d)
+    # idempotent no-op pass
+    streaming_moments_maintenance(spark, src, schema, state, ckpt, dim=d)
+
+    n, mean, cov = cov_from_moments(read_moments_state(spark, state, d))
+    bn, bmean, bcov = covariance_stats(spark.read.parquet(src),
+                                       "embedding", dim=d)
+    assert n == bn == 65
+    np.testing.assert_allclose(mean, bmean, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(bcov),
+                               rtol=1e-9, atol=1e-14)
+
+
+def test_streaming_moments_recovers_half_swap(spark, tmp_path):
+    """A crash between the two renames (state at __old, no live state)
+    is repaired at the next run instead of silently restarting the
+    moments from empty."""
+    import os
+
+    import numpy as np
+
+    from s3_redshift_backup_tool_spark.operators.decomposition import (
+        cov_from_moments)
+    from s3_redshift_backup_tool_spark.streaming.incremental import (
+        read_moments_state, streaming_moments_maintenance)
+
+    src = str(tmp_path / "vecs")
+    state = str(tmp_path / "mom_state")
+    ckpt = str(tmp_path / "mom_ckpt")
+    rng = np.random.RandomState(3)
+    d = 4
+    spark.createDataFrame(
+        [(i, rng.randn(d).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_moments_maintenance(spark, src, schema, state, ckpt, dim=d)
+    n0, _, g0 = read_moments_state(spark, state, d)
+
+    os.rename(state, state + "__old")           # simulate the crash window
+    streaming_moments_maintenance(spark, src, schema, state, ckpt, dim=d)
+    n1, _, g1 = read_moments_state(spark, state, d)
+    assert n1 == n0 == 30
+    np.testing.assert_allclose(g1, g0)
