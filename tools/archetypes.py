@@ -48,8 +48,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                "per-row cast/rename projection — the align stage of the sync"),
     "cast_suite_lineitem": ("headline_sync_lineitem",
                             "per-row cast projection, zero shuffle"),
-    "keyset_page_orders": ("headline_sync_lineitem",
-                           "keyset predicate in PushedFilters + TakeOrderedAndProject"),
     # --- one-pass scan aggregates (map-side partials, O(1)-row output)
     "watermark_extract_orders": ("pricing_summary_lineitem",
                                  "full-scan max(struct) agg, O(1)-row output"),
@@ -69,11 +67,7 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                  "per-row JVM binary length/crc + one-pass agg"),
     "topk_orders_by_price": ("pricing_summary_lineitem",
                              "scan + TakeOrderedAndProject — strictly cheaper than the full agg"),
-    "id_gap_audit_orders": ("pricing_summary_lineitem",
-                            "per-partition min/max agg + O(partitions) reconcile"),
     # --- groupBy aggregates (shuffle on low-cardinality keys)
-    "incremental_agg_orders": ("revenue_by_nation",
-                               "groupBy agg + tiny state merge"),
     "retract_agg_orders": ("revenue_by_nation",
                            "groupBy agg with retraction rows, same shuffle"),
     "temperature_mixture_by_source": ("revenue_by_nation",
@@ -84,10 +78,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                            "key-frequency agg + moments"),
     "key_skew_profile_events": ("revenue_by_nation",
                                 "key-frequency agg + moments"),
-    "benford_audit_orders": ("revenue_by_nation",
-                             "first-digit groupBy count"),
-    "variant_props_events": ("revenue_by_nation",
-                             "grouped proportion agg, O(variants) rows"),
     "zscore_outliers_events": ("revenue_by_nation",
                                "stats agg + broadcast-back filter"),
     "dup_rate_by_source": ("exact_dedup_documents",
@@ -96,8 +86,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                    "normalize projection + hash groupBy"),
     "pivot_status_by_priority": ("revenue_rollup_flag_status",
                                  "pivot = grouped agg over literal columns"),
-    "cube_status_priority_orders": ("revenue_rollup_flag_status",
-                                    "CUBE grouping-sets agg, same expand+agg plan"),
     # --- time-bucketed aggregates
     "density_stats_events": ("tumbling_daily_events",
                              "time-bucket groupBy count"),
@@ -105,34 +93,16 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                "calendar-key groupBy"),
     "value_histogram_events": ("tumbling_daily_events",
                                "width_bucket groupBy count"),
-    "distinct_users_daily": ("tumbling_daily_events",
-                             "daily distinct agg"),
-    "sliding_2h1h_events": ("tumbling_daily_events",
-                            "sliding window = bounded explode + tumbling agg"),
     "purchase_value_daily_gapfilled": ("tumbling_daily_events",
                                        "daily agg + O(days) sequence fill"),
     "forecast_revenue_change": ("tumbling_daily_events",
                                 "daily agg + O(days) window regression"),
-    "rolling_median_daily_revenue": ("tumbling_daily_events",
-                                     "daily agg first; the rolling window input is O(days) rows"),
     # --- multi-join relational (TPC-H shapes; all dims broadcast or
     # co-partitioned, measured members span the family)
-    "shipping_priority_top10": ("supplier_revenue_by_nation",
-                                "fact-dim joins + agg + top-k (Q3 shape)"),
-    "returned_item_top_customers": ("supplier_revenue_by_nation",
-                                    "joins + agg + top-k (Q10)"),
-    "top_supplier_by_revenue": ("supplier_revenue_by_nation",
-                                "agg view + max rejoin (Q15)"),
-    "part_type_revenue_share": ("supplier_revenue_by_nation",
-                                "part-dim join + conditional share agg (Q14 family)"),
     "promo_revenue_share": ("supplier_revenue_by_nation",
                             "part-dim join + conditional agg (Q14)"),
     "disjunctive_pred_part_revenue": ("supplier_revenue_by_nation",
                                       "broadcast dim join + OR-predicate scan (Q19)"),
-    "profit_by_nation_year": ("market_share_by_year",
-                              "multi-dim join + year agg (Q9)"),
-    "volume_shipping_pair_nations": ("market_share_by_year",
-                                     "nation-pair multi-join + year agg (Q7)"),
     "important_parts_share": ("tpch_q11", "partsupp share agg (Q11 twin)"),
     "supplier_count_by_part_attrs": ("tpch_q16", "anti-join + distinct agg (Q16 twin)"),
     "excess_shipped_suppliers": ("tpch_q20", "nested semi-join chain (Q20 twin)"),
@@ -140,66 +110,30 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                "pre-agg + same-key rejoin decorrelation (Q17)"),
     "above_avg_idle_customers": ("waiting_multi_supplier_orders",
                                  "decorrelated avg subquery + anti-join (Q22)"),
-    "late_shipment_by_priority": ("waiting_multi_supplier_orders",
-                                  "EXISTS semi-join + agg (Q4)"),
-    "large_volume_orders": ("waiting_multi_supplier_orders",
-                            "having-filtered agg + rejoin (Q18)"),
-    "order_priority_exists": ("waiting_multi_supplier_orders",
-                              "EXISTS semi-join shape"),
-    "custdist_orders_per_customer": ("waiting_multi_supplier_orders",
-                                     "outer join + two-level agg (Q13)"),
     # --- semi/anti joins
     "manifest_anti_join": ("bloom_semi_join_orders",
                            "left_anti on file keys, same build/probe shape"),
-    "customers_without_orders": ("bloom_semi_join_orders",
-                                 "anti-join"),
     "intersect_click_purchase_users": ("bloom_semi_join_orders",
                                        "set intersection as semi-join"),
     # --- partitioned window / sequence analytics (shuffle on entity
     # key, in-partition sort; funnel_ordered_events is the measured rep)
     "latest_record_per_user": ("funnel_ordered_events",
                                "row_number over entity-partitioned window"),
-    "event_gap_lag_window": ("funnel_ordered_events",
-                             "lag over entity-partitioned window"),
     "events_since_last_purchase": ("funnel_ordered_events",
                                    "rows-frame max(CASE) over entity window"),
     "asof_click_attribution": ("funnel_ordered_events",
                                "as-of = last-non-null over entity window"),
-    "overlapping_purchase_intervals_events": ("funnel_ordered_events",
-                                              "interval overlap via entity-ordered window"),
-    "range_clicks_before_purchase": ("funnel_ordered_events",
-                                     "bounded range-frame count over entity window"),
-    "session_windows_events": ("funnel_ordered_events",
-                               "gap-based sessionization window"),
-    "top_event_paths_sessions": ("funnel_ordered_events",
-                                 "sessionized sequence agg"),
     "user_event_sequences": ("funnel_ordered_events",
                              "collect_list over entity-partitioned sort"),
-    "event_transition_matrix": ("funnel_ordered_events",
-                                "lag pairs + groupBy count"),
     "funnel_conversion_events": ("funnel_ordered_events",
                                  "ordered-step funnel twin"),
-    "scd2_history_events": ("funnel_ordered_events",
-                            "lead/lag validity intervals per key"),
-    "interpolate_value_events": ("funnel_ordered_events",
-                                 "last/first non-null bracket windows per key"),
-    "ewma_purchase_value_by_user": ("funnel_ordered_events",
-                                    "per-key ordered fold (EWMA) window"),
     "rolling_hour_avg_value": ("cohort_retention_weekly_events",
                                "time-range window agg per key"),
     "cohort_retention_events": ("cohort_retention_weekly_events",
                                 "cohort x offset agg twin"),
     "pack_sequences_documents": ("funnel_ordered_events",
                                  "running-sum window partitioned by pack key"),
-    "stable_global_ids_orders": ("ntile_cumedist_customers",
-                                 "two-pass rank: O(partitions) offsets + per-partition index"),
     # --- sketches / approx aggregates (mergeable state)
-    "price_percentiles_orders": ("approx_percentile_check_lineitem",
-                                 "t-digest-family percentile agg"),
-    "approx_distinct_users_check": ("approx_percentile_check_lineitem",
-                                    "HLL approx agg + exact twin check"),
-    "robust_outliers_events": ("approx_percentile_check_lineitem",
-                               "median/MAD percentile agg + filter"),
     "hll_union_distinct_users": ("cms_heavy_hitters_documents",
                                  "mergeable sketch groupBy + union"),
     "kmv_distinct_by_source": ("cms_heavy_hitters_documents",
@@ -217,10 +151,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                  "per-row text heuristics + flags"),
     "lang_id_documents": ("text_stats_documents",
                           "per-row n-gram profile score"),
-    "lang_id_confusion_documents": ("text_stats_documents",
-                                    "per-row lang-id + tiny pair-count agg"),
-    "json_props_extract_events": ("text_stats_documents",
-                                  "per-row JSON path extraction"),
     "corpus_stats_by_source": ("text_stats_documents",
                                "per-row text stats + per-source agg"),
     "oov_rate_documents": ("tfidf_top_terms_documents",
@@ -229,8 +159,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                               "token explode + count + top-k"),
     "token_kl_by_source": ("tfidf_top_terms_documents",
                            "token counts per source + global join + KL fold"),
-    "token_pmi_pairs_documents": ("top_bigrams_per_source",
-                                  "bigram explode + unigram count joins"),
     "lexical_diversity_by_source": ("bpe_fertility_by_source",
                                     "per-source token distinct/total agg"),
     "gopher_pass_rates_by_source": ("ccnet_buckets_by_source",
@@ -241,10 +169,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
                                    "per-label vector mean — posexplode + groupBy dim"),
     "embedding_drift_halves": ("embedding_dim_stats",
                                "per-dim moments on two halves"),
-    "knn_label_eval_embeddings": ("knn_graph_embeddings",
-                                  "knn build + label agree agg (conservative: full knn cost)"),
-    "ndcg_retrieval_embeddings": ("mmr_topk_embeddings",
-                                  "brute cosine + rank-metric fold"),
     "cosine_topk_embeddings": ("mmr_topk_embeddings",
                                "brute cosine + top-k (mmr adds the greedy re-rank)"),
     "batch_cosine_topk_embeddings": ("mmr_topk_embeddings",
@@ -254,8 +178,6 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
     # --- fingerprint / chunk per-row kernels
     "fingerprint_documents": ("winnowing_dup_fingerprints_documents",
                               "rolling-hash fingerprint subset (no window min)"),
-    "dup_span_chunks_documents": ("duplicated_spans_documents",
-                                  "chunk hash + min_docs filter twin"),
     "chunk_documents_windowed": ("duplicated_spans_documents",
                                  "overlapping chunk explode, same row growth"),
     "minhash_signatures_documents": ("minhash_lsh_pairs_documents",
@@ -263,16 +185,12 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
     # --- sampling / split / ordering gates (seeded hash per row)
     "train_val_test_split_documents": ("curriculum_interleave_documents",
                                        "seeded hash gate per row, zero shuffle"),
-    "hash_sample_documents": ("curriculum_interleave_documents",
-                              "hash-threshold gate"),
     "importance_sample_documents": ("curriculum_interleave_documents",
                                     "weighted hash gate"),
     "mixture_sample_by_source": ("curriculum_interleave_documents",
                                  "per-source rate hash gate"),
     "stratified_sample_by_source": ("curriculum_interleave_documents",
                                     "per-stratum hash gate"),
-    "epoch_shuffle_ranks_documents": ("curriculum_interleave_documents",
-                                      "seeded epoch rank ordering"),
     "weighted_sample_per_source": ("funnel_ordered_events",
                                    "A-res keys + per-source rank window"),
     # --- layout / maintenance
@@ -285,18 +203,10 @@ ARCHETYPES: dict[str, tuple[str, str]] = {
     # --- Python/Arrow kernels
     "multimodal_features": ("video_metadata_documents",
                             "Arrow-batched Python decode kernel"),
-    "image_ahash_documents": ("video_metadata_documents",
-                              "Arrow-batched Python image kernel"),
     "frame_sample_documents": ("keyframe_slices_documents",
                                "bounded k-frame sampling twin"),
-    "udtf_json_kv_events": ("bpe_encode_documents",
-                            "Python-worker per-row lateral expansion"),
     # --- fuzzy matching
-    "fuzzy_pairs_customer": ("er_best_match_customer",
-                             "blocked fuzzy-match candidate join"),
     # --- calibration twins
-    "classifier_calibration_documents": ("classifier_pr_curve_documents",
-                                         "score bucket agg twin"),
 }
 
 

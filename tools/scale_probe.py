@@ -214,6 +214,16 @@ _NOTES = {
     "tpch_q20": " (4)",
     "market_share_by_year": " (4)",
     "waiting_multi_supplier_orders": " (4)",
+    "robust_outliers_events": " (4)",
+    "shipping_priority_top10": " (4)",
+    "order_priority_exists": " (4)",
+    "knn_label_eval_embeddings": " (1)",
+    "token_pmi_pairs_documents": " (1)",
+    "classifier_calibration_documents": " (8)",
+    "overlapping_purchase_intervals_events": " (9)",
+    "fuzzy_pairs_customer": " (9)",
+    "benford_audit_orders": " (1)",
+    "embedding_dim_stats": " (10)",
 }
 
 _APPENDIX = """
@@ -294,6 +304,31 @@ Annotations:
    fixture (perturbed replicas land in the same buckets); its
    `max_bucket_size` guard was added alongside, and the registry
    entry stays uncapped as the exactness pin.
+8. `classifier_calibration` (x3.0-3.3, reproduced) is linear work
+   measured against a fixed-cost-dominated sf0.1 run: one GD pass +
+   one binning agg over documents cost ~0.14 s of marginal compute at
+   sf0.1 vs ~1.8 s at sf1 — a ~x10 marginal ratio for x10 data, with
+   the ~0.6 s session fixed cost compressing the headline ratio at
+   the small end (the same arithmetic as the "faster at 10x"
+   relational queries below, seen from the other side).
+
+9. Measured in r11 when their first probes flagged them:
+   `overlapping_purchase_intervals` (x12.8 wall, plan switch = the
+   (4) BHJ->SMJ class) has an inherently QUADRATIC join output on
+   this fixture — per-user day-intervals are wide, so pairs grow
+   with (users/day)^2: counted 635,677 -> 64,299,355 overlapping
+   pairs (x101) for x10 data, i.e. the wall is strongly SUBLINEAR in
+   the true output; the bucket_s knob bounds per-bucket width, and a
+   100 TB run caps pair emission the same way the LSH chain does.
+   `fuzzy_pairs_customer` (x5.85) is the opposite verdict: its
+   blocking candidates were COUNTED at 150,000 -> 1,500,000 —
+   exactly x10, linear — so the wall ratio is Levenshtein cost on
+   10x candidates plus fixed-cost dilution, not block-density decay
+   (the er_best_match note-5 failure it was suspected of).
+
+10. `embedding_dim_stats`'s "switch" is one Project node folded away
+    by AQE at the larger scale (plan_diff {Project: [1, 0]}) — not a
+    join-strategy change; x1.06 wall.
 
 Several relational queries run FASTER at 10x (pricing_summary x0.73,
 supplier_revenue x0.83, funnel x0.55): at sf0.1 they are
