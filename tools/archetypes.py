@@ -32,179 +32,20 @@ sys.path.insert(0, REPO)
 ARCHETYPES: dict[str, tuple[str, str]] = {
     # --- CDC scans: pushed-filter parquet scan (+align/cast), no agg
     # beyond O(1)-row; the headline IS this plan measured end-to-end.
-    "cdc_time_window_events": ("headline_sync_lineitem",
-                               "bounded ts-window pushed-filter scan"),
-    "cdc_custom_sql_orders": ("headline_sync_lineitem",
-                              "sanitized predicate scan, same scan+filter plan"),
-    "cdc_hybrid_lineitem_ties": ("headline_sync_lineitem",
-                                 "hybrid (ts,id) watermark scan — the headline's filter"),
-    "cdc_timestamp_only_events": ("headline_sync_lineitem",
-                                  "ts-only watermark scan"),
-    "cdc_id_only_ceiling_events": ("headline_sync_lineitem",
-                                   "id-range pushed-filter scan"),
-    "cdc_full_sync_region": ("headline_sync_lineitem",
-                             "unfiltered scan of a dimension table"),
-    "align_orders_to_target": ("headline_sync_lineitem",
-                               "per-row cast/rename projection — the align stage of the sync"),
-    "cast_suite_lineitem": ("headline_sync_lineitem",
-                            "per-row cast projection, zero shuffle"),
     # --- one-pass scan aggregates (map-side partials, O(1)-row output)
-    "watermark_extract_orders": ("pricing_summary_lineitem",
-                                 "full-scan max(struct) agg, O(1)-row output"),
-    "quality_metrics_lineitem": ("pricing_summary_lineitem",
-                                 "one-pass multi-metric agg"),
-    "verify_counts": ("checksum_audit_orders",
-                      "metadata/count verification agg"),
-    "constraint_audit_orders": ("checksum_audit_orders",
-                                "rule-violation count agg, same one-pass shape"),
-    "table_checksum_orders": ("checksum_audit_orders",
-                              "commutative bit_xor checksum agg"),
-    "corr_matrix_lineitem": ("pricing_summary_lineitem",
-                             "one-pass moment agg (d^2 agg states, O(1) rows out)"),
-    "unpivot_measure_stats_lineitem": ("pricing_summary_lineitem",
-                                       "stack/unpivot projection + one-pass agg"),
-    "multimodal_payload_stats": ("pricing_summary_lineitem",
-                                 "per-row JVM binary length/crc + one-pass agg"),
-    "topk_orders_by_price": ("pricing_summary_lineitem",
-                             "scan + TakeOrderedAndProject — strictly cheaper than the full agg"),
     # --- groupBy aggregates (shuffle on low-cardinality keys)
-    "retract_agg_orders": ("revenue_by_nation",
-                           "groupBy agg with retraction rows, same shuffle"),
-    "temperature_mixture_by_source": ("revenue_by_nation",
-                                      "per-source agg + O(sources) weight math"),
-    "mixture_plan_by_source": ("revenue_by_nation",
-                               "per-source agg, O(sources) output"),
-    "skew_report_orders": ("revenue_by_nation",
-                           "key-frequency agg + moments"),
-    "key_skew_profile_events": ("revenue_by_nation",
-                                "key-frequency agg + moments"),
-    "zscore_outliers_events": ("revenue_by_nation",
-                               "stats agg + broadcast-back filter"),
-    "dup_rate_by_source": ("exact_dedup_documents",
-                           "hash groupBy + per-source rate agg"),
-    "normalized_dedup_documents": ("exact_dedup_documents",
-                                   "normalize projection + hash groupBy"),
-    "pivot_status_by_priority": ("revenue_rollup_flag_status",
-                                 "pivot = grouped agg over literal columns"),
     # --- time-bucketed aggregates
-    "density_stats_events": ("tumbling_daily_events",
-                             "time-bucket groupBy count"),
-    "dow_seasonality_events": ("tumbling_daily_events",
-                               "calendar-key groupBy"),
-    "value_histogram_events": ("tumbling_daily_events",
-                               "width_bucket groupBy count"),
-    "purchase_value_daily_gapfilled": ("tumbling_daily_events",
-                                       "daily agg + O(days) sequence fill"),
-    "forecast_revenue_change": ("tumbling_daily_events",
-                                "daily agg + O(days) window regression"),
     # --- multi-join relational (TPC-H shapes; all dims broadcast or
     # co-partitioned, measured members span the family)
-    "promo_revenue_share": ("supplier_revenue_by_nation",
-                            "part-dim join + conditional agg (Q14)"),
-    "disjunctive_pred_part_revenue": ("supplier_revenue_by_nation",
-                                      "broadcast dim join + OR-predicate scan (Q19)"),
-    "important_parts_share": ("tpch_q11", "partsupp share agg (Q11 twin)"),
-    "supplier_count_by_part_attrs": ("tpch_q16", "anti-join + distinct agg (Q16 twin)"),
-    "excess_shipped_suppliers": ("tpch_q20", "nested semi-join chain (Q20 twin)"),
-    "small_qty_part_revenue": ("min_cost_supplier_per_part",
-                               "pre-agg + same-key rejoin decorrelation (Q17)"),
-    "above_avg_idle_customers": ("waiting_multi_supplier_orders",
-                                 "decorrelated avg subquery + anti-join (Q22)"),
     # --- semi/anti joins
-    "manifest_anti_join": ("bloom_semi_join_orders",
-                           "left_anti on file keys, same build/probe shape"),
-    "intersect_click_purchase_users": ("bloom_semi_join_orders",
-                                       "set intersection as semi-join"),
     # --- partitioned window / sequence analytics (shuffle on entity
     # key, in-partition sort; funnel_ordered_events is the measured rep)
-    "latest_record_per_user": ("funnel_ordered_events",
-                               "row_number over entity-partitioned window"),
-    "events_since_last_purchase": ("funnel_ordered_events",
-                                   "rows-frame max(CASE) over entity window"),
-    "asof_click_attribution": ("funnel_ordered_events",
-                               "as-of = last-non-null over entity window"),
-    "user_event_sequences": ("funnel_ordered_events",
-                             "collect_list over entity-partitioned sort"),
-    "funnel_conversion_events": ("funnel_ordered_events",
-                                 "ordered-step funnel twin"),
-    "rolling_hour_avg_value": ("cohort_retention_weekly_events",
-                               "time-range window agg per key"),
-    "cohort_retention_events": ("cohort_retention_weekly_events",
-                                "cohort x offset agg twin"),
-    "pack_sequences_documents": ("funnel_ordered_events",
-                                 "running-sum window partitioned by pack key"),
     # --- sketches / approx aggregates (mergeable state)
-    "hll_union_distinct_users": ("cms_heavy_hitters_documents",
-                                 "mergeable sketch groupBy + union"),
-    "kmv_distinct_by_source": ("cms_heavy_hitters_documents",
-                               "KMV sketch per group — bounded state agg"),
-    "kmv_union_sources": ("cms_heavy_hitters_documents",
-                          "KMV union — sketch merge"),
     # --- per-row JVM text/vector kernels (zero shuffle + small agg)
-    "sanitize_scrub_customer": ("boilerplate_scrub_documents",
-                                "per-row string scrub projection"),
-    "normalize_text_documents": ("boilerplate_scrub_documents",
-                                 "per-row unicode/whitespace normalize"),
-    "pii_scrub_customer": ("boilerplate_scrub_documents",
-                           "per-row regex scrub"),
-    "gopher_quality_documents": ("text_stats_documents",
-                                 "per-row text heuristics + flags"),
-    "lang_id_documents": ("text_stats_documents",
-                          "per-row n-gram profile score"),
-    "corpus_stats_by_source": ("text_stats_documents",
-                               "per-row text stats + per-source agg"),
-    "oov_rate_documents": ("tfidf_top_terms_documents",
-                           "token explode + vocab join + rate agg"),
-    "vocab_top20_documents": ("tfidf_top_terms_documents",
-                              "token explode + count + top-k"),
-    "token_kl_by_source": ("tfidf_top_terms_documents",
-                           "token counts per source + global join + KL fold"),
-    "lexical_diversity_by_source": ("bpe_fertility_by_source",
-                                    "per-source token distinct/total agg"),
-    "gopher_pass_rates_by_source": ("ccnet_buckets_by_source",
-                                    "per-source quality-rate agg"),
-    "quantize_int8_embeddings": ("embedding_norms",
-                                 "per-row vector transform, zero shuffle"),
-    "label_centroids_embeddings": ("embedding_dim_stats",
-                                   "per-label vector mean — posexplode + groupBy dim"),
-    "embedding_drift_halves": ("embedding_dim_stats",
-                               "per-dim moments on two halves"),
-    "cosine_topk_embeddings": ("mmr_topk_embeddings",
-                               "brute cosine + top-k (mmr adds the greedy re-rank)"),
-    "batch_cosine_topk_embeddings": ("mmr_topk_embeddings",
-                                     "K-query one-pass cosine scan + per-query window"),
-    "ann_lsh_topk_embeddings": ("ann_lsh_multiprobe_topk",
-                                "single-probe subset of the multiprobe plan"),
     # --- fingerprint / chunk per-row kernels
-    "fingerprint_documents": ("winnowing_dup_fingerprints_documents",
-                              "rolling-hash fingerprint subset (no window min)"),
-    "chunk_documents_windowed": ("duplicated_spans_documents",
-                                 "overlapping chunk explode, same row growth"),
-    "minhash_signatures_documents": ("minhash_lsh_pairs_documents",
-                                     "signature pipeline prefix of the pair job"),
     # --- sampling / split / ordering gates (seeded hash per row)
-    "train_val_test_split_documents": ("curriculum_interleave_documents",
-                                       "seeded hash gate per row, zero shuffle"),
-    "importance_sample_documents": ("curriculum_interleave_documents",
-                                    "weighted hash gate"),
-    "mixture_sample_by_source": ("curriculum_interleave_documents",
-                                 "per-source rate hash gate"),
-    "stratified_sample_by_source": ("curriculum_interleave_documents",
-                                    "per-stratum hash gate"),
-    "weighted_sample_per_source": ("funnel_ordered_events",
-                                   "A-res keys + per-source rank window"),
     # --- layout / maintenance
-    "zorder_keys_events": ("hilbert_keys_events",
-                           "bit-interleave per-row (Morton is the cheaper sibling)"),
-    "zorder3_keys_events": ("hilbert_keys_events",
-                            "3-D Morton interleave"),
-    "compaction_plan_orders": ("checksum_audit_orders",
-                               "O(files) footer-metadata relation, no data scan"),
     # --- Python/Arrow kernels
-    "multimodal_features": ("video_metadata_documents",
-                            "Arrow-batched Python decode kernel"),
-    "frame_sample_documents": ("keyframe_slices_documents",
-                               "bounded k-frame sampling twin"),
     # --- fuzzy matching
     # --- calibration twins
 }

@@ -223,6 +223,17 @@ _NOTES = {
     "overlapping_purchase_intervals_events": " (9)",
     "fuzzy_pairs_customer": " (9)",
     "benford_audit_orders": " (1)",
+    "important_parts_share": " (1)",
+    "verify_counts": " (1)",
+    "retract_agg_orders": " (4)",
+    "excess_shipped_suppliers": " (4)",
+    "small_qty_part_revenue": " (4)",
+    "zorder_keys_events": " (1)",
+    "token_kl_by_source": " (1)",
+    "quality_metrics_lineitem": " (1)",
+    "batch_cosine_topk_embeddings": " (1)",
+    "mixture_plan_by_source": " (1)",
+    "above_avg_idle_customers": " (1)",
     "embedding_dim_stats": " (10)",
 }
 
