@@ -83,17 +83,23 @@ def render() -> str:
     import s3_redshift_backup_tool_spark.parity_ext  # noqa: F401
 
     probe = json.load(open(os.path.join(REPO, "scale_probe_results.json")))
+    n_direct = sum(1 for n in REGISTRY if n in probe)
+    tail = (
+        "Every remaining entry is mapped to a directly-probed plan "
+        "archetype below — same shuffle/partition/window mechanism, so "
+        "the measured exponent transfers; "
+        if n_direct < len(REGISTRY) else
+        "No archetype links are needed (the mapping mechanism remains "
+        "for future entries); ")
     lines = [
         "<!-- archetype-map:start (auto-written by tools/archetypes.py) -->",
         "## Per-entry 10x scale evidence (direct probe or archetype link)",
         "",
-        f"{sum(1 for n in REGISTRY if n in probe)} of {len(REGISTRY)} "
+        f"{n_direct} of {len(REGISTRY)} "
         "registry entries carry a DIRECT 10x probe row "
         "(`scale_probe_results.json`, wall ratio for 10x data, plan "
-        "shape asserted identical). Every remaining entry is mapped to "
-        "a directly-probed plan archetype below — same shuffle/"
-        "partition/window mechanism, so the measured exponent "
-        "transfers; `tests/test_archetype_map.py` lint-checks "
+        "shape asserted identical). " + tail +
+        "`tests/test_archetype_map.py` lint-checks "
         "completeness (no unmapped entry, no unprobed archetype, no "
         "stale names).",
         "",
