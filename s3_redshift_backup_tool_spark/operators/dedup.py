@@ -667,6 +667,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .select(F.col(id_col), total.alias("simhash")))
 
 
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", bits: int = 32,
+                          radius: int = 3) -> DataFrame:
+    """Multi-index SimHash near-dup pairs (Manku, Jain & Das Sarma,
+    WWW'07 — the Google web-crawl dedup design): two signatures within
+    Hamming distance <= ``radius`` must agree EXACTLY on at least one of
+    ``radius + 1`` disjoint bit-chunks (pigeonhole over the differing
+    bits), so candidate generation is an equi-join on
+    (chunk_index, chunk_value) — an inverted index over signature
+    chunks, never an all-pairs product. An exact bit_count(xor) filter
+    then removes pigeonhole false positives and ``distinct`` collapses
+    pairs that collide in several chunks.
+
+    Scale shape: one shuffle of (radius+1) 8-byte rows per doc on the
+    chunk key; the only skew knob is chunk width ``bits/(radius+1)``,
+    which sets the index fan-out 2^width — the paper's production
+    setting is bits=64 with 4 x 16-bit tables (fan-out 65,536); the
+    32-bit registry configuration (4 x 8-bit, fan-out 256) is sized to
+    the oracle fixture. Candidate count per chunk-index is
+    sum(bucket^2), the same quantity the LSH families fence — a
+    pathological corpus (every doc near-identical) degrades toward the
+    true duplicate-pair count, which is the output size itself."""
+    if bits % (radius + 1) != 0:
+        raise ValueError(f"bits={bits} not divisible by radius+1={radius + 1}")
+    width = bits // (radius + 1)
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits)
+    chunks = [
+        F.struct(F.lit(c).alias("ci"),
+                 F.shiftright(F.col("simhash"), c * width)
+                  .bitwiseAND(F.lit(mask)).alias("cv"))
+        for c in range(radius + 1)]
+    chunked = (sigs.select(F.col(id_col), F.col("simhash"),
+                           F.explode(F.array(*chunks)).alias("ch"))
+                   .select(F.col(id_col), F.col("simhash"),
+                           F.col("ch.ci").alias("ci"),
+                           F.col("ch.cv").alias("cv")))
+    a = chunked.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sig_a"), "ci", "cv")
+    b = chunked.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sig_b"), "ci", "cv")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (a.join(b, ["ci", "cv"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(ham <= radius)
+             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+             .distinct())
+
+
 # Below this many UNDIRECTED edges the pair graph collects to the
 # driver and runs union-find there — the same economics as AQE's
 # broadcast threshold: a multi-round distributed loop costs seconds of

@@ -1278,3 +1278,97 @@ def matryoshka_truncate(df: DataFrame, dims: int,
             lambda a, x: a + x.cast("double") * x.cast("double")))
         sliced = F.transform(sliced, lambda x: x.cast("double") / n)
     return df.withColumn(out, sliced)
+
+
+def binary_quantize(df: DataFrame, vec_col: str = "embedding",
+                    id_cols: tuple[str, ...] = ("vec_id",),
+                    dim: int = 64) -> DataFrame:
+    """Binary (sign-bit) quantization: 1 bit per coordinate, packed into
+    ``ceil(dim/32)`` 32-bit words stored as longs (``w0`` = coords 1..32,
+    bit i set when the coordinate is > 0). float32 -> 1 bit is a 32x
+    scan-bandwidth cut — the cheapest rung of the quantization ladder
+    under :func:`quantize_int8` (4x) and PQ (configurable) — and Hamming
+    distance between sign words is a monotone angular-distance proxy
+    (each coordinate acts as an axis-aligned SRP hyperplane, so
+    E[hamming] = dim * theta / pi for unit vectors).
+
+    Per-row fold only, zero shuffle; downstream distance is XOR+popcount
+    (JVM intrinsics inside whole-stage codegen). ``set_bits`` (popcount
+    of the packed words) is the exactness witness for tests/oracles.
+    At 100 TB the packed words are the column an ANN sweep scans (8
+    bytes/vector for dim=64); floats are touched only by the final
+    rerank (:func:`ann_hamming_topk` with ``rerank>0``)."""
+    n_words = (dim + 31) // 32
+    cols: list = [F.col(c) for c in id_cols]
+    for w in range(n_words):
+        lo, width = w * 32, min(32, dim - w * 32)
+        cols.append(F.expr(
+            f"aggregate(sequence(0, {width - 1}), 0L, (acc, i) -> acc + "
+            f"IF(element_at({vec_col}, i + {lo + 1}) > 0, "
+            f"shiftleft(1L, i), 0L))").alias(f"w{w}"))
+    out = df.select(*cols)
+    set_bits = F.bit_count(F.col("w0"))
+    for w in range(1, n_words):
+        set_bits = set_bits + F.bit_count(F.col(f"w{w}"))
+    return out.withColumn("set_bits", set_bits.cast("int"))
+
+
+def pack_sign_words(vec: list[float], dim: int | None = None) -> list[int]:
+    """Driver-side twin of :func:`binary_quantize` for a query vector —
+    plain Python, no Spark job; must stay bit-identical to the column
+    expression (same ``> 0`` threshold, same word/bit layout)."""
+    dim = len(vec) if dim is None else dim
+    words = []
+    for w in range((dim + 31) // 32):
+        word = 0
+        for i in range(min(32, dim - w * 32)):
+            if vec[w * 32 + i] > 0:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def hamming_to_query(packed_word_cols: list[str],
+                     q_words: list[int]) -> Column:
+    """Hamming distance from packed sign-word columns to a constant
+    query: sum of bit_count(xor) per word — folds into one codegen
+    expression, no UDF, no array traversal."""
+    d: Column | None = None
+    for c, qw in zip(packed_word_cols, q_words):
+        t = F.bit_count(F.col(c).bitwiseXOR(F.lit(int(qw))))
+        d = t if d is None else d + t
+    assert d is not None
+    return d
+
+
+def ann_hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     rerank: int = 0, vec_col: str = "embedding",
+                     id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Hamming-space ANN over binary sign quantization.
+
+    ``rerank=0``: brute-force Hamming top-k over the packed words —
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge, no
+    sort shuffle) on an 8-byte-per-vector scan; returns
+    (id, ``hamming``), ties broken by id.
+
+    ``rerank=m``: the production two-stage shape — the binary scan keeps
+    an m-row shortlist, which broadcast-semi-joins back to the float
+    vectors for an exact cosine top-k (touches m float rows instead of
+    the corpus). The same shortlist->rerank economics as
+    :func:`pq_adc_rerank_topk`, at a coarser quality/bandwidth point."""
+    packed = binary_quantize(df.select(id_col, vec_col), vec_col,
+                             (id_col,), dim)
+    q_words = pack_sign_words([float(v) for v in query_vec], dim)
+    word_cols = [f"w{w}" for w in range(len(q_words))]
+    ham = hamming_to_query(word_cols, q_words).cast("int")
+    scored = packed.select(id_col, ham.alias("hamming"))
+    if not rerank:
+        return scored.orderBy("hamming", id_col).limit(k)
+    shortlist = (scored.orderBy("hamming", id_col).limit(int(rerank))
+                 .select(id_col))
+    q_arr = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = df.join(F.broadcast(shortlist), id_col)
+    return (cand.select(id_col,
+                        F.round(cosine(F.col(vec_col), q_arr), 6)
+                         .alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), id_col).limit(k))

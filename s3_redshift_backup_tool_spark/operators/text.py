@@ -471,3 +471,78 @@ def unicode_normalize(df: DataFrame, text_col: str = "text",
         out = out.withColumn(
             out_col, F.trim(F.regexp_replace(F.col(out_col), r"\s+", " ")))
     return out
+
+
+def kn_bigram_perplexity(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity with a held-out split —
+    the KenLM-style LM filter (CCNet / Wenzek'20 quality signal), where
+    :func:`bigram_logprob` is the unsmoothed self-consistent char proxy:
+    the LM trains on one half of the corpus (``doc_id % 2 = 0``) and
+    scores the OTHER half, so memorized boilerplate no longer scores
+    itself, and KN smoothing gives unseen events principled mass.
+
+        P(w2|w1) = max(c(w1 w2) - d, 0)/c(w1)
+                   + d * N1+(w1 .)/c(w1) * Pcont(w2)
+        Pcont(w2) = (N1+(. w2) + 1) / (D + V + 1)
+
+    with d = ``discount``, N1+ the distinct-neighbor (continuation)
+    counts, D the number of distinct bigram types, and an add-one OOV
+    bucket on the continuation distribution so unseen words keep
+    nonzero mass (unseen context w1 backs off to Pcont alone).
+
+    Plan shape: the model is three key-partitioned aggregations over
+    the train half's bigrams (types table, context table, continuation
+    table) plus two O(1)-row scalar aggs (D, V) that broadcast; scoring
+    is three left joins on the bigram/word keys and one per-doc agg —
+    every shuffle is on a model key, nothing quadratic anywhere. At
+    100 TB the model half would be a fixed sample persisted like the
+    IVF index (same swap note as bigram_logprob); here it is
+    corpus-derived so the DuckDB oracle reproduces it exactly.
+
+    Output per held-out doc: ``n_bigrams``, ``avg_logprob`` (mean ln P,
+    rounded 6), ``perplexity`` (exp(-mean), rounded 4)."""
+    d = float(discount)
+    toks = (fan_out(df.select(id_col, text_col))
+            .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__s"))
+            .filter(F.size("__s") >= 2))
+    idx = F.sequence(F.lit(1), F.size("__s") - 1)
+    pairs = F.transform(
+        idx, lambda i: F.struct(F.element_at("__s", i).alias("w1"),
+                                F.element_at("__s", i + 1).alias("w2")))
+    bi = (toks.select(F.col(id_col), F.explode(pairs).alias("b"))
+              .select(id_col, F.col("b.w1").alias("w1"),
+                      F.col("b.w2").alias("w2"))
+              .localCheckpoint(eager=False))
+    train = bi.filter(F.col(id_col) % 2 == 0).drop(id_col)
+    test = bi.filter(F.col(id_col) % 2 == 1)
+
+    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    big = big.localCheckpoint(eager=False)  # feeds ctx, cont, D, scoring
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count(F.lit(1)).alias("n1f"))
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    d_types = big.agg(F.count(F.lit(1)).alias("d_types"))
+    vocab = (toks.filter(F.col(id_col) % 2 == 0)
+                 .select(F.explode("__s").alias("tok"))
+                 .agg(F.countDistinct("tok").alias("v")))
+    const = d_types.crossJoin(vocab)
+
+    sc = (test.join(big, ["w1", "w2"], "left")
+              .join(ctx, "w1", "left")
+              .join(cont, "w2", "left")
+              .crossJoin(F.broadcast(const)))
+    pcont = ((F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1.0))
+             / (F.col("d_types") + F.col("v") + F.lit(1)))
+    seen = (F.greatest(F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                       - F.lit(d), F.lit(0.0))
+            / F.col("c1")
+            + F.lit(d) * F.col("n1f") / F.col("c1") * pcont)
+    p = F.when(F.col("c1").isNotNull(), seen).otherwise(pcont)
+    return (sc.select(F.col(id_col), p.alias("__p"))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(F.log("__p")), 6).alias("avg_logprob"),
+                   F.round(F.exp(-F.avg(F.log("__p"))), 4)
+                    .alias("perplexity")))

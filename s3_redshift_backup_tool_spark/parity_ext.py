@@ -6510,6 +6510,150 @@ def hard_negatives_embeddings(spark, sf_dir):
                  F.max(F.when(~same, F.col("sim"))).alias("neg_sim")))
 
 
+_PACK32 = ("CAST(list_sum(list_transform(generate_series(0, 31), "
+           "i -> CASE WHEN {v}[i + {off}] > 0 THEN (1::BIGINT << i) "
+           "ELSE 0::BIGINT END)) AS BIGINT)")
+
+_PACKED_CTE = f"""packed AS (
+        SELECT vec_id,
+               {_PACK32.format(v='embedding', off=1)} AS w0,
+               {_PACK32.format(v='embedding', off=33)} AS w1
+        FROM embeddings)"""
+
+
+@q("quantize_binary_embeddings",
+   f"""WITH {_PACKED_CTE}
+      SELECT vec_id, w0, w1,
+             CAST(bit_count(w0) + bit_count(w1) AS INTEGER) AS set_bits
+      FROM packed""",
+   "binary sign quantization (1 bit/coordinate, 32x scan-bandwidth cut "
+   "vs float32): dim=64 packs into two 32-bit words stored as longs; "
+   "per-row fold, zero shuffle; set_bits is the popcount witness. The "
+   "cheapest rung of the quantization ladder under int8 (4x) and PQ")
+def quantize_binary_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.binary_quantize(emb, dim=64)
+
+
+@q("ann_hamming_topk_embeddings",
+   f"""WITH {_PACKED_CTE},
+      q AS (SELECT w0 AS q0, w1 AS q1 FROM packed WHERE vec_id = 0)
+      SELECT p.vec_id,
+             CAST(bit_count(xor(p.w0, q0)) + bit_count(xor(p.w1, q1))
+                  AS INTEGER) AS hamming
+      FROM packed p, q ORDER BY hamming, p.vec_id LIMIT 10""",
+   "Hamming-space ANN top-k over binary sign words: XOR+popcount (JVM "
+   "intrinsics in codegen) on an 8-byte-per-vector scan; "
+   "TakeOrderedAndProject, no sort shuffle. Hamming is a monotone "
+   "angular-distance proxy (each coordinate = an axis-aligned SRP plane)")
+def ann_hamming_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ann_hamming_topk(emb, qvec, k=10, dim=64)
+
+
+@q("ann_hamming_rerank_topk",
+   f"""WITH {_PACKED_CTE},
+      q AS (SELECT w0 AS q0, w1 AS q1 FROM packed WHERE vec_id = 0),
+      shortlist AS (
+        SELECT p.vec_id
+        FROM packed p, q
+        ORDER BY bit_count(xor(p.w0, q0)) + bit_count(xor(p.w1, q1)),
+                 p.vec_id
+        LIMIT 50),
+      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             round({_DOT.format(a='e.embedding', b='qv')}
+                   / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
+      FROM embeddings e JOIN shortlist s USING (vec_id), qv
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+   "two-stage binary ANN (the production shape): Hamming scan keeps a "
+   "50-row shortlist, exact cosine reranks only those float rows — "
+   "same shortlist->rerank economics as PQ-ADC rerank at a coarser "
+   "quality/bandwidth point; the shortlist broadcast-joins back, so "
+   "the float column is touched for 50 rows, not the corpus")
+def ann_hamming_rerank_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ann_hamming_topk(emb, qvec, k=10, rerank=50, dim=64)
+
+
+@q("kn_perplexity_documents",
+   """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+                  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      ex AS (SELECT doc_id, s,
+                    unnest(generate_series(1, len(s) - 1)) AS i
+             FROM toks),
+      bi AS (SELECT doc_id, s[i] AS w1, s[i + 1] AS w2 FROM ex),
+      train AS (SELECT w1, w2 FROM bi WHERE doc_id % 2 = 0),
+      test AS (SELECT doc_id, w1, w2 FROM bi WHERE doc_id % 2 = 1),
+      big AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+              FROM big GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY 1),
+      const AS (SELECT (SELECT count(*) FROM big) AS d_types,
+                       (SELECT count(DISTINCT tok) FROM
+                         (SELECT unnest(s) AS tok FROM toks
+                          WHERE doc_id % 2 = 0)) AS v),
+      sc AS (SELECT t.doc_id,
+                    CASE WHEN ctx.w1 IS NOT NULL THEN
+                      greatest(CAST(coalesce(big.c12, 0) AS DOUBLE)
+                               - 0.75, 0.0) / ctx.c1
+                      + 0.75 * ctx.n1f / ctx.c1
+                        * (coalesce(cont.n1b, 0) + 1.0)
+                          / (const.d_types + const.v + 1)
+                    ELSE (coalesce(cont.n1b, 0) + 1.0)
+                         / (const.d_types + const.v + 1) END AS p
+             FROM test t
+             LEFT JOIN big ON t.w1 = big.w1 AND t.w2 = big.w2
+             LEFT JOIN ctx ON t.w1 = ctx.w1
+             LEFT JOIN cont ON t.w2 = cont.w2
+             CROSS JOIN const)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(ln(p)), 6) AS avg_logprob,
+             round(exp(-avg(ln(p))), 4) AS perplexity
+      FROM sc GROUP BY doc_id""",
+   "interpolated Kneser-Ney bigram perplexity with a held-out split "
+   "(the KenLM-style CCNet LM filter; bigram_logprob is the unsmoothed "
+   "char self-model): trains on doc_id%2=0, scores doc_id%2=1 — "
+   "memorized boilerplate can't score itself; continuation counts + "
+   "add-one OOV bucket give unseen events principled mass. Model = 3 "
+   "key-partitioned aggs + 2 scalar broadcasts; scoring = 3 left joins "
+   "on model keys; nothing quadratic")
+def kn_perplexity_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.kn_bigram_perplexity(docs, discount=0.75)
+
+
+@q("simhash_hamming_pairs_documents",
+   f"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+      h AS (SELECT doc_id, {_H.format(x="tok")} AS h FROM tk),
+      v AS (SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote_sum
+            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) bits
+            GROUP BY doc_id, bit),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN vote_sum > 0
+                                   THEN 1::BIGINT << bit ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+   "multi-index SimHash near-dup pairs (Manku'07 pigeonhole: d<=r pairs "
+   "share one of r+1 exact chunks, so candidates come from a chunk "
+   "equi-join, never all-pairs) + exact Hamming filter; the oracle is "
+   "the all-pairs definition the index provably equals")
+def simhash_hamming_pairs_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_hamming_pairs(docs, bits=32, radius=3)
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
@@ -6533,6 +6677,9 @@ _WINDOW = [
     # --vanilla default-session lint before promotion.
     "pca_covariance_embeddings", "cov_shift_by_label_embeddings",
     "zipf_slope_by_source", "hard_negatives_embeddings",
+    "quantize_binary_embeddings", "ann_hamming_topk_embeddings",
+    "ann_hamming_rerank_topk", "kn_perplexity_documents",
+    "simhash_hamming_pairs_documents",
     "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
     "watermark_extract_orders", "density_stats_events",
     "align_orders_to_target", "topk_orders_by_price",
@@ -6552,17 +6699,19 @@ _WINDOW = [
     "quality_classifier_documents", "classifier_pr_curve_documents",
     "multimodal_features", "temperature_mixture_by_source",
     "text_stats_documents", "normalize_text_documents",
-    "er_best_match_customer", "ntile_cumedist_customers",
-    "pii_scrub_customer", "id_gap_audit_orders",
-    "overlapping_purchase_intervals_events", "asof_click_attribution",
+    "er_best_match_customer",
 ]
 
 _TAIL = [
     # hashed entries, oldest last-hash first; regenerated with
     # tools/rotation.py each round (r11: generated from the union of
     # CORRECTNESS_r01..r10 last-hash rounds; keyset_page +
-    # tumbling/zorder/hilbert displaced from the window by the four
-    # new r11 entries).
+    # tumbling/zorder/hilbert displaced by the first four new r11
+    # entries, then pii_scrub/id_gap/overlapping_intervals/asof by the
+    # binary-Hamming four).
+    "ntile_cumedist_customers",
+    "pii_scrub_customer", "id_gap_audit_orders",
+    "overlapping_purchase_intervals_events", "asof_click_attribution",
     "keyset_page_orders",
     "tumbling_daily_events", "zorder_keys_events", "hilbert_keys_events",
     "zorder3_keys_events", "compaction_plan_orders",
