@@ -648,9 +648,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ZERO shuffle — the explode(tokens) x explode(bits) + double-groupBy
     formulation moves tokens x bits rows through two exchanges for the
     same integers. Near-dup detection is then a Hamming-distance filter
-    over the int64 signatures."""
+    over the int64 signatures.
+
+    ``bits`` may be up to 64 (the Manku'07 production width): bit 63 is
+    the int64 SIGN bit, so its weight is emitted as Long.MIN_VALUE
+    (two's complement — ``1 << 63`` as a Python literal overflows the
+    JVM long and cannot ride an ``F.lit``); the sum of distinct bit
+    weights is then exactly the signed-long reinterpretation of the
+    unsigned 64-bit signature, and downstream shiftright+mask chunk
+    extraction and bit_count(xor) Hamming math are sign-agnostic.
+    Entropy note: token hashes are the portable 60-bit md5 prefix, so
+    signature bits 60-63 vote on constant-zero hash bits and come out 0
+    for every doc — harmless for Hamming distances (identical bits add
+    0) but the effective signature width is min(bits, 60)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     df = fan_out(df)
     hs = F.transform(F.split(F.col(text_col), " "), lambda t: md5_prefix_int(t))
+    # bit 63's weight: Long.MIN_VALUE, the signed representation of 2^63
     bit_vals = [
         F.when(
             F.aggregate(
@@ -658,7 +673,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 lambda acc, h: acc + F.when(
                     F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                     F.lit(1)).otherwise(F.lit(-1))) > 0,
-            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"))
+         .otherwise(F.lit(0).cast("long"))
         for b in range(bits)]
     total = bit_vals[0]
     for bv in bit_vals[1:]:

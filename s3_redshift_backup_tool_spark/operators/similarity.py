@@ -1302,9 +1302,15 @@ def binary_quantize(df: DataFrame, vec_col: str = "embedding",
     cols: list = [F.col(c) for c in id_cols]
     for w in range(n_words):
         lo, width = w * 32, min(32, dim - w * 32)
+        # explicit NOT isnan guard: Spark orders NaN greatest so a bare
+        # `NaN > 0` is TRUE, while the Python query-side twin
+        # (pack_sign_words) evaluates `nan > 0` as False — a NaN
+        # coordinate would silently desynchronize the two packings.
+        # NaN => 0-bit on both sides.
         cols.append(F.expr(
             f"aggregate(sequence(0, {width - 1}), 0L, (acc, i) -> acc + "
-            f"IF(element_at({vec_col}, i + {lo + 1}) > 0, "
+            f"IF(NOT isnan(element_at({vec_col}, i + {lo + 1})) AND "
+            f"element_at({vec_col}, i + {lo + 1}) > 0, "
             f"shiftleft(1L, i), 0L))").alias(f"w{w}"))
     out = df.select(*cols)
     set_bits = F.bit_count(F.col("w0"))
@@ -1316,7 +1322,10 @@ def binary_quantize(df: DataFrame, vec_col: str = "embedding",
 def pack_sign_words(vec: list[float], dim: int | None = None) -> list[int]:
     """Driver-side twin of :func:`binary_quantize` for a query vector —
     plain Python, no Spark job; must stay bit-identical to the column
-    expression (same ``> 0`` threshold, same word/bit layout)."""
+    expression (same ``> 0`` threshold, same word/bit layout, and the
+    same NaN convention: Python's ``nan > 0`` is False, so the column
+    expression carries an explicit NOT isnan guard — Spark would
+    otherwise evaluate ``NaN > 0`` as true, NaN ordering greatest)."""
     dim = len(vec) if dim is None else dim
     words = []
     for w in range((dim + 31) // 32):
@@ -1355,7 +1364,11 @@ def ann_hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     an m-row shortlist, which broadcast-semi-joins back to the float
     vectors for an exact cosine top-k (touches m float rows instead of
     the corpus). The same shortlist->rerank economics as
-    :func:`pq_adc_rerank_topk`, at a coarser quality/bandwidth point."""
+    :func:`pq_adc_rerank_topk`, at a coarser quality/bandwidth point.
+    Zero-norm candidates are dropped before the cosine ordering: 0/0 is
+    NaN and Spark orders NaN GREATEST, so an all-zero vector (which the
+    binary scan ranks first — its packed words are 0) would otherwise
+    top the exact rerank with an undefined similarity."""
     packed = binary_quantize(df.select(id_col, vec_col), vec_col,
                              (id_col,), dim)
     q_words = pack_sign_words([float(v) for v in query_vec], dim)
@@ -1367,7 +1380,8 @@ def ann_hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     shortlist = (scored.orderBy("hamming", id_col).limit(int(rerank))
                  .select(id_col))
     q_arr = F.array(*[F.lit(float(v)) for v in query_vec])
-    cand = df.join(F.broadcast(shortlist), id_col)
+    cand = df.join(F.broadcast(shortlist), id_col) \
+             .filter(l2_norm(F.col(vec_col)) > 0)
     return (cand.select(id_col,
                         F.round(cosine(F.col(vec_col), q_arr), 6)
                          .alias("cos_sim"))

@@ -6568,12 +6568,15 @@ def ann_hamming_topk_embeddings(spark, sf_dir):
                    / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
                       * sqrt({_DOT.format(a='qv', b='qv')})), 6) AS cos_sim
       FROM embeddings e JOIN shortlist s USING (vec_id), qv
+      WHERE sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) > 0
       ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
    "two-stage binary ANN (the production shape): Hamming scan keeps a "
    "50-row shortlist, exact cosine reranks only those float rows — "
    "same shortlist->rerank economics as PQ-ADC rerank at a coarser "
    "quality/bandwidth point; the shortlist broadcast-joins back, so "
-   "the float column is touched for 50 rows, not the corpus")
+   "the float column is touched for 50 rows, not the corpus. Zero-norm "
+   "candidates are filtered on BOTH sides (0/0 = NaN, which both "
+   "engines order greatest — an all-zero vector would rank first)")
 def ann_hamming_rerank_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in

@@ -41,7 +41,8 @@ def test_binary_quantize_matches_python_pack(emb):
 def test_binary_quantize_zero_and_negative_coords(spark):
     df = spark.createDataFrame(
         [(1, [0.0] * 64), (2, [-1.0] * 64), (3, [1.0] * 64),
-         (4, [1.0, -1.0] * 32)],
+         (4, [1.0, -1.0] * 32), (5, [float("nan")] * 64),
+         (6, [float("nan"), 1.0] * 32)],
         "vec_id int, embedding array<float>")
     out = {r["vec_id"]: r for r in sim.binary_quantize(df, dim=64).collect()}
     # 0.0 is NOT > 0: zero and all-negative vectors pack to zero words
@@ -52,6 +53,55 @@ def test_binary_quantize_zero_and_negative_coords(spark):
     # alternating +,- starting at dim 1 -> even bits set in each word
     assert out[4]["w0"] == out[4]["w1"] == 0x55555555
     assert out[4]["set_bits"] == 32
+    # NaN is a 0-bit on BOTH the column expr (explicit isnan guard —
+    # Spark's bare `NaN > 0` is true) and the Python twin (nan > 0 is
+    # False); without the guard rows 5/6 desynchronize the two packings
+    for vid in (5, 6):
+        vec = [float("nan")] * 64 if vid == 5 else [float("nan"), 1.0] * 32
+        w = sim.pack_sign_words(vec)
+        assert (out[vid]["w0"], out[vid]["w1"]) == (w[0], w[1])
+    assert out[5]["set_bits"] == 0
+    assert out[6]["w0"] == out[6]["w1"] == 0xAAAAAAAA
+
+
+def test_hamming_rerank_drops_zero_norm_candidates(spark):
+    # an all-zero vector packs to zero words, so a near-zero query puts
+    # it at the TOP of the Hamming shortlist; its cosine is 0/0 = NaN,
+    # which Spark orders greatest — without the guard it would win the
+    # exact rerank with an undefined similarity
+    rows = [(0, [0.0] * 63 + [-1.0])]                 # degenerate-ish query
+    rows += [(1, [0.0] * 64)]                         # zero-norm candidate
+    rows += [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)])
+             for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = [0.0] * 63 + [-1.0]
+    got = sim.ann_hamming_topk(df, q, k=5, rerank=10, dim=64).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 1 not in ids
+    assert all(r["cos_sim"] == r["cos_sim"] for r in got)  # no NaN
+
+
+def test_simhash_bits_64_sign_safe(spark):
+    # bits=64 exercises the sign bit's Long.MIN_VALUE weight; plan
+    # construction used to fail (1 << 63 > Long.MAX_VALUE as a literal)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id int, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dd.simhash(df, bits=64).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    # identical docs at Hamming 0 survive the 64-bit multi-index
+    pairs = dd.simhash_hamming_pairs(df, bits=64, radius=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_rejects_out_of_range_bits():
+    with pytest.raises(ValueError):
+        dd.simhash(None, bits=65)
+    with pytest.raises(ValueError):
+        dd.simhash(None, bits=0)
 
 
 def test_hamming_topk_matches_bruteforce(emb):
