@@ -54,6 +54,33 @@ def _canary(spark) -> float:
     return best
 
 
+def _canary_py(spark) -> float:
+    """Second canary (r11 verdict item 3): shuffle-heavy + one
+    Arrow-batch Python round-trip.
+
+    The r20 sweep inflated ~35% while the JVM-compute canary above
+    stayed flat: shuffle I/O and Python-worker costs degrade
+    INDEPENDENTLY of JVM arithmetic on this class of shared VM (disk
+    writeback steals shuffle bandwidth; neighbor load steals the
+    Python workers' cores). This job is dominated by exactly those two
+    costs — a wide-ish shuffle of 2M rows plus a mapInPandas identity
+    pass — so a host that will inflate the sweep inflates THIS number
+    first. `degraded` gates on either canary."""
+    from pyspark.sql import functions as F
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (spark.range(2_000_000)
+              .select((F.col("id") % 100_000).alias("k"),
+                      (F.col("id") % 1000).alias("v"))
+              .repartition(CPUS, "k")
+              .mapInPandas(lambda it: it, schema="k long, v long")
+              .groupBy("k").agg(F.sum("v").alias("s"))
+              .write.format("noop").mode("overwrite").save())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def headline_sync(spark) -> tuple[float, int]:
     """Flagship sync slice on lineitem: fresh-watermark extraction."""
     from pyspark.sql import types as T
@@ -141,7 +168,9 @@ def main() -> None:
     # end canary on an otherwise-fine host — the canary must measure
     # the HOST, not the JVM warm-up it shares with every first run
     _canary(spark)
+    _canary_py(spark)
     canary_start = _canary(spark)
+    canary_py_start = _canary_py(spark)
     cold_sec, _ = headline_sync(spark)
     w1, n_rows = headline_sync(spark)
     w2, _ = headline_sync(spark)
@@ -199,20 +228,37 @@ def main() -> None:
             time.sleep(0.5)
             iso = time_query(REGISTRY[name])
             if iso < best:
-                retimed[name] = round(best, 3)
+                # provenance is unambiguous by construction (r11 verdict
+                # item 8): 'was' is the in-sweep best-of-2 this isolated
+                # re-time replaced; 'final' is the number queries{}
+                # carries — one final-time field per query, no
+                # cross-artifact reconciliation needed
+                retimed[name] = {"was": round(best, 3),
+                                 "final": round(iso, 3)}
                 query_times[name] = round(iso, 3)
 
-    # End-of-sweep canary + degradation verdict (r10 verdict item 1a):
-    # the sweep is flagged degraded when the start/end canaries disagree
-    # with each other by >1.5x (host load changed mid-sweep) or when
-    # BOTH exceed 1.5x the median canary of prior non-degraded sweeps
-    # (the whole sweep ran on a slow host — exactly round 10's failure).
+    # End-of-sweep canaries + degradation verdict (r10 verdict item 1a;
+    # r11 item 3 added the shuffle+Python canary): the sweep is flagged
+    # degraded when EITHER canary's start/end disagree by >1.5x (host
+    # load changed mid-sweep) or when both ends of either exceed 1.5x
+    # that canary's median across prior non-degraded sweeps (the whole
+    # sweep ran on a slow host — round 10's failure; the JVM-compute
+    # canary alone missed the r20 inflation because shuffle and
+    # Python-worker costs degrade independently of JVM arithmetic).
     canary_end = _canary(spark)
+    canary_py_end = _canary_py(spark)
     canary_prior = _prior_canary_median()
-    degraded = (canary_end > 1.5 * canary_start
-                or canary_start > 1.5 * canary_end
-                or (canary_prior is not None
-                    and min(canary_start, canary_end) > 1.5 * canary_prior))
+    canary_py_prior = _prior_canary_median(("canary_py_start_sec",
+                                            "canary_py_end_sec"))
+
+    def _pair_degraded(start: float, end: float,
+                       prior: float | None) -> bool:
+        return (end > 1.5 * start or start > 1.5 * end
+                or (prior is not None and min(start, end) > 1.5 * prior))
+
+    degraded = (_pair_degraded(canary_start, canary_end, canary_prior)
+                or _pair_degraded(canary_py_start, canary_py_end,
+                                  canary_py_prior))
 
     # Headline retime (r10 verdict item 1b): the outlier-retime loop
     # above never covered the headline itself, so r10's artifact
@@ -251,11 +297,16 @@ def main() -> None:
         "load1_at_start": load_at_start,
         "baseline_rows_per_sec": 233_000,
         "total_query_sec": round(sum(query_times.values()), 3),
-        "retimed_outliers": retimed,   # name -> in-sweep time it replaced
+        "retimed_outliers": retimed,   # name -> {was, final} provenance
         "canary_start_sec": round(canary_start, 3),
         "canary_end_sec": round(canary_end, 3),
         "canary_prior_median_sec": (round(canary_prior, 3)
                                     if canary_prior is not None else None),
+        "canary_py_start_sec": round(canary_py_start, 3),
+        "canary_py_end_sec": round(canary_py_end, 3),
+        "canary_py_prior_median_sec": (round(canary_py_prior, 3)
+                                       if canary_py_prior is not None
+                                       else None),
         "degraded": degraded,
         "headline_retimed_from": headline_retimed_from,
     }
@@ -288,6 +339,10 @@ def _wait_for_idle(max_wait_sec: int) -> float:
 
 def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
     slim = {k: v for k, v in result.items() if k != "queries"}
+    # the per-query {was, final} provenance map can alone exceed the
+    # stdout budget (41 retimes in r20); the full file has it — the
+    # line carries only the count
+    slim["retimed_outliers"] = len(result.get("retimed_outliers", {}))
     slim["queries"] = {}
     slim["n_queries"] = len(result["queries"])
     slim["queries_full_in"] = os.path.basename(full_file)
@@ -333,8 +388,12 @@ def _prior_round_full(skip_degraded: bool = True) -> dict:
     return {}
 
 
-def _prior_canary_median() -> float | None:
-    """Median canary_start_sec across prior non-degraded sweeps."""
+def _prior_canary_median(keys: tuple[str, str] = ("canary_start_sec",
+                                                  "canary_end_sec")
+                         ) -> float | None:
+    """Median of the given canary fields across prior non-degraded
+    sweeps (default: the JVM-compute canary; pass the canary_py_* keys
+    for the shuffle+Python one)."""
     vals = []
     for f in _prior_full_files():
         try:
@@ -344,7 +403,7 @@ def _prior_canary_median() -> float | None:
             continue
         if data.get("degraded"):
             continue
-        for k in ("canary_start_sec", "canary_end_sec"):
+        for k in keys:
             if isinstance(data.get(k), (int, float)):
                 vals.append(data[k])
     if not vals:

@@ -303,3 +303,63 @@ def whiten(df: DataFrame, model: PCAModel, vec_col: str = "embedding",
             f"{prefix}{i}",
             _centered_dot(vec_col, model.mean, comp) * F.lit(scale))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — the DATA-BLIND reduction
+# (PCA's cheap cousin): no fit pass at all, distance-preserving in
+# expectation, the standard pre-step before sketching/LSH when even one
+# moments pass over 100 TB is too much.
+# ---------------------------------------------------------------------------
+
+def jl_projection_matrix(dim: int, out_dim: int,
+                         salt: str = "rp") -> list[list[float]]:
+    """Deterministic PORTABLE +-1 projection matrix (Achlioptas'01
+    database-friendly JL): sign(j, i) from the parity of the 60-bit md5
+    prefix of ``"{salt}:{j}:{i}"`` — the same convention every hash
+    gate in this engine uses (``md5_prefix_int``), so an oracle SQL can
+    regenerate the identical matrix with
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) % 2``. Signs are
+    NOT drawn from a Python PRNG on purpose: PRNG streams are not
+    reproducible across engines; md5 is."""
+    import hashlib
+
+    mat = []
+    for j in range(out_dim):
+        row = []
+        for i in range(1, dim + 1):
+            h = hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[:15], 16) % 2 == 0 else -1.0)
+        mat.append(row)
+    return mat
+
+
+def random_projection(df: DataFrame, out_dim: int = 16,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id", dim: int | None = None,
+                      salt: str = "rp") -> DataFrame:
+    """JL projection to ``out_dim`` dims, emitted as SCALAR rows
+    (id, dim_index, value) with value = (x . r_j) / sqrt(out_dim),
+    rounded to 6 dp for oracle portability.
+
+    Scale shape: the matrix is a literal (out_dim x dim doubles — KBs),
+    each output dim one zip_with/aggregate fold — a zero-shuffle map
+    stage inside whole-stage codegen, no fit pass, no Python. The
+    posexplode multiplies rows by out_dim but each is 3 scalars; for a
+    wide-column layout keep the pre-explode projection columns.
+    E[|proj(x) - proj(y)|^2] = |x - y|^2 under the 1/sqrt(m) scaling,
+    within (1 +- eps) w.h.p. for m ~ 8 ln(n) / eps^2 (JL lemma)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    mat = jl_projection_matrix(dim, out_dim, salt)
+    cols = []
+    for j, row in enumerate(mat):
+        row_lit = F.array(*[F.lit(c) for c in row])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), row_lit,
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cols.append(F.round(proj / F.lit(math.sqrt(float(out_dim))), 6))
+    return (df.select(F.col(id_col),
+                      F.posexplode(F.array(*cols))
+                       .alias("dim_index", "value")))

@@ -190,6 +190,18 @@ def l2_sq(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def scaled_centroid_count(n_rows: int, target_cell: int = 64) -> int:
+    """The production quantizer-sizing rule: centroids PROPORTIONAL to
+    the corpus so cell populations stay ~``target_cell`` regardless of
+    scale — the within-cell quadratic cost is then n x target_cell
+    (linear), not n x (n/k) (quadratic in the corpus for a fixed k; the
+    r9 probe measured that failure at x36 wall for x10 data). On
+    parquet sources the row count is a metadata-only aggregate, so the
+    sizing pass is free. The oracle-SQL twin of this rule is
+    ``greatest(4, count(*) // target_cell)``."""
+    return max(4, n_rows // target_cell)
+
+
 def ivf_centroids(df: DataFrame, n_centroids: int = 8,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
@@ -694,10 +706,18 @@ def nn_descent(vectors: DataFrame,
     quadratic seed kernels vectorized (the production path — seed
     edge placement tolerates the last-digit rounding deltas; the
     re-scoring rounds are identical either way)."""
-    cell_fn = (knn_graph_within_clusters_arrow if kernel == "arrow"
-               else knn_graph_within_clusters)
-    cell = cell_fn(vectors, centroids, k, vec_col, id_col) \
-        .select("src", "dst")
+    if kernel == "arrow":
+        # assign="arrow" too: with corpus-proportional centroid counts
+        # the HOF argmin alone dominates the job (the r11 measurement
+        # behind ivf_assign_arrow) — an "arrow" nn_descent that kept
+        # the interpreted assign would be slower than the HOF twin at
+        # exactly the scales the arrow kernel exists for
+        cell = knn_graph_within_clusters_arrow(
+            vectors, centroids, k, vec_col, id_col, assign="arrow")
+    else:
+        cell = knn_graph_within_clusters(vectors, centroids, k,
+                                         vec_col, id_col)
+    cell = cell.select("src", "dst")
     rnd = knn_random_seed(vectors, random_buckets, k, vec_col,
                           id_col, kernel=kernel).select("src", "dst")
     # checkpoint the seed: the round references its input graph five

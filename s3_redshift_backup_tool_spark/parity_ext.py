@@ -879,10 +879,43 @@ def ngram_jaccard_pairs_documents(spark, sf_dir):
    "near-SUPERSET detector Jaccard structurally misses — a short doc "
    "quoted verbatim inside a long one scores ~1.0 here but ~0.02 on "
    "Jaccard, which is how contamination hides in concatenated training "
-   "docs. Same inverted-index machinery as the jaccard family")
+   "docs. Same inverted-index machinery as the jaccard family. ROLE: "
+   "uncapped EXACTNESS TWIN (x16 at 10x in the scale probe) of "
+   "overlap_coeff_capped_documents, the max_doc_freq production path")
 def overlap_coeff_pairs_documents(spark, sf_dir):
     return dd.overlap_coefficient_pairs(_t(spark, sf_dir, "documents"),
                                         n=3, threshold=0.5)
+
+
+@q("overlap_coeff_capped_documents",
+   f"""WITH {_SHINGLE_CTE},
+      sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING count(*) <= 3),
+      shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM shc a JOIN shc b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+             round(CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size), 6)
+               AS overlap
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(inter AS DOUBLE) / least(sa.set_size, sb.set_size), 6)
+            >= 0.2""",
+   "overlap coefficient with the max_doc_freq stop-shingle skew guard "
+   "— the 100 TB path for the one superlinear pair family that lacked "
+   "a registry-resident capped sibling (jaccard/semantic/embedding all "
+   "have one): shingles in > 3 docs are dropped from the inverted-"
+   "index join (a df-d shingle emits d^2 join rows) while min(|A|,|B|) "
+   "keeps every shingle, so overlap is a conservative LOWER bound — "
+   "shared boilerplate deliberately doesn't count as containment; "
+   "candidate-count fence in tests/test_scale_fences.py")
+def overlap_coeff_capped_documents(spark, sf_dir):
+    return dd.overlap_coefficient_pairs(_t(spark, sf_dir, "documents"),
+                                        n=3, threshold=0.2, max_doc_freq=3)
 
 
 @q("jaccard_prefix_pairs_documents",
@@ -1340,10 +1373,13 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
     return sim.semantic_dedup_pairs(emb, cents, threshold=0.3)
 
 
-# within-cell k-NN seed graph (first-32 quantizer, k=5): shared CTE
-# chain for the knn-graph and NN-Descent oracles
-_KNN_SEED_CTES = f"""c AS (SELECT vec_id AS cid, embedding AS cv
-                 FROM embeddings WHERE vec_id < 32),
+# within-cell k-NN seed graph (first-n quantizer, k=5): shared CTE
+# chain for the knn-graph and NN-Descent oracles; parameterized on the
+# centroid count — an int literal for the fixed-32 exactness pins, or
+# a scalar-subquery string for the corpus-scaled production entry
+def _knn_seed_ctes(n_cents: int | str) -> str:
+    return f"""c AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < {n_cents}),
       d AS (SELECT e.vec_id, e.embedding, c.cid,
                    {_L2.format(a='e.embedding', b='c.cv')} AS dist
             FROM embeddings e CROSS JOIN c),
@@ -1367,6 +1403,9 @@ _KNN_SEED_CTES = f"""c AS (SELECT vec_id AS cid, embedding AS cv
                WHERE nn_rank <= 5)"""
 
 
+_KNN_SEED_CTES = _knn_seed_ctes(32)
+
+
 @q("knn_graph_embeddings",
    f"WITH {_KNN_SEED_CTES} SELECT src, dst, nn_rank, cos_sim FROM seed",
    "Directed k-NN graph within IVF cells (NN-descent seed / dedup "
@@ -1374,15 +1413,81 @@ _KNN_SEED_CTES = f"""c AS (SELECT vec_id AS cid, embedding AS cv
    "sort-and-slice top-k as pure array math — the quadratic pair set "
    "never hits an exchange or a window. Cell count IS the cost/"
    "parallelism dial (compute ~ n x |cell| log|cell| cosines, one task "
-   "per cell): 32 cells here, ~sqrt(corpus/target_cell) at scale")
+   "per cell): 32 cells here, ~sqrt(corpus/target_cell) at scale. "
+   "ROLE: this is the FIXED-quantizer/HOF-kernel EXACTNESS TWIN of "
+   "knn_graph_scaled_embeddings — the registry-resident production "
+   "shape (corpus-proportional centroids, Arrow matmul kernels, "
+   "measured 232x faster in the second decade, SCALE.md); it exists "
+   "to pin the shared machinery with interpreted, oracle-literal "
+   "expression trees and to demonstrate the fixed-cardinality cost "
+   "curve the production recipe escapes")
 def knn_graph_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, n_centroids=32)
     return sim.knn_graph_within_clusters(emb, cents, k=5)
 
 
-@q("nn_descent_graph_embeddings",
-   f"""WITH {_KNN_SEED_CTES},
+# the production quantizer-sizing rule as SQL: centroids proportional
+# to the corpus (cell populations stay ~64 at every scale)
+_SCALED_CENTS_SQL = "(SELECT greatest(4, count(*) // 64) FROM embeddings)"
+
+
+@q("ivf_assign_scaled_embeddings",
+   f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < {_SCALED_CENTS_SQL}),
+      d AS (SELECT e.vec_id, c.cid,
+                   {_L2.format(a='e.embedding', b='c.cv')} AS dist
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d)
+      SELECT vec_id, cid AS centroid_id FROM a WHERE rn = 1""",
+   "direct correctness pin of the PRODUCTION Arrow assign kernel "
+   "(ivf_assign_arrow) at the production quantizer sizing (n_centroids "
+   "~ corpus/64, the scaled_centroid_count rule — the count is a "
+   "metadata-only parquet aggregate): per-batch numpy "
+   "argmin_c(||c||^2/2 - x.c), one matmul per Arrow batch instead of "
+   "n x k x dim interpreted HOF steps — measured as the difference "
+   "between 1306 s and 5.6 s for the scaled-centroid graph build at "
+   "200K vectors (SCALE.md). The oracle is the full L2 argmin with "
+   "the same (dist, cid) tie-break; zero shuffle either way")
+def ivf_assign_scaled_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(
+        emb, n_centroids=sim.scaled_centroid_count(emb.count()))
+    return sim.ivf_assign_arrow(emb, cents).select("vec_id", "centroid_id")
+
+
+@q("knn_graph_scaled_embeddings",
+   f"""WITH {_knn_seed_ctes(_SCALED_CENTS_SQL)}
+      SELECT src, dst, nn_rank, cos_sim FROM seed""",
+   "the PRODUCTION k-NN graph recipe, registry-resident (round-12 "
+   "promotion of the recipe the round-11 probes measured 232x faster "
+   "than the fixed pin at 200K vectors): centroid count SCALES with "
+   "the corpus (scaled_centroid_count — cells stay ~64 rows, so the "
+   "within-cell quadratic cost is LINEAR in the corpus, vs the "
+   "exactness twin's fixed 32 whose cells grow with the data), "
+   "assignment through the Arrow matmul kernel (ivf_assign_arrow), "
+   "per-cell top-k through the Arrow applyInPandas kernel — every "
+   "quadratic inner loop is a BLAS matmul, not interpreted expression "
+   "steps. Same one-shuffle shape (groupBy centroid_id) as the twin; "
+   "the oracle is the identical corpus-scaled first-k-quantizer "
+   "definition, pinning BOTH Arrow kernels' values end-to-end")
+def knn_graph_scaled_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(
+        emb, n_centroids=sim.scaled_centroid_count(emb.count()))
+    return sim.knn_graph_within_clusters_arrow(emb, cents, k=5,
+                                               assign="arrow")
+
+
+def _nn_descent_sql(n_cents: int | str) -> str:
+    """One NN-Descent refinement round over the mixed seed (within-cell
+    knn at ``n_cents`` centroids UNION random-hash-bucket knn) —
+    parameterized like :func:`_knn_seed_ctes` so the fixed-32 exactness
+    pin and the corpus-scaled production entry share one definition."""
+    return f"""WITH {_knn_seed_ctes(n_cents)},
       rb AS (SELECT vec_id, embedding,
                     {_H.format(x='vec_id::VARCHAR')} % 64 AS bkt
              FROM embeddings),
@@ -1418,7 +1523,11 @@ def knn_graph_embeddings(spark, sf_dir):
                                        ORDER BY cos_sim DESC, dst)
                       AS nn_rank
              FROM sc)
-      SELECT src, dst, nn_rank, cos_sim FROM rr WHERE nn_rank <= 5""",
+      SELECT src, dst, nn_rank, cos_sim FROM rr WHERE nn_rank <= 5"""
+
+
+@q("nn_descent_graph_embeddings",
+   _nn_descent_sql(32),
    "NN-Descent (Dong'11), one refinement round over the MIXED seed: "
    "within-cell knn (geometric quality) UNION random-hash-bucket knn "
    "(connectivity — a cell-partitioned seed is CLOSED under neighbor-"
@@ -1427,12 +1536,35 @@ def knn_graph_embeddings(spark, sf_dir):
    "neighbors in both directions (E x E self-join on the k-regular "
    "edge list, O(n k^2) rows — never corpus^2), scored by joining the "
    "vector table twice, kept by a src-partitioned rank; recall ladder "
-   "measured in tests/test_ann_recall.py")
+   "measured in tests/test_ann_recall.py. ROLE: fixed-quantizer/HOF "
+   "exactness twin — production composes the same refinement round on "
+   "top of knn_graph_scaled_embeddings' seed (nn_descent(..., "
+   "kernel='arrow') with corpus-scaled centroids); the refinement "
+   "rounds are kernel-identical either way, so this entry pins them")
 def nn_descent_graph_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, n_centroids=32)
     return sim.nn_descent(emb, cents, k=5, rounds=1,
                           random_buckets=64)
+
+
+@q("nn_descent_scaled_embeddings",
+   _nn_descent_sql(_SCALED_CENTS_SQL),
+   "the PRODUCTION NN-Descent recipe, registry-resident: the same "
+   "one-round refinement over the mixed seed, but the within-cell "
+   "seed comes from knn_graph_scaled_embeddings' corpus-scaled "
+   "quantizer (cells ~64 rows — linear seed cost) and BOTH quadratic "
+   "seed kernels run vectorized (kernel='arrow': numpy matmul per "
+   "cell/bucket plus the Arrow assign). The refinement round itself "
+   "is kernel-independent (exact expression-tree re-scoring), so this "
+   "entry pins the full production composition end-to-end against "
+   "the same oracle definition as the fixed-32 exactness twin")
+def nn_descent_scaled_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(
+        emb, n_centroids=sim.scaled_centroid_count(emb.count()))
+    return sim.nn_descent(emb, cents, k=5, rounds=1,
+                          random_buckets=64, kernel="arrow")
 
 
 # ==========================================================================
@@ -6400,6 +6532,43 @@ def cov_shift_by_label_embeddings(spark, sf_dir):
             .select("label", "n", F.round("fro_dist", 6).alias("fro_dist")))
 
 
+def _jl_oracle_sql(dim: int, out_dim: int) -> str:
+    """Oracle for the JL projection: the +-1 matrix is regenerated
+    driver-side (same md5-parity convention as the operator) and
+    embedded as LITERAL sign chains, one explicit left-to-right sum per
+    output dim — the same fixed-order float-sum convention as _DOT, so
+    the only cross-engine difference is the last ulp under round(6)."""
+    from .operators.decomposition import jl_projection_matrix
+
+    arms = []
+    for j, row in enumerate(jl_projection_matrix(dim, out_dim)):
+        terms = " + ".join(
+            f"({'-' if c < 0 else ''}embedding[{i + 1}]::DOUBLE)"
+            for i, c in enumerate(row))
+        arms.append(f"SELECT vec_id, {j} AS dim_index, "
+                    f"round(({terms}) / sqrt({float(out_dim)}), 6) "
+                    f"AS value FROM embeddings")
+    return " UNION ALL ".join(arms)
+
+
+@q("random_projection_embeddings",
+   _jl_oracle_sql(64, 16),
+   "Johnson-Lindenstrauss random projection 64 -> 16 dims "
+   "(Achlioptas'01 +-1 signs): the DATA-BLIND reduction — no fit pass "
+   "at all, distances preserved within (1+-eps) w.h.p. — used before "
+   "sketching/LSH when even one moments pass over the corpus is too "
+   "much (PCA, its data-aware sibling, costs one linear scan). The "
+   "sign matrix is deterministic md5-parity (portable across engines, "
+   "not a PRNG stream), embedded as a literal; each output dim is one "
+   "zip_with/aggregate fold — a zero-shuffle whole-stage-codegen map "
+   "stage. Output as (id, dim_index, value) scalar rows for the "
+   "driver hash; production keeps the pre-explode wide columns")
+def random_projection_embeddings(spark, sf_dir):
+    from .operators.decomposition import random_projection
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=16, dim=64)
+
+
 @q("zipf_slope_by_source",
    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
                FROM documents),
@@ -6672,52 +6841,21 @@ def simhash_hamming_pairs_documents(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-11 rotation (ROTATION.json window_r11): three NEW entries
-    # (the r11 PCA/zipf/contrastive additions, never-hashed) lead per
-    # the rotation policy; the rest is re-attestation — the hashed
-    # entries with the oldest driver hash (r1/r2 era). Pre-verified vs
-    # the DuckDB oracle at sf0.01 via tools/check_parity.py and the
-    # --vanilla default-session lint before promotion.
-    "pca_covariance_embeddings", "cov_shift_by_label_embeddings",
-    "zipf_slope_by_source", "hard_negatives_embeddings",
-    "quantize_binary_embeddings", "ann_hamming_topk_embeddings",
-    "ann_hamming_rerank_topk", "kn_perplexity_documents",
-    "simhash_hamming_pairs_documents",
-    "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
-    "watermark_extract_orders", "density_stats_events",
-    "align_orders_to_target", "topk_orders_by_price",
-    "latest_record_per_user", "revenue_by_nation",
-    "minhash_lsh_pairs_documents", "cdc_custom_sql_orders",
-    "order_priority_exists", "cdc_hybrid_lineitem_ties",
-    "cdc_timestamp_only_events", "cdc_id_only_ceiling_events",
-    "cdc_full_sync_region", "snapshot_diff_orders", "cast_suite_lineitem",
-    "sanitize_scrub_customer", "manifest_anti_join", "verify_counts",
-    "quality_metrics_lineitem", "incremental_agg_orders",
-    "retract_agg_orders", "exact_dedup_documents",
-    "neardup_clusters_documents", "scrub_exact_substrings_documents",
-    "duplicated_spans_documents", "knn_graph_embeddings",
-    "nn_descent_graph_embeddings", "ann_lsh_topk_embeddings",
-    "ann_ivf_topk_embeddings", "ann_lsh_multitable_topk",
-    "mmr_topk_embeddings", "train_val_test_split_documents",
-    "quality_classifier_documents", "classifier_pr_curve_documents",
-    "multimodal_features", "temperature_mixture_by_source",
-    "text_stats_documents", "normalize_text_documents",
-    "er_best_match_customer",
-]
-
-_TAIL = [
-    # hashed entries, oldest last-hash first; regenerated with
-    # tools/rotation.py each round (r11: generated from the union of
-    # CORRECTNESS_r01..r10 last-hash rounds; keyset_page +
-    # tumbling/zorder/hilbert displaced by the first four new r11
-    # entries, then pii_scrub/id_gap/overlapping_intervals/asof by the
-    # binary-Hamming four).
-    "ntile_cumedist_customers",
+    # round-12 rotation (ROTATION.json window_r12): the five NEW r12
+    # entries lead per the rotation policy (never-hashed first) — the
+    # promoted production ANN recipe (Arrow assign, scaled-quantizer
+    # knn graph + NN-Descent), the JL random projection, and the
+    # capped overlap twin; the rest is re-attestation of the oldest
+    # driver hashes (r2/r3 era). Pre-verified vs the DuckDB oracle at
+    # sf0.01 AND sf0.001 via tools/check_parity.py, tuned and
+    # --vanilla sessions.
+    "ivf_assign_scaled_embeddings", "knn_graph_scaled_embeddings",
+    "nn_descent_scaled_embeddings", "random_projection_embeddings",
+    "overlap_coeff_capped_documents", "ntile_cumedist_customers",
     "pii_scrub_customer", "id_gap_audit_orders",
     "overlapping_purchase_intervals_events", "asof_click_attribution",
-    "keyset_page_orders",
-    "tumbling_daily_events", "zorder_keys_events", "hilbert_keys_events",
-    "zorder3_keys_events", "compaction_plan_orders",
+    "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
+    "hilbert_keys_events", "zorder3_keys_events", "compaction_plan_orders",
     "pricing_summary_lineitem", "image_ahash_documents",
     "shipping_priority_top10", "supplier_revenue_by_nation",
     "bm25_search_documents", "cube_status_priority_orders",
@@ -6733,38 +6871,46 @@ _TAIL = [
     "pack_sequences_documents", "frame_sample_documents",
     "salted_join_order_priority", "json_props_extract_events",
     "disjunctive_pred_part_revenue", "waiting_multi_supplier_orders",
-    "knn_label_eval_embeddings", "volume_shipping_pair_nations",
-    "market_share_by_year", "video_metadata_documents",
-    "keyframe_slices_documents", "change_log_apply_orders",
-    "kmv_distinct_by_source", "funnel_ordered_events",
-    "robust_outliers_events", "curriculum_interleave_documents",
-    "checksum_audit_orders", "skew_report_orders", "kmv_union_sources",
-    "ndcg_retrieval_embeddings", "dow_seasonality_events",
-    "classifier_calibration_documents", "cohort_retention_weekly_events",
-    "kcore_dup_graph_documents", "bloom_semi_join_orders",
-    "tfidf_top_terms_documents", "value_histogram_events",
-    "fk_orphan_audit_lineitem", "top_event_paths_sessions",
-    "ann_matryoshka_topk_embeddings", "embedding_drift_halves",
-    "mixture_plan_by_source", "top_supplier_by_revenue",
-    "custdist_orders_per_customer", "returned_item_top_customers",
-    "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
-    "rolling_hour_avg_value", "pivot_status_by_priority",
-    "intersect_click_purchase_users", "label_centroids_embeddings",
-    "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
-    "forecast_revenue_change", "chunk_documents_windowed",
-    "funnel_conversion_events", "cohort_retention_events",
-    "late_shipment_by_priority", "ngram_jaccard_capped_documents",
-    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
-    "gopher_quality_documents", "zscore_outliers_events",
-    "importance_sample_documents", "approx_percentile_check_lineitem",
-    "hll_union_distinct_users", "mixture_sample_by_source",
-    "fuzzy_pairs_customer", "normalized_dedup_documents",
-    "bigram_logprob_documents", "lexical_diversity_by_source",
-    "gopher_pass_rates_by_source", "key_skew_profile_events",
-    "dup_rate_by_source", "unpivot_measure_stats_lineitem",
-    "events_since_last_purchase", "token_pmi_pairs_documents",
-    "purchase_value_daily_gapfilled", "event_transition_matrix",
-    "corr_matrix_lineitem", "table_checksum_orders", "promo_revenue_share",
+    "knn_label_eval_embeddings",
+]
+
+_TAIL = [
+    # hashed entries, oldest last-hash first; regenerated with
+    # tools/rotation.py each round (r12: the 45 re-attestation slots
+    # displaced the r11 window — all 50 of whose entries were hashed
+    # in r11 and therefore now close the tail as newest).
+    "volume_shipping_pair_nations", "market_share_by_year",
+    "video_metadata_documents", "keyframe_slices_documents",
+    "change_log_apply_orders", "kmv_distinct_by_source",
+    "funnel_ordered_events", "robust_outliers_events",
+    "curriculum_interleave_documents", "checksum_audit_orders",
+    "skew_report_orders", "kmv_union_sources", "ndcg_retrieval_embeddings",
+    "dow_seasonality_events", "classifier_calibration_documents",
+    "cohort_retention_weekly_events", "kcore_dup_graph_documents",
+    "bloom_semi_join_orders", "tfidf_top_terms_documents",
+    "value_histogram_events", "fk_orphan_audit_lineitem",
+    "top_event_paths_sessions", "ann_matryoshka_topk_embeddings",
+    "embedding_drift_halves", "mixture_plan_by_source",
+    "top_supplier_by_revenue", "custdist_orders_per_customer",
+    "returned_item_top_customers", "neardup_dedup_keep_canonical",
+    "neardup_cluster_size_histogram", "rolling_hour_avg_value",
+    "pivot_status_by_priority", "intersect_click_purchase_users",
+    "label_centroids_embeddings", "oov_rate_documents",
+    "user_event_sequences", "drift_psi_documents", "forecast_revenue_change",
+    "chunk_documents_windowed", "funnel_conversion_events",
+    "cohort_retention_events", "late_shipment_by_priority",
+    "ngram_jaccard_capped_documents", "neardup_clusters_star_documents",
+    "semantic_dedup_pairs_embeddings", "gopher_quality_documents",
+    "zscore_outliers_events", "importance_sample_documents",
+    "approx_percentile_check_lineitem", "hll_union_distinct_users",
+    "mixture_sample_by_source", "fuzzy_pairs_customer",
+    "normalized_dedup_documents", "bigram_logprob_documents",
+    "lexical_diversity_by_source", "gopher_pass_rates_by_source",
+    "key_skew_profile_events", "dup_rate_by_source",
+    "unpivot_measure_stats_lineitem", "events_since_last_purchase",
+    "token_pmi_pairs_documents", "purchase_value_daily_gapfilled",
+    "event_transition_matrix", "corr_matrix_lineitem",
+    "table_checksum_orders", "promo_revenue_share",
     "min_cost_supplier_per_part", "profit_by_nation_year",
     "important_parts_share", "supplier_count_by_part_attrs",
     "excess_shipped_suppliers", "stable_global_ids_orders",
@@ -6792,7 +6938,31 @@ _TAIL = [
     "session_windows_events", "jaccard_prefix_pairs_documents",
     "fuzzy_decontamination_pairs", "hybrid_search_rrf",
     "ccnet_buckets_by_source", "stratified_sample_by_source",
-    "scd2_history_events",
+    "scd2_history_events", "pca_covariance_embeddings",
+    "cov_shift_by_label_embeddings", "zipf_slope_by_source",
+    "hard_negatives_embeddings", "quantize_binary_embeddings",
+    "ann_hamming_topk_embeddings", "ann_hamming_rerank_topk",
+    "kn_perplexity_documents", "simhash_hamming_pairs_documents",
+    "winnowing_dup_fingerprints_documents", "cdc_time_window_events",
+    "watermark_extract_orders", "density_stats_events",
+    "align_orders_to_target", "topk_orders_by_price",
+    "latest_record_per_user", "revenue_by_nation",
+    "minhash_lsh_pairs_documents", "cdc_custom_sql_orders",
+    "order_priority_exists", "cdc_hybrid_lineitem_ties",
+    "cdc_timestamp_only_events", "cdc_id_only_ceiling_events",
+    "cdc_full_sync_region", "snapshot_diff_orders", "cast_suite_lineitem",
+    "sanitize_scrub_customer", "manifest_anti_join", "verify_counts",
+    "quality_metrics_lineitem", "incremental_agg_orders",
+    "retract_agg_orders", "exact_dedup_documents",
+    "neardup_clusters_documents", "scrub_exact_substrings_documents",
+    "duplicated_spans_documents", "knn_graph_embeddings",
+    "nn_descent_graph_embeddings", "ann_lsh_topk_embeddings",
+    "ann_ivf_topk_embeddings", "ann_lsh_multitable_topk",
+    "mmr_topk_embeddings", "train_val_test_split_documents",
+    "quality_classifier_documents", "classifier_pr_curve_documents",
+    "multimodal_features", "temperature_mixture_by_source",
+    "text_stats_documents", "normalize_text_documents",
+    "er_best_match_customer",
 ]
 
 

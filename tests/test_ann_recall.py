@@ -506,3 +506,26 @@ def test_knn_arrow_assign_kernel_same_graph(spark, vectors):
          for r in sim.knn_graph_within_clusters_arrow(
              vectors, cents, k=4, assign="arrow").collect()}
     assert a == b
+
+
+def test_scaled_arrow_graph_equals_hof_graph(vectors):
+    """The registry-resident production recipe (corpus-scaled quantizer
+    + Arrow matmul kernels) must produce the SAME graph as the
+    interpreted HOF kernels on the same centroids — the cross-kernel
+    exactness pin behind knn_graph_scaled_embeddings."""
+    n = sim.scaled_centroid_count(vectors.count())
+    cents = sim.ivf_centroids(vectors, n_centroids=n)
+    hof = {(r["src"], r["dst"], r["nn_rank"], r["cos_sim"])
+           for r in sim.knn_graph_within_clusters(
+               vectors, cents, k=5).collect()}
+    arrow = {(r["src"], r["dst"], r["nn_rank"], r["cos_sim"])
+             for r in sim.knn_graph_within_clusters_arrow(
+                 vectors, cents, k=5, assign="arrow").collect()}
+    assert arrow == hof and len(hof) > 0
+
+
+def test_scaled_centroid_count_rule():
+    assert sim.scaled_centroid_count(500) == 7
+    assert sim.scaled_centroid_count(5000) == 78
+    assert sim.scaled_centroid_count(50) == 4          # floor
+    assert sim.scaled_centroid_count(6_400_000) == 100_000

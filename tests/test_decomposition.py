@@ -157,3 +157,53 @@ def test_moments_merge_equals_full_scan(embeddings, emb_np):
 def test_merge_moments_dimension_mismatch():
     with pytest.raises(ValueError):
         dc.merge_moments((1, [1.0], [1.0]), (1, [1.0, 2.0], [1.0] * 4))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+def test_jl_matrix_deterministic_and_pm1():
+    m1 = dc.jl_projection_matrix(64, 16)
+    m2 = dc.jl_projection_matrix(64, 16)
+    assert m1 == m2
+    assert all(c in (1.0, -1.0) for row in m1 for c in row)
+    assert dc.jl_projection_matrix(64, 16, salt="other") != m1
+    # both signs actually occur (parity of a 60-bit hash, not constant)
+    flat = [c for row in m1 for c in row]
+    assert 0.3 < flat.count(1.0) / len(flat) < 0.7
+
+
+def test_random_projection_matches_numpy(embeddings, emb_np):
+    mat = np.asarray(dc.jl_projection_matrix(64, 16))
+    want = np.round(emb_np @ mat.T / np.sqrt(16.0), 6)
+    rows = dc.random_projection(embeddings, out_dim=16, dim=64).collect()
+    ids = [r["vec_id"] for r in
+           embeddings.select("vec_id").orderBy("vec_id").collect()]
+    idx = {v: i for i, v in enumerate(ids)}
+    assert len(rows) == emb_np.shape[0] * 16
+    for r in rows:
+        assert r["value"] == pytest.approx(
+            want[idx[r["vec_id"]], r["dim_index"]], abs=1e-6)
+
+
+def test_random_projection_preserves_distances(emb_np):
+    """JL contract on real data: projected pairwise squared distances
+    concentrate around the originals (loose tolerance — m=16)."""
+    mat = np.asarray(dc.jl_projection_matrix(64, 16))
+    proj = emb_np @ mat.T / np.sqrt(16.0)
+    rng = np.random.RandomState(7)
+    pairs = rng.choice(len(emb_np), size=(50, 2))
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    d0 = ((emb_np[pairs[:, 0]] - emb_np[pairs[:, 1]]) ** 2).sum(axis=1)
+    d1 = ((proj[pairs[:, 0]] - proj[pairs[:, 1]]) ** 2).sum(axis=1)
+    ratio = d1 / d0
+    assert 0.8 < np.median(ratio) < 1.25
+
+
+def test_random_projection_plan_is_map_only(embeddings):
+    plan = dc.random_projection(embeddings, out_dim=4, dim=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                 "SortMergeJoin"):
+        assert node not in plan

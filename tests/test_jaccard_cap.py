@@ -20,6 +20,26 @@ def test_capped_jaccard_is_lower_bound_subset(spark, documents):
         assert j <= full[pair] + 1e-9
 
 
+def test_capped_overlap_is_lower_bound_subset(spark, documents):
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        overlap_coefficient_pairs,
+    )
+    docs = documents.limit(200)
+    full = {(r["id_a"], r["id_b"]): r["overlap"]
+            for r in overlap_coefficient_pairs(
+                docs, n=3, threshold=0.0).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["overlap"]
+              for r in overlap_coefficient_pairs(
+                  docs, n=3, threshold=0.0, max_doc_freq=5).collect()}
+    assert len(full) > 0
+    # stop-shingles leave the numerator only: every capped pair exists
+    # uncapped with overlap <= the exact value (min-size denominator is
+    # computed from the UNCAPPED sets on purpose)
+    for pair, ov in capped.items():
+        assert pair in full
+        assert ov <= full[pair] + 1e-9
+
+
 def test_cap_of_zero_prunes_everything(spark, documents):
     out = ngram_jaccard_pairs(documents.limit(50), n=3, threshold=0.0,
                               max_doc_freq=0)

@@ -111,6 +111,44 @@ def test_uncapped_jaccard_registry_entry_is_labeled():
 
 
 # ---------------------------------------------------------------------------
+# contract 1f: the capped overlap-coefficient twin bounds its CANDIDATE
+# COUNT (the quantity that explodes), mirroring the jaccard cap fence
+# ---------------------------------------------------------------------------
+
+def _overlap_candidates(spark, sf_path: str, cap: int | None) -> int:
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        _ngram_pair_counts)
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_path, "documents")
+    return _ngram_pair_counts(docs, "text", "doc_id", 3, cap).count()
+
+
+def test_overlap_cap_shrinks_candidates(spark):
+    small = _overlap_candidates(spark, "/root/testdata/sf0.01", None)
+    capped = _overlap_candidates(spark, "/root/testdata/sf0.01", 3)
+    assert 0 < capped < small, (
+        f"max_doc_freq=3 must strictly shrink the candidate set "
+        f"({small} -> {capped})")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF1),
+                    reason="10x fixture absent — regenerate with "
+                           "tools/make_scale_fixture.py")
+def test_overlap_capped_candidate_growth_bounded(spark):
+    c_small = _overlap_candidates(spark, "/root/testdata/sf0.1", 3)
+    c_big = _overlap_candidates(spark, SF1, 3)
+    # every shingle's doc frequency is exactly 10x on this fixture, so
+    # the df<=3 stop-shingle guard prunes MORE aggressively at scale —
+    # capped candidates must grow at most linearly (the uncapped twin
+    # measured x16-27 wall here)
+    ratio = c_big / max(c_small, 1)
+    assert ratio <= 12.0, (
+        f"capped overlap candidates grew x{ratio:.1f} for 10x data "
+        f"({c_small} -> {c_big}) — the df cap stopped pruning")
+
+
+# ---------------------------------------------------------------------------
 # contract 2: er blocking candidate growth is linear (count, not wall)
 # ---------------------------------------------------------------------------
 

@@ -1,16 +1,53 @@
 """Unit tests for tools/scale_probe.py's keep-cleaner accumulation —
 the r11 defense against host-noise overwrites (one loaded sweep must
-not replace a clean artifact; a CODE change must)."""
+not replace a clean artifact; a CODE change must) — plus the r12
+adjudication lint: the artifact may not carry UNEXPLAINED scale-killer
+flags (every BroadcastNestedLoopJoin must be proven a scalar broadcast
+or deliberately kept as a real flag, which fails here until fixed)."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from scale_probe import _keep_cleaner  # noqa: E402
+
+
+def test_artifact_has_no_unexplained_scale_killers():
+    """r11 shipped 22 rows flagged scale_killers=[BNLJ] whose only
+    instances were the benign 1-row threshold-broadcast idiom; the
+    adjudicator (tools/scale_probe.py --adjudicate) proves the build
+    sides scalar and clears the flag. This lint keeps the artifact
+    honest: a NEW real killer (CartesianProduct, or a BNLJ whose build
+    side is not a provable scalar) fails CI until the plan is fixed or
+    the entry is explicitly removed."""
+    acc = json.load(open(os.path.join(REPO, "scale_probe_results.json")))
+    offenders = {name: row["scale_killers"]
+                 for name, row in acc.items()
+                 if row.get("scale_killers")}
+    assert not offenders, (
+        f"unadjudicated scale-killer flags in scale_probe_results.json: "
+        f"{offenders} — run python tools/scale_probe.py --adjudicate, "
+        "then fix any flag that survives (it is a real nested-loop "
+        "risk, not the scalar-broadcast idiom)")
+
+
+def test_adjudicated_rows_carry_bnlj_evidence():
+    """A row whose flag was cleared must say WHY: bnlj_total ==
+    bnlj_benign (every instance proven corpus-independent)."""
+    acc = json.load(open(os.path.join(REPO, "scale_probe_results.json")))
+    bad = {}
+    for name, row in acc.items():
+        ev = row.get("benign_broadcasts")
+        if ev and ev["bnlj_total"] != ev["bnlj_benign"] \
+                and not row.get("scale_killers"):
+            bad[name] = ev
+    assert not bad, (f"rows with unproven BNLJ instances but no flag: "
+                     f"{bad}")
 
 
 def _rec(sf01, sf1, killers=(), diff=None):
