@@ -1130,6 +1130,10 @@ def ann_lsh_multitable_topk(spark, sf_dir):
 _L2 = ("list_sum(list_transform(generate_series(1, len({a})), "
        "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))")
 
+# the production quantizer-sizing rule as SQL: centroids proportional
+# to the corpus (cell populations stay ~64 at every scale)
+_SCALED_CENTS_SQL = "(SELECT greatest(4, count(*) // 64) FROM embeddings)"
+
 @q("ann_ivf_topk_embeddings",
    f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
                  FROM embeddings WHERE vec_id < 8),
@@ -1373,6 +1377,46 @@ def semantic_dedup_pairs_embeddings(spark, sf_dir):
     return sim.semantic_dedup_pairs(emb, cents, threshold=0.3)
 
 
+@q("semantic_dedup_scaled_embeddings",
+   f"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < {_SCALED_CENTS_SQL}),
+      d AS (SELECT e.vec_id, e.embedding, c.cid,
+                   {_L2.format(a='e.embedding', b='c.cv')} AS dist
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d),
+      assign AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+      ok AS (SELECT cid FROM assign GROUP BY cid
+             HAVING count(*) BETWEEN 2 AND 4096)
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({_DOT.format(a='x.embedding', b='y.embedding')}
+                   / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                      * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+               AS cos_sim
+      FROM assign x JOIN assign y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN ok ON ok.cid = x.cid
+      WHERE round({_DOT.format(a='x.embedding', b='y.embedding')}
+                  / (sqrt({_DOT.format(a='x.embedding', b='x.embedding')})
+                     * sqrt({_DOT.format(a='y.embedding', b='y.embedding')})), 6)
+            >= 0.3""",
+   "the PRODUCTION SemDeDup candidate generator, registry-resident "
+   "(round-12 sibling of knn_graph_scaled): corpus-scaled quantizer "
+   "(scaled_centroid_count — cells ~64 rows, within-cell quadratic "
+   "cost LINEAR in the corpus vs the fixed-8 exactness twin's x36 at "
+   "10x), Arrow matmul assignment AND an Arrow matmul pair kernel "
+   "(one g x g matmul + upper-triangle slice per cell instead of "
+   "interpreted per-pair HOF aggregates), capped by default "
+   "(max_cluster_size=4096 — the oracle carries the same "
+   "HAVING-count cap so the drop semantics are pinned, not just the "
+   "happy path). One call: semantic_dedup_pairs_scaled")
+def semantic_dedup_scaled_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_pairs_scaled(emb, threshold=0.3)
+
+
 # within-cell k-NN seed graph (first-n quantizer, k=5): shared CTE
 # chain for the knn-graph and NN-Descent oracles; parameterized on the
 # centroid count — an int literal for the fixed-32 exactness pins, or
@@ -1425,11 +1469,6 @@ def knn_graph_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, n_centroids=32)
     return sim.knn_graph_within_clusters(emb, cents, k=5)
-
-
-# the production quantizer-sizing rule as SQL: centroids proportional
-# to the corpus (cell populations stay ~64 at every scale)
-_SCALED_CENTS_SQL = "(SELECT greatest(4, count(*) // 64) FROM embeddings)"
 
 
 @q("ivf_assign_scaled_embeddings",
@@ -6841,18 +6880,18 @@ def simhash_hamming_pairs_documents(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-12 rotation (ROTATION.json window_r12): the five NEW r12
+    # round-12 rotation (ROTATION.json window_r12): the six NEW r12
     # entries lead per the rotation policy (never-hashed first) — the
-    # promoted production ANN recipe (Arrow assign, scaled-quantizer
-    # knn graph + NN-Descent), the JL random projection, and the
-    # capped overlap twin; the rest is re-attestation of the oldest
-    # driver hashes (r2/r3 era). Pre-verified vs the DuckDB oracle at
-    # sf0.01 AND sf0.001 via tools/check_parity.py, tuned and
-    # --vanilla sessions.
+    # promoted production ANN/SemDeDup recipes (Arrow assign, scaled
+    # quantizer knn graph + NN-Descent + semantic-dedup pairs), the
+    # JL random projection, and the capped overlap twin; the rest is
+    # re-attestation of the oldest driver hashes (r2/r3 era).
+    # Pre-verified vs the DuckDB oracle at sf0.01 AND sf0.001 via
+    # tools/check_parity.py, tuned and --vanilla sessions.
     "ivf_assign_scaled_embeddings", "knn_graph_scaled_embeddings",
     "nn_descent_scaled_embeddings", "random_projection_embeddings",
-    "overlap_coeff_capped_documents", "ntile_cumedist_customers",
-    "pii_scrub_customer", "id_gap_audit_orders",
+    "overlap_coeff_capped_documents", "semantic_dedup_scaled_embeddings",
+    "ntile_cumedist_customers", "pii_scrub_customer", "id_gap_audit_orders",
     "overlapping_purchase_intervals_events", "asof_click_attribution",
     "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
     "hilbert_keys_events", "zorder3_keys_events", "compaction_plan_orders",
@@ -6871,46 +6910,45 @@ _WINDOW = [
     "pack_sequences_documents", "frame_sample_documents",
     "salted_join_order_priority", "json_props_extract_events",
     "disjunctive_pred_part_revenue", "waiting_multi_supplier_orders",
-    "knn_label_eval_embeddings",
 ]
 
 _TAIL = [
     # hashed entries, oldest last-hash first; regenerated with
-    # tools/rotation.py each round (r12: the 45 re-attestation slots
+    # tools/rotation.py each round (r12: the 44 re-attestation slots
     # displaced the r11 window — all 50 of whose entries were hashed
     # in r11 and therefore now close the tail as newest).
-    "volume_shipping_pair_nations", "market_share_by_year",
-    "video_metadata_documents", "keyframe_slices_documents",
-    "change_log_apply_orders", "kmv_distinct_by_source",
-    "funnel_ordered_events", "robust_outliers_events",
-    "curriculum_interleave_documents", "checksum_audit_orders",
-    "skew_report_orders", "kmv_union_sources", "ndcg_retrieval_embeddings",
-    "dow_seasonality_events", "classifier_calibration_documents",
-    "cohort_retention_weekly_events", "kcore_dup_graph_documents",
-    "bloom_semi_join_orders", "tfidf_top_terms_documents",
-    "value_histogram_events", "fk_orphan_audit_lineitem",
-    "top_event_paths_sessions", "ann_matryoshka_topk_embeddings",
-    "embedding_drift_halves", "mixture_plan_by_source",
-    "top_supplier_by_revenue", "custdist_orders_per_customer",
-    "returned_item_top_customers", "neardup_dedup_keep_canonical",
-    "neardup_cluster_size_histogram", "rolling_hour_avg_value",
-    "pivot_status_by_priority", "intersect_click_purchase_users",
-    "label_centroids_embeddings", "oov_rate_documents",
-    "user_event_sequences", "drift_psi_documents", "forecast_revenue_change",
-    "chunk_documents_windowed", "funnel_conversion_events",
-    "cohort_retention_events", "late_shipment_by_priority",
-    "ngram_jaccard_capped_documents", "neardup_clusters_star_documents",
-    "semantic_dedup_pairs_embeddings", "gopher_quality_documents",
-    "zscore_outliers_events", "importance_sample_documents",
-    "approx_percentile_check_lineitem", "hll_union_distinct_users",
-    "mixture_sample_by_source", "fuzzy_pairs_customer",
-    "normalized_dedup_documents", "bigram_logprob_documents",
-    "lexical_diversity_by_source", "gopher_pass_rates_by_source",
-    "key_skew_profile_events", "dup_rate_by_source",
-    "unpivot_measure_stats_lineitem", "events_since_last_purchase",
-    "token_pmi_pairs_documents", "purchase_value_daily_gapfilled",
-    "event_transition_matrix", "corr_matrix_lineitem",
-    "table_checksum_orders", "promo_revenue_share",
+    "knn_label_eval_embeddings", "volume_shipping_pair_nations",
+    "market_share_by_year", "video_metadata_documents",
+    "keyframe_slices_documents", "change_log_apply_orders",
+    "kmv_distinct_by_source", "funnel_ordered_events",
+    "robust_outliers_events", "curriculum_interleave_documents",
+    "checksum_audit_orders", "skew_report_orders", "kmv_union_sources",
+    "ndcg_retrieval_embeddings", "dow_seasonality_events",
+    "classifier_calibration_documents", "cohort_retention_weekly_events",
+    "kcore_dup_graph_documents", "bloom_semi_join_orders",
+    "tfidf_top_terms_documents", "value_histogram_events",
+    "fk_orphan_audit_lineitem", "top_event_paths_sessions",
+    "ann_matryoshka_topk_embeddings", "embedding_drift_halves",
+    "mixture_plan_by_source", "top_supplier_by_revenue",
+    "custdist_orders_per_customer", "returned_item_top_customers",
+    "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
+    "rolling_hour_avg_value", "pivot_status_by_priority",
+    "intersect_click_purchase_users", "label_centroids_embeddings",
+    "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
+    "forecast_revenue_change", "chunk_documents_windowed",
+    "funnel_conversion_events", "cohort_retention_events",
+    "late_shipment_by_priority", "ngram_jaccard_capped_documents",
+    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
+    "gopher_quality_documents", "zscore_outliers_events",
+    "importance_sample_documents", "approx_percentile_check_lineitem",
+    "hll_union_distinct_users", "mixture_sample_by_source",
+    "fuzzy_pairs_customer", "normalized_dedup_documents",
+    "bigram_logprob_documents", "lexical_diversity_by_source",
+    "gopher_pass_rates_by_source", "key_skew_profile_events",
+    "dup_rate_by_source", "unpivot_measure_stats_lineitem",
+    "events_since_last_purchase", "token_pmi_pairs_documents",
+    "purchase_value_daily_gapfilled", "event_transition_matrix",
+    "corr_matrix_lineitem", "table_checksum_orders", "promo_revenue_share",
     "min_cost_supplier_per_part", "profit_by_nation_year",
     "important_parts_share", "supplier_count_by_part_attrs",
     "excess_shipped_suppliers", "stable_global_ids_orders",

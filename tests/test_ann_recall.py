@@ -529,3 +529,29 @@ def test_scaled_centroid_count_rule():
     assert sim.scaled_centroid_count(5000) == 78
     assert sim.scaled_centroid_count(50) == 4          # floor
     assert sim.scaled_centroid_count(6_400_000) == 100_000
+
+
+def test_arrow_pairs_kernel_equals_hof_pairs(vectors):
+    """The Arrow matmul pair kernel behind semantic_dedup_pairs_scaled
+    must produce the SAME pairs as the interpreted HOF kernel on the
+    same assignment (including the max_group_size drop semantics)."""
+    n = sim.scaled_centroid_count(vectors.count())
+    cents = sim.ivf_centroids(vectors, n_centroids=n)
+    assigned = sim.ivf_assign(vectors, cents)
+    for cap in (None, 60):
+        hof = {(r["id_a"], r["id_b"], r["cos_sim"])
+               for r in sim._pairs_within_key(
+                   assigned, "centroid_id", 0.3, n,
+                   "embedding", "vec_id", cap).collect()}
+        arrow = {(r["id_a"], r["id_b"], r["cos_sim"])
+                 for r in sim._pairs_within_key_arrow(
+                     assigned, "centroid_id", 0.3,
+                     "embedding", "vec_id", cap).collect()}
+        assert arrow == hof
+    assert hof  # the capped run still keeps some clusters
+
+
+def test_semantic_dedup_scaled_is_capped_by_default():
+    import inspect
+    sig = inspect.signature(sim.semantic_dedup_pairs_scaled)
+    assert sig.parameters["max_cluster_size"].default == 4096

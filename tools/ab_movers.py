@@ -13,11 +13,12 @@ equally; per side keep the best-of-N per query (additive-noise model,
 same rationale as _keep_cleaner).
 
 Usage:
-    python tools/ab_movers.py [old_commit] [rounds]
-defaults: f1d0422 (the commit whose sweep produced bench_full_r14.json)
-and 3 alternations. Prints one JSON line with per-query old/new bests
-and the verdict per mover: "code" if new is >25% slower than old ON THE
-SAME HOST AT THE SAME TIME, else "environment".
+    python tools/ab_movers.py [old_commit] [rounds] [names...]
+defaults: f1d0422 (the commit whose sweep produced bench_full_r14.json),
+3 alternations, and the five r20-flagged movers. Prints one JSON line
+with per-query old/new bests and the verdict per mover: "code" if new
+is >25% slower than old ON THE SAME HOST AT THE SAME TIME, else
+"environment".
 """
 
 from __future__ import annotations
@@ -80,6 +81,7 @@ def run_side(path: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     old_commit = sys.argv[1] if len(sys.argv) > 1 else "f1d0422"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    movers = sys.argv[3:] or MOVERS
     wt = tempfile.mkdtemp(prefix="ab_movers_")
     subprocess.run(["git", "-C", REPO, "worktree", "add", "--detach",
                     wt, old_commit], check=True, capture_output=True)
@@ -88,9 +90,9 @@ def main() -> None:
         new_best: dict[str, float] = {}
         for i in range(rounds):
             os.sync()
-            o = run_side(wt, MOVERS)
+            o = run_side(wt, movers)
             os.sync()
-            n = run_side(REPO, MOVERS)
+            n = run_side(REPO, movers)
             print(f"# alternation {i + 1}: old={o} new={n}",
                   file=sys.stderr)
             for k, v in o.items():
@@ -98,7 +100,7 @@ def main() -> None:
             for k, v in n.items():
                 new_best[k] = min(new_best.get(k, float("inf")), v)
         verdicts = {}
-        for k in MOVERS:
+        for k in movers:
             ratio = new_best[k] / old_best[k]
             verdicts[k] = {"old_best": old_best[k],
                            "new_best": new_best[k],
