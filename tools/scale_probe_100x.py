@@ -105,6 +105,11 @@ def main() -> None:
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the Python-worker pool too: the first mapInPandas otherwise
+    # charges worker spawn + Arrow init to whichever workload runs first
+    # (observed: ivf_assign_scaled read 190 s cold vs ~8 s warm)
+    spark.range(1_000).mapInPandas(lambda it: it, schema="id long") \
+         .write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {"fixture": {
         "dir": SF10, "replicas": 100, "source": SF01}}
