@@ -96,3 +96,43 @@ def test_format_migration_takes_new():
     old = {"sf01_sec": 0.1, "sf1_sec": 0.1}
     new = _rec(5.0, 9.0)
     assert _keep_cleaner(old, new) is new
+
+
+# ---------------------------------------------------------------------------
+# the adjudicator's Catalyst-condition parser (pure Python — the lint
+# above trusts these proofs, so the parser itself gets pinned)
+# ---------------------------------------------------------------------------
+
+from scale_probe import (_ISNOTNULL, _KEY_BOUND,  # noqa: E402
+                         _split_conjuncts, _strip_outer_parens)
+
+
+def test_strip_outer_parens():
+    assert _strip_outer_parens("(a AND b)") == "a AND b"
+    assert _strip_outer_parens("((a AND b))") == "a AND b"
+    # the first '(' closes early: NOT an outer wrapper
+    assert _strip_outer_parens("(a) AND (b)") == "(a) AND (b)"
+    assert _strip_outer_parens("plain") == "plain"
+
+
+def test_split_conjuncts_literal_key_shapes():
+    cs = _split_conjuncts("(isnotnull(vec_id#6L) AND (vec_id#6L < 4))")
+    assert cs == ["isnotnull(vec_id#6L)", "vec_id#6L < 4"]
+    assert _ISNOTNULL.match(cs[0]) and _KEY_BOUND.match(cs[1])
+    cs = _split_conjuncts("(isnotnull(vec_id#47L) AND (vec_id#47L < 50))")
+    assert all(_ISNOTNULL.match(c) or _KEY_BOUND.match(c) for c in cs)
+
+
+def test_key_bound_rejects_non_literal_shapes():
+    # joins to another column, functions, string literals: NOT a
+    # plan-time-fixed id set — must not match
+    for bad in ("a#1 < b#2", "substr(a#1, 1, 3) = 5", "a#1 < x#9",
+                "a#1 IN (1,2,3)", "a#1 >= 4", "a#1 < 4.5"):
+        assert not _KEY_BOUND.match(bad), bad
+
+
+def test_split_conjuncts_nested_and_inside_parens():
+    # an AND nested inside parens is NOT a top-level conjunct boundary
+    cs = _split_conjuncts("((a#1 < 3 AND b#2 = 5)) AND isnotnull(c#3)")
+    assert cs == ["a#1 < 3 AND b#2 = 5", "isnotnull(c#3)"]
+    assert not _KEY_BOUND.match(cs[0])     # compound conjunct: rejected
