@@ -163,6 +163,11 @@ def main() -> None:
     # headline deltas pure noise. Wait briefly for the box to go quiet
     # and RECORD the spread so the artifact carries its own error bar.
     load_at_start = _wait_for_idle(max_wait_sec=60)
+    # load5/load15 give the adjudication trail the "was the host ALREADY
+    # loud before the sweep" signal (r12 verdict item 7) — load1 alone
+    # can read low at the sampling instant of a bursty neighbor
+    _, load5_at_start, load15_at_start = (round(v, 2)
+                                          for v in os.getloadavg())
     # one UNTIMED canary first: the canary plan's own first execution
     # pays codegen/JIT, which made the r11 start canary read 2.6x the
     # end canary on an otherwise-fine host — the canary must measure
@@ -197,7 +202,13 @@ def main() -> None:
         return time.perf_counter() - t0
 
     query_times: dict[str, float] = {}
+    # per-query start load (r12 verdict item 7): every mover
+    # adjudication this round reduced to "what was the host doing at
+    # that moment", and the artifact only sampled the sweep start —
+    # record the 1-min load at each query's start in the full artifact
+    query_load1: dict[str, float] = {}
     for name, spec in REGISTRY.items():
+        query_load1[name] = round(os.getloadavg()[0], 2)
         query_times[name] = round(min(time_query(spec), time_query(spec)), 3)
 
     # Outlier re-time: best-of-2 inside a ~100s sweep does not survive a
@@ -260,16 +271,40 @@ def main() -> None:
                 or _pair_degraded(canary_py_start, canary_py_end,
                                   canary_py_prior))
 
+    # Noisy tier (r12 verdict item 1): the r12 sweep published a
+    # below-baseline headline from a host whose instruments all said
+    # "loaded" (py-canary end +29% over its prior median, 49.6%
+    # headline spread, load1 2.35) yet passed degraded:false because
+    # both canaries sat under the 1.5x pair gate. `noisy` is the
+    # actuator for those softer signals: EITHER canary's END above
+    # 1.25x its prior-median, or headline spread above 30%. A noisy
+    # sweep's numbers are still reported, but the sweep is EXCLUDED as
+    # a comparison baseline for future rounds (outlier detection,
+    # canary medians, regressions diff) exactly like a degraded one.
+    def _pair_noisy(end: float, prior: float | None) -> bool:
+        return prior is not None and end > 1.25 * prior
+
+    noisy = (degraded
+             or _pair_noisy(canary_end, canary_prior)
+             or _pair_noisy(canary_py_end, canary_py_prior)
+             or spread_pct > 30.0)
+
     # Headline retime (r10 verdict item 1b): the outlier-retime loop
     # above never covered the headline itself, so r10's artifact
     # published a 45% phantom collapse uncontested. If the best-of-3
     # headline exceeds 1.4x the prior non-degraded round's, or the
-    # sweep is flagged degraded, re-run the headline after a GC and
-    # record both numbers.
+    # sweep is flagged degraded/noisy, re-run the headline after a GC
+    # and record both numbers. `headline_retime_attempted` records
+    # that the gate FIRED even when the extra runs were not faster —
+    # r12's artifact could not distinguish "not attempted" from
+    # "attempted, no improvement" (headline_retimed_from stays null in
+    # both cases).
     headline_retimed_from = None
+    headline_retime_attempted = False
     prior_headline = prior_full.get("value")
-    if (degraded or (prior_headline is not None
-                     and headline_sec > 1.4 * prior_headline)):
+    if (degraded or noisy or (prior_headline is not None
+                              and headline_sec > 1.4 * prior_headline)):
+        headline_retime_attempted = True
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
         extra = [headline_sync(spark)[0] for _ in range(2)]
@@ -283,6 +318,12 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
+        # format 3 (ADVICE r12): declares the r11+ schema — the full
+        # artifact's retimed_outliers is name -> {was, final} (was
+        # name -> float through r10 files) and the bounded stdout line
+        # carries an int retime COUNT; longitudinal readers branch on
+        # this field instead of sniffing value types.
+        "format": 3,
         "metric": "e2e_sync_lineitem_read_cdc_align_partitioned_write",
         "value": round(headline_sec, 3),
         "unit": "sec",
@@ -295,6 +336,10 @@ def main() -> None:
         "headline_runs_sec": [round(r, 3) for r in runs],
         "headline_spread_pct": spread_pct,
         "load1_at_start": load_at_start,
+        "load5_at_start": load5_at_start,
+        "load15_at_start": load15_at_start,
+        "query_load1": query_load1,   # full artifact only (stripped
+                                      # from the bounded stdout line)
         "baseline_rows_per_sec": 233_000,
         "total_query_sec": round(sum(query_times.values()), 3),
         "retimed_outliers": retimed,   # name -> {was, final} provenance
@@ -308,7 +353,9 @@ def main() -> None:
                                        if canary_py_prior is not None
                                        else None),
         "degraded": degraded,
+        "noisy": noisy,
         "headline_retimed_from": headline_retimed_from,
+        "headline_retime_attempted": headline_retime_attempted,
     }
     full_file = _persist_full_history(result)
 
@@ -338,7 +385,8 @@ def _wait_for_idle(max_wait_sec: int) -> float:
 
 
 def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
-    slim = {k: v for k, v in result.items() if k != "queries"}
+    slim = {k: v for k, v in result.items()
+            if k not in ("queries", "query_load1")}
     # the per-query {was, final} provenance map can alone exceed the
     # stdout budget (41 retimes in r20); the full file has it — the
     # line carries only the count
@@ -371,18 +419,45 @@ def _prior_full_files() -> list[str]:
         key=lambda f: int(re.search(r"r(\d+)\.json$", f).group(1)))
 
 
+def _excluded_as_baseline(data: dict) -> bool:
+    """A sweep is unusable as a round-over-round comparison baseline
+    when it self-reported degraded (canary pair gate) OR noisy (canary
+    end above 1.25x prior median / spread above 30% — r12 verdict
+    item 1). Pre-format-3 artifacts have no `noisy` field but DO
+    record the fields the tier is computed from (their own canary ends
+    + the prior medians they saw), so classify them retroactively —
+    this is what excludes r23 (spread 49.6%, py-canary end 1.29x its
+    recorded prior median), the sweep the r12 verdict adjudicated as
+    measured-noisy."""
+    if data.get("degraded"):
+        return True
+    if "noisy" in data:
+        return bool(data["noisy"])
+    if (data.get("headline_spread_pct") or 0.0) > 30.0:
+        return True
+    for end_k, prior_k in (("canary_end_sec", "canary_prior_median_sec"),
+                           ("canary_py_end_sec",
+                            "canary_py_prior_median_sec")):
+        end, prior = data.get(end_k), data.get(prior_k)
+        if (isinstance(end, (int, float)) and isinstance(prior, (int, float))
+                and end > 1.25 * prior):
+            return True
+    return False
+
+
 def _prior_round_full(skip_degraded: bool = True) -> dict:
-    """Full result dict of the most recent NON-degraded sweep — the
-    cost baseline for outlier detection and the headline retime gate.
-    Degraded sweeps (host-load phantom, e.g. round 10's r15 file) are
-    skipped so phantoms don't become next round's baseline."""
+    """Full result dict of the most recent quiet sweep — the cost
+    baseline for outlier detection and the headline retime gate.
+    Degraded/noisy sweeps (host-load phantom, e.g. round 10's r15
+    file; round 12's r23 inflation) are skipped so phantoms don't
+    become next round's baseline."""
     for f in reversed(_prior_full_files()):
         try:
             with open(f) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        if skip_degraded and data.get("degraded"):
+        if skip_degraded and _excluded_as_baseline(data):
             continue
         return data
     return {}
@@ -391,9 +466,9 @@ def _prior_round_full(skip_degraded: bool = True) -> dict:
 def _prior_canary_median(keys: tuple[str, str] = ("canary_start_sec",
                                                   "canary_end_sec")
                          ) -> float | None:
-    """Median of the given canary fields across prior non-degraded
-    sweeps (default: the JVM-compute canary; pass the canary_py_* keys
-    for the shuffle+Python one)."""
+    """Median of the given canary fields across prior quiet sweeps
+    (default: the JVM-compute canary; pass the canary_py_* keys for
+    the shuffle+Python one)."""
     vals = []
     for f in _prior_full_files():
         try:
@@ -401,7 +476,7 @@ def _prior_canary_median(keys: tuple[str, str] = ("canary_start_sec",
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        if data.get("degraded"):
+        if _excluded_as_baseline(data):
             continue
         for k in keys:
             if isinstance(data.get(k), (int, float)):
@@ -416,8 +491,13 @@ def _persist_full_history(result: dict) -> str:
     """The driver truncates BENCH_r{N}.json to a 2 KB tail, which makes
     round-over-round per-query diffs impossible from the artifacts
     alone. Keep the FULL result in-repo as bench_full_r{NN}.json (round
-    index = latest driver BENCH_r file + 1) and refresh a marked
-    regressions-vs-prior block in PERF.md."""
+    index = latest driver BENCH_r file + 1) and write the
+    regressions-vs-prior block to an UNTRACKED sidecar
+    (bench_regressions_r{NN}.md) that tools/fold_regressions.py folds
+    into PERF.md at the start of the next session. bench.py editing
+    PERF.md directly left the tree dirty at three consecutive round
+    closes (the driver runs bench AFTER the final commit — r12 verdict
+    item 5)."""
     import glob
     import re
 
@@ -446,19 +526,26 @@ def _persist_full_history(result: dict) -> str:
             and int(m.group(1)) < n):
         try:
             with open(f) as fh:
-                if not json.load(fh).get("degraded"):
+                if not _excluded_as_baseline(json.load(fh)):
                     prior_files.append(f)
         except (OSError, ValueError):
             continue
     lines = [f"<!-- bench-regressions:start (auto-written by bench.py) -->",
              f"## Per-query regressions vs prior round (auto, r{n:02d})",
              ""]
-    if result.get("degraded"):
-        lines += ["**This sweep is flagged `degraded`** (canary "
+    if result.get("degraded") or result.get("noisy"):
+        tier = "degraded" if result.get("degraded") else "noisy"
+        lines += [f"**This sweep is flagged `{tier}`** (canaries "
                   f"start/end {result.get('canary_start_sec')}s/"
-                  f"{result.get('canary_end_sec')}s vs prior median "
-                  f"{result.get('canary_prior_median_sec')}s) — treat "
-                  "movers below as suspect host noise, not regressions.",
+                  f"{result.get('canary_end_sec')}s JVM, "
+                  f"{result.get('canary_py_start_sec')}s/"
+                  f"{result.get('canary_py_end_sec')}s py, vs prior "
+                  f"medians {result.get('canary_prior_median_sec')}s/"
+                  f"{result.get('canary_py_prior_median_sec')}s; spread "
+                  f"{result.get('headline_spread_pct')}%) — treat "
+                  "movers below as suspect host noise, not regressions; "
+                  "this sweep is excluded as a future comparison "
+                  "baseline.",
                   ""]
     if not prior_files:
         lines += ["No prior bench_full_r*.json to diff against — full "
@@ -495,14 +582,9 @@ def _persist_full_history(result: dict) -> str:
             lines += ["No movers beyond the noise floor."]
     lines.append("<!-- bench-regressions:end -->")
     block = "\n".join(lines)
-    perf = os.path.join(repo, "PERF.md")
-    text = open(perf).read() if os.path.exists(perf) else ""
-    pat = re.compile(r"<!-- bench-regressions:start.*?"
-                     r"<!-- bench-regressions:end -->", re.S)
-    text = pat.sub(block, text) if pat.search(text) \
-        else text.rstrip() + "\n\n" + block + "\n"
-    with open(perf, "w") as fh:
-        fh.write(text)
+    sidecar = os.path.join(repo, f"bench_regressions_r{n:02d}.md")
+    with open(sidecar, "w") as fh:
+        fh.write(block + "\n")
     return full_file
 
 
