@@ -378,8 +378,17 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
     the r9 10x probe measured semantic_dedup at x36 for x10 data with
     the quantizer held fixed. Groups over the cap are dropped whole
     (recall becomes a lower bound, the conservative direction; the
-    caller's signal to raise n_centroids/n_planes)."""
+    caller's signal to raise n_centroids/n_planes).
+
+    Zero-norm vectors are EXCLUDED before grouping (cosine is
+    undefined for them): without the filter, the HOF path's 0/0
+    division yields NaN, which Spark orders GREATEST (NaN >= threshold
+    is true) while numpy's NaN >= threshold is false — the two kernels
+    would emit different pairs on degenerate embeddings (ADVICE r12).
+    Both kernels now drop the rows, and size checks count the
+    survivors."""
     buckets = (keyed.withColumn("__nrm", l2_norm(F.col(vec_col)))
+               .filter(F.col("__nrm") > 0.0)
                .groupBy(key_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
@@ -421,7 +430,15 @@ def _pairs_within_key_arrow(keyed: DataFrame, key_col: str,
     FULL g x g similarity matrix in one task (g=4096 -> 134 MB of
     float64), so ``max_group_size`` is doing double duty here — it
     bounds compute AND per-task memory. Groups over the cap are
-    dropped whole, identical to the HOF semantics."""
+    dropped whole, identical to the HOF semantics.
+
+    Zero-norm vectors are dropped BEFORE the size checks, mirroring
+    the HOF twin's pre-group filter (see :func:`_pairs_within_key` —
+    ADVICE r12: numpy's 0/0 -> NaN silently dropped such pairs here
+    while Spark's NaN-is-greatest emitted them there). The stack/norm
+    pass below is linear in the group (the pdf is already
+    materialized); only the g x g matmul is quadratic, and it stays
+    gated on the post-filter count."""
     import numpy as np
     import pandas as pd
 
@@ -430,13 +447,18 @@ def _pairs_within_key_arrow(keyed: DataFrame, key_col: str,
              "cos_sim": pd.Series([], dtype="float64")}
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2 or (max_group_size is not None and n > max_group_size):
+        if len(pdf) < 2:
             return pd.DataFrame(empty)
         order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
         ids = pdf["__id"].to_numpy()[order]
         M = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
+        live = norms > 0.0
+        if not live.all():
+            ids, M, norms = ids[live], M[live], norms[live]
+        n = len(ids)
+        if n < 2 or (max_group_size is not None and n > max_group_size):
+            return pd.DataFrame(empty)
         S = np.round((M @ M.T) / np.outer(norms, norms), 6)
         ia, ib = np.triu_indices(n, 1)
         sims = S[ia, ib]
@@ -716,9 +738,34 @@ def _knn_within_key_arrow(keyed: DataFrame, key_col: str, k: int,
         "src long, dst long, nn_rank int, cos_sim double")
 
 
+def rho_sample_size(rho: float, k: int) -> int:
+    """Per-node neighbor-sample size for NN-Descent's ρ parameter:
+    ``ceil(rho * k)``, floored at 1 (Dong et al. 2011 §4.2 sample the
+    candidate lists at rate ρ; ceil keeps the bound integral and the
+    oracle literal)."""
+    import math
+    return max(1, int(math.ceil(rho * k)))
+
+
+def _rho_sample_adjacency(und: DataFrame, s: int) -> DataFrame:
+    """Keep ``s`` deterministic-pseudorandom neighbors per src from an
+    undirected adjacency list: rank by the portable md5-prefix hash of
+    the edge (geometry-blind, so the sample is unbiased w.r.t.
+    similarity) and take the first ``s``. One row_number window
+    partitioned by src — n keys, distributed, no global sort."""
+    from .text import md5_prefix_int
+
+    rk = md5_prefix_int(F.concat_ws(",", F.col("src").cast("string"),
+                                    F.col("dst").cast("string")))
+    w = Window.partitionBy("src").orderBy(rk.asc(), F.col("dst"))
+    return (und.withColumn("__rs", F.row_number().over(w))
+            .filter(F.col("__rs") <= s).drop("__rs"))
+
+
 def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     rho: float | None = None) -> DataFrame:
     """One NN-Descent refinement round (Dong et al. 2011): expand each
     node's candidates with its neighbors' neighbors — in BOTH edge
     directions, the algorithm's core insight (a neighbor of my
@@ -734,10 +781,22 @@ def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
     then by dst — vectors ride only the candidate set); selection is
     one row_number window partitioned by src (n keys, distributed).
     Output: (src, dst, nn_rank, cos_sim), same schema as
-    :func:`knn_graph_within_clusters` so rounds compose."""
+    :func:`knn_graph_within_clusters` so rounds compose.
+
+    ``rho`` (r12 verdict item 2) bounds the per-round fan-out with the
+    standard ρ-sampling: each node's UNDIRECTED adjacency list is
+    down-sampled to ``ceil(rho·k)`` entries (deterministic md5-hash
+    rank, mirrored literally in the oracle) before the E ⋈ E
+    expansion, so candidates per node are ≤ (ρk)² regardless of how
+    dense the reverse-edge lists get — the unbounded round's measured
+    x5.67-at-10x superlinearity lives exactly in that density growth.
+    The CURRENT edges always rejoin the candidate union, so a sampled
+    round never ranks fewer than the incoming k per node."""
     g = graph.select("src", "dst")
     und = g.unionByName(g.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst"))).distinct()
+    if rho is not None:
+        und = _rho_sample_adjacency(und, rho_sample_size(rho, k))
     expanded = (und.alias("a")
                 .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"),
@@ -765,7 +824,8 @@ def nn_descent(vectors: DataFrame,
                centroids: list[tuple[int, list[float]]], k: int = 5,
                rounds: int = 1, random_buckets: int = 32,
                vec_col: str = "embedding",
-               id_col: str = "vec_id", kernel: str = "hof") -> DataFrame:
+               id_col: str = "vec_id", kernel: str = "hof",
+               rho: float | None = None) -> DataFrame:
     """Global approximate k-NN graph: mixed seed + ``rounds``
     NN-Descent refinements. The seed UNIONS the within-cell graph
     (geometric quality: each node's true in-cell top-k) with the
@@ -776,7 +836,12 @@ def nn_descent(vectors: DataFrame,
     round so the lineage stays flat. ``kernel="arrow"`` runs both
     quadratic seed kernels vectorized (the production path — seed
     edge placement tolerates the last-digit rounding deltas; the
-    re-scoring rounds are identical either way)."""
+    re-scoring rounds are identical either way). ``rho`` enables the
+    standard per-round neighbor sampling (see
+    :func:`nn_descent_round`) — the production setting (rho=0.5)
+    bounds each round's candidate fan-out independent of graph
+    density, which centroid scaling alone cannot do (the unbounded
+    round probed x5.67 for x10 data; r12 verdict item 2)."""
     if kernel == "arrow":
         # assign="arrow" too: with corpus-proportional centroid counts
         # the HOF argmin alone dominates the job (the r11 measurement
@@ -796,7 +861,7 @@ def nn_descent(vectors: DataFrame,
     # cut the two quadratic seed kernels would replay per reference
     g = cell.unionByName(rnd).distinct().localCheckpoint(eager=False)
     for _ in range(rounds):
-        g = nn_descent_round(g, vectors, k, vec_col, id_col) \
+        g = nn_descent_round(g, vectors, k, vec_col, id_col, rho=rho) \
             .localCheckpoint(eager=False)
     return g
 

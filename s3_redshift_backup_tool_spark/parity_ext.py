@@ -1521,11 +1521,27 @@ def knn_graph_scaled_embeddings(spark, sf_dir):
                                                assign="arrow")
 
 
-def _nn_descent_sql(n_cents: int | str) -> str:
+def _nn_descent_sql(n_cents: int | str,
+                    rho_s: int | None = None) -> str:
     """One NN-Descent refinement round over the mixed seed (within-cell
     knn at ``n_cents`` centroids UNION random-hash-bucket knn) —
     parameterized like :func:`_knn_seed_ctes` so the fixed-32 exactness
-    pin and the corpus-scaled production entry share one definition."""
+    pin and the corpus-scaled production entry share one definition.
+    ``rho_s`` (the ρ-sampled production form, r12 verdict item 2)
+    down-samples each node's undirected adjacency to ``rho_s`` rows by
+    the portable md5-prefix edge hash before the expansion join —
+    literally the same rank `rho_sample_size` computes Spark-side."""
+    und_src = "und"
+    rho_cte = ""
+    if rho_s is not None:
+        edge_h = _H.format(x="src::VARCHAR || ',' || dst::VARCHAR")
+        rho_cte = f""",
+      unds AS (SELECT src, dst FROM (
+                 SELECT src, dst,
+                        row_number() OVER (PARTITION BY src
+                                           ORDER BY {edge_h}, dst) AS rs
+                 FROM und) WHERE rs <= {rho_s})"""
+        und_src = "unds"
     return f"""WITH {_knn_seed_ctes(n_cents)},
       rb AS (SELECT vec_id, embedding,
                     {_H.format(x='vec_id::VARCHAR')} % 64 AS bkt
@@ -1545,9 +1561,9 @@ def _nn_descent_sql(n_cents: int | str) -> str:
       seed0 AS (SELECT src, dst FROM seed
                 UNION SELECT src, dst FROM rrank WHERE nn_rank <= 5),
       und AS (SELECT src, dst FROM seed0
-              UNION SELECT dst, src FROM seed0),
+              UNION SELECT dst, src FROM seed0){rho_cte},
       exp AS (SELECT ua.src AS src, ub.dst AS dst
-              FROM und ua JOIN und ub ON ua.dst = ub.src
+              FROM {und_src} ua JOIN {und_src} ub ON ua.dst = ub.src
               WHERE ua.src <> ub.dst
               UNION SELECT src, dst FROM seed0),
       sc AS (SELECT e.src, e.dst,
@@ -1604,6 +1620,29 @@ def nn_descent_scaled_embeddings(spark, sf_dir):
         emb, n_centroids=sim.scaled_centroid_count(emb.count()))
     return sim.nn_descent(emb, cents, k=5, rounds=1,
                           random_buckets=64, kernel="arrow")
+
+
+@q("nn_descent_sampled_embeddings",
+   _nn_descent_sql(_SCALED_CENTS_SQL,
+                   rho_s=sim.rho_sample_size(0.5, 5)),
+   "the rho-SAMPLED production NN-Descent (r12 verdict item 2): "
+   "nn_descent_scaled fixed the INIT cost (scaled quantizer) but its "
+   "refinement round still probed x5.67 at 10x because the "
+   "neighbor-of-neighbor expansion grows with reverse-edge density, "
+   "which centroid scaling doesn't touch. Dong'11's standard fix is "
+   "rho-sampling: each node's undirected adjacency is down-sampled to "
+   "ceil(rho*k)=3 entries (rho=0.5) by the portable md5-prefix edge "
+   "hash BEFORE the E x E expansion, bounding per-node candidates at "
+   "(rho*k)^2 independent of graph density; the current edges always "
+   "rejoin the candidate union so a round never returns fewer than "
+   "the incoming k per node. The oracle unrolls the identical "
+   "sampled round (same hash, same rank, same literal 3)")
+def nn_descent_sampled_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(
+        emb, n_centroids=sim.scaled_centroid_count(emb.count()))
+    return sim.nn_descent(emb, cents, k=5, rounds=1,
+                          random_buckets=64, kernel="arrow", rho=0.5)
 
 
 # ==========================================================================
@@ -2337,17 +2376,30 @@ def intersect_click_purchase_users(spark, sf_dir):
     return clicks.intersect(buys)
 
 
-# shared recursive-CC oracle scaffolding (mirrors neardup_clusters)
-_CC_COMP_CTE = f"""{_MINHASH_CTE},
+# shared recursive-CC oracle scaffolding (mirrors neardup_clusters);
+# ``cap`` mirrors lsh_pairs' max_bucket_size — buckets with more than
+# ``cap`` member docs are dropped WHOLE before pair emission (the
+# production default, plans/curate.py lsh_max_bucket_size=64)
+def _cc_comp_cte(cap: int | None = None) -> str:
+    capped = ""
+    if cap is not None:
+        capped = f"""
+      bsize AS (SELECT band, band_hash, count(*) AS bn
+                FROM banded GROUP BY band, band_hash),"""
+    cap_join = ("" if cap is None else
+                f""" JOIN bsize s
+                  ON s.band = a.band AND s.band_hash = a.band_hash
+                     AND s.bn <= {cap}""")
+    return f"""{_MINHASH_CTE},
       banded AS (SELECT doc_id, hash_idx // 2 AS band,
                         md5(array_to_string(list_sort(
                             list(hash_idx::VARCHAR || ':' || min_hash::VARCHAR)),
                             ',')) AS band_hash
-                 FROM sig GROUP BY doc_id, hash_idx // 2),
+                 FROM sig GROUP BY doc_id, hash_idx // 2),{capped}
       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a JOIN banded b
                   ON a.band = b.band AND a.band_hash = b.band_hash
-                     AND a.doc_id < b.doc_id),
+                     AND a.doc_id < b.doc_id{cap_join}),
       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       reach(u, v) AS (
@@ -2355,6 +2407,9 @@ _CC_COMP_CTE = f"""{_MINHASH_CTE},
           UNION
           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
       comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)"""
+
+
+_CC_COMP_CTE = _cc_comp_cte()
 
 
 @q("neardup_dedup_keep_canonical",
@@ -2369,6 +2424,30 @@ _CC_COMP_CTE = f"""{_MINHASH_CTE},
 def neardup_dedup_keep_canonical(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
+    return dd.dedup_keep_canonical(docs, pairs,
+                                   keep_cols=["doc_id", "source", "lang"])
+
+
+@q("neardup_dedup_capped_documents",
+   f"""WITH RECURSIVE {_cc_comp_cte(cap=64)}
+      SELECT d.doc_id, d.source, d.lang
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.component = d.doc_id""",
+   "the PRODUCTION near-dup dedup chain, correctness-pinned end-to-end "
+   "(r12 verdict item 6): identical to neardup_dedup_keep_canonical "
+   "but through the CAPPED LSH chain — max_bucket_size=64, the "
+   "plans/curate.py default — whose 100x probe measured 2.69M vs 112M "
+   "candidate pairs on identical data (PERF.md annotation 6). Buckets "
+   "over the cap are dropped WHOLE before pair emission (a band "
+   "shared by thousands of docs is the MinHash stop-shingle; recall "
+   "becomes a lower bound, the conservative direction), and the "
+   "oracle carries the same bucket-count gate so the DROP semantics "
+   "are what's pinned, not just the happy path. The uncapped sibling "
+   "stays as the exactness pin of the full pair set")
+def neardup_dedup_capped_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8,
+                         max_bucket_size=64)
     return dd.dedup_keep_canonical(docs, pairs,
                                    keep_cols=["doc_id", "source", "lang"])
 
@@ -6880,43 +6959,15 @@ def simhash_hamming_pairs_documents(spark, sf_dir):
 # ==========================================================================
 
 _WINDOW = [
-    # round-12 rotation (ROTATION.json window_r12): the six NEW r12
+    # round-13 rotation (ROTATION.json window_r13): the two NEW r13
     # entries lead per the rotation policy (never-hashed first) — the
-    # promoted production ANN/SemDeDup recipes (Arrow assign, scaled
-    # quantizer knn graph + NN-Descent + semantic-dedup pairs), the
-    # JL random projection, and the capped overlap twin; the rest is
-    # re-attestation of the oldest driver hashes (r2/r3 era).
+    # rho-sampled production NN-Descent (bounded per-round fan-out,
+    # r12 verdict item 2) and the capped production LSH dedup chain
+    # (max_bucket_size=64 end-to-end, r12 verdict item 6); the rest is
+    # re-attestation of the oldest driver hashes.
     # Pre-verified vs the DuckDB oracle at sf0.01 AND sf0.001 via
     # tools/check_parity.py, tuned and --vanilla sessions.
-    "ivf_assign_scaled_embeddings", "knn_graph_scaled_embeddings",
-    "nn_descent_scaled_embeddings", "random_projection_embeddings",
-    "overlap_coeff_capped_documents", "semantic_dedup_scaled_embeddings",
-    "ntile_cumedist_customers", "pii_scrub_customer", "id_gap_audit_orders",
-    "overlapping_purchase_intervals_events", "asof_click_attribution",
-    "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
-    "hilbert_keys_events", "zorder3_keys_events", "compaction_plan_orders",
-    "pricing_summary_lineitem", "image_ahash_documents",
-    "shipping_priority_top10", "supplier_revenue_by_nation",
-    "bm25_search_documents", "cube_status_priority_orders",
-    "price_percentiles_orders", "approx_distinct_users_check", "tpch_q2",
-    "tpch_q11", "tpch_q16", "tpch_q20", "above_avg_idle_customers",
-    "small_qty_part_revenue", "minhash_signatures_documents",
-    "source_overlap_matrix_documents", "incremental_neardup_pairs_documents",
-    "embedding_norms", "ann_lsh_multiprobe_topk",
-    "ann_pq_adc_topk_embeddings", "ann_pq_rerank_topk_embeddings",
-    "ann_ivfpq_topk_embeddings", "corpus_stats_by_source",
-    "decontamination_eval_overlap", "bloom_decontamination_documents",
-    "pagerank_dup_graph_documents", "epoch_shuffle_ranks_documents",
-    "pack_sequences_documents", "frame_sample_documents",
-    "salted_join_order_priority", "json_props_extract_events",
-    "disjunctive_pred_part_revenue", "waiting_multi_supplier_orders",
-]
-
-_TAIL = [
-    # hashed entries, oldest last-hash first; regenerated with
-    # tools/rotation.py each round (r12: the 44 re-attestation slots
-    # displaced the r11 window — all 50 of whose entries were hashed
-    # in r11 and therefore now close the tail as newest).
+    "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
     "knn_label_eval_embeddings", "volume_shipping_pair_nations",
     "market_share_by_year", "video_metadata_documents",
     "keyframe_slices_documents", "change_log_apply_orders",
@@ -6940,6 +6991,31 @@ _TAIL = [
     "late_shipment_by_priority", "ngram_jaccard_capped_documents",
     "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
     "gopher_quality_documents", "zscore_outliers_events",
+]
+
+_TAIL = [
+    "ivf_assign_scaled_embeddings", "knn_graph_scaled_embeddings",
+    "nn_descent_scaled_embeddings", "random_projection_embeddings",
+    "overlap_coeff_capped_documents", "semantic_dedup_scaled_embeddings",
+    "ntile_cumedist_customers", "pii_scrub_customer", "id_gap_audit_orders",
+    "overlapping_purchase_intervals_events", "asof_click_attribution",
+    "keyset_page_orders", "tumbling_daily_events", "zorder_keys_events",
+    "hilbert_keys_events", "zorder3_keys_events", "compaction_plan_orders",
+    "pricing_summary_lineitem", "image_ahash_documents",
+    "shipping_priority_top10", "supplier_revenue_by_nation",
+    "bm25_search_documents", "cube_status_priority_orders",
+    "price_percentiles_orders", "approx_distinct_users_check", "tpch_q2",
+    "tpch_q11", "tpch_q16", "tpch_q20", "above_avg_idle_customers",
+    "small_qty_part_revenue", "minhash_signatures_documents",
+    "source_overlap_matrix_documents", "incremental_neardup_pairs_documents",
+    "embedding_norms", "ann_lsh_multiprobe_topk",
+    "ann_pq_adc_topk_embeddings", "ann_pq_rerank_topk_embeddings",
+    "ann_ivfpq_topk_embeddings", "corpus_stats_by_source",
+    "decontamination_eval_overlap", "bloom_decontamination_documents",
+    "pagerank_dup_graph_documents", "epoch_shuffle_ranks_documents",
+    "pack_sequences_documents", "frame_sample_documents",
+    "salted_join_order_priority", "json_props_extract_events",
+    "disjunctive_pred_part_revenue", "waiting_multi_supplier_orders",
     "importance_sample_documents", "approx_percentile_check_lineitem",
     "hll_union_distinct_users", "mixture_sample_by_source",
     "fuzzy_pairs_customer", "normalized_dedup_documents",

@@ -555,3 +555,37 @@ def test_semantic_dedup_scaled_is_capped_by_default():
     import inspect
     sig = inspect.signature(sim.semantic_dedup_pairs_scaled)
     assert sig.parameters["max_cluster_size"].default == 4096
+
+
+def test_pairs_kernels_agree_on_zero_norm_vectors(spark):
+    """ADVICE r12: before the shared pre-filter, a zero-norm vector's
+    pair read NaN in both kernels but only the HOF emitted it (Spark
+    orders NaN greatest, numpy's NaN >= t is false). Both kernels must
+    now DROP zero-norm rows before pairing and before size checks."""
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+            (3, [0.0, 0.0], 0),                      # zero-norm
+            (4, [0.0, 0.0], 1), (5, [0.0, 0.0], 1)]  # all-degenerate group
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, centroid_id int")
+    hof = {(r["id_a"], r["id_b"], r["cos_sim"])
+           for r in sim._pairs_within_key(
+               df, "centroid_id", 0.5, 2, "embedding", "vec_id").collect()}
+    arrow = {(r["id_a"], r["id_b"], r["cos_sim"])
+             for r in sim._pairs_within_key_arrow(
+                 df, "centroid_id", 0.5, "embedding", "vec_id").collect()}
+    assert arrow == hof == {(1, 2, 1.0)}
+
+
+def test_zero_norm_rows_do_not_count_toward_group_cap(spark):
+    """Size caps count SURVIVORS: a group of 3 with one zero-norm row
+    passes a max_group_size=2 cap in both kernels."""
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 0.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, centroid_id int")
+    for fn, kw in ((sim._pairs_within_key, dict(n_parts=2)),
+                   (sim._pairs_within_key_arrow, {})):
+        got = {(r["id_a"], r["id_b"], r["cos_sim"])
+               for r in fn(df, "centroid_id", 0.5, vec_col="embedding",
+                           id_col="vec_id", max_group_size=2,
+                           **kw).collect()}
+        assert got == {(1, 2, 1.0)}, fn.__name__

@@ -136,3 +136,44 @@ def test_split_conjuncts_nested_and_inside_parens():
     cs = _split_conjuncts("((a#1 < 3 AND b#2 = 5)) AND isnotnull(c#3)")
     assert cs == ["a#1 < 3 AND b#2 = 5", "isnotnull(c#3)"]
     assert not _KEY_BOUND.match(cs[0])     # compound conjunct: rejected
+
+
+class _FakeCond:
+    def __init__(self, s):
+        self._s = s
+
+    def toString(self):
+        return self._s
+
+
+class _FakeFilterNode:
+    def __init__(self, cond):
+        self._cond = _FakeCond(cond)
+
+    def condition(self):
+        return self._cond
+
+
+def test_literal_key_filter_requires_unique_key_column():
+    """ADVICE r12 (medium): `attr < k` bounds the build-side row count
+    ONLY when attr is a unique key. A literal predicate on a non-unique
+    column (label = 3) must NOT be classified benign — its match count
+    grows with the corpus."""
+    from scale_probe import _literal_key_filter
+    ok = _FakeFilterNode("(isnotnull(vec_id#6L) AND (vec_id#6L < 4))")
+    assert _literal_key_filter(ok)
+    non_unique = _FakeFilterNode("(isnotnull(label#3L) AND (label#3L = 3))")
+    assert not _literal_key_filter(non_unique)
+    non_unique2 = _FakeFilterNode("(n_chars#9L < 100)")
+    assert not _literal_key_filter(non_unique2)
+    # two different attributes: not the single-key idiom
+    two = _FakeFilterNode("((vec_id#6L < 4) AND (doc_id#7L < 9))")
+    assert not _literal_key_filter(two)
+
+
+def test_unique_key_allowlist_covers_engine_tables():
+    from scale_probe import _UNIQUE_KEY_COLS
+    for col in ("vec_id", "doc_id", "event_id", "o_orderkey", "c_custkey"):
+        assert col in _UNIQUE_KEY_COLS
+    for col in ("label", "n_chars", "user_id", "l_orderkey"):
+        assert col not in _UNIQUE_KEY_COLS  # non-unique in their tables

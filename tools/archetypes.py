@@ -27,6 +27,25 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from scale_probe import _NOTES  # noqa: E402  (query -> " (N)" annotation)
+
+#: direct probe rows whose wall ratio exceeds this must carry a PERF.md
+#: annotation link (r12 verdict item 3: the SCALE.md table showed "—"
+#: for every >x7 row while the adjudications lived only in PERF.md —
+#: a reader of the table alone saw unexplained superlinear ratios)
+ANNOTATION_REQUIRED_ABOVE = 8.0
+
+
+def annotation_ref(name: str) -> str | None:
+    """'PERF.md ann. N' for entries adjudicated in scale_probe._NOTES
+    (the numbers match the appendix rendered into PERF.md's scale-probe
+    block), else None."""
+    note = _NOTES.get(name)
+    if not note:
+        return None
+    return f"PERF.md ann. {note.strip().strip('()')}"
 
 # entry -> (measured archetype entry, shared-mechanism reason)
 ARCHETYPES: dict[str, tuple[str, str]] = {
@@ -71,6 +90,18 @@ def lint() -> list[str]:
         if arch not in probed:
             errors.append(f"{name}: archetype {arch} is not directly "
                           "probed (chains not allowed)")
+    # superlinear direct rows must link their adjudication (r12 item 3)
+    probe_rows = json.load(
+        open(os.path.join(REPO, "scale_probe_results.json")))
+    for name in REGISTRY:
+        row = probe_rows.get(name)
+        if (row and row.get("time_ratio", 0) > ANNOTATION_REQUIRED_ABOVE
+                and not annotation_ref(name)):
+            errors.append(
+                f"{name}: direct probe ratio x{row['time_ratio']} exceeds "
+                f"x{ANNOTATION_REQUIRED_ABOVE} with no PERF.md annotation "
+                "link — adjudicate it in tools/scale_probe._NOTES (+ the "
+                "appendix) so the SCALE.md table explains the row")
     for name in ARCHETYPES:
         from s3_redshift_backup_tool_spark.parity import REGISTRY as R
         if name not in R:
@@ -103,13 +134,14 @@ def render() -> str:
         "completeness (no unmapped entry, no unprobed archetype, no "
         "stale names).",
         "",
-        "| entry | evidence | x10 wall | mechanism shared with archetype |",
+        "| entry | evidence | x10 wall | mechanism / adjudication |",
         "|---|---|---|---|",
     ]
     for name in REGISTRY:
         if name in probe:
+            ref = annotation_ref(name)
             lines.append(f"| {name} | direct | "
-                         f"x{probe[name]['time_ratio']} | — |")
+                         f"x{probe[name]['time_ratio']} | {ref or '—'} |")
         else:
             arch, reason = ARCHETYPES[name]
             lines.append(f"| {name} | = {arch} | "

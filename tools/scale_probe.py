@@ -87,6 +87,20 @@ _ROW_PRESERVING = ("Project", "Filter", "Sort", "BroadcastExchange",
 _ISNOTNULL = re.compile(r"^isnotnull\([\w#]+\)$")
 _KEY_BOUND = re.compile(r"^\(?([\w]+#\d+L?) (?:=|<|<=) \d+\)?$")
 
+#: attributes a literal bound may prove corpus-independent (ADVICE r12):
+#: the rule `attr < k  =>  at most k rows` is only sound when attr is a
+#: UNIQUE key of its table. Without this check, a literal predicate on a
+#: non-unique column (`label = 3`) — whose matching row count grows with
+#: the corpus — would be auto-classified benign and clear a REAL
+#: scale-killer flag. These are the primary-key columns of the engine's
+#: test tables (TPC-H keys + the events/documents/embeddings ids).
+_UNIQUE_KEY_COLS = frozenset({
+    "vec_id", "doc_id", "event_id",
+    "r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
+    "p_partkey", "o_orderkey",
+    "id",   # spark.range()'s column — unique by construction
+})
+
 
 def _strip_outer_parens(cond: str) -> str:
     """Remove paren pairs that wrap the ENTIRE expression (Catalyst
@@ -128,11 +142,14 @@ def _split_conjuncts(cond: str) -> list[str]:
 
 def _literal_key_filter(node) -> bool:
     """FilterExec whose condition is a conjunction of isnotnull(attr)
-    and attr-vs-int-literal bounds on a SINGLE attribute — the
+    and attr-vs-int-literal bounds on a SINGLE attribute that is a
+    KNOWN UNIQUE KEY of an engine table (_UNIQUE_KEY_COLS) — the
     'first-k ids' build idiom (vec_id < 8 query rows, labeled seeds).
-    The selected id set is fixed at plan-build time, so the build-side
-    row count is corpus-independent (ids are unique keys in every
-    engine table this idiom is used on)."""
+    Uniqueness is what makes `attr < k` a row-count bound: the selected
+    id set is fixed at plan-build time and corpus-independent. A
+    literal bound on a NON-unique attribute (`label = 3`) proves
+    nothing — its match count grows with the corpus — so it is
+    rejected here and the BNLJ stays flagged (ADVICE r12)."""
     try:
         cond = str(node.condition().toString())
     except Exception:
@@ -145,7 +162,10 @@ def _literal_key_filter(node) -> bool:
         if not m:
             return False
         attrs.add(m.group(1))
-    return len(attrs) == 1
+    if len(attrs) != 1:
+        return False
+    base = next(iter(attrs)).split("#", 1)[0]
+    return base in _UNIQUE_KEY_COLS
 
 
 def _bounded_build(node) -> str | None:
@@ -332,6 +352,23 @@ def adjudicate() -> None:
 
     path = os.path.join(REPO, "scale_probe_results.json")
     acc = json.load(open(path))
+
+    # Prune rows whose query no longer exists in REGISTRY (ADVICE r12):
+    # adjudicate() used to SKIP them, but the CI lint
+    # (test_artifact_has_no_unexplained_scale_killers) still fails on a
+    # stale flagged row, so the documented remediation could never
+    # clear it. A renamed/removed entry's row is dead data — drop it
+    # (the specials below are probed outside REGISTRY by design).
+    specials = {"headline_sync_lineitem", "unigram_train_documents"}
+    stale = [n for n in acc if n not in REGISTRY and n not in specials]
+    for n in stale:
+        del acc[n]
+    if stale:
+        with open(path, "w") as fh:
+            json.dump(acc, fh, indent=1, sort_keys=True)
+        print(f"# pruned {len(stale)} rows no longer in REGISTRY: "
+              f"{sorted(stale)}", file=sys.stderr)
+
     def _needs(row: dict) -> bool:
         ev = row.get("benign_broadcasts")
         return (bool(row.get("scale_killers")) or ev is None
@@ -534,6 +571,12 @@ _NOTES = {
     "mixture_plan_by_source": " (1)",
     "above_avg_idle_customers": " (1)",
     "embedding_dim_stats": " (10)",
+    "knn_graph_embeddings": " (11)",
+    "fingerprint_documents": " (12)",
+    "nn_descent_graph_embeddings": " (11)",
+    "nn_descent_scaled_embeddings": " (13)",
+    "nn_descent_sampled_embeddings": " (13)",
+    "neardup_dedup_capped_documents": " (6)",
 }
 
 _APPENDIX = """
@@ -605,7 +648,20 @@ Annotations:
    variant crossing the same driver/distributed gate; `overlap_coeff`
    is annotation 3's uncapped-inverted-index family with the same
    `max_doc_freq` production guard, left uncapped as the exactness
-   pin.)
+   pin.) The r13 registry pin of the capped production chain,
+   `neardup_dedup_capped_documents` (max_bucket_size=64 end-to-end),
+   probes x16.1 on THIS fixture for the fixture-specific reason that
+   the cap does not fire at the 10x decade: word-shuffle clone
+   buckets are ~20-50 docs here — under the production cap, which
+   targets DEGENERATE boilerplate buckets (thousands of members), not
+   moderate clone groups — so the pair set matches the uncapped
+   twin's and grows with clique density by construction. The cap
+   binds one decade up: the 100x measurement above (2.69M vs 112M
+   candidates, 56.8 s full chain at 500K docs) is the capped chain's
+   production evidence; the registry entry exists to pin the DROP
+   semantics (oracle carries the same bucket-count gate) and the
+   fence test constructs a >64 bucket to prove it fires
+   (tests/test_scale_fences.py::test_capped_dedup_chain_drops_oversized_buckets).
 7. `semantic_dedup_pairs` (x36.1) is the fixed-cardinality quantizer
    failure ON PURPOSE: the registry entry holds the quantizer at 8
    deterministic centroids for oracle exactness, so cluster
@@ -646,6 +702,39 @@ Annotations:
 10. `embedding_dim_stats`'s "switch" is one Project node folded away
     by AQE at the larger scale (plan_diff {Project: [1, 0]}) — not a
     join-strategy change; x1.06 wall.
+
+11. `knn_graph_embeddings` (x8.62) and `nn_descent_graph_embeddings`
+    (x5.51) are the fixed-quantizer EXACTNESS PINS of the ANN-graph
+    family — 8 deterministic centroids for oracle exactness, so
+    cluster populations grow with the corpus and the within-cluster
+    k-selection cost grows quadratically (annotation 7's mechanism).
+    Their production siblings are registry-resident:
+    `knn_graph_scaled_embeddings` (scaled_centroid_count + Arrow
+    matmul; 22.3 s vs 1306.5 s = 59x at the 200K-vector decade, x2.27
+    at 10x) and `nn_descent_scaled_embeddings` (annotation 13).
+
+12. `fingerprint_documents` (x8.39) is LINEAR work, recorded here so
+    the >x8 archetype lint names it instead of leaving a bare ratio:
+    a per-row rolling-hash kernel with no pair generation (plan shape
+    identical, zero killers) — x8.39 wall for x10 data is at/below
+    linear, with the sub-10 reading being annotation 8's
+    fixed-cost-dilution arithmetic from the small end.
+
+13. `nn_descent_scaled_embeddings`: centroid scaling fixed the INIT
+    assignment (the knn-graph build went x8.62 -> x2.27) but
+    NN-descent's cost is dominated by the neighbor-of-neighbor join
+    rounds, whose candidate fan-out grows with graph density, not
+    with the quantizer — measured x5.67 at 10x with the unbounded
+    rounds (r12 verdict item 2). The production form bounds the
+    per-round fan-out with the standard rho-sampling (sample each
+    node's neighbor list per round, Dong et al.'s rho parameter),
+    registry-resident as `nn_descent_sampled_embeddings` (rho=0.5,
+    md5-rank sample mirrored literally in the oracle): measured
+    x3.54 at 10x (2.54 s -> 9.0 s) vs the unbounded round's x5.67 —
+    the residual over-linearity is the seed graph's own density
+    growth on this clone-heavy fixture, not the expansion (which is
+    now bounded at (rho*k)^2 per node by construction,
+    tests/test_scale_fences.py::test_rho_sampling_bounds_expansion_candidates).
 
 Several relational queries run FASTER at 10x (pricing_summary x0.73,
 supplier_revenue x0.83, funnel x0.55): at sf0.1 they are
