@@ -460,10 +460,13 @@ def main() -> None:
                   f"(x{u1 / u01:.1f})", file=sys.stderr)
             continue
         spec = REGISTRY[name]
+        load1 = round(os.getloadavg()[0], 2)   # adjudication trail:
+        # "what was the host doing at that moment" (r12 verdict item 7)
         t01, sig01, k01, ev01 = run_query(spark, spec, SF01)
         t1, sig1, k1, ev1 = run_query(spark, spec, SF1)
         killers = sorted(set(k01) | set(k1))
         out[name] = {
+            "load1_at_start": load1,
             "sf01_sec": round(t01, 3), "sf1_sec": round(t1, 3),
             "time_ratio": round(t1 / t01, 2),
             "plan_shape_identical": sig01 == sig1,
@@ -656,9 +659,13 @@ Annotations:
    targets DEGENERATE boilerplate buckets (thousands of members), not
    moderate clone groups — so the pair set matches the uncapped
    twin's and grows with clique density by construction. The cap
-   binds one decade up: the 100x measurement above (2.69M vs 112M
-   candidates, 56.8 s full chain at 500K docs) is the capped chain's
-   production evidence; the registry entry exists to pin the DROP
+   binds one decade up, and the entry's own second decade proves it:
+   the r13 100x probe ran the capped dedup end-to-end at 500K docs in
+   **307.3 s with ZERO spill** (scale_probe_100x.json) — x5.6 wall
+   for the second x10 of data, SUB-linear, because the cap now drops
+   the 2001 degenerate buckets — while the uncapped
+   neardup_clusters path at the same scale took 704 s with 103 GB
+   memory + 17.6 GB disk spill. The registry entry also pins the DROP
    semantics (oracle carries the same bucket-count gate) and the
    fence test constructs a >64 bucket to prove it fires
    (tests/test_scale_fences.py::test_capped_dedup_chain_drops_oversized_buckets).
@@ -735,6 +742,10 @@ Annotations:
     growth on this clone-heavy fixture, not the expansion (which is
     now bounded at (rho*k)^2 per node by construction,
     tests/test_scale_fences.py::test_rho_sampling_bounds_expansion_candidates).
+    Second decade (r13): the sampled descent runs end-to-end at 200K
+    vectors in **77.9 s with zero spill** (scale_probe_100x.json) —
+    seed + one sampled refinement round at the scale where the
+    fixed-quantizer knn graph alone took 1306.5 s.
 
 Several relational queries run FASTER at 10x (pricing_summary x0.73,
 supplier_revenue x0.83, funnel x0.55): at sf0.1 they are
