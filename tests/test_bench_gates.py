@@ -57,16 +57,20 @@ def test_retroactive_canary_end_gate():
          "canary_py_end_sec": 1.04, "canary_py_prior_median_sec": 1.05})
 
 
-def test_r23_is_retroactively_noisy_and_r22_is_the_baseline():
+def test_r23_is_retroactively_noisy_and_baseline_is_quiet():
     """The exact adjudication from the r12 verdict, pinned against the
     committed artifacts: r23 (226,765 rows/s, measured-noisy) must be
-    excluded; the quiet r22 sweep (318,505) becomes the baseline."""
+    excluded while the quiet r22 sweep (318,505) stays eligible — and
+    whatever sweep _prior_round_full() picks (the most recent QUIET
+    one; r24+ files land after this test was written) must itself pass
+    the exclusion gate and never be r23."""
     with open(os.path.join(REPO, "bench_full_r23.json")) as fh:
         assert bench._excluded_as_baseline(json.load(fh))
     with open(os.path.join(REPO, "bench_full_r22.json")) as fh:
         assert not bench._excluded_as_baseline(json.load(fh))
     prior = bench._prior_round_full()
-    assert prior.get("rows_per_sec") == 318505
+    assert prior and not bench._excluded_as_baseline(prior)
+    assert prior.get("rows_per_sec") != 226765   # never the r23 phantom
 
 
 def test_bounded_line_strips_query_load1_and_format_field():
