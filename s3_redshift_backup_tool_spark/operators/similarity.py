@@ -1542,3 +1542,108 @@ def ann_hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                         F.round(cosine(F.col(vec_col), q_arr), 6)
                          .alias("cos_sim"))
                 .orderBy(F.desc("cos_sim"), id_col).limit(k))
+
+
+def kcenter_coreset(df: DataFrame, k: int = 8,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez'85; the coreset construction Sener & Savarese'18 use for
+    data selection). Seed = the lowest-id vector; each round selects
+    the point maximizing its squared-L2 distance to the nearest
+    already-selected center (ties -> lowest id). Returns the k picks as
+    (sel_rank, vec_id, dist_at_selection) — the selection trace IS the
+    coreset certificate: dist_at_selection is non-increasing and the
+    last value bounds the covering radius of the whole corpus.
+
+    Scale shape: greedy selection is inherently sequential in k, but
+    each round is ONE distributed aggregate — a max over
+    struct(min_dist, -id, vec) (partial-aggregable, no sort, no
+    shuffle beyond the 1-row agg); only k x dim floats ever reach the
+    driver (same contract as :func:`kmeans_centroids`). Distances are
+    recomputed against the full center list per round via the O(1)-
+    plan-node literal of :func:`_centroid_dist_structs` — O(n*k*d) work
+    in round k, O(n*k^2*d) total, the right trade for the small k
+    (8-1024) of quantizer seeding / coreset probes because it keeps the
+    loop stateless (no caching, restart-safe). For large k maintain a
+    running min-dist column instead: localCheckpoint the (id, vec,
+    mind) relation once per round and update mind = least(mind,
+    dist_to_new_center) — O(n*k*d) total at the cost of materializing
+    the working set, the standard k-center implementation on a cluster.
+    Already-selected points need no exclusion join: their min-dist is
+    exactly 0, so they can never win the argmax while any unselected
+    point remains."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed = df.orderBy(id_col).select(id_col, vec_col).first()
+    centers = [(int(seed[0]), [float(x) for x in seed[1]])]
+    picks = [(1, centers[0][0], 0.0)]
+    for rank in range(2, k + 1):
+        entries = _centroid_dist_structs(centers, vec_col)
+        mind = F.array_min(entries)["dist"]
+        best = df.agg(F.max(F.struct(
+            mind.alias("d"),
+            (-F.col(id_col)).cast("long").alias("nid"),
+            F.col(vec_col).alias("v"))).alias("m")).first()["m"]
+        picks.append((rank, int(-best["nid"]), float(best["d"])))
+        centers.append((int(-best["nid"]), [float(x) for x in best["v"]]))
+    out = df.sparkSession.createDataFrame(
+        picks, "sel_rank INT, vec_id BIGINT, dist_at_selection DOUBLE")
+    return out.select("sel_rank", "vec_id",
+                      F.round("dist_at_selection", 6)
+                       .alias("dist_at_selection"))
+
+
+def prototypicality_prune(df: DataFrame, prune_frac: float = 0.25,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          label_col: str = "label") -> DataFrame:
+    """Prototypicality ranking for data pruning (Sorscher'22 "Beyond
+    neural scaling laws"): distance to the own-class centroid, ranked
+    within the class — under data ABUNDANCE you prune the most
+    prototypical (easiest, most redundant) fraction first; under
+    scarcity you keep it. Output per vector: squared-L2 distance to its
+    label centroid, the exact within-label percent rank of that
+    distance (0 = most prototypical), and the prune-first flag
+    (percent rank < ``prune_frac``).
+
+    Scale shape: centroids are ONE groupBy with dim avg-states per
+    label (partial-aggregable — a few KB of aggregate state per
+    (task, label), never exploded rows) broadcast back as the small
+    side of the join. The within-label percent rank deliberately does
+    NOT use Window.partitionBy(label): class labels are few, so a
+    label-partitioned window serializes 100 TB through n_labels tasks —
+    the same cliff as the unpartitioned window, one partition count
+    away. Instead ranks come from :func:`assign_global_ids` ordered by
+    (label, dist, id) — one RANGE exchange numbered in parallel — and
+    the within-label rank is global_rank - min(global_rank per label)
+    + 1, with the per-label min/count a tiny broadcast aggregate.
+    percent_rank = (rank-1)/(n-1) exactly as the SQL window function
+    defines it (0.0 for single-row labels)."""
+    from .partitioning import assign_global_ids
+    dim = len(df.select(vec_col).first()[0])
+    elem = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")
+    cents = (df.groupBy(label_col)
+               .agg(*[F.avg(elem(i)).alias(f"__m{i}") for i in range(dim)])
+               .select(label_col,
+                       F.array(*[F.col(f"__m{i}")
+                                 for i in range(dim)]).alias("__cv")))
+    scored = (df.join(F.broadcast(cents), label_col)
+                .select(id_col, label_col,
+                        l2_sq(F.col(vec_col), F.col("__cv"))
+                        .alias("__dist")))
+    ranked = assign_global_ids(scored, [label_col, "__dist", id_col],
+                               id_col="__gr")
+    stats = (ranked.groupBy(label_col)
+                   .agg(F.min("__gr").alias("__r0"),
+                        F.count(F.lit(1)).alias("__n")))
+    rank_in = F.col("__gr") - F.col("__r0") + 1
+    pct = (F.when(F.col("__n") == 1, F.lit(0.0))
+            .otherwise((rank_in - 1).cast("double")
+                       / (F.col("__n") - 1).cast("double")))
+    return (ranked.join(F.broadcast(stats), label_col)
+                  .select(F.col(id_col), F.col(label_col),
+                          F.round("__dist", 6).alias("proto_dist"),
+                          F.round(pct, 6).alias("proto_pct"),
+                          (pct < F.lit(float(prune_frac)))
+                          .alias("prune_first")))

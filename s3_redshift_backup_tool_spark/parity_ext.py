@@ -6944,6 +6944,85 @@ def simhash_hamming_pairs_documents(spark, sf_dir):
     return dd.simhash_hamming_pairs(docs, bits=32, radius=3)
 
 
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center as chained CTEs: c1 = lowest id;
+    s_i carries the running min-dist to the selected set (the oracle
+    uses the incremental least() form, the engine recomputes from the
+    full center list — bit-identical values either way since every
+    squared-L2 reduces left-to-right in both engines)."""
+    first = _L2.format(a="e.v", b="c.v")
+    step = _L2.format(a="s.v", b="c.v")
+    ctes = ["e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+            "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+            f"s1 AS (SELECT e.vec_id, e.v, {first} AS mind FROM e, c1 c)"]
+    for i in range(2, k + 1):
+        ctes.append(f"c{i} AS (SELECT vec_id, v, mind AS d FROM s{i-1} "
+                    f"ORDER BY mind DESC, vec_id LIMIT 1)")
+        if i < k:
+            ctes.append(f"s{i} AS (SELECT s.vec_id, s.v, "
+                        f"least(s.mind, {step}) AS mind "
+                        f"FROM s{i-1} s, c{i} c)")
+    sels = ["SELECT CAST(1 AS INT) AS sel_rank, vec_id, "
+            "0.0 AS dist_at_selection FROM c1"]
+    sels += [f"SELECT CAST({i} AS INT), vec_id, round(d, 6) FROM c{i}"
+             for i in range(2, k + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@q("kcenter_coreset_embeddings", _kcenter_sql(8),
+   "greedy k-center coreset selection (Gonzalez'85 farthest-point "
+   "traversal; the Sener & Savarese'18 data-selection construction): "
+   "seed = lowest id, then k-1 rounds each picking the vector farthest "
+   "from its nearest selected center (squared L2, ties -> lowest id). "
+   "Each round is ONE partial-aggregable max over struct(min_dist, "
+   "-id, vec) — no sort, no shuffle beyond the 1-row agg; k x dim "
+   "floats of driver state, the kmeans_centroids contract. The "
+   "selection trace is the certificate: dist_at_selection is "
+   "non-increasing and the last value bounds the corpus covering "
+   "radius. The oracle unrolls the same greedy rounds as chained CTEs "
+   "with an incremental running-min; values are bit-identical because "
+   "both engines reduce every squared-L2 left-to-right")
+def kcenter_coreset_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.kcenter_coreset(emb, k=8)
+
+
+@q("prototypicality_prune_embeddings",
+   """WITH cent AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+                 FROM embeddings, unnest(generate_series(1, 64)) t(i)
+                 GROUP BY label, i),
+      cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent
+             GROUP BY label),
+      d AS (SELECT e.vec_id, e.label,
+                   list_sum(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (e.embedding[i]::DOUBLE - cv.cv[i])
+                            * (e.embedding[i]::DOUBLE - cv.cv[i]))) AS dist
+            FROM embeddings e JOIN cv USING (label)),
+      r AS (SELECT vec_id, label, dist,
+                   percent_rank() OVER (PARTITION BY label
+                                        ORDER BY dist, vec_id) AS pct
+            FROM d)
+      SELECT vec_id, label, round(dist, 6) AS proto_dist,
+             round(pct, 6) AS proto_pct, pct < 0.25 AS prune_first
+      FROM r""",
+   "prototypicality ranking for data pruning (Sorscher'22 'Beyond "
+   "neural scaling laws'): squared-L2 to the own-class centroid, exact "
+   "within-class percent rank (0 = most prototypical), prune-first "
+   "flag = the most redundant quarter — what you drop first under data "
+   "abundance. Centroids are one groupBy with dim avg-states per label "
+   "(never exploded rows) broadcast back; the per-class percent rank "
+   "deliberately avoids Window.partitionBy(label) — few classes would "
+   "serialize 100 TB through n_labels tasks — and instead derives from "
+   "assign_global_ids over (label, dist, id): one range exchange "
+   "numbered in parallel, per-label offsets a tiny broadcast aggregate")
+def prototypicality_prune_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.prototypicality_prune(emb, prune_frac=0.25)
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
@@ -6968,6 +7047,7 @@ _WINDOW = [
     # Pre-verified vs the DuckDB oracle at sf0.01 AND sf0.001 via
     # tools/check_parity.py, tuned and --vanilla sessions.
     "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
+    "kcenter_coreset_embeddings", "prototypicality_prune_embeddings",
     "knn_label_eval_embeddings", "volume_shipping_pair_nations",
     "market_share_by_year", "video_metadata_documents",
     "keyframe_slices_documents", "change_log_apply_orders",
@@ -6990,10 +7070,13 @@ _WINDOW = [
     "funnel_conversion_events", "cohort_retention_events",
     "late_shipment_by_priority", "ngram_jaccard_capped_documents",
     "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
-    "gopher_quality_documents", "zscore_outliers_events",
 ]
 
 _TAIL = [
+    # displaced from the r13 window by the two new round-13 curation
+    # entries (kcenter coreset, prototypicality prune): both re-enter
+    # the rotation queue with their r12 hashes.
+    "gopher_quality_documents", "zscore_outliers_events",
     "ivf_assign_scaled_embeddings", "knn_graph_scaled_embeddings",
     "nn_descent_scaled_embeddings", "random_projection_embeddings",
     "overlap_coeff_capped_documents", "semantic_dedup_scaled_embeddings",
