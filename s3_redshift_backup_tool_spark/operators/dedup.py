@@ -1353,3 +1353,58 @@ def cluster_size_histogram(pairs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size"))
     return (sizes.groupBy("cluster_size")
                  .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+def content_defined_chunks(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           divisor: int = 8) -> DataFrame:
+    """Content-defined chunking at word granularity (the LBFS/FastCDC
+    boundary rule applied to text): a chunk boundary falls after every
+    word whose portable 60-bit hash is ≡ 0 (mod ``divisor``), plus the
+    forced final boundary — so expected chunk length is ``divisor``
+    words and, unlike :func:`dup_span_chunks`'s fixed-width windows,
+    boundaries move WITH the content: inserting a word early in a
+    document leaves every later chunk (and hence its fingerprint)
+    unchanged. Complements :func:`winnowing_fingerprints`: winnowing
+    SAMPLES overlapping k-gram fingerprints for detection; this
+    PARTITIONS the document — every word lands in exactly one chunk —
+    which is what storage-style dedup accounting needs (duplicated
+    chunk mass is exactly the bytes a chunk store would not re-write).
+
+    Output: one row per chunk — (``id_col``, chunk_id position within
+    the doc, fingerprint of the chunk text, chunk_words). All per-row
+    array expressions over one materialized word-hash array (the
+    winnowing named-attribute lesson: an inline hash array would
+    re-evaluate per chunk); zero shuffle, codegen'd; only 8-byte
+    fingerprints + a length ever leave the row."""
+    df = fan_out(df)  # per-row hot loop
+    w = F.split(F.col(text_col), " ")
+    n = F.size(F.col("__w"))
+    hashes = F.transform(F.col("__w"), lambda t: md5_prefix_int(t))
+    # boundary positions: words whose hash % divisor == 0 (except the
+    # last word — the final boundary is forced), 0 prepended so chunk
+    # j spans words bp[j]+1 .. bp[j+1]
+    cuts = F.filter(F.sequence(F.lit(1), n),
+                    lambda i: (F.element_at(F.col("__hs"), i)
+                               % divisor == 0) & (i < n))
+    bp = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    chunk = lambda j: F.concat_ws(
+        " ", F.slice(F.col("__w"),
+                     F.element_at(F.col("__bp"), j) + 1,
+                     F.element_at(F.col("__bp"), j + 1)
+                     - F.element_at(F.col("__bp"), j)))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__bp")) - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_id"),
+            md5_prefix_int(chunk(j)).alias("fingerprint"),
+            (F.element_at(F.col("__bp"), j + 1)
+             - F.element_at(F.col("__bp"), j)).cast("int")
+            .alias("chunk_words")))
+    return (df.filter(F.size(w) >= 1)
+              .select(F.col(id_col), w.alias("__w"))
+              .withColumn("__hs", hashes)
+              .withColumn("__bp", bp)
+              .select(F.col(id_col), F.explode(chunks).alias("__c"))
+              .select(id_col, "__c.chunk_id", "__c.fingerprint",
+                      "__c.chunk_words"))

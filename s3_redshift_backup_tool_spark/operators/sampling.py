@@ -412,3 +412,46 @@ def curriculum_interleave(df: DataFrame, group_col: str,
     out = assign_global_ids(ranked, [rank_col, group_col] + list(order_cols),
                             id_col=pos_col)
     return out.withColumn(pos_col, F.col(pos_col).cast("bigint"))
+
+
+def epoch_plan(df: DataFrame, group_col: str, token_count: Column | str,
+               budget_ratio: float = 2.0, temperature: float = 2.0,
+               max_epochs: float = 4.0) -> DataFrame:
+    """Multi-epoch token-budget allocation per domain — the pretraining
+    recipe step AFTER mixture weights: given a per-domain token count,
+    temperature-scaled weights w_g ∝ tokens_g^(1/T), and a total token
+    budget (``budget_ratio`` x the corpus), how many PASSES (epochs)
+    over each domain does the run make? raw_epochs = budget * w_g /
+    tokens_g, capped at ``max_epochs`` (repeating a small domain past
+    ~4 epochs measurably degrades models, so the cap is the standard
+    guard; capped domains contribute tokens_g * max_epochs and the
+    remainder implicitly falls to uncapped domains on renormalization
+    — reported here as the uncapped shares so the gap is visible, not
+    silently re-spread). Complements :func:`temperature_keep_rates`
+    (keep-rates ≤ 1 for DOWN-sampling); this plans UP-sampling
+    repeats > 1.
+
+    One partial-aggregable groupBy (k rows of group state); weights
+    and epochs are closed-form column expressions over the k-row
+    aggregate joined to its 1-row total — no driver round-trip, no
+    second scan. Output per domain: tokens, weight, raw_epochs,
+    epochs (capped), tokens_contributed, capped flag."""
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
+    g = (df.groupBy(group_col)
+           .agg(F.sum(tc).cast("double").alias("tokens")))
+    pr = F.pow(F.col("tokens"), 1.0 / temperature)
+    scored = g.withColumn("__pr", pr)
+    tot = scored.agg(F.sum("tokens").alias("__total"),
+                     F.sum("__pr").alias("__z"))
+    out = scored.crossJoin(F.broadcast(tot))
+    budget = F.col("__total") * budget_ratio
+    raw = budget * F.col("__pr") / F.col("__z") / F.col("tokens")
+    capped = F.least(raw, F.lit(float(max_epochs)))
+    return (out.select(
+        F.col(group_col),
+        F.col("tokens"),
+        F.round(F.col("__pr") / F.col("__z"), 6).alias("weight"),
+        F.round(raw, 6).alias("raw_epochs"),
+        F.round(capped, 6).alias("epochs"),
+        F.round(capped * F.col("tokens"), 3).alias("tokens_contributed"),
+        (raw > max_epochs).alias("capped")))

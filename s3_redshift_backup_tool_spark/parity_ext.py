@@ -7023,6 +7023,85 @@ def prototypicality_prune_embeddings(spark, sf_dir):
     return sim.prototypicality_prune(emb, prune_frac=0.25)
 
 
+
+
+@q("content_chunk_dups_documents",
+   f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      h AS (SELECT doc_id, w,
+                   list_transform(w, x -> {_H.format(x='x')}) AS hs
+            FROM t),
+      b AS (SELECT doc_id, w,
+                   list_concat(list_concat([0],
+                       list_filter(range(1, len(w) + 1),
+                                   i -> hs[i] % 8 = 0 AND i < len(w))),
+                       [len(w)]) AS bp
+            FROM h),
+      c AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(bp)),
+                       j -> struct_pack(
+                           fp := {_H.format(
+                               x="array_to_string(w[bp[j]+1:bp[j+1]], ' ')")},
+                           nw := bp[j+1] - bp[j]))) AS ch
+            FROM b)
+      SELECT ch.fp AS fingerprint,
+             CAST(max(ch.nw) AS INT) AS chunk_words,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_copies
+      FROM c GROUP BY 1 HAVING count(*) >= 2""",
+   "content-defined chunking dedup accounting (LBFS/FastCDC boundary "
+   "rule at word granularity): a boundary falls after every word whose "
+   "60-bit hash is 0 mod 8, so boundaries move WITH the content — an "
+   "insertion early in a doc leaves every later chunk fingerprint "
+   "unchanged, where dup_span_chunks' fixed windows reshuffle. Unlike "
+   "winnowing (which SAMPLES overlapping k-grams for detection) this "
+   "PARTITIONS the doc — every word in exactly one chunk — so "
+   "duplicated chunk mass is exactly the bytes a chunk store would "
+   "not re-write. Per-row array math over one materialized word-hash "
+   "array, zero shuffle until the 8-byte fingerprint groupBy")
+def content_chunk_dups_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ch = dd.content_defined_chunks(docs, divisor=8)
+    return (ch.groupBy("fingerprint")
+              .agg(F.max("chunk_words").cast("int").alias("chunk_words"),
+                   F.countDistinct("doc_id").alias("n_docs"),
+                   F.count(F.lit(1)).alias("n_copies"))
+              .filter(F.col("n_copies") >= 2))
+
+
+@q("epoch_plan_by_source",
+   """WITH g AS (SELECT source,
+                    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                        AS tokens
+                 FROM documents GROUP BY 1),
+      p AS (SELECT source, tokens, pow(tokens, 0.5) AS pr FROM g),
+      t AS (SELECT sum(tokens) AS total, sum(pr) AS z FROM p)
+      SELECT source, tokens,
+             round(pr / z, 6) AS weight,
+             round(total * 2.0 * pr / z / tokens, 6) AS raw_epochs,
+             round(least(total * 2.0 * pr / z / tokens, 4.0), 6) AS epochs,
+             round(least(total * 2.0 * pr / z / tokens, 4.0) * tokens, 3)
+                 AS tokens_contributed,
+             (total * 2.0 * pr / z / tokens) > 4.0 AS capped
+      FROM p CROSS JOIN t""",
+   "multi-epoch token-budget planner — the pretraining recipe step "
+   "AFTER mixture weights: temperature-scaled weights (T=2) over "
+   "per-domain token counts, budget = 2x the corpus, epochs = "
+   "budget*w/tokens capped at 4 passes (repeating a small domain past "
+   "~4 epochs measurably degrades models). Complements "
+   "temperature_mixture (keep-rates <= 1 for down-sampling): this "
+   "plans UP-sampling repeats > 1 and reports the capped gap rather "
+   "than silently re-spreading it. One partial-aggregable groupBy to "
+   "k domain rows; weights/epochs are closed-form expressions over "
+   "the k rows x their broadcast 1-row total — no driver round-trip")
+def epoch_plan_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.epoch_plan(docs, "source",
+                          F.size(F.split("text", " ")),
+                          budget_ratio=2.0, temperature=2.0,
+                          max_epochs=4.0)
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
@@ -7048,6 +7127,7 @@ _WINDOW = [
     # tools/check_parity.py, tuned and --vanilla sessions.
     "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
     "kcenter_coreset_embeddings", "prototypicality_prune_embeddings",
+    "content_chunk_dups_documents", "epoch_plan_by_source",
     "knn_label_eval_embeddings", "volume_shipping_pair_nations",
     "market_share_by_year", "video_metadata_documents",
     "keyframe_slices_documents", "change_log_apply_orders",
@@ -7069,13 +7149,14 @@ _WINDOW = [
     "forecast_revenue_change", "chunk_documents_windowed",
     "funnel_conversion_events", "cohort_retention_events",
     "late_shipment_by_priority", "ngram_jaccard_capped_documents",
-    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
 ]
 
 _TAIL = [
-    # displaced from the r13 window by the two new round-13 curation
-    # entries (kcenter coreset, prototypicality prune): both re-enter
-    # the rotation queue with their r12 hashes.
+    # displaced from the r13 window by the four new round-13 curation
+    # entries (kcenter coreset, prototypicality prune, content-defined
+    # chunking, epoch planner): all four re-enter the rotation queue
+    # with their r12 hashes.
+    "neardup_clusters_star_documents", "semantic_dedup_pairs_embeddings",
     "gopher_quality_documents", "zscore_outliers_events",
     "ivf_assign_scaled_embeddings", "knn_graph_scaled_embeddings",
     "nn_descent_scaled_embeddings", "random_projection_embeddings",
