@@ -455,3 +455,108 @@ def epoch_plan(df: DataFrame, group_col: str, token_count: Column | str,
         F.round(capped, 6).alias("epochs"),
         F.round(capped * F.col("tokens"), 3).alias("tokens_contributed"),
         (raw > max_epochs).alias("capped")))
+
+
+def doremi_weights(df: DataFrame, group_col: str, loss: Column,
+                   token_count: Column | str, eta: float = 1.0,
+                   steps: int = 8, smoothing: float = 0.1) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining'):
+    Group-DRO exponentiated-gradient ascent on per-domain EXCESS loss
+    over a reference, starting from the raw token-share prior u:
+
+        a_d  ∝  u_d * exp(eta * steps * excess_d),
+        w_d  =  (1 - smoothing) * a_d + smoothing * u_d,
+
+    with excess_d = max(loss_d - loss_ref, 0), loss_d the per-domain
+    mean of ``loss`` (a per-row proxy-model loss column — here the
+    quality-score deficit stands in for the proxy LM's loss) and
+    loss_ref the corpus mean. In training, DoReMi re-evaluates the
+    excess each step against a live proxy model; with a FIXED proxy
+    loss column the T-step EG recursion is a product of identical
+    multiplicative updates and collapses to the closed form above —
+    computed that way deliberately (the live inner loop is a training
+    concern; the data plan needs the fixed-point mixture), which also
+    makes the weights exactly oracle-reproducible.
+
+    Plan shape: ONE partial-aggregable groupBy to k domain rows
+    carrying (token sum, loss sum, row count); the reference loss
+    derives from the SAME k-row aggregate (sum of sums — no second
+    corpus scan), and the softmax normalizer is a 1-row agg over the
+    k rows, broadcast back. Per-domain means and excesses are rounded
+    to 6 before exp() so both engines exponentiate identical inputs.
+    Output per domain: tokens, token_share (= u), loss, excess,
+    doremi_alpha (pre-smoothing), doremi_weight."""
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
+    g = (df.groupBy(group_col)
+           .agg(F.sum(tc).cast("double").alias("tokens"),
+                F.sum(loss).alias("__ls"),
+                F.count(F.lit(1)).alias("__n"))
+           .localCheckpoint(eager=False))  # feeds totals AND scoring
+    tot = g.agg(F.sum("tokens").alias("__tt"),
+                F.sum("__ls").alias("__lst"), F.sum("__n").alias("__nt"))
+    base = g.crossJoin(F.broadcast(tot))
+    loss_d = F.round(F.col("__ls") / F.col("__n"), 6)
+    loss_ref = F.round(F.col("__lst") / F.col("__nt"), 6)
+    excess = F.round(F.greatest(loss_d - loss_ref, F.lit(0.0)), 6)
+    u = F.col("tokens") / F.col("__tt")
+    score = u * F.exp(F.lit(float(eta) * int(steps)) * excess)
+    scored = (base.withColumn("__u", u).withColumn("__loss", loss_d)
+                  .withColumn("__ex", excess).withColumn("__s", score)
+                  .localCheckpoint(eager=False))
+    z = scored.agg(F.sum("__s").alias("__z"))
+    alpha = F.col("__s") / F.col("__z")
+    w = ((1.0 - float(smoothing)) * alpha
+         + float(smoothing) * F.col("__u"))
+    return (scored.crossJoin(F.broadcast(z))
+                  .select(F.col(group_col), F.col("tokens"),
+                          F.round("__u", 6).alias("token_share"),
+                          F.col("__loss").alias("loss"),
+                          F.col("__ex").alias("excess"),
+                          F.round(alpha, 6).alias("doremi_alpha"),
+                          F.round(w, 6).alias("doremi_weight")))
+
+
+def length_buckets(df: DataFrame, token_count: Column | str,
+                   n_buckets: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed batch planning (the `group_by_length` /
+    bucketed-batching recipe): rank every document by token count,
+    cut the ranking into ``n_buckets`` equal-population buckets, and
+    report per bucket the padding waste a pad-to-longest batcher
+    would spend — ``n_docs * max_tokens - sum_tokens`` — versus the
+    one-bucket baseline where everything pads to the corpus max.
+    Sequence packing (:func:`pack_sequences`) eliminates padding by
+    concatenation; this PLANS the cheaper alternative when example
+    boundaries must survive (SFT, contrastive pairs), and its output
+    is the bucket boundary table a loader shards by.
+
+    The global rank deliberately avoids ``row_number() OVER (ORDER BY
+    ...)`` — an unpartitioned window serializes the corpus through one
+    task — and uses :func:`~.partitioning.assign_global_ids` instead:
+    one range exchange, per-partition numbering in parallel, O(tasks)
+    driver ints. bucket = floor((rank-1) * k / N) needs N, a 1-row
+    broadcast count off the numbered frame; then one k-row groupBy.
+    Ties rank by (token_count, id) so bucket membership is total-order
+    deterministic on both engines."""
+    from .partitioning import assign_global_ids
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
+    k = int(n_buckets)
+    lens = df.select(F.col(id_col), tc.cast("long").alias("__tok"))
+    ranked = assign_global_ids(lens, ["__tok", id_col], id_col="__rk")
+    n = ranked.agg(F.count(F.lit(1)).alias("__N"))
+    bucket = F.floor((F.col("__rk") - 1) * k / F.col("__N")).cast("int")
+    return (ranked.crossJoin(F.broadcast(n))
+                  .groupBy(bucket.alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.min("__tok").alias("min_tokens"),
+                       F.max("__tok").alias("max_tokens"),
+                       F.sum("__tok").alias("sum_tokens"))
+                  .select("bucket", "n_docs", "min_tokens", "max_tokens",
+                          "sum_tokens",
+                          (F.col("n_docs") * F.col("max_tokens")
+                           - F.col("sum_tokens")).alias("pad_waste"),
+                          F.round((F.col("n_docs") * F.col("max_tokens")
+                                   - F.col("sum_tokens"))
+                                  / (F.col("n_docs")
+                                     * F.col("max_tokens")), 6)
+                           .alias("waste_frac")))

@@ -546,3 +546,72 @@ def kn_bigram_perplexity(df: DataFrame, text_col: str = "text",
                    F.round(F.avg(F.log("__p")), 6).alias("avg_logprob"),
                    F.round(F.exp(-F.avg(F.log("__p"))), 4)
                     .alias("perplexity")))
+
+
+def dsir_logratio(df: DataFrame, target: Column, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  n_buckets: int = 512) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): per-document
+    log-likelihood ratio between a TARGET-domain bag-of-hashed-ngrams
+    unigram LM and the RAW-corpus LM, the weight DSIR then Gumbel-
+    resamples on. ``target`` is a boolean column marking the in-domain
+    rows (the small high-quality set — here e.g. ``lang = 'en'``);
+    features are whitespace unigrams + bigrams hashed into
+    ``n_buckets`` buckets (the paper's hashed n-gram feature space),
+    both LMs add-one smoothed:
+
+        weight(doc) = sum_f  n_f(doc) * [ ln((t_b+1)/(T+B))
+                                        - ln((r_b+1)/(R+B)) ]
+
+    with t/r per-bucket feature counts in target/raw, T/R their
+    totals, B the bucket count. Positive = looks like the target
+    distribution; feed into :func:`~.sampling.importance_sample` (or
+    top-k) for the actual selection step.
+
+    Plan shape: one explode + (doc,bucket) count aggregate (the only
+    corpus-sized shuffle, partial-aggregable), a bucket table derived
+    FROM that aggregate (<= B rows: both LMs in one pass, no second
+    scan of the text), its 1-row totals broadcast, a broadcast join
+    back onto the (doc,bucket) counts, and a per-doc sum. Nothing
+    quadratic; bucket-table state is O(B) independent of corpus size
+    (the kmeans_centroids contract). Self-consistent by construction
+    (the LMs are corpus-derived) so the DuckDB oracle reproduces the
+    weights exactly; at 100 TB the bucket table would be fit once on
+    a fixed sample and persisted like the IVF index (same swap note
+    as bigram_logprob)."""
+    from .partitioning import fan_out
+    b = int(n_buckets)
+    base = (fan_out(df)
+            .select(F.col(id_col), target.alias("__t"),
+                    F.split(F.col(text_col), " ").alias("__w"))
+            .filter(F.size("__w") >= 1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("__w", i),
+                              F.element_at("__w", i + 1)))
+    feats = F.when(F.size("__w") >= 2,
+                   F.concat(F.col("__w"), bigrams)).otherwise(F.col("__w"))
+    per_db = (base.select(id_col, "__t", F.explode(feats).alias("__f"))
+                  .select(id_col, "__t",
+                          (md5_prefix_int(F.col("__f")) % b).alias("__b"))
+                  .groupBy(id_col, "__t", "__b")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .localCheckpoint(eager=False))  # feeds LM AND scoring
+    buckets = (per_db.groupBy("__b")
+                     .agg(F.sum("__n").alias("__r"),
+                          F.sum(F.when(F.col("__t"), F.col("__n"))
+                                 .otherwise(F.lit(0))).alias("__tc")))
+    tot = buckets.agg(F.sum("__r").alias("__rt"),
+                      F.sum("__tc").alias("__tt"))
+    lam = (F.log(F.col("__tc") + 1) - F.log(F.col("__tt") + b)
+           - F.log(F.col("__r") + 1) + F.log(F.col("__rt") + b))
+    scored = (per_db.join(F.broadcast(buckets), "__b")
+                    .crossJoin(F.broadcast(tot)))
+    return (scored.groupBy(id_col)
+                  .agg(F.sum("__n").cast("long").alias("n_feats"),
+                       F.round(F.sum(F.col("__n") * lam), 6)
+                        .alias("dsir_weight"),
+                       F.round(F.sum(F.col("__n") * lam)
+                               / F.sum("__n"), 6)
+                        .alias("avg_logratio")))

@@ -7102,6 +7102,123 @@ def epoch_plan_by_source(spark, sf_dir):
                           max_epochs=4.0)
 
 
+_DSIR_LAM = ("(ln(t + 1) - ln(tt + 512) - ln(r + 1) + ln(rt + 512))")
+
+@q("dsir_weights_documents",
+   f"""WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+                       string_split(text, ' ') AS ws
+                FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      f AS (SELECT doc_id, is_t,
+                   unnest(CASE WHEN len(ws) >= 2 THEN list_concat(ws,
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1]))
+                       ELSE ws END) AS feat
+            FROM w),
+      db AS (SELECT doc_id, is_t, {_H.format(x='feat')} % 512 AS b,
+                    count(*) AS n
+             FROM f GROUP BY 1, 2, 3),
+      bt AS (SELECT b, sum(n) AS r,
+                    sum(CASE WHEN is_t THEN n ELSE 0 END) AS t
+             FROM db GROUP BY 1),
+      tot AS (SELECT sum(r) AS rt, sum(t) AS tt FROM bt)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+             round(sum(n * {_DSIR_LAM}), 6) AS dsir_weight,
+             round(sum(n * {_DSIR_LAM}) / sum(n), 6) AS avg_logratio
+      FROM db JOIN bt USING (b) CROSS JOIN tot
+      GROUP BY doc_id""",
+   "DSIR importance weights (Xie'23 'Data Selection via Importance "
+   "Resampling'): per-doc log-likelihood ratio between a TARGET-domain "
+   "(lang='en') and the RAW-corpus bag-of-hashed-ngrams unigram LM — "
+   "hashed uni+bigram features into 512 buckets, add-one smoothing, "
+   "the weight DSIR then resamples on. The genuinely importance-"
+   "weighted sibling of importance_sample_documents (whose weight is "
+   "a per-row quality score). One explode + (doc,bucket) count agg is "
+   "the only corpus-sized shuffle; BOTH LMs derive from that single "
+   "aggregate (target counts are a conditional sum — no second text "
+   "scan), the <=512-row bucket table broadcasts back, per-doc sum. "
+   "O(B) state independent of corpus size; at 100 TB the bucket table "
+   "is fit once on a fixed sample and persisted (the bigram_logprob "
+   "swap note)")
+def dsir_weights_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.dsir_logratio(docs, F.col("lang") == "en", n_buckets=512)
+
+
+@q("doremi_weights_by_source",
+   f"""WITH s AS (SELECT source,
+                       len(string_split(text, ' ')) AS tok,
+                       1.0 - {_QS_SQL} AS l
+                FROM documents),
+      g AS (SELECT source, CAST(sum(tok) AS DOUBLE) AS tokens,
+                   sum(l) AS ls, count(*) AS n
+            FROM s GROUP BY 1),
+      t AS (SELECT sum(tokens) AS tt, sum(ls) AS lst, sum(n) AS nt
+            FROM g),
+      e AS (SELECT source, tokens, tokens / tt AS u,
+                   round(ls / n, 6) AS loss,
+                   round(greatest(round(ls / n, 6)
+                                  - round(lst / nt, 6), 0.0), 6)
+                       AS excess
+            FROM g CROSS JOIN t),
+      sc AS (SELECT *, u * exp(8.0 * excess) AS s FROM e),
+      z AS (SELECT sum(s) AS z FROM sc)
+      SELECT source, tokens, round(u, 6) AS token_share, loss, excess,
+             round(s / z, 6) AS doremi_alpha,
+             round(0.9 * s / z + 0.1 * u, 6) AS doremi_weight
+      FROM sc CROSS JOIN z""",
+   "DoReMi domain reweighting (Xie'23): Group-DRO exponentiated-"
+   "gradient on per-domain EXCESS loss over the corpus-mean reference, "
+   "from the raw token-share prior, smoothed 10% back toward it — the "
+   "mixture-optimization step BEFORE temperature_mixture/epoch_plan "
+   "consume a weight vector. Loss proxy = quality-score deficit; with "
+   "a fixed proxy the T-step EG recursion collapses to the closed form "
+   "u*exp(eta*T*excess) (docstring documents the live-loop swap). ONE "
+   "partial-aggregable groupBy to k domain rows; reference loss is a "
+   "sum-of-sums off the SAME aggregate, softmax normalizer a 1-row agg "
+   "over k rows; means/excesses rounded to 6 pre-exp so both engines "
+   "exponentiate identical inputs")
+def doremi_weights_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    loss = 1.0 - tx.quality_score(F.col("text"))
+    return smp.doremi_weights(docs, "source", loss,
+                              F.size(F.split("text", " ")),
+                              eta=1.0, steps=8, smoothing=0.1)
+
+
+@q("length_buckets_documents",
+   """WITH s AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                 FROM documents),
+      r AS (SELECT tok, row_number() OVER (ORDER BY tok, doc_id) AS rk,
+                   count(*) OVER () AS n
+            FROM s),
+      b AS (SELECT CAST(floor((rk - 1) * 8.0 / n) AS INT) AS bucket, tok
+            FROM r)
+      SELECT bucket, count(*) AS n_docs,
+             min(tok) AS min_tokens, max(tok) AS max_tokens,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             CAST(count(*) * max(tok) - sum(tok) AS BIGINT) AS pad_waste,
+             round((count(*) * max(tok) - sum(tok))::DOUBLE
+                   / (count(*) * max(tok)), 6) AS waste_frac
+      FROM b GROUP BY 1""",
+   "length-bucketed batch planning (the group_by_length recipe): rank "
+   "docs by token count, cut into 8 equal-population buckets, report "
+   "per-bucket padding waste a pad-to-longest batcher would spend vs "
+   "the one-bucket baseline. pack_sequences ELIMINATES padding by "
+   "concatenation; this PLANS the alternative when example boundaries "
+   "must survive (SFT, contrastive pairs). The oracle's row_number() "
+   "OVER (ORDER BY ...) is exactly what the Spark side must NOT do — "
+   "an unpartitioned window serializes the corpus through one task — "
+   "so the rank comes from assign_global_ids (range exchange + "
+   "parallel per-partition numbering + O(tasks) driver ints), then "
+   "one k-row groupBy; ties (tok, doc_id) total-ordered on both "
+   "engines")
+def length_buckets_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.length_buckets(docs, F.size(F.split("text", " ")),
+                              n_buckets=8)
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
@@ -7125,6 +7242,11 @@ _WINDOW = [
     # re-attestation of the oldest driver hashes.
     # Pre-verified vs the DuckDB oracle at sf0.01 AND sf0.001 via
     # tools/check_parity.py, tuned and --vanilla sessions.
+    # Third r13 batch (data selection & batch planning): DSIR
+    # importance weights, DoReMi domain reweighting, length-bucket
+    # padding planner — never-hashed, so they lead per the policy.
+    "dsir_weights_documents", "doremi_weights_by_source",
+    "length_buckets_documents",
     "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
     "kcenter_coreset_embeddings", "prototypicality_prune_embeddings",
     "content_chunk_dups_documents", "epoch_plan_by_source",
@@ -7147,11 +7269,16 @@ _WINDOW = [
     "intersect_click_purchase_users", "label_centroids_embeddings",
     "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
     "forecast_revenue_change", "chunk_documents_windowed",
-    "funnel_conversion_events", "cohort_retention_events",
-    "late_shipment_by_priority", "ngram_jaccard_capped_documents",
+    "funnel_conversion_events",
 ]
 
 _TAIL = [
+    # displaced from the r13 window by the three data-selection
+    # entries above (DSIR, DoReMi, length buckets): re-enter the
+    # rotation queue with their r12 hashes, ahead of the four
+    # displaced earlier this round.
+    "cohort_retention_events", "late_shipment_by_priority",
+    "ngram_jaccard_capped_documents",
     # displaced from the r13 window by the four new round-13 curation
     # entries (kcenter coreset, prototypicality prune, content-defined
     # chunking, epoch planner): all four re-enter the rotation queue

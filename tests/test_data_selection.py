@@ -1,0 +1,200 @@
+"""Data-selection & batch-planning operators, third r13 batch: DSIR
+importance weights (Xie'23), DoReMi domain reweighting (Xie'23), and
+length-bucketed batch planning. Values are checked on constructed
+fixtures where the math is hand-derivable; the registry entries check
+the same code against the DuckDB oracle on the real tables."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from s3_redshift_backup_tool_spark.operators.sampling import (
+    doremi_weights, length_buckets)
+from s3_redshift_backup_tool_spark.operators.text import dsir_logratio
+
+_DOC = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("grp", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(list(rows), _DOC)
+
+
+# --------------------------------------------------------------- DSIR
+
+def test_dsir_separates_target_like_docs(spark):
+    # target docs speak "alpha beta", raw background speaks "gamma
+    # delta": a fresh doc made of target tokens must outscore one made
+    # of background tokens (that is the whole point of the weight).
+    # Only the ORDERING is asserted — at toy counts the add-one
+    # smoothing shifts every weight by ~ln((R+B)/(T+B)) < 0 (T < R
+    # since raw contains target), so absolute signs are scale
+    # artifacts; avg_logratio normalizes length so the short docs
+    # compare fairly.
+    rows = [(i, "t", "alpha beta alpha beta") for i in range(5)]
+    rows += [(i + 10, "r", "gamma delta gamma delta") for i in range(5)]
+    rows += [(100, "r", "alpha beta alpha"),   # target-looking raw doc
+             (101, "r", "gamma delta gamma")]  # background-looking
+    out = dsir_logratio(_docs(spark, rows), F.col("grp") == "t",
+                        n_buckets=64)
+    got = {r["doc_id"]: r["avg_logratio"] for r in out.collect()}
+    assert got[100] > got[101]
+    assert min(got[i] for i in range(5)) > max(got[i + 10]
+                                               for i in range(5))
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    out = dsir_logratio(_docs(spark, [(1, "t", "a b c"),
+                                      (2, "r", "a")]),
+                        F.col("grp") == "t", n_buckets=16)
+    got = {r["doc_id"]: r["n_feats"] for r in out.collect()}
+    assert got == {1: 5, 2: 1}  # 3 words + 2 bigrams; single word
+
+
+def test_dsir_weight_matches_hand_computation(spark):
+    # One bucket per feature (no collisions at B=4096 for 2 tokens is
+    # not guaranteed — so verify via the identity that the per-doc
+    # weight equals sum(n_b * lambda_b) recomputed from scratch in
+    # python on the SAME hashed buckets).
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    b = 64
+    rows = [(1, "t", "x y"), (2, "r", "y z"), (3, "r", "x y")]
+    feats = {1: ["x", "y", "x y"], 2: ["y", "z", "y z"],
+             3: ["x", "y", "x y"]}
+    tcnt: dict[int, int] = {}
+    rcnt: dict[int, int] = {}
+    for d, fs in feats.items():
+        for f_ in fs:
+            bk = h(f_) % b
+            rcnt[bk] = rcnt.get(bk, 0) + 1
+            if d == 1:
+                tcnt[bk] = tcnt.get(bk, 0) + 1
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+    lam = {bk: (math.log(tcnt.get(bk, 0) + 1) - math.log(tt + b)
+                - math.log(rcnt[bk] + 1) + math.log(rt + b))
+           for bk in rcnt}
+    want = {d: round(sum(lam[h(f_) % b] for f_ in fs), 6)
+            for d, fs in feats.items()}
+    out = dsir_logratio(_docs(spark, rows), F.col("grp") == "t",
+                        n_buckets=b)
+    got = {r["doc_id"]: r["dsir_weight"] for r in out.collect()}
+    assert got == want
+
+
+def test_dsir_bucket_join_is_broadcast(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (dsir_logratio(docs, F.col("lang") == "en")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the <=B-row bucket table must come back as a broadcast join, and
+    # nothing in the plan may be a nested-loop over corpus-sized sides
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- DoReMi
+
+def test_doremi_weights_sum_to_one_and_tilt_to_lossy_domain(spark):
+    # domain "b" has double the loss of "a"; equal token mass.
+    rows = [(1, "a", 0.1, 10.0), (2, "a", 0.1, 10.0),
+            (3, "b", 0.3, 10.0), (4, "b", 0.3, 10.0)]
+    df = spark.createDataFrame(rows, ["id", "dom", "l", "tok"])
+    out = {r["dom"]: r for r in
+           doremi_weights(df, "dom", F.col("l"), "tok").collect()}
+    total = out["a"]["doremi_weight"] + out["b"]["doremi_weight"]
+    assert abs(total - 1.0) < 1e-5
+    assert out["b"]["doremi_weight"] > out["b"]["token_share"]
+    assert out["a"]["doremi_weight"] < out["a"]["token_share"]
+    # excess is clamped at zero for the below-reference domain
+    assert out["a"]["excess"] == 0.0 and out["b"]["excess"] > 0.0
+
+
+def test_doremi_uniform_loss_returns_token_shares(spark):
+    # no domain beats the reference -> every excess is 0 -> the EG
+    # update is the identity and weights == token shares exactly.
+    rows = [(1, "a", 0.2, 30.0), (2, "b", 0.2, 10.0),
+            (3, "c", 0.2, 60.0)]
+    df = spark.createDataFrame(rows, ["id", "dom", "l", "tok"])
+    for r in doremi_weights(df, "dom", F.col("l"), "tok").collect():
+        assert abs(r["doremi_weight"] - r["token_share"]) <= 1e-6
+        assert r["excess"] == 0.0
+
+
+def test_doremi_closed_form_matches_unrolled_eg(spark):
+    # the closed form must equal T explicit multiplicative updates
+    # renormalized at the end (same thing for a static excess).
+    rows = [(1, "a", 0.05, 40.0), (2, "b", 0.50, 40.0),
+            (3, "c", 0.35, 20.0)]
+    df = spark.createDataFrame(rows, ["id", "dom", "l", "tok"])
+    got = {r["dom"]: r for r in
+           doremi_weights(df, "dom", F.col("l"), "tok",
+                          eta=0.5, steps=4, smoothing=0.2).collect()}
+    # reference = corpus per-ROW mean loss (one row per domain here)
+    ref = round((0.05 + 0.50 + 0.35) / 3, 6)
+    u = {"a": 0.4, "b": 0.4, "c": 0.2}
+    ex = {d: round(max(round(l, 6) - ref, 0.0), 6)
+          for d, l in (("a", 0.05), ("b", 0.50), ("c", 0.35))}
+    w = dict(u)
+    for _ in range(4):
+        w = {d: w[d] * math.exp(0.5 * ex[d]) for d in w}
+    z = sum(w.values())
+    for d in w:
+        want = 0.8 * w[d] / z + 0.2 * u[d]
+        assert abs(got[d]["doremi_weight"] - want) < 1e-6
+
+
+# ------------------------------------------------------ length buckets
+
+def test_length_buckets_partition_and_monotone(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = sorted(length_buckets(docs, F.size(F.split("text", " ")),
+                                 n_buckets=8).collect(),
+                  key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(8))
+    assert sum(r["n_docs"] for r in rows) == n
+    # equal-population cut: bucket sizes differ by at most 1
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # ranked by length: bucket boundaries are non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_tokens"] <= b["min_tokens"]
+    # bucketing can only reduce pad-to-longest waste vs one bucket
+    corpus_max = rows[-1]["max_tokens"]
+    single = n * corpus_max - sum(r["sum_tokens"] for r in rows)
+    assert sum(r["pad_waste"] for r in rows) <= single
+
+
+def test_length_buckets_waste_math(spark):
+    # two buckets over 4 docs of lengths 1,2,3,4: bucket 0 = {1,2}
+    # (max 2, waste 1), bucket 1 = {3,4} (max 4, waste 1)
+    rows = [(i, "g", " ".join(["w"] * i)) for i in (1, 2, 3, 4)]
+    got = {r["bucket"]: r for r in
+           length_buckets(_docs(spark, rows),
+                          F.size(F.split("text", " ")),
+                          n_buckets=2).collect()}
+    assert got[0]["max_tokens"] == 2 and got[0]["pad_waste"] == 1
+    assert got[1]["max_tokens"] == 4 and got[1]["pad_waste"] == 1
+    assert got[0]["waste_frac"] == round(1 / 4, 6)
+    assert got[1]["waste_frac"] == round(1 / 8, 6)
+
+
+def test_length_buckets_avoid_unpartitioned_window(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (length_buckets(docs, F.size(F.split("text", " ")))
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__pid" in line, f"global window found: {line}"
