@@ -537,11 +537,19 @@ def length_buckets(df: DataFrame, token_count: Column | str,
     driver ints. bucket = floor((rank-1) * k / N) needs N, a 1-row
     broadcast count off the numbered frame; then one k-row groupBy.
     Ties rank by (token_count, id) so bucket membership is total-order
-    deterministic on both engines."""
+    deterministic on both engines.
+
+    The narrow (id, token_count) projection is localCheckpoint'd
+    BEFORE the range exchange: RangePartitioner's boundary-sampling
+    job evaluates its child, so an un-materialized projection whose
+    expression is expensive (split the full text to count tokens)
+    gets computed twice — measured at the 100x fixture as 14.9 s vs
+    1.0 s with the two-longs-per-row materialization."""
     from .partitioning import assign_global_ids
     tc = F.col(token_count) if isinstance(token_count, str) else token_count
     k = int(n_buckets)
-    lens = df.select(F.col(id_col), tc.cast("long").alias("__tok"))
+    lens = (df.select(F.col(id_col), tc.cast("long").alias("__tok"))
+              .localCheckpoint(eager=False))
     ranked = assign_global_ids(lens, ["__tok", id_col], id_col="__rk")
     n = ranked.agg(F.count(F.lit(1)).alias("__N"))
     bucket = F.floor((F.col("__rk") - 1) * k / F.col("__N")).cast("int")

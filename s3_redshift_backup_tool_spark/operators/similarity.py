@@ -1631,7 +1631,13 @@ def prototypicality_prune(df: DataFrame, prune_frac: float = 0.25,
     scored = (df.join(F.broadcast(cents), label_col)
                 .select(id_col, label_col,
                         l2_sq(F.col(vec_col), F.col("__cv"))
-                        .alias("__dist")))
+                        .alias("__dist"))
+                # materialize the 3-column frame BEFORE the range
+                # exchange: RangePartitioner's boundary sampling
+                # evaluates its child, so an un-checkpointed dist
+                # would compute the dim-wide squared-L2 twice (the
+                # length_buckets lesson, measured 15x there)
+                .localCheckpoint(eager=False))
     ranked = assign_global_ids(scored, [label_col, "__dist", id_col],
                                id_col="__gr")
     stats = (ranked.groupBy(label_col)
