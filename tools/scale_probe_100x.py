@@ -324,6 +324,26 @@ Python path, and the incremental LSH index):
   algorithmic growth — no candidate-set or state relation in these
   plans grows faster than the input). 13 workloads now carry
   100x rows.
+- **selection weights + batch planning (r13 fourth batch, second
+  decade)**: dsir_weights 71.0 s at 500K docs (in family with the
+  other explode-the-text workloads: bigram_logprob 83.7 s,
+  content_chunk 93.5 s — the 10x point's 3.3 s was fixed-overhead
+  masking the per-feature md5 slope), doremi_weights 20.9 s (x10.1
+  for x10 — the quality-score regex scan, exactly linear),
+  length_buckets 14.7 s and prototypicality_prune 12.1 s AFTER the
+  range-exchange fix below, all ZERO spill.
+- **RangePartitioner evaluates its child twice** (measured r13): the
+  boundary-sampling job that `repartitionByRange` runs computes the
+  child plan once for sampling and again for the exchange itself, so
+  ranging directly over an un-materialized projection with an
+  expensive expression doubles that expression's cost. length_buckets
+  ranged over `size(split(text))` — 14.9 s at sf10 vs 1.0 s (warm)
+  with the two-longs-per-row frame localCheckpoint'd first;
+  prototypicality_prune ranged over a recomputed dim-wide squared-L2,
+  15.5 -> 12.1 s. Both operators now materialize the narrow frame
+  before `assign_global_ids`; the other range-exchange call sites
+  rank over plain source columns (audited), where the recompute is a
+  column read and materialization would only add I/O.
 """
 
 
