@@ -568,3 +568,45 @@ def length_buckets(df: DataFrame, token_count: Column | str,
                                   / (F.col("n_docs")
                                      * F.col("max_tokens")), 6)
                            .alias("waste_frac")))
+
+
+def score_rank_by_group(df: DataFrame, group_col: str, score: Column,
+                        id_col: str = "doc_id",
+                        keep_above: float = 0.5) -> DataFrame:
+    """Per-group calibrated score ranking — the fair-filtering recipe:
+    a single global threshold on a quality score filters domains
+    unevenly (a boilerplate-heavy domain loses everything, a clean one
+    nothing), so production pipelines threshold on the WITHIN-domain
+    percent rank instead, keeping the same top fraction of every
+    domain. Output per row: the score, its exact percent rank inside
+    the group (0 = worst, 1 = best; SQL percent_rank convention,
+    ties broken by id so both engines rank identically), and a keep
+    flag at ``rank_pct >= keep_above``.
+
+    Same plan as prototypicality_prune's rank path: NO
+    Window.partitionBy(group) — few groups would serialize the corpus
+    through n_groups tasks — ranks derive from
+    :func:`~.partitioning.assign_global_ids` over (group, score, id)
+    (one range exchange, parallel per-partition numbering) with
+    per-group offsets a broadcast aggregate. The scored 3-column frame
+    is localCheckpoint'd BEFORE the range exchange (the
+    RangePartitioner double-evaluation lesson: the score expression is
+    a regex/array pipeline you do not want computed twice)."""
+    from .partitioning import assign_global_ids
+    scored = (df.select(F.col(id_col), F.col(group_col),
+                        score.alias("__s"))
+                .localCheckpoint(eager=False))
+    ranked = assign_global_ids(scored, [group_col, "__s", id_col],
+                               id_col="__gr")
+    stats = (ranked.groupBy(group_col)
+                   .agg(F.min("__gr").alias("__r0"),
+                        F.count(F.lit(1)).alias("__n")))
+    rank_in = F.col("__gr") - F.col("__r0") + 1
+    pct = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (rank_in - 1).cast("double") / (F.col("__n") - 1))
+    return (ranked.join(F.broadcast(stats), group_col)
+                  .select(F.col(id_col), F.col(group_col),
+                          F.col("__s").alias("score"),
+                          F.round(pct, 6).alias("rank_pct"),
+                          (F.round(pct, 6) >= float(keep_above))
+                          .alias("keep")))

@@ -615,3 +615,69 @@ def dsir_logratio(df: DataFrame, target: Column, text_col: str = "text",
                        F.round(F.sum(F.col("__n") * lam)
                                / F.sum("__n"), 6)
                         .alias("avg_logratio")))
+
+
+def filter_agreement(df: DataFrame, flags: dict[str, "Column | DataFrame"],
+                     id_col: str = "doc_id") -> DataFrame:
+    """Pairwise agreement audit between quality filters — the filter-
+    ablation analysis curation teams run before composing gates (which
+    rules agree, which prune orthogonal slices): for every pair of
+    named keep-flags, the contingency counts over the corpus and the
+    Jaccard agreement of the keep sets.
+
+    ``flags`` maps a method name to either a boolean Column (row-local
+    rule evaluated in place — zero extra scan) or a DataFrame of
+    (``id_col``, flag) for methods that need their own aggregation
+    pipeline (repetition signals, DSIR); frame-valued flags join in on
+    the id. The contingency table is ONE aggregate over the flag
+    columns (conditional sums — no per-pair scans, no self-joins); the
+    k*(k-1)/2 output rows are literal restructurings of that 1-row
+    aggregate.
+
+    Output per (method_a, method_b) pair, names ordered: n_both,
+    n_only_a, n_only_b, n_neither, jaccard = both/(both+only_a+only_b)
+    (0.0 when all three are empty)."""
+    names = sorted(flags)
+    base = df.select(F.col(id_col))
+    cols = []
+    for name in names:
+        v = flags[name]
+        if isinstance(v, DataFrame):
+            base = base.join(
+                v.select(F.col(id_col),
+                         F.col([c for c in v.columns if c != id_col][0])
+                         .alias(f"__f_{name}")), id_col, "left")
+        else:
+            cols.append((name, v))
+    if cols:
+        src = df.select(F.col(id_col),
+                        *[v.alias(f"__f_{n}") for n, v in cols])
+        base = (src if base.columns == [id_col]
+                else base.join(src, id_col))
+    f = {n: F.coalesce(F.col(f"__f_{n}"), F.lit(False)) for n in names}
+    aggs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs += [
+                F.sum((f[a] & f[b]).cast("long")).alias(f"__b_{a}_{b}"),
+                F.sum((f[a] & ~f[b]).cast("long")).alias(f"__a_{a}_{b}"),
+                F.sum((~f[a] & f[b]).cast("long")).alias(f"__o_{a}_{b}"),
+                F.sum((~f[a] & ~f[b]).cast("long")).alias(f"__n_{a}_{b}"),
+            ]
+    one = base.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("method_a"), F.lit(b).alias("method_b"),
+                 F.col(f"__b_{a}_{b}").alias("n_both"),
+                 F.col(f"__a_{a}_{b}").alias("n_only_a"),
+                 F.col(f"__o_{a}_{b}").alias("n_only_b"),
+                 F.col(f"__n_{a}_{b}").alias("n_neither"),
+                 F.round(F.col(f"__b_{a}_{b}").cast("double")
+                         / F.greatest(F.col(f"__b_{a}_{b}")
+                                      + F.col(f"__a_{a}_{b}")
+                                      + F.col(f"__o_{a}_{b}"),
+                                      F.lit(1)), 6).alias("jaccard"))
+        for i, a in enumerate(names) for b in names[i + 1:]])
+    return (one.select(F.explode(rows).alias("__r"))
+               .select("__r.method_a", "__r.method_b", "__r.n_both",
+                       "__r.n_only_a", "__r.n_only_b", "__r.n_neither",
+                       "__r.jaccard"))

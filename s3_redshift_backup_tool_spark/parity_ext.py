@@ -7219,6 +7219,113 @@ def length_buckets_documents(spark, sf_dir):
                               n_buckets=8)
 
 
+@q("quality_rank_by_source_documents",
+   f"""WITH s AS (SELECT doc_id, source, {_QS_SQL} AS q FROM documents),
+      r AS (SELECT doc_id, source, q,
+                   round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY q, doc_id), 6)
+                       AS rank_pct
+            FROM s)
+      SELECT doc_id, source, q AS score, rank_pct,
+             rank_pct >= 0.5 AS keep
+      FROM r""",
+   "per-domain calibrated quality filtering: a single global score "
+   "threshold prunes domains unevenly (boilerplate-heavy sources lose "
+   "everything), so the production recipe thresholds the WITHIN-"
+   "domain percent rank — keep the same top fraction of every source. "
+   "The oracle's percent_rank() OVER (PARTITION BY source) is exactly "
+   "what the Spark side must not run (few sources would serialize "
+   "100 TB through n_sources tasks): ranks derive from "
+   "assign_global_ids over (source, score, id) — one range exchange "
+   "numbered in parallel, per-source offsets a broadcast aggregate — "
+   "with the scored frame localCheckpoint'd pre-exchange (the "
+   "RangePartitioner double-evaluation lesson; the score is a "
+   "regex/array pipeline). Ties broken by id so both engines rank "
+   "identically")
+def quality_rank_by_source_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.score_rank_by_group(docs, "source",
+                                   tx.quality_score(F.col("text")),
+                                   keep_above=0.5)
+
+
+@q("filter_agreement_documents",
+   f"""WITH tk AS (SELECT doc_id, text, length(text)::DOUBLE AS n_chars,
+                        string_split(text, ' ') AS t
+                 FROM documents),
+      g2 AS (SELECT doc_id, unnest(list_transform(
+                generate_series(0, greatest(len(t) - 2, 0)),
+                i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
+                AS gram
+             FROM tk),
+      cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c * length(gram)) AS top_mass
+              FROM cnt GROUP BY 1),
+      fl AS (SELECT tk.doc_id,
+               (len(t) BETWEEN 40 AND 100000)
+                 AND (round(CAST(length(text) - (len(t) - 1) AS DOUBLE)
+                            / len(t), 6) BETWEEN 3.0 AND 10.0)
+                 AND round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                           AS DOUBLE) / len(t), 6) <= 0.1
+                 AND round(CAST(len(list_filter(t,
+                           x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                           / len(t), 6) >= 0.8
+                 AND len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))
+                     >= 2 AS fg,
+               {_QS_SQL} >= 0.3 AS fq,
+               (round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6)
+                  <= 0.6
+                AND round(top_mass / n_chars, 6) <= 0.2) AS fr
+            FROM tk JOIN top USING (doc_id)),
+      a AS (SELECT
+          CAST(sum(CASE WHEN fg AND fq THEN 1 ELSE 0 END) AS BIGINT) AS b_gq,
+          CAST(sum(CASE WHEN fg AND NOT fq THEN 1 ELSE 0 END) AS BIGINT) AS a_gq,
+          CAST(sum(CASE WHEN NOT fg AND fq THEN 1 ELSE 0 END) AS BIGINT) AS o_gq,
+          CAST(sum(CASE WHEN NOT fg AND NOT fq THEN 1 ELSE 0 END) AS BIGINT) AS n_gq,
+          CAST(sum(CASE WHEN fg AND fr THEN 1 ELSE 0 END) AS BIGINT) AS b_gr,
+          CAST(sum(CASE WHEN fg AND NOT fr THEN 1 ELSE 0 END) AS BIGINT) AS a_gr,
+          CAST(sum(CASE WHEN NOT fg AND fr THEN 1 ELSE 0 END) AS BIGINT) AS o_gr,
+          CAST(sum(CASE WHEN NOT fg AND NOT fr THEN 1 ELSE 0 END) AS BIGINT) AS n_gr,
+          CAST(sum(CASE WHEN fq AND fr THEN 1 ELSE 0 END) AS BIGINT) AS b_qr,
+          CAST(sum(CASE WHEN fq AND NOT fr THEN 1 ELSE 0 END) AS BIGINT) AS a_qr,
+          CAST(sum(CASE WHEN NOT fq AND fr THEN 1 ELSE 0 END) AS BIGINT) AS o_qr,
+          CAST(sum(CASE WHEN NOT fq AND NOT fr THEN 1 ELSE 0 END) AS BIGINT) AS n_qr
+        FROM fl)
+      SELECT 'gopher' AS method_a, 'quality' AS method_b,
+             b_gq AS n_both, a_gq AS n_only_a, o_gq AS n_only_b,
+             n_gq AS n_neither,
+             round(b_gq::DOUBLE / greatest(b_gq + a_gq + o_gq, 1), 6)
+                 AS jaccard
+      FROM a
+      UNION ALL
+      SELECT 'gopher', 'repetition', b_gr, a_gr, o_gr, n_gr,
+             round(b_gr::DOUBLE / greatest(b_gr + a_gr + o_gr, 1), 6)
+      FROM a
+      UNION ALL
+      SELECT 'quality', 'repetition', b_qr, a_qr, o_qr, n_qr,
+             round(b_qr::DOUBLE / greatest(b_qr + a_qr + o_qr, 1), 6)
+      FROM a""",
+   "pairwise agreement audit between quality filters (the filter-"
+   "ablation analysis run before composing gates — which rules agree, "
+   "which prune orthogonal slices): contingency counts + keep-set "
+   "Jaccard for gopher rules (min_words=40) vs the composite quality "
+   "score (>= 0.3) vs repetition signals. Row-local flags evaluate in "
+   "place; the repetition flag joins in from its own gram pipeline; "
+   "the whole contingency table is ONE aggregate of conditional sums "
+   "(no per-pair scans, no self-joins) and the 3 output rows are "
+   "literal restructurings of that 1-row aggregate")
+def filter_agreement_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = (tx.gopher_rules(docs, min_words=40)
+           .select("doc_id", "gopher_keep"))
+    rep = tx.repetition_signals(docs).select("doc_id", "repetition_ok")
+    return tx.filter_agreement(docs, {
+        "gopher": g,
+        "quality": tx.quality_score(F.col("text")) >= 0.3,
+        "repetition": rep,
+    })
+
+
 # ==========================================================================
 # Registry ordering. The driver's correctness gate hashes a leading window
 # of the registry (50 entries). Round 8 replaces the old "unique families
@@ -7246,7 +7353,8 @@ _WINDOW = [
     # importance weights, DoReMi domain reweighting, length-bucket
     # padding planner — never-hashed, so they lead per the policy.
     "dsir_weights_documents", "doremi_weights_by_source",
-    "length_buckets_documents",
+    "length_buckets_documents", "quality_rank_by_source_documents",
+    "filter_agreement_documents",
     "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
     "kcenter_coreset_embeddings", "prototypicality_prune_embeddings",
     "content_chunk_dups_documents", "epoch_plan_by_source",
@@ -7268,15 +7376,16 @@ _WINDOW = [
     "rolling_hour_avg_value", "pivot_status_by_priority",
     "intersect_click_purchase_users", "label_centroids_embeddings",
     "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
-    "forecast_revenue_change", "chunk_documents_windowed",
-    "funnel_conversion_events",
+    "forecast_revenue_change",
 ]
 
 _TAIL = [
-    # displaced from the r13 window by the three data-selection
-    # entries above (DSIR, DoReMi, length buckets): re-enter the
-    # rotation queue with their r12 hashes, ahead of the four
-    # displaced earlier this round.
+    # displaced from the r13 window by the five selection/audit
+    # entries above (DSIR, DoReMi, length buckets, per-source quality
+    # ranks, filter agreement): re-enter the rotation queue with
+    # their r12 hashes, ahead of the four displaced earlier this
+    # round.
+    "chunk_documents_windowed", "funnel_conversion_events",
     "cohort_retention_events", "late_shipment_by_priority",
     "ngram_jaccard_capped_documents",
     # displaced from the r13 window by the four new round-13 curation

@@ -198,3 +198,100 @@ def test_length_buckets_avoid_unpartitioned_window(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "__pid" in line, f"global window found: {line}"
+
+
+# ------------------------------------------- per-group score ranks
+
+def test_score_rank_by_group_hand_values(spark):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        score_rank_by_group)
+    # group a: scores 1,2,3 -> pct 0, .5, 1; group b: single row -> 0.0
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "b", 9.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "s"])
+    got = {r["doc_id"]: r for r in
+           score_rank_by_group(df, "grp", F.col("s")).collect()}
+    assert [got[i]["rank_pct"] for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
+    assert got[4]["rank_pct"] == 0.0
+    assert got[3]["keep"] and got[2]["keep"] and not got[1]["keep"]
+
+
+def test_score_rank_keeps_same_fraction_per_group(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        score_rank_by_group)
+    from s3_redshift_backup_tool_spark.operators.text import quality_score
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    out = score_rank_by_group(docs, "source", quality_score(F.col("text")))
+    per = (out.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("keep").cast("long")).alias("k"))
+              .collect())
+    # the whole point vs a global threshold: every source keeps ~half
+    for r in per:
+        assert abs(r["k"] / r["n"] - 0.5) <= 0.5 / r["n"] + 0.02
+
+
+def test_score_rank_avoids_group_partitioned_window(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        score_rank_by_group)
+    from s3_redshift_backup_tool_spark.operators.text import quality_score
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (score_rank_by_group(docs, "source",
+                                quality_score(F.col("text")))
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__pid" in line, f"group-keyed window found: {line}"
+
+
+# ------------------------------------------------ filter agreement
+
+def test_filter_agreement_hand_counts(spark):
+    from s3_redshift_backup_tool_spark.operators.text import (
+        filter_agreement)
+    # flags by construction: A = id < 3 (ids 1,2); B = id % 2 == 0 (2,4)
+    df = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["doc_id"])
+    out = {(r["method_a"], r["method_b"]): r for r in filter_agreement(
+        df, {"a": F.col("doc_id") < 3,
+             "b": F.col("doc_id") % 2 == 0}).collect()}
+    r = out[("a", "b")]
+    assert (r["n_both"], r["n_only_a"], r["n_only_b"], r["n_neither"]) \
+        == (1, 1, 1, 1)
+    assert r["jaccard"] == round(1 / 3, 6)
+
+
+def test_filter_agreement_frame_flag_and_missing_ids(spark):
+    from s3_redshift_backup_tool_spark.operators.text import (
+        filter_agreement)
+    # frame-valued flag missing id 3 -> treated as False (coalesce)
+    df = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    fr = spark.createDataFrame([(1, True), (2, False)],
+                               ["doc_id", "keep"])
+    out = filter_agreement(df, {"col": F.col("doc_id") >= 1,
+                                "frame": fr}).collect()
+    r = out[0]
+    assert (r["method_a"], r["method_b"]) == ("col", "frame")
+    assert (r["n_both"], r["n_only_a"], r["n_only_b"], r["n_neither"]) \
+        == (1, 2, 0, 0)
+
+
+def test_filter_agreement_single_aggregate_plan(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.text import (
+        filter_agreement, gopher_rules, quality_score,
+        repetition_signals)
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    out = filter_agreement(docs, {
+        "gopher": gopher_rules(docs, min_words=40)
+        .select("doc_id", "gopher_keep"),
+        "quality": quality_score(F.col("text")) >= 0.3,
+        "repetition": repetition_signals(docs)
+        .select("doc_id", "repetition_ok"),
+    })
+    rows = out.collect()
+    assert len(rows) == 3
+    n = docs.count()
+    for r in rows:
+        assert (r["n_both"] + r["n_only_a"] + r["n_only_b"]
+                + r["n_neither"]) == n
