@@ -331,7 +331,12 @@ Python path, and the incremental LSH index):
   masking the per-feature md5 slope), doremi_weights 20.9 s (x10.1
   for x10 — the quality-score regex scan, exactly linear),
   length_buckets 14.7 s and prototypicality_prune 12.1 s AFTER the
-  range-exchange fix below, all ZERO spill.
+  range-exchange fix below, all ZERO spill. Fifth batch:
+  quality_rank_by_source 20.5 s (x4.0 second decade — the checkpoint
+  lesson applied at birth), filter_agreement 47.4 s (in family with
+  the other gram-explode pipelines — its repetition flag re-runs the
+  2-gram count; the 10x point's 2.7 s was overhead-masked), both
+  ZERO spill.
 - **RangePartitioner evaluates its child twice** (measured r13): the
   boundary-sampling job that `repartitionByRange` runs computes the
   child plan once for sampling and again for the exchange itself, so
