@@ -610,3 +610,34 @@ def score_rank_by_group(df: DataFrame, group_col: str, score: Column,
                           F.round(pct, 6).alias("rank_pct"),
                           (F.round(pct, 6) >= float(keep_above))
                           .alias("keep")))
+
+
+def epoch_plan_from_weights(domains: DataFrame, group_col: str,
+                            tokens_col: str = "tokens",
+                            weight_col: str = "weight",
+                            budget_ratio: float = 2.0,
+                            max_epochs: float = 4.0) -> DataFrame:
+    """Epoch allocation from PRECOMPUTED mixture weights — the second
+    half of :func:`epoch_plan` factored out so any weight source
+    composes: temperature weights, :func:`doremi_weights` output, a
+    hand-tuned table. Input is the k-row domain frame (group, token
+    count, weight summing to ~1); output mirrors :func:`epoch_plan`:
+    raw_epochs = budget * w / tokens, capped at ``max_epochs`` with
+    the capped gap reported, tokens_contributed = epochs * tokens.
+
+    Everything is closed-form column math over the k rows x their
+    broadcast 1-row token total — no corpus scan at all (the weight
+    producer already paid it), which is the point of the composition:
+    re-planning a 100 TB run under new weights costs k rows."""
+    tot = domains.agg(F.sum(tokens_col).alias("__total"))
+    out = domains.crossJoin(F.broadcast(tot))
+    raw = (F.col("__total") * budget_ratio * F.col(weight_col)
+           / F.col(tokens_col))
+    capped = F.least(raw, F.lit(float(max_epochs)))
+    return out.select(
+        F.col(group_col), F.col(tokens_col).alias("tokens"),
+        F.col(weight_col).alias("weight"),
+        F.round(raw, 6).alias("raw_epochs"),
+        F.round(capped, 6).alias("epochs"),
+        F.round(capped * F.col(tokens_col), 3).alias("tokens_contributed"),
+        (raw > max_epochs).alias("capped"))

@@ -7219,6 +7219,57 @@ def length_buckets_documents(spark, sf_dir):
                               n_buckets=8)
 
 
+@q("doremi_epoch_plan_by_source",
+   f"""WITH s AS (SELECT source,
+                       len(string_split(text, ' ')) AS tok,
+                       1.0 - {_QS_SQL} AS l
+                FROM documents),
+      g AS (SELECT source, CAST(sum(tok) AS DOUBLE) AS tokens,
+                   sum(l) AS ls, count(*) AS n
+            FROM s GROUP BY 1),
+      t AS (SELECT sum(tokens) AS tt, sum(ls) AS lst, sum(n) AS nt
+            FROM g),
+      e AS (SELECT source, tokens, tokens / tt AS u,
+                   round(greatest(round(ls / n, 6)
+                                  - round(lst / nt, 6), 0.0), 6)
+                       AS excess
+            FROM g CROSS JOIN t),
+      sc AS (SELECT *, u * exp(8.0 * excess) AS sco FROM e),
+      z AS (SELECT sum(sco) AS z FROM sc),
+      w AS (SELECT source, tokens,
+                   round(0.9 * sco / z + 0.1 * u, 6) AS weight
+            FROM sc CROSS JOIN z),
+      t2 AS (SELECT sum(tokens) AS total FROM w)
+      SELECT source, tokens, weight,
+             round(total * 2.0 * weight / tokens, 6) AS raw_epochs,
+             round(least(total * 2.0 * weight / tokens, 4.0), 6)
+                 AS epochs,
+             round(least(total * 2.0 * weight / tokens, 4.0) * tokens, 3)
+                 AS tokens_contributed,
+             (total * 2.0 * weight / tokens) > 4.0 AS capped
+      FROM w CROSS JOIN t2""",
+   "the composed mixture pipeline: DoReMi excess-loss domain weights "
+   "feeding the multi-epoch token-budget planner (epochs = budget * "
+   "w/tokens capped at 4 passes, capped gap reported) — what a "
+   "pretraining run actually consumes after mixture optimization. "
+   "epoch_plan_from_weights is the factored second half of "
+   "epoch_plan, so ANY weight source composes (temperature, DoReMi, "
+   "hand-tuned); re-planning under new weights costs k rows and ZERO "
+   "corpus scans — the weight producer already paid the one "
+   "corpus-sized aggregate, everything downstream is closed-form "
+   "column math over k domain rows x a broadcast 1-row total")
+def doremi_epoch_plan_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = smp.doremi_weights(docs, "source",
+                           1.0 - tx.quality_score(F.col("text")),
+                           F.size(F.split("text", " ")),
+                           eta=1.0, steps=8, smoothing=0.1)
+    dom = w.select("source", "tokens",
+                   F.col("doremi_weight").alias("weight"))
+    return smp.epoch_plan_from_weights(dom, "source",
+                                       budget_ratio=2.0, max_epochs=4.0)
+
+
 @q("quality_rank_by_source_documents",
    f"""WITH s AS (SELECT doc_id, source, {_QS_SQL} AS q FROM documents),
       r AS (SELECT doc_id, source, q,
@@ -7354,7 +7405,7 @@ _WINDOW = [
     # padding planner — never-hashed, so they lead per the policy.
     "dsir_weights_documents", "doremi_weights_by_source",
     "length_buckets_documents", "quality_rank_by_source_documents",
-    "filter_agreement_documents",
+    "filter_agreement_documents", "doremi_epoch_plan_by_source",
     "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
     "kcenter_coreset_embeddings", "prototypicality_prune_embeddings",
     "content_chunk_dups_documents", "epoch_plan_by_source",
@@ -7376,15 +7427,15 @@ _WINDOW = [
     "rolling_hour_avg_value", "pivot_status_by_priority",
     "intersect_click_purchase_users", "label_centroids_embeddings",
     "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
-    "forecast_revenue_change",
 ]
 
 _TAIL = [
-    # displaced from the r13 window by the five selection/audit
+    # displaced from the r13 window by the six selection/audit
     # entries above (DSIR, DoReMi, length buckets, per-source quality
     # ranks, filter agreement): re-enter the rotation queue with
     # their r12 hashes, ahead of the four displaced earlier this
     # round.
+    "forecast_revenue_change",
     "chunk_documents_windowed", "funnel_conversion_events",
     "cohort_retention_events", "late_shipment_by_priority",
     "ngram_jaccard_capped_documents",

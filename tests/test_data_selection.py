@@ -295,3 +295,51 @@ def test_filter_agreement_single_aggregate_plan(spark, sf_dir):
     for r in rows:
         assert (r["n_both"] + r["n_only_a"] + r["n_only_b"]
                 + r["n_neither"]) == n
+
+
+# ----------------------------------------- epoch plan from weights
+
+def test_epoch_plan_from_weights_matches_epoch_plan(spark):
+    """Factoring check: temperature weights fed through
+    epoch_plan_from_weights must reproduce epoch_plan exactly."""
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        epoch_plan, epoch_plan_from_weights)
+    rows = [(i, ["a", "a", "b", "c"][i % 4], (i % 7 + 1) * 10.0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "dom", "tok"])
+    full = {r["dom"]: r for r in
+            epoch_plan(df, "dom", F.col("tok"), budget_ratio=2.0,
+                       temperature=2.0, max_epochs=4.0).collect()}
+    dom = spark.createDataFrame(
+        [(d, r["tokens"], r["weight"]) for d, r in full.items()],
+        ["dom", "tokens", "weight"])
+    refac = {r["dom"]: r for r in
+             epoch_plan_from_weights(dom, "dom", budget_ratio=2.0,
+                                     max_epochs=4.0).collect()}
+    for d in full:
+        # raw_epochs recomputed from the ROUNDED weight: equal to 5dp
+        assert abs(refac[d]["epochs"] - full[d]["epochs"]) < 1e-4
+        assert refac[d]["capped"] == full[d]["capped"]
+
+
+def test_doremi_epoch_composition_caps_and_budget(spark, sf_dir):
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        doremi_weights, epoch_plan_from_weights)
+    from s3_redshift_backup_tool_spark.operators.text import quality_score
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    w = doremi_weights(docs, "source",
+                       1.0 - quality_score(F.col("text")),
+                       F.size(F.split("text", " ")))
+    plan = epoch_plan_from_weights(
+        w.select("source", "tokens",
+                 F.col("doremi_weight").alias("weight")), "source")
+    rows = plan.collect()
+    total = sum(r["tokens"] for r in rows)
+    contributed = sum(r["tokens_contributed"] for r in rows)
+    # contributed tokens never exceed the budget (2x corpus) and every
+    # epochs value respects the cap
+    assert contributed <= 2.0 * total + 1e-6
+    for r in rows:
+        assert r["epochs"] <= 4.0
+        assert (r["raw_epochs"] > 4.0) == r["capped"]
