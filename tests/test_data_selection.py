@@ -343,3 +343,30 @@ def test_doremi_epoch_composition_caps_and_budget(spark, sf_dir):
     for r in rows:
         assert r["epochs"] <= 4.0
         assert (r["raw_epochs"] > 4.0) == r["capped"]
+
+
+# ------------------------------------- partitioning invariance
+
+def test_new_selection_ops_partitioning_invariant(spark, sf_dir):
+    """Determinism contract: every selection operator added this round
+    must produce identical results regardless of input partitioning
+    (the property that makes hash-gate pipelines rerun-stable)."""
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        doremi_weights, length_buckets, score_rank_by_group)
+    from s3_redshift_backup_tool_spark.operators.text import quality_score
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for mk in (
+        lambda d: dsir_logratio(d, F.col("lang") == "en", n_buckets=256),
+        lambda d: doremi_weights(d, "source",
+                                 1.0 - quality_score(F.col("text")),
+                                 F.size(F.split("text", " "))),
+        lambda d: length_buckets(d, F.size(F.split("text", " "))),
+        lambda d: score_rank_by_group(d, "source",
+                                      quality_score(F.col("text"))),
+    ):
+        assert snap(mk(docs.repartition(7))) == snap(mk(docs.repartition(13)))
