@@ -641,3 +641,71 @@ def epoch_plan_from_weights(domains: DataFrame, group_col: str,
         F.round(capped, 6).alias("epochs"),
         F.round(capped * F.col(tokens_col), 3).alias("tokens_contributed"),
         (raw > max_epochs).alias("capped"))
+
+
+def unimax_epochs(df: DataFrame, group_col: str,
+                  token_count: Column | str,
+                  budget_ratio: float = 2.0,
+                  max_epochs: float = 4.0) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, 'UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining'): spread the token budget as UNIFORMLY as possible
+    across domains subject to a per-domain epoch cap — the fairness-
+    principled alternative to temperature sampling (which still
+    over-allocates to head domains) and the third member of the
+    mixing-recipe family here (temperature_keep_rates / epoch_plan,
+    doremi_weights).
+
+    Exact water-filling, closed-form over the k-row domain aggregate:
+    sort domains by capacity cap_d = tokens_d * max_epochs ascending;
+    the saturation prefix is every rank i whose capacity fits under
+    the then-uniform share, cap_i <= (B - cumcap_{i-1}) / (k - i + 1)
+    (B = budget_ratio x corpus tokens); saturated domains take their
+    full capacity, the rest split the remainder evenly. Computed with
+    rank/cumsum windows over the k-row aggregate — an unpartitioned
+    WindowExec on purpose and safely: the windowed relation is k
+    domain rows (the one-task ceiling is k ~ thousands, not the
+    corpus; the corpus-sized work is the ONE partial-aggregable
+    groupBy producing the k rows). All comparisons are exact integer-
+    valued doubles, so the saturation prefix is engine-independent.
+
+    Output per domain: tokens, capacity, saturated flag, uniform
+    share at its rank, alloc_tokens, epochs = alloc/tokens."""
+    from pyspark.sql import Window
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
+    g = (df.groupBy(group_col)
+           .agg(F.sum(tc).cast("double").alias("tokens"))
+           .withColumn("__cap", F.col("tokens") * float(max_epochs)))
+    w = Window.orderBy("__cap", group_col)
+    tot = g.agg(F.sum("tokens").alias("__tt"),
+                F.count(F.lit(1)).alias("__k"))
+    ranked = (g.withColumn("__i", F.row_number().over(w))
+               .withColumn("__pre", F.coalesce(
+                   F.sum("__cap").over(
+                       w.rowsBetween(Window.unboundedPreceding, -1)),
+                   F.lit(0.0)))
+               .crossJoin(F.broadcast(tot)))
+    budget = F.col("__tt") * float(budget_ratio)
+    share_at = (budget - F.col("__pre")) / (F.col("__k") - F.col("__i") + 1)
+    sat = F.col("__cap") <= share_at
+    # leftover uniform share: computed from the FULL saturated prefix
+    # (max saturated rank + its cumulative capacity), broadcast back
+    pref = (ranked.filter(sat)
+                  .agg(F.max("__i").alias("__m"),
+                       F.sum("__cap").alias("__scap")))
+    out = (ranked.crossJoin(F.broadcast(pref))
+                 .withColumn("__m", F.coalesce(F.col("__m"), F.lit(0)))
+                 .withColumn("__scap", F.coalesce(F.col("__scap"),
+                                                  F.lit(0.0))))
+    rest = F.when(F.col("__k") > F.col("__m"),
+                  (budget - F.col("__scap"))
+                  / (F.col("__k") - F.col("__m"))).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("__i") <= F.col("__m"),
+                   F.col("__cap")).otherwise(rest)
+    return out.select(
+        F.col(group_col), F.col("tokens"),
+        F.col("__cap").alias("capacity"),
+        (F.col("__i") <= F.col("__m")).alias("saturated"),
+        F.round(share_at, 3).alias("share_at_rank"),
+        F.round(alloc, 3).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens"), 6).alias("epochs"))

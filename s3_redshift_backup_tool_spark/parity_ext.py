@@ -7102,6 +7102,56 @@ def epoch_plan_by_source(spark, sf_dir):
                           max_epochs=4.0)
 
 
+@q("unimax_epochs_by_source",
+   """WITH g AS (SELECT source,
+                    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                        AS tokens
+                 FROM documents GROUP BY 1),
+      c AS (SELECT source, tokens, tokens * 4.0 AS cap FROM g),
+      t AS (SELECT sum(tokens) AS tt, count(*) AS k FROM c),
+      r AS (SELECT source, tokens, cap,
+                   row_number() OVER (ORDER BY cap, source) AS i,
+                   coalesce(sum(cap) OVER (ORDER BY cap, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0.0) AS pre
+            FROM c),
+      s AS (SELECT r.*, tt, k,
+                   (tt * 2.0 - pre) / (k - i + 1) AS share,
+                   cap <= (tt * 2.0 - pre) / (k - i + 1) AS sat
+            FROM r CROSS JOIN t),
+      p AS (SELECT coalesce(max(CASE WHEN sat THEN i END), 0) AS m,
+                   coalesce(sum(CASE WHEN sat THEN cap END), 0.0) AS scap
+            FROM s)
+      SELECT source, tokens, cap AS capacity, i <= m AS saturated,
+             round(share, 3) AS share_at_rank,
+             round(CASE WHEN i <= m THEN cap
+                        WHEN k > m THEN (tt * 2.0 - scap) / (k - m)
+                        ELSE 0.0 END, 3) AS alloc_tokens,
+             round(CASE WHEN i <= m THEN cap
+                        WHEN k > m THEN (tt * 2.0 - scap) / (k - m)
+                        ELSE 0.0 END / tokens, 6) AS epochs
+      FROM s CROSS JOIN p""",
+   "UniMax budget allocation (Chung'23): spread the token budget as "
+   "UNIFORMLY as possible across domains subject to a 4-epoch cap — "
+   "the fairness-principled third member of the mixing family "
+   "(temperature epoch_plan over-allocates to head domains; DoReMi "
+   "optimizes loss). Exact water-filling in closed form: sort by "
+   "capacity, saturation prefix = ranks whose capacity fits under "
+   "the then-uniform share (provably a PREFIX of the capacity order, "
+   "so one rank/cumsum pass decides it), saturated domains take "
+   "capacity, the rest split the remainder evenly. The rank/cumsum "
+   "windows run over the K-ROW domain aggregate — an unpartitioned "
+   "WindowExec on purpose and safely (k ~ thousands at most; the "
+   "corpus-sized work is the one partial-aggregable groupBy). All "
+   "comparisons are exact integer-valued doubles, so the prefix is "
+   "engine-independent")
+def unimax_epochs_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return smp.unimax_epochs(docs, "source",
+                             F.size(F.split("text", " ")),
+                             budget_ratio=2.0, max_epochs=4.0)
+
+
 _DSIR_LAM = ("(ln(t + 1) - ln(tt + 512) - ln(r + 1) + ln(rt + 512))")
 
 @q("dsir_weights_documents",
@@ -7406,6 +7456,7 @@ _WINDOW = [
     "dsir_weights_documents", "doremi_weights_by_source",
     "length_buckets_documents", "quality_rank_by_source_documents",
     "filter_agreement_documents", "doremi_epoch_plan_by_source",
+    "unimax_epochs_by_source",
     "nn_descent_sampled_embeddings", "neardup_dedup_capped_documents",
     "kcenter_coreset_embeddings", "prototypicality_prune_embeddings",
     "content_chunk_dups_documents", "epoch_plan_by_source",
@@ -7426,16 +7477,16 @@ _WINDOW = [
     "neardup_dedup_keep_canonical", "neardup_cluster_size_histogram",
     "rolling_hour_avg_value", "pivot_status_by_priority",
     "intersect_click_purchase_users", "label_centroids_embeddings",
-    "oov_rate_documents", "user_event_sequences", "drift_psi_documents",
+    "oov_rate_documents", "user_event_sequences",
 ]
 
 _TAIL = [
-    # displaced from the r13 window by the six selection/audit
+    # displaced from the r13 window by the seven selection/audit
     # entries above (DSIR, DoReMi, length buckets, per-source quality
-    # ranks, filter agreement): re-enter the rotation queue with
-    # their r12 hashes, ahead of the four displaced earlier this
-    # round.
-    "forecast_revenue_change",
+    # ranks, filter agreement, DoReMi->epoch, UniMax): re-enter the
+    # rotation queue with their r12 hashes, ahead of the four
+    # displaced earlier this round.
+    "drift_psi_documents", "forecast_revenue_change",
     "chunk_documents_windowed", "funnel_conversion_events",
     "cohort_retention_events", "late_shipment_by_priority",
     "ngram_jaccard_capped_documents",

@@ -370,3 +370,72 @@ def test_new_selection_ops_partitioning_invariant(spark, sf_dir):
                                       quality_score(F.col("text"))),
     ):
         assert snap(mk(docs.repartition(7))) == snap(mk(docs.repartition(13)))
+
+
+# ----------------------------------------------------- UniMax
+
+def test_unimax_water_filling_hand_case(spark):
+    """3 domains, tokens 10/20/100, cap = 4 epochs, budget = 2x corpus
+    = 260. Uniform share 260/3 = 86.67: cap(a)=40 saturates; then
+    (260-40)/2 = 110: cap(b)=80 saturates; c takes the remaining 140
+    (1.4 epochs). Budget fully spent, no domain over 4 epochs."""
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        unimax_epochs)
+    rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 100.0)]
+    df = spark.createDataFrame(rows, ["id", "dom", "tok"])
+    got = {r["dom"]: r for r in
+           unimax_epochs(df, "dom", "tok").collect()}
+    assert got["a"]["saturated"] and got["a"]["alloc_tokens"] == 40.0
+    assert got["b"]["saturated"] and got["b"]["alloc_tokens"] == 80.0
+    assert not got["c"]["saturated"]
+    assert got["c"]["alloc_tokens"] == 140.0
+    assert got["c"]["epochs"] == 1.4
+    assert sum(r["alloc_tokens"] for r in got.values()) == 260.0
+
+
+def test_unimax_no_saturation_is_uniform(spark):
+    # equal large domains under a loose cap: everyone gets B/k exactly
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        unimax_epochs)
+    rows = [(i, f"d{i}", 100.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["id", "dom", "tok"])
+    got = unimax_epochs(df, "dom", "tok", budget_ratio=1.0).collect()
+    for r in got:
+        assert not r["saturated"]
+        assert r["alloc_tokens"] == 100.0 and r["epochs"] == 1.0
+
+
+def test_unimax_all_saturate_leaves_budget_unspent(spark):
+    # budget far above total capacity: every domain caps at 4 epochs
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        unimax_epochs)
+    rows = [(1, "a", 10.0), (2, "b", 30.0)]
+    df = spark.createDataFrame(rows, ["id", "dom", "tok"])
+    got = {r["dom"]: r for r in
+           unimax_epochs(df, "dom", "tok", budget_ratio=10.0).collect()}
+    assert all(r["saturated"] for r in got.values())
+    assert got["a"]["epochs"] == 4.0 and got["b"]["epochs"] == 4.0
+
+
+def test_unimax_fairer_than_temperature(spark, sf_dir):
+    """The UniMax property vs temperature: UniMax equalizes ALLOCATED
+    TOKENS (not epochs — epochs scale as 1/domain-size when nothing
+    saturates), so the max/min allocated-token ratio across domains
+    is never larger than temperature epoch_plan's tokens_contributed
+    ratio on the same corpus, and is exactly 1 when no domain hits
+    the epoch cap."""
+    from s3_redshift_backup_tool_spark.operators.sampling import (
+        epoch_plan, unimax_epochs)
+    from s3_redshift_backup_tool_spark.sources.readers import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " "))
+    uni = unimax_epochs(docs, "source", tok).collect()
+    tmp = [r["tokens_contributed"] for r in
+           epoch_plan(docs, "source", tok).collect()]
+    ua = [r["alloc_tokens"] for r in uni]
+    assert max(ua) / min(ua) <= max(tmp) / min(tmp) + 1e-9
+    if not any(r["saturated"] for r in uni):
+        assert abs(max(ua) - min(ua)) < 1e-6
+    # budget exactly spent when not everything saturates
+    total = sum(r["tokens"] for r in uni)
+    assert abs(sum(ua) - 2.0 * total) < 1e-3
