@@ -947,14 +947,21 @@ def decontaminate_overlap(eval_df: DataFrame, train_df: DataFrame,
 
 def _overlap_report(ev: DataFrame, tr_distinct: DataFrame, id_col: str,
                     threshold: float) -> DataFrame:
-    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (ev.join(tr_distinct, "shingle", "left_semi")
-              .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap")))
-    frac = F.round(F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+    """Per-eval-doc overlap fractions in ONE pass over the eval
+    shingles (r13 optimization, value-identical): the train set is
+    DISTINCT, so a left join cannot duplicate eval rows — a hit marker
+    plus a single groupBy yields both counts at once. The previous
+    shape (sizes groupBy + semi-join + hits groupBy + outer join)
+    scanned the eval shingles twice and shuffled three times; this is
+    one join shuffle + one aggregation shuffle."""
+    marked = ev.join(tr_distinct.withColumn("__hit", F.lit(1)),
+                     "shingle", "left")
+    frac = F.round(F.col("n_overlap").cast("double")
                    / F.col("n_shingles"), 6)
-    return (sizes.join(hits, id_col, "left")
-            .select(id_col, "n_shingles",
-                    F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count("__hit").alias("n_overlap"))
+            .select(id_col, "n_shingles", "n_overlap",
                     frac.alias("overlap_frac"),
                     (frac >= threshold).alias("contaminated")))
 
@@ -1039,8 +1046,14 @@ def decontaminate_overlap_bloom(eval_df: DataFrame, train_df: DataFrame,
     with default 2^20 bits / 4 hashes at 10^6 eval shingles, FP ~2%.
     Size m_bits ~ 20 x eval shingle count for that regime."""
     spark = train_df.sparkSession
-    mask = shingle_bloom_mask(eval_df, text_col, id_col, n, m_bits,
-                              h_funcs, seed)
+    # the eval shingle relation feeds BOTH the mask build (an eager
+    # driver aggregate) and the final report: materialize it once
+    # (lazy localCheckpoint — the mask action fills it, the report
+    # reuses it) instead of re-shingling the eval corpus per consumer
+    ev = word_shingles(eval_df, text_col, id_col, n) \
+        .localCheckpoint(eager=False)
+    mask = bloom_mask_from_keys(ev.select("shingle").distinct(),
+                                "shingle", m_bits, h_funcs, seed)
     mask_df = spark.createDataFrame([(mask,)],
                                     "__bloom_mask: array<bigint>")
     gate = bloom_gate_sql(h_funcs)
@@ -1052,7 +1065,6 @@ def decontaminate_overlap_bloom(eval_df: DataFrame, train_df: DataFrame,
                                         h_funcs, seed))
           .filter(F.expr(gate))
           .select("shingle").distinct())
-    ev = word_shingles(eval_df, text_col, id_col, n)
     return _overlap_report(ev, tr, id_col, threshold)
 
 

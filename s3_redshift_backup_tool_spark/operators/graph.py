@@ -64,59 +64,82 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
                 .unionAll(oriented.select(F.col("dst").alias("v"),
                                           F.col("src").alias("w"))),
         ["v", "w"], "left_semi")
-    n_tri = tri.count()
-    agg = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).alias("wedges"))
-    n_edges = e.count()
-    row = agg.first()
+    # ONE action for all four scalars (r13 optimization): the triangle
+    # count and the degree aggregate are independent subtrees joined by
+    # a 1-row cross join, so Spark computes both in a single job;
+    # n_edges = sum(deg)/2 (every edge contributes 2 degree entries)
+    # replaces the separate full pass e.count() used to pay.
+    row = (tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+              .crossJoin(deg.agg(
+                  F.count(F.lit(1)).alias("n_nodes"),
+                  (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+                  .cast("bigint").alias("n_edges"),
+                  (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+                  .alias("wedges")))
+              .first())
+    n_tri = int(row["n_triangles"])
     spark = pairs.sparkSession
     trans = (3.0 * n_tri / float(row["wedges"])) if row["wedges"] else None
     return spark.createDataFrame(
-        [(int(row["n_nodes"]), int(n_edges), int(n_tri),
+        [(int(row["n_nodes"]), int(row["n_edges"]), int(n_tri),
           round(trans, 6) if trans is not None else None)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint, "
         "transitivity double")
 
 
 def pagerank(pairs: DataFrame, iters: int = 3, damping: float = 0.85,
-             id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+             id_a: str = "id_a", id_b: str = "id_b",
+             pairs_distinct: bool = False) -> DataFrame:
     """PageRank over an undirected pair relation, fixed ``iters`` power
     iterations — the centrality signal web-corpus curation uses for
     URL/host quality (CommonCrawl-style), here runnable directly on the
     dup graph so :func:`pagerank_canonical` can keep each cluster's
     most CENTRAL member instead of its lowest id.
 
-    Scale shape: each iteration is one E-row join (contributions flow
+    Scale shape: each iteration is ONE E-row join (contributions flow
     along edges) plus one groupBy(node) — shuffle O(E), the textbook
     distributed PageRank; ranks are localCheckpoint'd per iteration so
     the plan stays flat instead of nesting ``iters`` deep. Fixed
     iteration count (not convergence polling) keeps the job graph
     static and the oracle exactly expressible. Output: (node, rank),
-    sum(rank) == 1 within float error."""
+    sum(rank) == 1 within float error.
+
+    Two shuffles-per-iteration the textbook form pays are removed
+    (r13 optimization, value-identical):
+
+    - the per-src degree divides every contribution, so ``deg`` is
+      joined into the edge list ONCE up front (``ed``) instead of
+      re-joined each round;
+    - on a SYMMETRIZED edge list every node has >= 1 neighbor, hence
+      receives >= 1 contribution, so the dangling-node
+      ``nodes LEFT JOIN sums`` is a provable no-op and the new ranks
+      come straight off the contribution groupBy.
+
+    ``pairs_distinct=True`` asserts the input pair relation is already
+    deduplicated with ``id_a < id_b`` (the lsh_pairs/neardup-pair
+    contract); the symmetrized union of such a relation is distinct by
+    construction, so the edge-dedup shuffle is skipped."""
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
               .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                        F.col(id_a).alias("dst")))
-              .distinct()
-              .localCheckpoint(eager=False))
+                                        F.col(id_a).alias("dst"))))
+    if not pairs_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).distinct() \
              .localCheckpoint(eager=False)
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):
-        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
-                    .join(deg, "src")
-                    .select(F.col("dst").alias("node"),
-                            (F.col("rank") / F.col("deg")).alias("c")))
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (nodes.join(sums, "node", "left")
-                      .select("node",
-                              (F.lit(base) + F.lit(damping)
-                               * F.coalesce(F.col("s"), F.lit(0.0)))
-                              .alias("rank"))
-                      .localCheckpoint(eager=False))
+        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                     .select(F.col("dst").alias("node"),
+                             (F.col("rank") / F.col("deg")).alias("c")))
+        ranks = (contrib.groupBy("node")
+                        .agg((F.lit(base) + F.lit(damping) * F.sum("c"))
+                             .alias("rank"))
+                        .localCheckpoint(eager=False))
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -143,7 +166,8 @@ def pagerank_canonical(pairs: DataFrame, iters: int = 3,
 
 
 def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3,
-               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+               id_a: str = "id_a", id_b: str = "id_b",
+               pairs_distinct: bool = False) -> DataFrame:
     """Fixed-round k-core peeling: ``rounds`` iterations of "drop every
     node with degree < k (and its edges)". The dense cores that survive
     are the spam/template clusters worth whole-cluster treatment —
@@ -154,12 +178,18 @@ def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3,
 
     Each round is one degree groupBy + two semi-joins on the edge list
     — O(E) shuffle per round, edges localCheckpoint'd so the plan stays
-    flat. Output: (node, core_deg) for survivors."""
+    flat. Output: (node, core_deg) for survivors.
+
+    ``pairs_distinct=True`` asserts the pair relation is already
+    deduplicated with ``id_a < id_b`` (the lsh_pairs contract), whose
+    symmetrized union is distinct by construction — the edge-dedup
+    shuffle is skipped (r13 optimization, value-identical)."""
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
               .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                        F.col(id_a).alias("dst")))
-              .distinct()
-              .localCheckpoint(eager=False))
+                                        F.col(id_a).alias("dst"))))
+    if not pairs_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select("src")

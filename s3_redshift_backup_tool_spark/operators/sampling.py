@@ -39,6 +39,20 @@ def sample_by_hash(df: DataFrame, key_col: str, rate: float,
     return df.filter(hash_gate(F.col(key_col), salt) < int(rate * GATE))
 
 
+def sample_by_hash_complement(df: DataFrame, key_col: str, rate: float,
+                              salt: str = "") -> DataFrame:
+    """EXACTLY the rows :func:`sample_by_hash` drops, as a narrow
+    FILTER (``gate >= rate*GATE``). The deterministic gate makes the
+    two calls a disjoint, exhaustive partition of ``df`` — so an
+    eval/train split needs NO anti-join: ``df MINUS sample`` realized
+    as an O(E)-shuffle join is a filter here (r13 optimization; the
+    decontamination entries' oracles already state the split this
+    way: ``g >= rate*GATE``)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(hash_gate(F.col(key_col), salt) >= int(rate * GATE))
+
+
 def split_by_hash(df: DataFrame, key_col: str,
                   fractions: dict[str, float],
                   salt: str = "", split_col: str = "split") -> DataFrame:

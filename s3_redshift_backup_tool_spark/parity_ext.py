@@ -694,7 +694,9 @@ def pagerank_dup_graph_documents(spark, sf_dir):
     from .operators.graph import pagerank
     prs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
                        n=3, num_hashes=16, bands=8)
-    return pagerank(prs, iters=3, damping=0.85) \
+    # lsh_pairs emits DISTINCT id_a < id_b pairs, so the symmetrize
+    # dedup shuffle inside pagerank is skippable (value-identical)
+    return pagerank(prs, iters=3, damping=0.85, pairs_distinct=True) \
         .select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -736,7 +738,9 @@ def kcore_dup_graph_documents(spark, sf_dir):
     from .operators.graph import kcore_peel
     prs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
                        n=3, num_hashes=16, bands=8)
-    return kcore_peel(prs, k=2, rounds=3)
+    # lsh_pairs emits DISTINCT id_a < id_b pairs — skip the symmetrize
+    # dedup shuffle (value-identical)
+    return kcore_peel(prs, k=2, rounds=3, pairs_distinct=True)
 
 
 @q("incremental_neardup_pairs_documents",
@@ -2094,7 +2098,10 @@ _SPLIT_SHINGLES = f"""
 def decontamination_eval_overlap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     train = smp.sample_by_hash(docs, "doc_id", 0.8)
-    evald = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    # the deterministic hash gate partitions docs exactly: the eval
+    # side is the complement FILTER (the oracle's `g >= 0.8*GATE`),
+    # not an anti-join shuffle against the train keys
+    evald = smp.sample_by_hash_complement(docs, "doc_id", 0.8)
     return dd.decontaminate_overlap(evald, train, threshold=0.5)
 
 
@@ -2166,7 +2173,8 @@ def mixture_plan_by_source(spark, sf_dir):
 def bloom_decontamination_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     train = smp.sample_by_hash(docs, "doc_id", 0.8)
-    evald = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    # complement FILTER, not an anti-join — see decontamination_eval_overlap
+    evald = smp.sample_by_hash_complement(docs, "doc_id", 0.8)
     return dd.decontaminate_overlap_bloom(evald, train, threshold=0.5)
 
 

@@ -155,11 +155,18 @@ def test_q17_decorrelation_broadcasts_part(plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-def test_decontamination_is_semi_join(plan):
-    """The train-membership probe must stay a LeftSemi (set membership),
-    never an inner join that would multiply matching postings."""
+def test_decontamination_probe_cannot_multiply(plan):
+    """The train-membership probe must be pure set membership — it may
+    never multiply matching eval postings. The r13 one-pass shape is a
+    LeftOuter join whose build side is DISTINCT on the join key (a
+    keyed aggregate directly under the join), which preserves that
+    guarantee while folding the old semi-join + sizes-join into a
+    single groupBy; an Inner/unkeyed shape would break it."""
     p = plan("decontamination_eval_overlap")
-    assert "LeftSemi" in p
+    assert "LeftOuter" in p and "Inner" not in p
+    # the build side is deduplicated: a grouping-only aggregate on
+    # shingle feeds the join (distinct train shingles)
+    assert "HashAggregate(keys=[shingle" in p
     assert "CartesianProduct" not in p
 
 

@@ -1,0 +1,103 @@
+"""Value-equality pins for the r13 optimization-round rewrites.
+
+Every change this round is a plan-shape optimization that must be
+value-IDENTICAL to the shape it replaced; these tests pin each one
+against the unoptimized form (or a from-first-principles construction)
+so later refactors cannot drift the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_redshift_backup_tool_spark.operators.graph import (
+    kcore_peel, pagerank, triangle_stats)
+from s3_redshift_backup_tool_spark.operators.sampling import (
+    sample_by_hash, sample_by_hash_complement)
+
+
+def test_sample_complement_is_exact_partition(spark, documents):
+    """complement == anti-join of the sample, and the two sides form a
+    disjoint, exhaustive partition (the decontamination split
+    contract)."""
+    train = sample_by_hash(documents, "doc_id", 0.8)
+    evald = sample_by_hash_complement(documents, "doc_id", 0.8)
+    anti = documents.join(train.select("doc_id"), "doc_id", "left_anti")
+    got = {r["doc_id"] for r in evald.select("doc_id").collect()}
+    want = {r["doc_id"] for r in anti.select("doc_id").collect()}
+    assert got == want and len(got) > 0
+    n_train = train.count()
+    assert n_train + len(got) == documents.count()
+    assert not ({r["doc_id"] for r in train.select("doc_id").collect()}
+                & got)
+
+
+def test_sample_complement_salt_and_bounds(spark, documents):
+    """Salted complements partition the salted sample, and rate bounds
+    are validated like sample_by_hash's."""
+    import pytest
+
+    a = sample_by_hash(documents, "doc_id", 0.3, salt="s1")
+    b = sample_by_hash_complement(documents, "doc_id", 0.3, salt="s1")
+    assert a.count() + b.count() == documents.count()
+    with pytest.raises(ValueError):
+        sample_by_hash_complement(documents, "doc_id", 1.5)
+
+
+def test_pagerank_pairs_distinct_equals_default(spark):
+    """pairs_distinct=True (dedup shuffle skipped, deg pre-joined,
+    dangling left-join dropped) must reproduce the default path's ranks
+    exactly on an already-distinct id_a < id_b pair relation."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11), (1, 2), (2, 3)],
+        "id_a long, id_b long")
+    base = {r["node"]: r["rank"] for r in pagerank(pairs, iters=3).collect()}
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(pairs, iters=3, pairs_distinct=True).collect()}
+    assert base == fast
+
+
+def test_kcore_pairs_distinct_equals_default(spark):
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)] + [(5, 6)],
+        "id_a long, id_b long")
+    base = {(r["node"], r["core_deg"])
+            for r in kcore_peel(pairs, k=2, rounds=3).collect()}
+    fast = {(r["node"], r["core_deg"])
+            for r in kcore_peel(pairs, k=2, rounds=3,
+                                pairs_distinct=True).collect()}
+    assert base == fast and len(base) > 0
+
+
+def test_triangle_stats_empty_graph(spark):
+    """The single-action scalar fold must keep the empty-graph contract
+    (0 nodes / 0 edges / 0 triangles, NULL transitivity) that the
+    previous three-action form produced."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = triangle_stats(empty).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
+    assert r["transitivity"] is None
+
+
+def test_overlap_report_zero_hit_docs_present(spark):
+    """One-pass overlap report: eval docs with ZERO train overlap must
+    still appear with n_overlap = 0 (the left-join + count(__hit)
+    replacement for the semi-join + outer-join shape)."""
+    from s3_redshift_backup_tool_spark.operators.dedup import (
+        decontaminate_overlap)
+
+    evald = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally disjoint vocabulary here too friend")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            decontaminate_overlap(evald, train, threshold=0.5).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_overlap"] == rows[1]["n_shingles"] > 0
+    assert rows[1]["contaminated"] is True
+    assert rows[2]["n_overlap"] == 0
+    assert rows[2]["overlap_frac"] == 0.0
+    assert rows[2]["contaminated"] is False
