@@ -15,7 +15,7 @@ Pure-Python/numpy — no SparkSession, so the suite stays fast.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 
 def _np_moments(x: np.ndarray):
@@ -48,8 +48,19 @@ def test_merge_commutative(x):
     np.testing.assert_allclose(ab[2], ba[2], rtol=1e-12)
 
 
+def _cancellation_matrix():
+    """Hypothesis-discovered falsifying example (r13): one column holds
+    {-100, +100, 1.4e-45} — the left fold leaves the float32 denormal
+    as a residue, the right fold absorbs it into 100.0 exactly, so the
+    two sums differ by ~1e-45 absolute while the true sum is 0."""
+    m = np.zeros((10, 5))
+    m[1, 2], m[3, 2], m[9, 2] = -100.0, 100.0, 1.40129846e-45
+    return m
+
+
 @settings(max_examples=60, deadline=None)
 @given(matrices(min_rows=3), st.integers(1, 5), st.integers(1, 5))
+@example(x=_cancellation_matrix(), cut1=1, cut2=2).via("discovered failure")
 def test_merge_associative_and_matches_full(x, cut1, cut2):
     from s3_redshift_backup_tool_spark.operators.decomposition import (
         cov_from_moments, merge_moments)
@@ -63,8 +74,14 @@ def test_merge_associative_and_matches_full(x, cut1, cut2):
     right = ms[-1]
     for m in reversed(ms[:-1]):
         right = merge_moments(m, right)
-    np.testing.assert_allclose(left[1], right[1], rtol=1e-12)
-    np.testing.assert_allclose(left[2], right[2], rtol=1e-12)
+    # atol bounds the fold-order residue of catastrophic cancellation:
+    # inputs are bounded at 100 and n <= 24, so intermediate partials
+    # are <= 2.4e5 and a left-vs-right fold can differ by up to
+    # ~n * ulp(2.4e5) ~ 1e-9 absolute when the true sum is ~0 (float
+    # addition is not associative); rtol alone makes that an infinite
+    # relative error. Same bound as the mean check below.
+    np.testing.assert_allclose(left[1], right[1], rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(left[2], right[2], rtol=1e-12, atol=1e-9)
     n, mean, cov = cov_from_moments(left, ddof=0)
     assert n == x.shape[0]
     np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-9, atol=1e-9)
