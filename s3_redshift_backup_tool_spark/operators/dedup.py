@@ -709,7 +709,15 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"bits={bits} not divisible by radius+1={radius + 1}")
     width = bits // (radius + 1)
     mask = (1 << width) - 1
-    sigs = simhash(df, text_col, id_col, bits)
+    # materialized once (lazy localCheckpoint): the aliased self-join
+    # below otherwise computes the ENTIRE simhash pipeline — per-token
+    # md5 plus ``bits`` aggregate folds over the hash array per row —
+    # once per side (the exact double-evaluation lsh_candidate_pairs'
+    # docstring warns about; exchange reuse does not fire across the
+    # differently-aliased sides). Checkpointing the (id, simhash) rows
+    # halves the dominant per-row CPU; only the cheap chunk explode is
+    # re-derived per side (r13, guide §2.4/§5).
+    sigs = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     chunks = [
         F.struct(F.lit(c).alias("ci"),
                  F.shiftright(F.col("simhash"), c * width)
@@ -753,10 +761,22 @@ def _maybe_driver_components(edges_one_dir: DataFrame,
     None -> caller runs its distributed loop. Output schema mirrors the
     input id type (string/int ids must round-trip unchanged — a
     hard-coded long schema would make result types depend on graph
-    size)."""
+    size).
+
+    The gate decides AND fetches with ONE bounded action:
+    ``take(limit + 1)`` replaces the old ``count()`` + ``collect()``
+    pair. The count was the expensive half at scale — a full pass over
+    a potentially billion-edge relation just to learn "too big" —
+    while take() stops after ~limit rows regardless of graph size, and
+    in the small case its rows ARE the edge list, so the separate
+    collect job disappears too (r13, guide §5: the driver does the
+    same bounded work, one job earlier)."""
     limit = COMPONENTS_DRIVER_MAX_EDGES if driver_max_edges is None \
         else driver_max_edges
-    if not limit or edges_one_dir.count() > limit:
+    if not limit:
+        return None
+    rows = edges_one_dir.take(limit + 1)
+    if len(rows) > limit:
         return None
     from pyspark.sql import types as T
     dtype = edges_one_dir.schema[0].dataType
@@ -770,7 +790,7 @@ def _maybe_driver_components(edges_one_dir: DataFrame,
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in edges_one_dir.collect():
+    for u, v in rows:
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -787,7 +807,8 @@ def _maybe_driver_components(edges_one_dir: DataFrame,
 def neardup_components(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b", max_iter: int = 20,
                        algorithm: str = "label_prop",
-                       driver_max_edges: int | None = None) -> DataFrame:
+                       driver_max_edges: int | None = None,
+                       pairs_distinct: bool = False) -> DataFrame:
     """Connected components over a near-dup candidate-pair graph: every
     doc gets the MIN doc id of its component as canonical label — the
     step that turns pairwise candidates into dedup groups.
@@ -809,19 +830,29 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
     ``driver_max_edges`` (default ``COMPONENTS_DRIVER_MAX_EDGES``)
     short-circuit to driver-side union-find — bounded like a broadcast,
     and orders of magnitude cheaper than even one distributed round;
-    pass ``0`` to force the distributed path (tests do)."""
+    pass ``0`` to force the distributed path (tests do).
+
+    ``pairs_distinct=True`` asserts the input pair relation is already
+    deduplicated with ``id_a < id_b`` (the lsh_pairs/neardup-pair
+    contract): the oriented edge list is then distinct as-is and its
+    symmetrized union is distinct by construction, so both edge-dedup
+    shuffles are skipped (same contract as graph.pagerank/kcore_peel)."""
     if algorithm == "star":
         return neardup_components_star(pairs, id_a, id_b, max_iter,
-                                       driver_max_edges=driver_max_edges)
-    one_dir = (pairs.select(F.col(id_a).alias("u"),
-                            F.col(id_b).alias("v"))
-               .distinct().localCheckpoint(eager=True))
+                                       driver_max_edges=driver_max_edges,
+                                       pairs_distinct=pairs_distinct)
+    one_dir = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    if not pairs_distinct:
+        one_dir = one_dir.distinct()
+    one_dir = one_dir.localCheckpoint(eager=True)
     small = _maybe_driver_components(one_dir, driver_max_edges)
     if small is not None:
         return small
-    edges = (one_dir.union(one_dir.select(F.col("v").alias("u"),
-                                          F.col("u").alias("v")))
-             .distinct().localCheckpoint(eager=True))
+    edges = one_dir.union(one_dir.select(F.col("v").alias("u"),
+                                         F.col("u").alias("v")))
+    if not pairs_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select("u").distinct()
               .withColumn("label", F.col("u")).localCheckpoint(eager=True))
     for _ in range(max_iter):
@@ -850,8 +881,8 @@ def neardup_components(pairs: DataFrame, id_a: str = "id_a",
 def neardup_components_star(pairs: DataFrame, id_a: str = "id_a",
                             id_b: str = "id_b",
                             max_iter: int = 25,
-                            driver_max_edges: int | None = None
-                            ) -> DataFrame:
+                            driver_max_edges: int | None = None,
+                            pairs_distinct: bool = False) -> DataFrame:
     """Connected components via alternating large-star / small-star
     rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond", Algorithm 2). Same output contract as
@@ -871,10 +902,16 @@ def neardup_components_star(pairs: DataFrame, id_a: str = "id_a",
     partial-aggregable, edges localCheckpoint'd per round so lineage
     stays flat. Fixed point: every component is a star centered at its
     min, detected by an order-independent (count, hash-sum) edge-set
-    checksum — two O(1)-row aggs, no edge-set collect."""
+    checksum — two O(1)-row aggs, no edge-set collect.
+
+    ``pairs_distinct=True``: see :func:`neardup_components` — skips the
+    edge-dedup shuffle for already-distinct ``id_a < id_b`` input (the
+    self-loop filter stays; it is a narrow no-shuffle scan)."""
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint(eager=True))
+             .filter(F.col("u") != F.col("v")))
+    if not pairs_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     small = _maybe_driver_components(edges, driver_max_edges)
     if small is not None:
         return small
@@ -1339,7 +1376,8 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
-                         keep_cols: list[str] | None = None) -> DataFrame:
+                         keep_cols: list[str] | None = None,
+                         pairs_distinct: bool = False) -> DataFrame:
     """End-to-end near-dup deduplication: from candidate pairs, keep one
     canonical document per connected component (the MIN id) plus every
     document in no component — the actual corpus-shrinking step that the
@@ -1348,19 +1386,22 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     Scale shape: components over pairs (not over docs — the pair graph is
     tiny relative to the corpus), then one left_anti join of the corpus
     against the drop-set (non-canonical members only). The corpus is
-    touched exactly once."""
-    comp = neardup_components(pairs)
+    touched exactly once. ``pairs_distinct``: see
+    :func:`neardup_components`."""
+    comp = neardup_components(pairs, pairs_distinct=pairs_distinct)
     drop = comp.filter(F.col("component") != F.col("doc_id")) \
                .select(F.col("doc_id").alias(id_col))
     out = df.join(drop, id_col, "left_anti")
     return out.select(*(keep_cols or df.columns))
 
 
-def cluster_size_histogram(pairs: DataFrame) -> DataFrame:
+def cluster_size_histogram(pairs: DataFrame,
+                           pairs_distinct: bool = False) -> DataFrame:
     """Dedup audit: distribution of near-dup cluster sizes (how much
     duplication, in what shape — many pairs vs few giant templates).
-    Two partial-aggregable groupBys over the component labels."""
-    comp = neardup_components(pairs)
+    Two partial-aggregable groupBys over the component labels.
+    ``pairs_distinct``: see :func:`neardup_components`."""
+    comp = neardup_components(pairs, pairs_distinct=pairs_distinct)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (sizes.groupBy("cluster_size")

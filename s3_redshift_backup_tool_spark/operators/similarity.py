@@ -578,8 +578,11 @@ def semantic_dedup(df: DataFrame,
     shape as dedup.dedup_keep_canonical."""
     from .dedup import neardup_components
 
+    # pairs_distinct: each vector lives in exactly one nearest-centroid
+    # cell and the within-cell kernels emit every pair once with
+    # id_a < id_b, so the pair relation is distinct by construction
     pairs = semantic_dedup_pairs(df, centroids, threshold, vec_col, id_col)
-    comp = neardup_components(pairs)
+    comp = neardup_components(pairs, pairs_distinct=True)
     drop = comp.filter(F.col("component") != F.col("doc_id")) \
                .select(F.col("doc_id").alias(id_col))
     return df.join(drop, id_col, "left_anti")

@@ -814,7 +814,7 @@ def minhash_lsh_pairs_documents(spark, sf_dir):
 def neardup_clusters_documents(spark, sf_dir):
     pairs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
                          n=3, num_hashes=16, bands=8)
-    return dd.neardup_components(pairs)
+    return dd.neardup_components(pairs, pairs_distinct=True)
 
 
 @q("neardup_clusters_star_documents",
@@ -842,7 +842,8 @@ def neardup_clusters_documents(spark, sf_dir):
 def neardup_clusters_star_documents(spark, sf_dir):
     pairs = dd.lsh_pairs(_t(spark, sf_dir, "documents"),
                          n=3, num_hashes=16, bands=8)
-    return dd.neardup_components(pairs, algorithm="star")
+    return dd.neardup_components(pairs, algorithm="star",
+                                 pairs_distinct=True)
 
 
 @q("ngram_jaccard_pairs_documents",
@@ -2432,7 +2433,7 @@ _CC_COMP_CTE = _cc_comp_cte()
 def neardup_dedup_keep_canonical(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
-    return dd.dedup_keep_canonical(docs, pairs,
+    return dd.dedup_keep_canonical(docs, pairs, pairs_distinct=True,
                                    keep_cols=["doc_id", "source", "lang"])
 
 
@@ -2456,7 +2457,7 @@ def neardup_dedup_capped_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8,
                          max_bucket_size=64)
-    return dd.dedup_keep_canonical(docs, pairs,
+    return dd.dedup_keep_canonical(docs, pairs, pairs_distinct=True,
                                    keep_cols=["doc_id", "source", "lang"])
 
 
@@ -2472,7 +2473,7 @@ def neardup_dedup_capped_documents(spark, sf_dir):
 def neardup_cluster_size_histogram(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
-    return dd.cluster_size_histogram(pairs)
+    return dd.cluster_size_histogram(pairs, pairs_distinct=True)
 
 
 # ==========================================================================
@@ -5232,7 +5233,7 @@ def constraint_audit_orders(spark, sf_dir):
 def cluster_safe_split_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.lsh_pairs(docs, n=3, num_hashes=16, bands=8)
-    comps = dd.neardup_components(pairs)
+    comps = dd.neardup_components(pairs, pairs_distinct=True)
     out = smp.cluster_safe_split(
         docs, "doc_id", comps, {"train": 0.8, "val": 0.1, "test": 0.1})
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

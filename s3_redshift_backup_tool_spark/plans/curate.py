@@ -106,7 +106,7 @@ def curate_corpus(
     pairs = dd.lsh_pairs(docs, text_col, id_col,
                          num_hashes=minhash_hashes, bands=minhash_bands,
                          max_bucket_size=lsh_max_bucket_size)
-    comp = dd.neardup_components(pairs)
+    comp = dd.neardup_components(pairs, pairs_distinct=True)
     # docs in no component are unique; component members survive only if
     # they ARE the component label (min id = canonical)
     dupes = comp.filter(F.col(id_col) != F.col("component")).select(id_col)

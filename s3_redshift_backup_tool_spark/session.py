@@ -48,6 +48,13 @@ def get_spark(app_name: str = "s3_redshift_backup_tool_spark",
         # manifest-stats file pruning for timestamp columns
         .config("spark.sql.parquet.outputTimestampType",
                 "TIMESTAMP_MICROS")
+        # limit/take ramp-up starts at one partition per core instead of
+        # 1: a bounded take() (e.g. the components driver-gate's
+        # take(limit+1)) then answers in ONE parallel wave instead of a
+        # 1 -> 4 -> 16 -> ... sequence of tiny sequential jobs, while
+        # still early-exiting on huge inputs once the limit is reached.
+        # On a cluster the same rule holds per executor-core budget.
+        .config("spark.sql.limit.initialNumPartitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python Data Source filter pushdown (sources/pysource.py): off
         # by default in 4.1, required for pushFilters() readers
