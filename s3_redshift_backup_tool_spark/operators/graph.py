@@ -64,27 +64,27 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
                 .unionAll(oriented.select(F.col("dst").alias("v"),
                                           F.col("src").alias("w"))),
         ["v", "w"], "left_semi")
-    # ONE action for all four scalars (r13 optimization): the triangle
-    # count and the degree aggregate are independent subtrees joined by
-    # a 1-row cross join, so Spark computes both in a single job;
-    # n_edges = sum(deg)/2 (every edge contributes 2 degree entries)
-    # replaces the separate full pass e.count() used to pay.
-    row = (tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-              .crossJoin(deg.agg(
-                  F.count(F.lit(1)).alias("n_nodes"),
-                  (F.coalesce(F.sum("d"), F.lit(0)) / 2)
-                  .cast("bigint").alias("n_edges"),
-                  (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
-                  .alias("wedges")))
-              .first())
-    n_tri = int(row["n_triangles"])
-    spark = pairs.sparkSession
-    trans = (3.0 * n_tri / float(row["wedges"])) if row["wedges"] else None
-    return spark.createDataFrame(
-        [(int(row["n_nodes"]), int(row["n_edges"]), int(n_tri),
-          round(trans, 6) if trans is not None else None)],
-        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
-        "transitivity double")
+    # ZERO driver actions (r13 optimization): the triangle count and
+    # the degree aggregate are independent subtrees joined by a 1-row
+    # cross join, so Spark computes both in a single job when the
+    # CALLER's action fires; n_edges = sum(deg)/2 (every edge
+    # contributes 2 degree entries) replaces the separate full pass
+    # e.count() used to pay, and the transitivity fold is a plain
+    # column expression instead of a .first() + createDataFrame round
+    # trip through the driver.
+    folded = (tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+                 .crossJoin(deg.agg(
+                     F.count(F.lit(1)).alias("n_nodes"),
+                     (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+                     .cast("bigint").alias("n_edges"),
+                     (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+                     .alias("wedges"))))
+    return folded.select(
+        "n_nodes", "n_edges", "n_triangles",
+        F.when(F.col("wedges") > 0,
+               F.round(F.lit(3.0) * F.col("n_triangles")
+                       / F.col("wedges"), 6))
+         .alias("transitivity"))
 
 
 def pagerank(pairs: DataFrame, iters: int = 3, damping: float = 0.85,

@@ -79,6 +79,26 @@ def test_triangle_stats_empty_graph(spark):
     assert r["transitivity"] is None
 
 
+def test_fk_orphan_audit_one_pass_semantics(spark):
+    """One-pass fk_orphan_audit (left join vs distinct dim keys + single
+    aggregate) must keep the three-action form's contract: NULL fact
+    keys counted separately from orphans, duplicate dim keys never
+    multiply fact rows, empty facts give rate 0.0."""
+    from s3_redshift_backup_tool_spark.operators.quality import (
+        fk_orphan_audit)
+
+    facts = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,), (None,)], "k long")
+    dim = spark.createDataFrame([(1,), (1,), (2,)], "d long")  # dup key 1
+    r = fk_orphan_audit(facts, "k", dim, "d").first()
+    assert (r["n_rows"], r["n_null_keys"], r["n_orphans"]) == (6, 2, 1)
+    assert r["orphan_rate"] == round(1 / 6, 6)
+
+    empty = spark.createDataFrame([], "k long")
+    r0 = fk_orphan_audit(empty, "k", dim, "d").first()
+    assert (r0["n_rows"], r0["n_orphans"], r0["orphan_rate"]) == (0, 0, 0.0)
+
+
 def test_overlap_report_zero_hit_docs_present(spark):
     """One-pass overlap report: eval docs with ZERO train overlap must
     still appear with n_overlap = 0 (the left-join + count(__hit)
