@@ -524,9 +524,16 @@ def kn_bigram_perplexity(df: DataFrame, text_col: str = "text",
                                 F.count(F.lit(1)).alias("n1f"))
     cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     d_types = big.agg(F.count(F.lit(1)).alias("d_types"))
-    vocab = (toks.filter(F.col(id_col) % 2 == 0)
-                 .select(F.explode("__s").alias("tok"))
-                 .agg(F.countDistinct("tok").alias("v")))
+    # V from the TYPES table, not a second corpus scan (r13
+    # optimization, guide §2.4): in a >=2-token doc every token
+    # position is some bigram's w1 (all but the last) or w2 (all but
+    # the first), so the distinct-token set of the train half equals
+    # the union of w1 and w2 over its distinct bigram types — the
+    # checkpointed |types|-row ``big`` relation — making the old
+    # full re-scan + explode + corpus-sized distinct of the train
+    # text provably redundant.
+    vocab = (big.select(F.explode(F.array("w1", "w2")).alias("tok"))
+                .agg(F.countDistinct("tok").alias("v")))
     const = d_types.crossJoin(vocab)
 
     sc = (test.join(big, ["w1", "w2"], "left")

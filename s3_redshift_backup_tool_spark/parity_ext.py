@@ -4425,20 +4425,41 @@ def benford_audit_orders(spark, sf_dir):
    "dedup shuffle touches anything); the dedup stage shuffles 128-bit "
    "digests, the cap is a source-partitioned window")
 def curation_attrition_documents(spark, sf_dir):
-    from pyspark.sql.window import Window
+    # ONE action, documents scanned ONCE (r13 optimization — was four
+    # driver count() actions whose nested stage subtrees re-scanned the
+    # wide text column 1+1+1+2 times): project the per-doc DECISIONS
+    # (gate flag + normalized digest) into a narrow proxy relation,
+    # localCheckpoint it lazily, and derive every stage count from the
+    # proxy — guide §8's "decide with small rows" applied to a report.
+    # The per-source cap count needs no window: row_number()<=20 per
+    # source counts exactly least(n_canonicals_in_source, 20).
     docs = _t(spark, sf_dir, "documents")
-    n_input = docs.count()
-    g = docs.filter(tx.gopher_keep_expr(F.col("text"), min_words=40))
-    canon = (g.groupBy(F.md5(tx.normalize_text(F.col("text"))).alias("h"))
-              .agg(F.min("doc_id").alias("doc_id")))
-    canon_src = canon.join(docs.select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    capped = (canon_src.withColumn("__rn", F.row_number().over(w))
-                       .filter(F.col("__rn") <= 20))
-    rows = [("input", n_input), ("gopher_gate", g.count()),
-            ("normalized_dedup", canon.count()),
-            ("per_source_cap", capped.count())]
-    return spark.createDataFrame(rows, "stage string, n_docs bigint")
+    keep = tx.gopher_keep_expr(F.col("text"), min_words=40)
+    base = (docs.select("doc_id", "source", keep.alias("__keep"),
+                        F.when(keep, F.md5(tx.normalize_text(
+                            F.col("text")))).alias("h"))
+                .localCheckpoint(eager=False))
+    heads = base.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("__keep"), 1)).alias("n_gopher"),
+        F.countDistinct("h").alias("n_canon"))
+    canon = (base.filter("__keep").groupBy("h")
+                 .agg(F.min("doc_id").alias("doc_id")))
+    capped = (canon.join(base.select("doc_id", "source"), "doc_id")
+                   .groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+                   .agg(F.coalesce(F.sum(F.least(F.col("__n"), F.lit(20))),
+                                   F.lit(0)).alias("n_capped")))
+    return (heads.crossJoin(capped)
+            .select(F.explode(F.array(
+                F.struct(F.lit("input").alias("stage"),
+                         F.col("n_input").alias("n_docs")),
+                F.struct(F.lit("gopher_gate").alias("stage"),
+                         F.col("n_gopher").alias("n_docs")),
+                F.struct(F.lit("normalized_dedup").alias("stage"),
+                         F.col("n_canon").alias("n_docs")),
+                F.struct(F.lit("per_source_cap").alias("stage"),
+                         F.col("n_capped").alias("n_docs")))).alias("s"))
+            .select("s.stage", "s.n_docs"))
 
 
 @q("top_bigrams_per_source",

@@ -99,6 +99,54 @@ def test_fk_orphan_audit_one_pass_semantics(spark):
     assert (r0["n_rows"], r0["n_orphans"], r0["orphan_rate"]) == (0, 0, 0.0)
 
 
+def test_kn_vocab_from_types_equals_corpus_scan(spark):
+    """kn_bigram_perplexity derives V from the bigram-types table; the
+    identity it relies on — every token of a >=2-token doc is some
+    bigram's w1 or w2 — must hold, including for docs filtered out by
+    the >=2 gate (their tokens never counted before either)."""
+    from s3_redshift_backup_tool_spark.operators.text import (
+        kn_bigram_perplexity)
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (2, "b d"), (4, "solo"),  # train: %2 == 0
+         (1, "a b x"), (3, "q")],                   # test:  %2 == 1
+        "doc_id long, text string")
+    # train tokens over >=2-token docs: {a, b, c, d} (doc 4 gated out)
+    # distinct train bigrams: (a,b),(b,c),(c,a),(b,d) -> D = 4, V = 4
+    out = {r["doc_id"]: r for r in kn_bigram_perplexity(docs).collect()}
+    assert set(out) == {1}  # doc 3 has < 2 tokens
+    r = out[1]
+    assert r["n_bigrams"] == 2
+    # (a,b) seen: max(1-.75,0)/1 + .75*(1/1)*((1+1)/(4+4+1)) = 0.41(6)
+    # (b,x) unseen w2, seen ctx b (c1=2, n1f=2):
+    #   0 + .75*(2/2)*((0+1)/9) = 0.08(3)
+    import math
+    p1 = 0.25 / 1 + 0.75 * 1 / 1 * (1 + 1) / (4 + 4 + 1)
+    p2 = 0.75 * (2 / 2) * (0 + 1) / (4 + 4 + 1)
+    want = round((math.log(p1) + math.log(p2)) / 2, 6)
+    assert abs(r["avg_logprob"] - want) < 1e-9
+
+
+def test_curation_attrition_cap_identity(spark, documents):
+    """The windowless per-source cap count (sum of least(n, 20)) must
+    equal the row_number()<=20 window form it replaced."""
+    from pyspark.sql.window import Window
+    from s3_redshift_backup_tool_spark.operators import text as tx
+
+    keep = tx.gopher_keep_expr(F.col("text"), min_words=40)
+    g = documents.filter(keep)
+    canon = (g.groupBy(F.md5(tx.normalize_text(F.col("text"))).alias("h"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    canon_src = canon.join(documents.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    windowed = (canon_src.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") <= 20).count())
+    folded = (canon_src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .agg(F.coalesce(F.sum(F.least(F.col("n"), F.lit(20))),
+                              F.lit(0)).alias("c")).first()["c"])
+    assert folded == windowed
+
+
 def test_overlap_report_zero_hit_docs_present(spark):
     """One-pass overlap report: eval docs with ZERO train overlap must
     still appear with n_overlap = 0 (the left-join + count(__hit)
