@@ -967,8 +967,11 @@ def ivf_index_add(spark, new_df: DataFrame, index_path: str,
     Scale shape: assignment is the zero-shuffle literal-centroid argmin;
     the only movement is the partitioned append of the new rows."""
     cents = load_ivf_index(spark, index_path)
+    # lazy localCheckpoint: the drift-stats aggregate and the
+    # partitioned append both consume the assignment — unmaterialized,
+    # the new batch would be scanned and assigned twice (r13)
     assigned = ivf_assign(new_df, cents).select(
-        id_col, vec_col, "centroid_id")
+        id_col, vec_col, "centroid_id").localCheckpoint(eager=False)
     entries = _centroid_dist_structs(cents, vec_col)
     own_d = F.filter(
         entries, lambda e: e["cid"] == F.col("centroid_id"))[0]["dist"]
