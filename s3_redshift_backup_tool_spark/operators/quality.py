@@ -156,7 +156,10 @@ def psi_drift(ref: "DataFrame", cur: "DataFrame", col: str,
     # without it the crossJoin would replay both side scans, and the
     # former eager ``tot = h.agg(...).first()`` paid a THIRD replay
     # plus a driver action (r13 optimization: 3 actions -> 1, ref
-    # scanned 2x instead of 3x, cur 1x instead of 2x).
+    # scanned 2x instead of 3x, cur 1x instead of 2x). Caveat (ADVICE
+    # r13): checkpoint blocks are executor-local, lineage-free storage
+    # — fine for this n_buckets-row relation inside one query, but an
+    # executor loss fails the plan and GC is the only unpersist path.
     h = (buckets.join(hist(ref, "n_ref"), "bucket", "left")
                 .join(hist(cur, "n_cur"), "bucket", "left")
                 .fillna(0, ["n_ref", "n_cur"])

@@ -969,7 +969,11 @@ def ivf_index_add(spark, new_df: DataFrame, index_path: str,
     cents = load_ivf_index(spark, index_path)
     # lazy localCheckpoint: the drift-stats aggregate and the
     # partitioned append both consume the assignment — unmaterialized,
-    # the new batch would be scanned and assigned twice (r13)
+    # the new batch would be scanned and assigned twice (r13).
+    # Caveat (ADVICE r13): the checkpointed batch lives on executors
+    # without lineage — an executor loss between the stats action and
+    # the append fails the call (re-run it; the append has not started),
+    # and the blocks are freed by JVM GC, not an explicit unpersist.
     assigned = ivf_assign(new_df, cents).select(
         id_col, vec_col, "centroid_id").localCheckpoint(eager=False)
     entries = _centroid_dist_structs(cents, vec_col)

@@ -309,7 +309,8 @@ def range_join_bucketed(
 # --------------------------------------------------------------------------
 
 def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
-                 type_col: str, steps: list[str]) -> list[DataFrame]:
+                 type_col: str, steps: list[str],
+                 checkpoint: bool = True) -> list[DataFrame]:
     """Per-user earliest STRICTLY-ORDERED completion time of each funnel
     step: step i counts only events after the user's step-(i-1) time.
 
@@ -319,15 +320,22 @@ def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
     one user-key shuffle plus per-stage map work no matter how many
     steps. Returns one DataFrame per step: (user_col, t_i).
 
-    Each stage is lazily localCheckpoint'd (r13 optimization, guide
-    §5): stage i's plan CONTAINS stages 1..i-1, so a k-step funnel
-    whose stages are consumed separately (funnel_conversions
-    crossJoins all k counts) would otherwise re-derive stage 1 k
-    times and re-scan the event source O(k^2/2) times — static
-    exchange reuse does not fire across the differently-aliased
-    subtrees (measured: 12 source scans, 0 ReusedExchange for the
-    3-step funnel). Materialized, each |users|-row stage is computed
-    once and every later consumer reads it back."""
+    With ``checkpoint`` (default) each stage is lazily localCheckpoint'd
+    (r13 optimization, guide §5): stage i's plan CONTAINS stages
+    1..i-1, so a k-step funnel whose stages are consumed separately
+    (funnel_conversions crossJoins all k counts) would otherwise
+    re-derive stage 1 k times and re-scan the event source O(k^2/2)
+    times — static exchange reuse does not fire across the
+    differently-aliased subtrees (measured: 12 source scans, 0
+    ReusedExchange for the 3-step funnel). Materialized, each
+    |users|-row stage is computed once and every later consumer reads
+    it back. Trade-offs (ADVICE r13): the checkpointed stages are
+    LogicalRDD-backed, so callers lose filter/column pushdown into the
+    event source (asking for one user's funnel still materializes the
+    full stages); the blocks live on executors WITHOUT lineage (an
+    executor loss makes the plan fail — acceptable for a query, not
+    for long-lived reuse) and are freed only by JVM GC. Pass
+    ``checkpoint=False`` to keep the stages as pure composable plans."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     out: list[DataFrame] = []
@@ -337,8 +345,9 @@ def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
         if prev is not None:
             cur = (cur.join(prev, user_col)
                       .where(F.col(ts_col) > F.col(f"t{i - 1}")))
-        stage = cur.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}")) \
-                   .localCheckpoint(eager=False)
+        stage = cur.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
+        if checkpoint:
+            stage = stage.localCheckpoint(eager=False)
         out.append(stage)
         prev = stage
     return out

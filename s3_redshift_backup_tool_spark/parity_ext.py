@@ -4374,7 +4374,9 @@ def benford_audit_orders(spark, sf_dir):
                    1, 1).cast("int").alias("digit")))
     # the total is the sum of the 9 per-digit counts — deriving it
     # from the digit relation (checkpointed, shared) instead of a
-    # second count over orders removes one full scan (r13, guide §2.4)
+    # second count over orders removes one full scan (r13, guide §2.4;
+    # the <=9-row checkpoint block is executor-local and lineage-free,
+    # the usual ADVICE-r13 caveat — trivial at this size)
     o = (d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
           .localCheckpoint(eager=False))
     t = o.agg(F.sum("n_obs").alias("total"))
@@ -4435,13 +4437,25 @@ def curation_attrition_documents(spark, sf_dir):
     # (gate flag + normalized digest) into a narrow proxy relation,
     # localCheckpoint it lazily, and derive every stage count from the
     # proxy — guide §8's "decide with small rows" applied to a report.
+    # Caveat (ADVICE r13): the |documents|-row proxy sits in
+    # executor-local, lineage-free checkpoint blocks until JVM GC; an
+    # executor loss mid-query fails the plan (re-run the report).
     # The per-source cap count needs no window: row_number()<=20 per
     # source counts exactly least(n_canonicals_in_source, 20).
     docs = _t(spark, sf_dir, "documents")
     keep = tx.gopher_keep_expr(F.col("text"), min_words=40)
+    # h is non-null EXACTLY for kept rows (ADVICE r13 asked the
+    # invariant be explicit): md5 of a non-null string is never null
+    # and gopher_keep rejects null text, so coalesce to a sentinel
+    # that md5 cannot produce ('' is not a 32-hex digest) — if a
+    # future normalize path yielded NULL for a kept doc, that doc
+    # still forms one dedup group, matching the oracle's GROUP BY h
+    # (NULL groups count there) instead of vanishing from
+    # countDistinct. Today the branch is dead; outputs are identical.
     base = (docs.select("doc_id", "source", keep.alias("__keep"),
-                        F.when(keep, F.md5(tx.normalize_text(
-                            F.col("text")))).alias("h"))
+                        F.when(keep, F.coalesce(
+                            F.md5(tx.normalize_text(F.col("text"))),
+                            F.lit(""))).alias("h"))
                 .localCheckpoint(eager=False))
     heads = base.agg(
         F.count(F.lit(1)).alias("n_input"),
