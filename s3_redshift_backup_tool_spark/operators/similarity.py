@@ -387,8 +387,18 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
     would emit different pairs on degenerate embeddings (ADVICE r12).
     Both kernels now drop the rows, and size checks count the
     survivors."""
+    # explicit repartition BEFORE the groupBy (r14, guide §2.4): the
+    # aggregate's ClusteredDistribution(key) is satisfied by the
+    # repartition's hash partitioning, so the former second exchange
+    # (groupBy shuffle, then repartition of the grouped rows)
+    # disappears — collect_list partials don't reduce bytes, so the
+    # one remaining shuffle moves the same data. The explicit
+    # n_parts count keeps one partition per group: the collected rows
+    # are tiny (AQE would coalesce them onto one task) but each hides
+    # |group|^2/2 cosine evaluations of downstream compute.
     buckets = (keyed.withColumn("__nrm", l2_norm(F.col(vec_col)))
                .filter(F.col("__nrm") > 0.0)
+               .repartition(n_parts, F.col(key_col))
                .groupBy(key_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
@@ -397,10 +407,6 @@ def _pairs_within_key(keyed: DataFrame, key_col: str, threshold: float,
                .filter(F.size("items") > 1))
     if max_group_size is not None:
         buckets = buckets.filter(F.size("items") <= max_group_size)
-    # one partition per group: the collected rows are tiny (AQE would
-    # coalesce them onto one task) but each hides |group|^2/2 cosine
-    # evaluations of downstream compute
-    buckets = buckets.repartition(n_parts, F.col(key_col))
     pairs = F.flatten(F.transform(
         F.col("items"),
         lambda x, i: F.transform(
@@ -639,14 +645,17 @@ def knn_random_seed(df: DataFrame, n_buckets: int = 32, k: int = 5,
 
 def _knn_within_key(keyed: DataFrame, key_col: str, n_parts: int,
                     k: int, vec_col: str, id_col: str) -> DataFrame:
+    # repartition BEFORE the groupBy — same one-exchange rationale as
+    # _pairs_within_key (r14, guide §2.4); the explicit n_parts count
+    # keeps one partition per group against AQE coalescing
     buckets = (keyed.withColumn("__nrm", l2_norm(F.col(vec_col)))
+               .repartition(n_parts, F.col(key_col))
                .groupBy(key_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col(id_col).alias("id"),
                             F.col(vec_col).alias("v"),
                             F.col("__nrm").alias("n")))).alias("items"))
-               .filter(F.size("items") > 1)
-               .repartition(n_parts, F.col(key_col)))
+               .filter(F.size("items") > 1))
     # per item: neighbors sorted lexicographically on (-round(sim,6),
     # dst) — negating AFTER the round keeps the reported value exact;
     # norms are per-row precomputed (bit-identical factoring, see
@@ -750,19 +759,37 @@ def rho_sample_size(rho: float, k: int) -> int:
     return max(1, int(math.ceil(rho * k)))
 
 
-def _rho_sample_adjacency(und: DataFrame, s: int) -> DataFrame:
-    """Keep ``s`` deterministic-pseudorandom neighbors per src from an
-    undirected adjacency list: rank by the portable md5-prefix hash of
-    the edge (geometry-blind, so the sample is unbiased w.r.t.
-    similarity) and take the first ``s``. One row_number window
-    partitioned by src — n keys, distributed, no global sort."""
+def _rho_sample_slice(s: int) -> "Column":
+    """Per-row ρ-sample of an adjacency ARRAY column ``__adj`` for node
+    ``src``: sort neighbors by (md5-prefix edge hash, dst) and take the
+    first ``s`` — exactly the rank the former window form
+    (``row_number() OVER (PARTITION BY src ORDER BY hash, dst) <= s``)
+    computed, but as array math on the grouped adjacency relation, so
+    the sample costs zero additional shuffle (r14, guide §2.4). The
+    hash key is geometry-blind, so the sample stays unbiased w.r.t.
+    similarity; array_sort on the (hash, dst) struct is the same
+    lexicographic order as the window's (hash ASC, dst ASC)."""
     from .text import md5_prefix_int
 
-    rk = md5_prefix_int(F.concat_ws(",", F.col("src").cast("string"),
-                                    F.col("dst").cast("string")))
-    w = Window.partitionBy("src").orderBy(rk.asc(), F.col("dst"))
-    return (und.withColumn("__rs", F.row_number().over(w))
-            .filter(F.col("__rs") <= s).drop("__rs"))
+    return F.transform(
+        F.slice(F.array_sort(F.transform(
+            F.col("__adj"),
+            lambda d: F.struct(
+                md5_prefix_int(F.concat_ws(
+                    ",", F.col("src").cast("string"),
+                    d.cast("string"))).alias("h"),
+                d.alias("dst")))), 1, s),
+        lambda t: t["dst"])
+
+
+def _rho_sample_adjacency(und: DataFrame, s: int) -> DataFrame:
+    """Keep ``s`` deterministic-pseudorandom neighbors per src from an
+    undirected adjacency EDGE relation — the edge-relation view of
+    :func:`_rho_sample_slice` (one groupBy, per-row sort+slice, explode
+    back), kept as the test/equivalence surface for the sampled round."""
+    adj = und.groupBy("src").agg(F.collect_set("dst").alias("__adj"))
+    return adj.select("src",
+                      F.explode(_rho_sample_slice(s)).alias("dst"))
 
 
 def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
@@ -794,30 +821,84 @@ def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
     dense the reverse-edge lists get — the unbounded round's measured
     x5.67-at-10x superlinearity lives exactly in that density growth.
     The CURRENT edges always rejoin the candidate union, so a sampled
-    round never ranks fewer than the incoming k per node."""
+    round never ranks fewer than the incoming k per node.
+
+    Plan shape (r14, guide §2.4 — value-identical to the former
+    edge-list E ⋈ E self-join, fewer exchanges): the symmetrized edge
+    list is grouped ONCE into per-node adjacency arrays (collect_set ≡
+    the former .distinct(), same shuffle key). Because the list is
+    symmetric, {(x,y): ∃m (x,m),(m,y) ∈ und} = ⋃_m A(m)×A(m) \\ diag,
+    so the unsampled expansion is a per-row double explode of the
+    adjacency array — no self-join, no second/third edge exchange. The
+    ρ-sampled expansion is NOT symmetric (m ∈ S(x) and y ∈ S(m) are
+    independent conditions), so it keeps one join — sampled edges
+    (x, m) against the grouped (m, S(m)) arrays, whose groupBy
+    partitioning the join reuses — and explodes S(m) after the match.
+    Candidate dedup then runs as groupBy(src).collect_set(dst)
+    (≡ .distinct() on (src,dst)) so the relation leaves the dedup
+    already partitioned by src and the top-k window adds NO exchange.
+    Same per-node |A|² worst case as the self-join (a hot node's pairs
+    land in one task either way); ρ-sampling remains the density
+    fence."""
     g = graph.select("src", "dst")
-    und = g.unionByName(g.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst"))).distinct()
-    if rho is not None:
-        und = _rho_sample_adjacency(und, rho_sample_size(rho, k))
-    expanded = (und.alias("a")
-                .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
-                .select(F.col("a.src").alias("src"),
-                        F.col("b.dst").alias("dst"))
-                .filter(F.col("src") != F.col("dst"))
-                .unionByName(g)
-                .distinct())
-    sv = vectors.select(F.col(id_col).alias("src"),
+    und_dup = g.unionByName(g.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    adj = und_dup.groupBy("src").agg(F.collect_set("dst").alias("__adj"))
+    if rho is None:
+        cand_dup = (adj.select("__adj",
+                               F.explode("__adj").alias("__cx"))
+                    .select(F.col("__cx").alias("src"),
+                            F.explode("__adj").alias("dst"))
+                    .filter(F.col("src") != F.col("dst")))
+    else:
+        sampled = adj.select(
+            "src", _rho_sample_slice(rho_sample_size(rho, k)).alias("__s"))
+        a = sampled.select(F.col("src").alias("__x"),
+                           F.explode("__s").alias("__mid"))
+        b = sampled.select(F.col("src").alias("__mid"),
+                           F.col("__s").alias("__bs"))
+        cand_dup = (a.join(b, "__mid")
+                    .select(F.col("__x").alias("src"),
+                            F.explode("__bs").alias("dst"))
+                    .filter(F.col("src") != F.col("dst")))
+    # score each UNORDERED pair once and mirror (r14, guide §2.4): the
+    # adjacency expansion is near-symmetric, so scoring ordered
+    # candidates evaluates almost every d-dim dot twice. cos_sim is
+    # bitwise orientation-invariant — zip_with multiplies a[i]*b[i]
+    # elementwise in the same index order and IEEE multiplication
+    # commutes, as does the norm product in the divisor — so one
+    # evaluation per (least, greatest) key serves both orientations;
+    # per-orientation presence flags keep the candidate SET identical
+    # (a directed g-edge whose reverse is not a candidate must not
+    # leak a mirrored row into the reverse node's top-k).
+    canon = (cand_dup.unionByName(g)
+             .select(F.least("src", "dst").alias("__a"),
+                     F.greatest("src", "dst").alias("__b"),
+                     (F.col("src") < F.col("dst")).alias("__fwd"))
+             .groupBy("__a", "__b")
+             .agg(F.max("__fwd").alias("__has_fwd"),
+                  F.max(~F.col("__fwd")).alias("__has_rev")))
+    va = vectors.select(F.col(id_col).alias("__a"),
                         F.col(vec_col).alias("__sv"),
                         l2_norm(F.col(vec_col)).alias("__sn"))
-    dv = vectors.select(F.col(id_col).alias("dst"),
+    vb = vectors.select(F.col(id_col).alias("__b"),
                         F.col(vec_col).alias("__dv"),
                         l2_norm(F.col(vec_col)).alias("__dn"))
-    scored = (expanded.join(sv, "src").join(dv, "dst")
-              .select("src", "dst",
+    orient = F.filter(F.array(
+        F.when(F.col("__has_fwd"),
+               F.struct(F.col("__a").alias("src"),
+                        F.col("__b").alias("dst"))),
+        F.when(F.col("__has_rev"),
+               F.struct(F.col("__b").alias("src"),
+                        F.col("__a").alias("dst")))),
+        lambda x: x.isNotNull())
+    scored = (canon.join(va, "__a").join(vb, "__b")
+              .select(F.explode(orient).alias("__p"),
                       F.round(dot(F.col("__sv"), F.col("__dv"))
                               / (F.col("__sn") * F.col("__dn")), 6)
-                      .alias("cos_sim")))
+                      .alias("cos_sim"))
+              .select(F.col("__p.src").alias("src"),
+                      F.col("__p.dst").alias("dst"), "cos_sim"))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
     return (scored.withColumn("nn_rank", F.row_number().over(w))
                   .filter(F.col("nn_rank") <= k))
