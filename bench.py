@@ -405,7 +405,19 @@ def _bounded_stdout_line(result: dict, full_file: str, budget: int) -> str:
     # budget by the trailing key's length and only stays parseable by
     # luck against the driver's 2 KB stdout tail.
     reserve = len(json.dumps({"queries_elided": len(result["queries"])})) + 2
-    by_cost = sorted(result["queries"].items(), key=lambda kv: -kv[1])
+    # STABLE MEMBERSHIP (r13 verdict item 6): rank by the PRIOR quiet
+    # sweep's cost where available, falling back to this sweep's cost
+    # for queries with no history. Ranking by current cost made the
+    # round-over-round common set structurally biased: a query that got
+    # FASTER fell off the line while one inflated by host noise stayed
+    # on, so the driver's geomean-over-common-queries systematically
+    # read "regressed". With prior-cost ranking the same queries stay
+    # on the line across rounds and their deltas are the unbiased view.
+    # Same budget, same schema — additions to queries{} only.
+    prior_cost = dict(_prior_round_full().get("queries", {}))
+    by_cost = sorted(
+        result["queries"].items(),
+        key=lambda kv: -(prior_cost.get(kv[0]) or kv[1]))
     for name, sec in by_cost:
         slim["queries"][name] = sec
         if len(json.dumps(slim)) > budget - reserve:

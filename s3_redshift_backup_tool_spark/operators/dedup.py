@@ -193,10 +193,14 @@ def _band_hash_from_array(band: int, rows_per_band: int):
 
 
 def _pairs_from_banded(banded: DataFrame, id_col: str,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       distinct: bool = True) -> DataFrame:
     """(id, band, band_hash) -> distinct candidate pairs via per-bucket
     sorted id lists (see lsh_candidate_pairs docstring for why not a
-    self-join).
+    self-join). ``distinct=False`` skips the final dedup exchange for
+    callers that dedup the union of several pair relations themselves
+    (lsh_index_pairs — r14, guide §2.4: the outer distinct makes the
+    inner one a pure extra shuffle).
 
     ``max_bucket_size`` is the degenerate-bucket guard: a bucket of b
     docs emits b^2/2 pairs AND materializes a b-element id array in one
@@ -218,9 +222,10 @@ def _pairs_from_banded(banded: DataFrame, id_col: str,
         lambda x, i: F.transform(
             F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    return (buckets.select(F.explode(pairs).alias("p"))
-            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-            .distinct())
+    out = (buckets.select(F.explode(pairs).alias("p"))
+           .select(F.col("p.id_a").alias("id_a"),
+                   F.col("p.id_b").alias("id_b")))
+    return out.distinct() if distinct else out
 
 
 def lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -457,29 +462,38 @@ def lsh_index_pairs(spark, new_df: DataFrame, path: str,
         banded = (banded.join(F.broadcast(wide), ["band", "band_hash"],
                               "left_anti")
                   .localCheckpoint(eager=False))
+    # with intra pairs, ONE distinct over the union suffices — the
+    # probe and intra relations skip their own dedup exchanges (r14,
+    # guide §2.4; a pair can appear in several buckets AND on both the
+    # probe and intra sides when a batch doc was already indexed, so
+    # the outer distinct is the one that carries the contract)
     cross = _index_cross_pairs(spark, banded, path, id_col,
-                               broadcast_batch)
+                               broadcast_batch,
+                               distinct=not include_intra)
     if include_intra:
         cross = cross.unionByName(
-            _pairs_from_banded(banded, id_col, max_bucket_size)).distinct()
+            _pairs_from_banded(banded, id_col, max_bucket_size,
+                               distinct=False)).distinct()
     return cross
 
 
 def _index_cross_pairs(spark, banded: DataFrame, path: str, id_col: str,
-                       broadcast_batch: bool = True) -> DataFrame:
-    """Banded batch rows vs persisted index -> (id_a, id_b) distinct.
-    Explicit schema on the index read (identical to the batch's banded
-    frame, partition column included): a fully-stop-bucketed or
-    not-yet-appended index is a legal empty dataset with no footers to
-    infer from."""
+                       broadcast_batch: bool = True,
+                       distinct: bool = True) -> DataFrame:
+    """Banded batch rows vs persisted index -> (id_a, id_b) distinct
+    (``distinct=False`` when the caller dedups the union itself — see
+    _pairs_from_banded). Explicit schema on the index read (identical
+    to the batch's banded frame, partition column included): a fully-
+    stop-bucketed or not-yet-appended index is a legal empty dataset
+    with no footers to infer from."""
     idx = spark.read.schema(banded.schema).parquet(path)
     probe = F.broadcast(banded) if broadcast_batch else banded
-    return (idx.withColumnRenamed(id_col, "__idx_id")
-               .join(probe, ["band", "band_hash"])
-               .filter(F.col("__idx_id") != F.col(id_col))
-               .select(F.least("__idx_id", id_col).alias("id_a"),
-                       F.greatest("__idx_id", id_col).alias("id_b"))
-               .distinct())
+    out = (idx.withColumnRenamed(id_col, "__idx_id")
+           .join(probe, ["band", "band_hash"])
+           .filter(F.col("__idx_id") != F.col(id_col))
+           .select(F.least("__idx_id", id_col).alias("id_a"),
+                   F.greatest("__idx_id", id_col).alias("id_b")))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -620,7 +634,12 @@ def jaccard_prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
         lambda i: md5_prefix_int(F.concat_ws(" ", F.slice(w, i + 1, n)))))
-    verif = df.select(F.col(id_col), grams.alias("toks"))
+    # materialized once (lazy localCheckpoint, r14 guide §5): BOTH
+    # candidate-join sides read the verification arrays, and rebuilding
+    # them per side re-ran the per-shingle md5 over the full corpus
+    # text twice — the query's per-row CPU hot spot
+    verif = df.select(F.col(id_col), grams.alias("toks")) \
+        .localCheckpoint(eager=False)
     ta = verif.select(F.col(id_col).alias("id_a"),
                       F.col("toks").alias("__ta"))
     tb = verif.select(F.col(id_col).alias("id_b"),
@@ -1021,33 +1040,83 @@ def shingle_bloom_mask(df: DataFrame, text_col: str = "text",
     h x |shingles|) longs — the EVAL side of decontamination is small
     by definition, that is the whole premise). Words are two's-
     complement so they round-trip through an ``array<bigint>``."""
-    sh = word_shingles(df, text_col, id_col, n).select("shingle").distinct()
+    # no .distinct(): the word fold is idempotent (see
+    # bloom_mask_from_keys) — deduplicating first paid a full shingle
+    # exchange for an identical mask
+    sh = word_shingles(df, text_col, id_col, n).select("shingle")
     return bloom_mask_from_keys(sh, "shingle", m_bits, h_funcs, seed)
 
 
 def bloom_mask_from_keys(keys: DataFrame, key_col: str,
                          m_bits: int = 1 << 20, h_funcs: int = 4,
                          seed: int = 7) -> list[int]:
-    """Generic Bloom builder over ANY distinct key relation (the
-    shingle mask above is one instance; skew.bloom_semi_join is
-    another). Positions fold into 64-bit words DISTRIBUTED (bit_or
-    partial-aggregates map-side), so the driver receives <= m_bits/64
-    word rows — not one row per distinct position."""
+    """Generic Bloom builder over ANY key relation (the shingle mask
+    above is one instance; skew.bloom_semi_join is another). The keys
+    need NOT be deduplicated: bit_or is idempotent, so duplicate keys
+    set the same bits — callers used to pay a full .distinct()
+    exchange before this fold for nothing (removed r14, guide §2.4).
+    Positions fold into 64-bit words DISTRIBUTED (bit_or
+    partial-aggregates map-side to <= m_bits/64 words per task), so
+    the driver receives <= m_bits/64 word rows — never one row per
+    key or position."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    packed = (keys.select(*_bloom_position_cols(F.col(key_col), m_bits,
-                                                h_funcs, seed))
-                  .select(F.explode(F.array(
-                      *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
-                  .select(F.shiftright("p", 6).alias("w"),
-                          F.expr("shiftleft(cast(1 as bigint), "
-                                 "cast(p % 64 as int))").alias("bit"))
-                  .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
-                  .collect())
+    packed = _bloom_packed_words(keys, key_col, m_bits, h_funcs,
+                                 seed).collect()
     words = [0] * (m_bits // 64)
     for r in packed:
         words[int(r["w"])] = int(r["word"]) & ((1 << 64) - 1)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_packed_words(keys: DataFrame, key_col: str, m_bits: int,
+                        h_funcs: int, seed: int) -> DataFrame:
+    """(w, word) sparse Bloom words over a key relation — the shared
+    distributed fold behind both mask forms."""
+    return (keys.select(*_bloom_position_cols(F.col(key_col), m_bits,
+                                              h_funcs, seed))
+            .select(F.explode(F.array(
+                *[F.col(f"__p{i}") for i in range(h_funcs)])).alias("p"))
+            .select(F.shiftright("p", 6).alias("w"),
+                    F.expr("shiftleft(cast(1 as bigint), "
+                           "cast(p % 64 as int))").alias("bit"))
+            .groupBy("w").agg(F.expr("bit_or(bit)").alias("word")))
+
+
+def bloom_mask_df(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
+                  h_funcs: int = 4, seed: int = 7) -> DataFrame:
+    """LAZY twin of :func:`bloom_mask_from_keys`: the same mask as a
+    1-row ``__bloom_mask: array<bigint>`` relation built entirely
+    inside the plan (sparse words densified via a map lookup over the
+    word-index sequence), so a query that gates on the mask needs NO
+    eager driver collect — the mask materializes as a broadcast when
+    the one real action runs (r14, guide §5: no driver actions in
+    query paths). Bit-identical to the driver form: bit_or already
+    produces the signed two's-complement word, and absent words
+    densify to 0 (an empty key relation yields the all-zero mask,
+    same as the driver loop). Densification gap-fills the SORTED
+    sparse words with zeros in one array expression — per-element
+    array access is O(1), unlike element_at on a Spark MAP, whose
+    linear scan made the obvious map-lookup densify quadratic in one
+    task (measured 17 s for the default 2^20-bit mask)."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    packed = _bloom_packed_words(keys, key_col, m_bits, h_funcs, seed)
+    ents = (packed.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("w").cast("int").alias("w"),
+                 F.col("word").alias("word")))).alias("__e")))
+    e = F.col("__e")
+    zero = F.lit(0).cast("bigint")
+    filled = F.flatten(F.transform(
+        e, lambda s, i: F.concat(
+            F.array_repeat(zero, s["w"] - F.when(i == F.lit(0), F.lit(-1))
+                           .otherwise(F.element_at(e, i)["w"]) - 1),
+            F.array(s["word"]))))
+    return ents.select(
+        F.concat(filled,
+                 F.array_repeat(zero, F.lit(n_words) - F.size(filled)))
+        .alias("__bloom_mask"))
 
 
 def bloom_gate_sql(h_funcs: int) -> str:
@@ -1082,17 +1151,19 @@ def decontaminate_overlap_bloom(eval_df: DataFrame, train_df: DataFrame,
     the surviving volume is |matches| + FP-rate x |corpus shingles| —
     with default 2^20 bits / 4 hashes at 10^6 eval shingles, FP ~2%.
     Size m_bits ~ 20 x eval shingle count for that regime."""
-    spark = train_df.sparkSession
-    # the eval shingle relation feeds BOTH the mask build (an eager
-    # driver aggregate) and the final report: materialize it once
-    # (lazy localCheckpoint — the mask action fills it, the report
-    # reuses it) instead of re-shingling the eval corpus per consumer
+    # the eval shingle relation feeds BOTH the mask fold and the final
+    # report: materialize it once (lazy localCheckpoint) instead of
+    # re-shingling the eval corpus per consumer
     ev = word_shingles(eval_df, text_col, id_col, n) \
         .localCheckpoint(eager=False)
-    mask = bloom_mask_from_keys(ev.select("shingle").distinct(),
-                                "shingle", m_bits, h_funcs, seed)
-    mask_df = spark.createDataFrame([(mask,)],
-                                    "__bloom_mask: array<bigint>")
+    # the mask is a LAZY 1-row relation (r14, guide §5): the former
+    # eager bloom_mask_from_keys collect made query construction
+    # itself run 4-5 jobs; now the single real action materializes
+    # the mask as a broadcast. Also no .distinct() before the fold —
+    # bit_or is idempotent, so the dedup exchange of every eval
+    # shingle bought nothing (guide §2.4).
+    mask_df = bloom_mask_df(ev.select("shingle"), "shingle", m_bits,
+                            h_funcs, seed)
     gate = bloom_gate_sql(h_funcs)
     tr = (word_shingles(train_df, text_col, id_col, n)
           .select("shingle")

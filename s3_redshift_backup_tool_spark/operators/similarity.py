@@ -1338,12 +1338,24 @@ def pq_residual_codebooks(df: DataFrame,
     the production upgrade (pq_codebooks_kmeans works unchanged on a
     pre-computed residual column). Same fixed-k scaling recipe as
     :func:`pq_codebooks` (encode is O(n*k*d); scale m, not k)."""
+    rows = (df.filter(F.col(id_col) < k)
+              .select(id_col, vec_col).orderBy(id_col).collect())
+    return pq_residual_codebooks_from_rows(rows, centroids, m, k)
+
+
+def pq_residual_codebooks_from_rows(rows, centroids, m: int = 8,
+                                    k: int = 16):
+    """:func:`pq_residual_codebooks` on PRE-COLLECTED (id, vec) rows —
+    lets a caller that already holds the first-k rows (e.g. one scan
+    serving centroids + codebooks + the query vector) build the
+    codebooks without a second driver action (r14, guide §5). ``rows``
+    must be the id-ascending first-``k`` rows the collecting form
+    would fetch."""
     if k > _PQ_MAX_K:
         raise ValueError(
             f"k={k} exceeds _PQ_MAX_K={_PQ_MAX_K}: PQ encode cost is "
             "O(n*k*d) — scale code length m, not k, with the corpus")
-    rows = (df.filter(F.col(id_col) < k)
-              .select(id_col, vec_col).orderBy(id_col).collect())
+    rows = [r for r in rows][:k]
     d = len(rows[0][1])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")

@@ -40,6 +40,24 @@ def explode_small_side(df: DataFrame, num_salts: int) -> DataFrame:
               .withColumn(SALT, F.col(SALT).cast("int")))
 
 
+def salt_count_for(max_key_rows: int, target_rows_per_task: int,
+                   max_salts: int = 256) -> int:
+    """Size the salt fan-out from MEASURED skew (r14, guide §2.3) —
+    feed it :func:`skew_report`'s ``max_key_rows``: enough salts that
+    the hottest key's rows split into ~``target_rows_per_task`` chunks,
+    clamped to [1, max_salts] because every salt multiplies the small
+    side's shuffle and memory. A constant salt count is wrong in both
+    directions at scale: too few leaves the hot key serialized, too
+    many replicates the small side for nothing. The result of a salted
+    join is identical for ANY count (the salt is synthetic and
+    dropped), so this knob is pure performance."""
+    if max_key_rows < 1 or target_rows_per_task < 1:
+        raise ValueError("max_key_rows and target_rows_per_task must be "
+                         ">= 1")
+    need = -(-max_key_rows // target_rows_per_task)   # ceil
+    return max(1, min(int(need), max_salts))
+
+
 def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
                 num_salts: int = 8, how: str = "inner",
                 scatter_col: str | None = None) -> DataFrame:
@@ -47,7 +65,11 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
 
     Semantically identical to ``big.join(small, on, how)`` for inner and
     left joins (every big row keeps exactly one salt; every small row
-    exists at every salt)."""
+    exists at every salt). Size ``num_salts`` from measured skew —
+    ``salt_count_for(skew_report(big, key).first()["max_key_rows"],
+    target_rows_per_task)`` — not a guess: the salt count only affects
+    cost, never the result, and the right value is a property of the
+    hottest key's row count, not of the cluster or a default."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
@@ -139,18 +161,20 @@ def bloom_semi_join(big: DataFrame, small: DataFrame, on: list[str],
     ~2% FP. Same mask/word-fold machinery as the decontamination
     bloom (dedup.bloom_mask_from_keys)."""
     from .dedup import (_bloom_position_cols, bloom_gate_sql,
-                        bloom_mask_from_keys)
+                        bloom_mask_df)
 
     def _key(df: DataFrame):
         parts = [F.when(F.col(c).isNull(), F.lit("\\N"))
                   .otherwise(F.col(c).cast("string")) for c in on]
         return F.concat_ws("|", *parts)
 
-    spark = big.sparkSession
-    keys = small.select(_key(small).alias("__k")).distinct()
-    mask = bloom_mask_from_keys(keys, "__k", m_bits, h_funcs, seed)
-    mask_df = spark.createDataFrame([(mask,)],
-                                    "__bloom_mask: array<bigint>")
+    # r14 (guide §5/§2.4): the mask is now a LAZY 1-row relation — the
+    # former driver collect made constructing this plan an eager
+    # multi-job action — and the mask keys are no longer .distinct()'d
+    # first (the word fold is idempotent; the exact semi-join below
+    # keeps its own distinct — that one bounds the JOIN build side)
+    keys = small.select(_key(small).alias("__k"))
+    mask_df = bloom_mask_df(keys, "__k", m_bits, h_funcs, seed)
     pre = (big.crossJoin(F.broadcast(mask_df))
               .select(*big.columns, F.col("__bloom_mask"),
                       *_bloom_position_cols(_key(big), m_bits, h_funcs,

@@ -1320,10 +1320,18 @@ def ann_pq_rerank_topk_embeddings(spark, sf_dir):
    "from nprobe/8 of the data, float vectors touched for 50 rows")
 def ann_ivfpq_topk_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.ivf_centroids(emb, n_centroids=8)
-    cbs = sim.pq_residual_codebooks(emb, cents, m=8, k=16)
-    qvec = [float(v) for v in
-            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # ONE driver scan serves all three literals (r14, guide §5): the
+    # 8 coarse centroids, the 16 codebook source rows and the query
+    # vector are all among the first-16-by-id rows — the former three
+    # separate pushed-filter collects were three jobs for one footer
+    rows16 = (emb.filter(F.col("vec_id") < 16)
+                 .select("vec_id", "embedding").orderBy("vec_id")
+                 .collect())
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in rows16 if int(r[0]) < 8]
+    qvec = [float(v) for r in rows16 if int(r[0]) == 0
+            for v in r[1]]
+    cbs = sim.pq_residual_codebooks_from_rows(rows16, cents, m=8, k=16)
     enc = sim.ivfpq_encode(emb, cents, cbs)
     return sim.ann_topk_ivfpq(enc, qvec, cents, cbs, vectors_df=emb,
                               k=10, nprobe=2, shortlist=50)

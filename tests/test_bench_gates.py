@@ -112,3 +112,29 @@ def test_fold_regressions_roundtrip(tmp_path, monkeypatch):
     assert "trailing section" in text          # rest of PERF.md intact
     assert not sidecar.exists()                # sidecar consumed
     assert fold_regressions.fold() == []       # idempotent
+
+
+def test_bounded_line_membership_is_prior_cost_ranked(monkeypatch):
+    """r13 verdict item 6: the line's per-query entries are picked by
+    the PRIOR quiet sweep's cost ranking (stable membership across
+    rounds), falling back to current cost for history-less queries —
+    a query that got faster this sweep must stay on the line."""
+    prior = {"queries": {"stayed_fast": 9.0, "cheap_prior": 0.01}}
+    monkeypatch.setattr(bench, "_prior_round_full", lambda **kw: prior)
+    result = {
+        "format": 3, "value": 1.0,
+        # stayed_fast IMPROVED to 0.05 s — current-cost ranking would
+        # drop it below every filler query; prior-cost ranking keeps
+        # it first. new_heavy has no history -> ranked by current.
+        "queries": {"stayed_fast": 0.05, "new_heavy": 8.0,
+                    "cheap_prior": 0.02,
+                    **{"filler%03d" % i: 1.0 for i in range(300)}},
+        "retimed_outliers": {},
+    }
+    line = bench._bounded_stdout_line(result, "bench_full_r99.json",
+                                      budget=1800)
+    parsed = json.loads(line)
+    assert len(line) <= 1800
+    assert "stayed_fast" in parsed["queries"]      # prior rank 9.0
+    assert "new_heavy" in parsed["queries"]        # current-cost fallback
+    assert "cheap_prior" not in parsed["queries"]  # cheap both rounds

@@ -133,3 +133,34 @@ def test_rho_slice_equals_window_sample(spark):
     want = _rows(und.withColumn("__rs", F.row_number().over(w))
                  .filter(F.col("__rs") <= s).drop("__rs"))
     assert got == want
+
+
+def test_lazy_bloom_mask_equals_driver_mask(spark):
+    """r14: the in-plan 1-row Bloom mask (gap-filled sorted words, no
+    driver collect, no pre-distinct) must be bit-identical to the
+    eager driver fold over distinct keys — including duplicate keys
+    (bit_or idempotence) and the empty-input all-zero mask."""
+    from s3_redshift_backup_tool_spark.operators import dedup as dd
+
+    keys = spark.createDataFrame([(f"k{i % 7}",) for i in range(50)],
+                                 "k string")
+    lazy = dd.bloom_mask_df(keys, "k", m_bits=1 << 10).collect()[0][0]
+    eager = dd.bloom_mask_from_keys(keys.distinct(), "k", m_bits=1 << 10)
+    assert list(lazy) == list(eager)
+    empty = dd.bloom_mask_df(keys.filter("k = 'nope'"), "k",
+                             m_bits=256).collect()[0][0]
+    assert list(empty) == [0] * 4
+
+
+def test_salt_count_sizes_from_measured_skew():
+    """r14: the salt fan-out derives from skew_report's max_key_rows
+    and a per-task row target — not a constant (guide §2.3)."""
+    from s3_redshift_backup_tool_spark.operators.skew import salt_count_for
+
+    assert salt_count_for(1_000, 10_000) == 1          # no skew: no salt
+    assert salt_count_for(100_000, 10_000) == 10       # split hot key
+    assert salt_count_for(10**10, 10_000) == 256       # clamped
+    assert salt_count_for(10_001, 10_000) == 2         # ceil, not floor
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salt_count_for(0, 10_000)
