@@ -834,12 +834,17 @@ def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
     independent conditions), so it keeps one join — sampled edges
     (x, m) against the grouped (m, S(m)) arrays, whose groupBy
     partitioning the join reuses — and explodes S(m) after the match.
-    Candidate dedup then runs as groupBy(src).collect_set(dst)
-    (≡ .distinct() on (src,dst)) so the relation leaves the dedup
-    already partitioned by src and the top-k window adds NO exchange.
     Same per-node |A|² worst case as the self-join (a hot node's pairs
     land in one task either way); ρ-sampling remains the density
-    fence."""
+    fence. Scoring keeps the ordered-candidate form: two alternatives
+    were measured and REJECTED on the same seed (r14, guide §1.1's
+    "ideal plan is usually slower at first" loop) — canonical-pair
+    scoring (score each unordered pair once under orientation flags,
+    halving the d-dim dots) ran 2.3-2.9 s vs 1.5-2.0 s here because
+    the flag aggregate + struct-array explode outweigh the saved dots
+    at these candidate widths, and groupBy(src).collect_set dedup
+    (saves the window exchange) ran ~0.3 s slower than the plain
+    distinct for the same reason."""
     g = graph.select("src", "dst")
     und_dup = g.unionByName(g.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
@@ -861,44 +866,18 @@ def nn_descent_round(graph: DataFrame, vectors: DataFrame, k: int = 5,
                     .select(F.col("__x").alias("src"),
                             F.explode("__bs").alias("dst"))
                     .filter(F.col("src") != F.col("dst")))
-    # score each UNORDERED pair once and mirror (r14, guide §2.4): the
-    # adjacency expansion is near-symmetric, so scoring ordered
-    # candidates evaluates almost every d-dim dot twice. cos_sim is
-    # bitwise orientation-invariant — zip_with multiplies a[i]*b[i]
-    # elementwise in the same index order and IEEE multiplication
-    # commutes, as does the norm product in the divisor — so one
-    # evaluation per (least, greatest) key serves both orientations;
-    # per-orientation presence flags keep the candidate SET identical
-    # (a directed g-edge whose reverse is not a candidate must not
-    # leak a mirrored row into the reverse node's top-k).
-    canon = (cand_dup.unionByName(g)
-             .select(F.least("src", "dst").alias("__a"),
-                     F.greatest("src", "dst").alias("__b"),
-                     (F.col("src") < F.col("dst")).alias("__fwd"))
-             .groupBy("__a", "__b")
-             .agg(F.max("__fwd").alias("__has_fwd"),
-                  F.max(~F.col("__fwd")).alias("__has_rev")))
-    va = vectors.select(F.col(id_col).alias("__a"),
+    expanded = cand_dup.unionByName(g).distinct()
+    sv = vectors.select(F.col(id_col).alias("src"),
                         F.col(vec_col).alias("__sv"),
                         l2_norm(F.col(vec_col)).alias("__sn"))
-    vb = vectors.select(F.col(id_col).alias("__b"),
+    dv = vectors.select(F.col(id_col).alias("dst"),
                         F.col(vec_col).alias("__dv"),
                         l2_norm(F.col(vec_col)).alias("__dn"))
-    orient = F.filter(F.array(
-        F.when(F.col("__has_fwd"),
-               F.struct(F.col("__a").alias("src"),
-                        F.col("__b").alias("dst"))),
-        F.when(F.col("__has_rev"),
-               F.struct(F.col("__b").alias("src"),
-                        F.col("__a").alias("dst")))),
-        lambda x: x.isNotNull())
-    scored = (canon.join(va, "__a").join(vb, "__b")
-              .select(F.explode(orient).alias("__p"),
+    scored = (expanded.join(sv, "src").join(dv, "dst")
+              .select("src", "dst",
                       F.round(dot(F.col("__sv"), F.col("__dv"))
                               / (F.col("__sn") * F.col("__dn")), 6)
-                      .alias("cos_sim"))
-              .select(F.col("__p.src").alias("src"),
-                      F.col("__p.dst").alias("dst"), "cos_sim"))
+                      .alias("cos_sim")))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
     return (scored.withColumn("nn_rank", F.row_number().over(w))
                   .filter(F.col("nn_rank") <= k))
